@@ -1,0 +1,3 @@
+from .build import PostingsIndex, build_index  # noqa: F401
+from .docids import assign_doc_ids  # noqa: F401
+from .query import bm25_topk, bm25_topk_batch  # noqa: F401

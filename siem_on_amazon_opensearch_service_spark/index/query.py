@@ -1,0 +1,177 @@
+"""BM25 top-k retrieval over the postings index.
+
+Two paths, verified equal by tests:
+
+* :func:`bm25_topk` -- exhaustive: filter postings to the query terms
+  (parquet row-group pruning via the term-sorted layout), decode the
+  varbyte blocks with a vectorized ``mapInPandas``, score with NATIVE
+  column expressions (whole-stage codegen), ``groupBy(doc_id)`` sum,
+  ``ORDER BY score DESC, doc_id LIMIT k`` (Spark plans
+  TakeOrderedAndProject -- per-partition heaps + driver merge, the
+  same shape as OpenSearch's per-shard top-k + coordinating-node
+  merge, SURVEY.md section 3.3).
+
+* :func:`plans.pruning.bm25_topk_pruned` -- block-max pruned variant.
+
+Scoring needs no join to the docs table: per-posting doc length rides
+inside the block (``dls_vb``, the Lucene norms analog), and per-term
+idf comes from a tiny broadcast of term_stats rows for the query
+terms only.
+
+Ties break (score desc, doc_id asc) -- fixed rule shared with the
+oracle (SURVEY.md section 7.3 item 1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import tokenize_py
+from ..bm25 import B, K1
+from .build import PostingsIndex
+
+DECODED_SCHEMA = "term string, doc_id long, tf int, dl int"
+
+
+def decode_blocks(blocks: DataFrame) -> DataFrame:
+    """Block rows -> (term, doc_id, tf, dl) posting rows (vectorized)."""
+    cols = blocks.select("term", "doc_ids_vb", "tfs_vb", "dls_vb")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codec import vb_decode, delta_decode
+
+        for b in batches:
+            if b.empty:
+                continue
+            terms, dids, tfs, dls = [], [], [], []
+            for term, dvb, tvb, lvb in zip(
+                b["term"], b["doc_ids_vb"], b["tfs_vb"], b["dls_vb"]
+            ):
+                d = delta_decode(vb_decode(dvb)).astype(np.int64)
+                terms.append(np.full(d.size, term, dtype=object))
+                dids.append(d)
+                tfs.append(vb_decode(tvb).astype(np.int32))
+                dls.append(vb_decode(lvb).astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(dids),
+                    "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
+                }
+            )
+
+    return cols.mapInPandas(dec, schema=DECODED_SCHEMA)
+
+
+def score_col(avgdl: float, n_docs: int) -> F.Column:
+    """Native BM25 expression over (tf, dl, df) columns -- codegen'd,
+    identical formula text to bm25.score_sql."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    df_ = F.col("df").cast("double")
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - df_ + 0.5) / (df_ + 0.5))
+    return idf * tf / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl)))
+
+
+def _query_weights(query: str) -> dict[str, int]:
+    """Term -> occurrence count in the query (Lucene: a repeated term
+    is a repeated clause, scoring once per occurrence)."""
+    w: dict[str, int] = {}
+    for t in tokenize_py(query):
+        w[t] = w.get(t, 0) + 1
+    return w
+
+
+def bm25_topk(ix: PostingsIndex, query: str, k: int = 10,
+              with_url: bool = False) -> DataFrame:
+    """Top-k docs for one query string. Returns (doc_id, score[, url])."""
+    weights = _query_weights(query)
+    terms = list(weights)
+    spark = ix.postings.sparkSession
+    if not terms:
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        return empty
+
+    blocks = ix.postings.filter(F.col("term").isin(terms))
+    decoded = decode_blocks(blocks)
+
+    tstats = ix.term_stats.filter(F.col("term").isin(terms)).select(
+        "term", "df"
+    )
+    wdf = spark.createDataFrame(
+        [(t, int(c)) for t, c in weights.items()], "term string, qtf int"
+    )
+
+    scored = (
+        decoded.join(F.broadcast(tstats), "term")
+        .join(F.broadcast(wdf), "term")
+        .withColumn(
+            "_s", score_col(ix.avgdl, ix.n_docs) * F.col("qtf").cast("double")
+        )
+    )
+    topk = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("_s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    if with_url and "url" in ix.docs.columns:
+        # k rows join docs: broadcast the tiny top-k side.
+        docs = ix.docs.select("doc_id", "url")
+        topk = (
+            docs.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    return topk
+
+
+def bm25_topk_batch(ix: PostingsIndex, queries: DataFrame, k_col: str = "k") -> DataFrame:
+    """Batch retrieval: queries(qid int, query string, k int) ->
+    (qid, rank, doc_id, score). One Spark job for the whole query set:
+
+      explode query -> terms (same analyzer, native split)
+      broadcast semi-join postings on term (only query-term blocks read)
+      decode once per block even if shared by many queries
+      score per (qid, doc_id), window row_number per qid <= k.
+    """
+    from pyspark.sql import Window
+
+    from ..analysis import tokens_col
+
+    spark = ix.postings.sparkSession
+    qterms = (
+        queries.select(
+            "qid", F.col(k_col).alias("k"), F.explode(tokens_col("query")).alias("term")
+        )
+        .groupBy("qid", "k", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    needed = [r["term"] for r in qterms.select("term").distinct().collect()]
+    if not needed:
+        return spark.createDataFrame([], "qid int, rank int, doc_id long, score double")
+
+    blocks = ix.postings.filter(F.col("term").isin(needed))
+    decoded = decode_blocks(blocks)
+    tstats = ix.term_stats.filter(F.col("term").isin(needed)).select("term", "df")
+
+    scored = (
+        decoded.join(F.broadcast(tstats), "term")
+        .join(F.broadcast(qterms), "term")  # fan out postings to queries
+        .withColumn(
+            "_s", score_col(ix.avgdl, ix.n_docs) * F.col("qtf").cast("double")
+        )
+        .groupBy("qid", "k", "doc_id")
+        .agg(F.sum("_s").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("qid", "rank", "doc_id", "score")
+    )
