@@ -1,0 +1,488 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md section 2 gets a (PySpark callable, DuckDB oracle SQL) pair.
+
+Conventions that make the driver's order-insensitive value-hash match:
+- every computed column aliased identically in Spark and SQL;
+- floats rounded to 4 decimals on BOTH sides (after ordering by the
+  raw value);
+- timestamps projected as formatted strings with the Spark session
+  timezone pinned to UTC inside the callable;
+- top-k ties broken by an explicit unique key on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analysis import duckdb_tokens_sql, tokens_sql
+from .bm25 import B, K1
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if sql is not None:
+            _ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracles() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# Fulltext / BM25 (the core engine; SURVEY.md A9, F15, F16, J7)
+# ---------------------------------------------------------------------------
+
+FT_QUERY = "spark table join stream"
+FT_K = 20
+
+_BM25_SQL_BODY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest(['spark', 'table', 'join', 'stream']) AS term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+          JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT {FT_K}
+"""
+
+
+@register("ft_bm25_topk_index", _BM25_SQL_BODY)
+def ft_bm25_topk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k through the REAL engine: salted block-compressed
+    postings index (build_index) + varbyte decode + native scoring."""
+    from .index import build_index
+    from .index.query import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    ix = build_index(spark, docs, text_col="text", id_col="doc_id",
+                     salt_threshold=200)
+    top = bm25_topk(ix, FT_QUERY, k=FT_K)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+@register("ft_bm25_topk_dataframe", _BM25_SQL_BODY)
+def ft_bm25_topk_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics through the uncompressed pure-DataFrame plan
+    (M1 slice in SURVEY.md section 7.1)."""
+    from .index.query import bm25_topk_df
+
+    docs = _t(spark, sf_dir, "documents")
+    top = bm25_topk_df(docs, "text", "doc_id", FT_QUERY, k=FT_K)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+@register(
+    "ft_term_df_top50",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({duckdb_tokens_sql('text')}) AS term
+      FROM documents
+    )
+    SELECT term, count(*) AS df FROM tok
+    GROUP BY term ORDER BY df DESC, term LIMIT 50
+    """,
+)
+def ft_term_df_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per term (posting-list lengths), top 50 --
+    the `terms` agg of SURVEY.md A1 over the index vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(tokens_sql("text")))).alias("term")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+@register(
+    "ft_doclen",
+    f"SELECT doc_id, len({duckdb_tokens_sql('text')})::BIGINT AS doclen "
+    "FROM documents",
+)
+def ft_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token count (the Lucene norms analog, SURVEY.md M2)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(F.expr(tokens_sql("text"))).cast("long").alias("doclen")
+    )
+
+
+@register(
+    "ft_corpus_stats",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len({duckdb_tokens_sql('text')}) AS dl FROM documents
+    ), v AS (
+      SELECT count(DISTINCT term) AS nt FROM (
+        SELECT unnest({duckdb_tokens_sql('text')}) AS term FROM documents)
+    )
+    SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 4) AS avgdl,
+           (SELECT nt FROM v)::BIGINT AS n_terms
+    FROM dl
+    """,
+)
+def ft_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.expr(tokens_sql("text")).alias("t"))
+    dl = toks.select(F.size("t").alias("dl"))
+    nt = toks.select(F.explode("t").alias("term")).agg(
+        F.countDistinct("term").alias("nt")
+    )
+    return dl.agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("dl"), 4).alias("avgdl")
+    ).crossJoin(nt.select(F.col("nt").cast("long").alias("n_terms")))
+
+# ---------------------------------------------------------------------------
+# Aggregations (reference dashboard workload, SURVEY.md section 2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_terms_topn",
+    """
+    SELECT event_type, count(*) AS n FROM events
+    GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
+    """,
+)
+def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`terms` agg (A1): bucket by keyword, order by count desc, size N
+    (92 of 103 reference visualizations use this shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(3)
+    )
+
+
+@register(
+    "agg_date_histogram",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`date_histogram` + `sum` metric (A5, A3): tumbling hour buckets,
+    e.g. reference cloudtrail.ndjson:19."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+@register(
+    "agg_filters",
+    """
+    SELECT count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'error' AND value > 100) AS n_error_high
+    FROM events
+    """,
+)
+def agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`filters` agg (A6): N named predicate buckets as conditional
+    counts -- grouping-sets style, single pass."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        F.count(
+            F.when((F.col("event_type") == "error") & (F.col("value") > 100), 1)
+        ).alias("n_error_high"),
+    )
+
+
+@register(
+    "agg_cardinality_exact",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_cardinality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cardinality` agg (A4) -- exact variant for the oracle gate; the
+    HLL variant (approx_count_distinct) is `agg_cardinality_approx`."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@register("agg_cardinality_approx", None)  # HLL sketches differ per engine
+def agg_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cardinality` agg (A4) as OpenSearch computes it: HLL++ approx
+    (same algorithm family as Spark's approx_count_distinct). No SQL
+    oracle -- sketch internals differ across engines; pytest bounds the
+    relative error instead (rows-only check here)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx")
+    )
+
+
+@register(
+    "agg_sum_bucket",
+    """
+    WITH per_user AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, sum(n) AS total, round(avg(n), 4) AS avg_per_user
+    FROM per_user GROUP BY event_type
+    """,
+)
+def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum_bucket` pipeline agg (A7): second-level aggregate over
+    sibling buckets (reference vpcflowlogs.ndjson:4-5)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    return per_user.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.round(F.avg("n"), 4).alias("avg_per_user")
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric hash aggregation (A2/A3 composition) -- TPC-H-Q1
+    shape over lineitem; partial+final agg, filter pushed to scan."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins / lookups (SURVEY.md section 2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_dim",
+    """
+    SELECT n.n_name AS nation, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim broadcast hash joins (J3/J5 analog): small dims are
+    broadcast so the fact table never shuffles for the join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_range_bands",
+    """
+    WITH bands(lo, hi, band) AS (
+      VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'),
+             (200.0, 1e9, 'high')
+    )
+    SELECT b.band AS band, count(*) AS n,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range lookup join (J1/J2: the GeoIP / IOC ip-interval
+    pattern, ref siem/ioc.py:176-214): fact value BETWEEN dim bounds,
+    dim broadcast so it plans as BroadcastNestedLoopJoin over a
+    3-row table instead of a shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1e9, "high")],
+        "lo double, hi double, band string",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY.md section 2.5: dashboard top-N per group)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topn_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 2 AND o_custkey <= 100
+    """,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 2) & (F.col("o_custkey") <= 100))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+    FROM events WHERE user_id <= 20
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("user_id") <= 20)
+        .select(
+            "event_id", "user_id",
+            F.round(F.sum("value").over(w), 4).alias("running"),
+        )
+    )

@@ -131,6 +131,59 @@ def bm25_topk(ix: PostingsIndex, query: str, k: int = 10,
     return topk
 
 
+def bm25_topk_df(docs: DataFrame, text_col: str, id_col: str, query: str,
+                 k: int = 10) -> DataFrame:
+    """BM25 top-k straight from a documents DataFrame -- the
+    uncompressed one-stage plan (SURVEY.md section 7.1 M1). Same
+    semantics as :func:`bm25_topk` without materializing an index;
+    used for small corpora and as a semantic cross-check of the
+    compressed path."""
+    from ..analysis import tokens_col
+
+    spark = docs.sparkSession
+    weights = _query_weights(query)
+    if not weights:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(text_col).alias("_toks"),
+    )
+    tokens = base.select(
+        "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+
+    srow = base.select(F.size("_toks").alias("dl")).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"] or 0.0)
+
+    terms = list(weights)
+    dft = (
+        tf.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    wdf = spark.createDataFrame(
+        [(t, int(c)) for t, c in weights.items()], "term string, qtf int"
+    )
+    scored = (
+        tf.filter(F.col("term").isin(terms))
+        .join(F.broadcast(dft), "term")
+        .join(F.broadcast(wdf), "term")
+        .withColumn(
+            "_s", score_col(avgdl, n_docs) * F.col("qtf").cast("double")
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("_s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_topk_batch(ix: PostingsIndex, queries: DataFrame, k_col: str = "k") -> DataFrame:
     """Batch retrieval: queries(qid int, query string, k int) ->
     (qid, rank, doc_id, score). One Spark job for the whole query set:
