@@ -1,0 +1,140 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys report index-build throughput (docs/sec, postings/sec) and
+compressed index bytes -- the build-metrics surface required by
+BASELINE.json (ref: the reference's CloudWatch EMF metrics emission,
+es_loader/index.py:400-438).
+
+Scaling evidence: run twice with SPARK_GRAFT_CPUS=8 and =32 on the same
+input; BENCH.md records throughput at both + efficiency (the sandbox
+substitute for N vs 4N executors per BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+FT_QUERIES = [
+    "spark table join stream",
+    "query filter fast",
+    "the a big data",
+    "hash merge sort window",
+    "column scan slow",
+    "group order batch line",
+    "customer value part",
+    "row small stream agg",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from siem_on_amazon_opensearch_service_spark.index import build_index
+    from siem_on_amazon_opensearch_service_spark.index.query import (
+        bm25_topk, bm25_topk_batch, bm25_topk_df,
+    )
+    from siem_on_amazon_opensearch_service_spark.plans.pruning import (
+        bm25_topk_pruned,
+    )
+    from siem_on_amazon_opensearch_service_spark import entry_queries
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+
+    # --- index build (the core artifact): materialize postings fully ---
+    def do_build():
+        ix = build_index(spark, docs, text_col="text", id_col="doc_id",
+                         salt_threshold=max(1000, n_docs // 10))
+        ix.postings = ix.postings.persist()
+        stats = ix.postings.agg(
+            F.count("*").alias("blocks"),
+            F.sum("doc_count").alias("postings"),
+            F.sum(
+                F.octet_length("doc_ids_vb")
+                + F.octet_length("tfs_vb")
+                + F.octet_length("dls_vb")
+            ).alias("bytes"),
+        ).collect()[0]
+        return ix, stats
+
+    ix, bstats = timed("index_build", do_build)
+    build_sec = timings["index_build"]
+    n_postings = int(bstats["postings"])
+
+    # --- query latency: single-query, pruned, batch, M1 dataframe path ---
+    timed("bm25_single", lambda: bm25_topk(ix, FT_QUERIES[0], k=20).collect())
+    timed("bm25_pruned", lambda: bm25_topk_pruned(ix, FT_QUERIES[0], k=20).collect())
+
+    qdf = spark.createDataFrame(
+        [(i, q, 10) for i, q in enumerate(FT_QUERIES)],
+        "qid int, query string, k int",
+    )
+    timed("bm25_batch8", lambda: bm25_topk_batch(ix, qdf).collect())
+    timed(
+        "bm25_dataframe",
+        lambda: bm25_topk_df(docs, "text", "doc_id", FT_QUERIES[0], k=20).collect(),
+    )
+
+    # --- representative reference-workload queries from the registry ---
+    reg = entry_queries.registry()
+    for name in ("agg_terms_topn", "agg_date_histogram", "join_broadcast_dim",
+                 "q1_pricing_summary", "window_topn_per_group"):
+        if name in reg:
+            timed(name, lambda n=name: reg[n](spark, SF_DIR).collect())
+
+    sf_m = re.search(r"sf([0-9.]+)", SF_DIR)
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "e2e_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_m.group(1)) if sf_m else None,
+        "cpus": CPUS,
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "index_docs_per_sec": round(n_docs / build_sec, 2),
+        "index_postings_per_sec": round(n_postings / build_sec, 2),
+        "index_compressed_bytes": int(bstats["bytes"]),
+        "index_blocks": int(bstats["blocks"]),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Top-k pruning: distributed MaxScore with block-max metadata.
+
+The reference delegates top-k pruning to Lucene's block-max WAND
+(behavior target only -- it lives behind the `_bulk`/`_search` calls,
+reference es_loader/index.py:345; no repo code). Classic BMW is a
+doc-at-a-time sequential traversal with a shared heap -- inherently
+single-threaded state, the wrong shape for Spark. The distributed-
+exact family used here is **MaxScore** (Turtle & Flood 1995; the same
+upper-bound machinery BMW refines), which maps cleanly onto DataFrame
+ops and keeps results rank-identical with exhaustive scoring:
+
+1. cheap θ: the k-th best *single-term* score over the highest-
+   upper-bound query term is a lower bound on the final k-th best
+   total score (all BM25 components are non-negative);
+2. term split: sort query terms by score upper bound
+   ``UB_t = qtf · idf_t · max_tf/(max_tf + k1(1-b))`` (block-max
+   metadata ``max_tf`` from term_stats); the maximal suffix with
+   ``Σ UB < θ`` is *non-essential* -- a doc containing only
+   non-essential terms scores < θ and can never enter the top-k;
+3. candidates = docs appearing in ≥1 essential term's postings; only
+   those postings rows of non-essential terms that join a candidate
+   are decoded into the scoring aggregate.
+
+Physical effect: the expensive wide stage (groupBy doc_id) receives
+only candidate docs' contributions instead of every posting of every
+stopword in the query. For Zipfian web text with stopword-laden
+queries that is the bulk of the data (the per-block ``max_tf`` bound
+also prunes at parquet row-group level via min/max stats on the
+term-sorted layout). Exactness (== exhaustive top-k) is asserted by
+tests/test_pruning.py over stopword-heavy queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..bm25 import idf, upper_bound
+from ..index.build import PostingsIndex
+from ..index.query import _query_weights, decode_blocks, score_col
+
+
+def bm25_topk_pruned(ix: PostingsIndex, query: str, k: int = 10) -> DataFrame:
+    """MaxScore-pruned BM25 top-k; rank-identical to bm25_topk."""
+    weights = _query_weights(query)
+    spark = ix.postings.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not weights:
+        return empty
+
+    stats = {
+        r["term"]: (int(r["df"]), int(r["max_tf"]))
+        for r in ix.term_stats.filter(
+            F.col("term").isin(list(weights))
+        ).collect()
+    }
+    present = [t for t in weights if t in stats]
+    if not present:
+        return empty
+
+    ub = {
+        t: weights[t] * upper_bound(stats[t][1], idf(ix.n_docs, stats[t][0]))
+        for t in present
+    }
+
+    # --- phase 1: θ from the best single term (k-th best lone score) ---
+    best = max(present, key=lambda t: ub[t])
+    tstats = ix.term_stats.filter(F.col("term").isin(present)).select("term", "df")
+    best_scores = (
+        decode_blocks(ix.postings.filter(F.col("term") == best))
+        .join(F.broadcast(tstats), "term")
+        .withColumn("_s", score_col(ix.avgdl, ix.n_docs) * F.lit(float(weights[best])))
+        .orderBy(F.desc("_s"))
+        .limit(k)
+        .select("_s")
+        .collect()
+    )
+    theta = float(best_scores[-1]["_s"]) if len(best_scores) >= k else 0.0
+
+    # --- term split: maximal low-UB suffix with Σ UB strictly < θ ---
+    by_ub = sorted(present, key=lambda t: ub[t])  # ascending
+    nonessential: list[str] = []
+    acc = 0.0
+    for t in by_ub:
+        if acc + ub[t] < theta and len(nonessential) < len(present) - 1:
+            acc += ub[t]
+            nonessential.append(t)
+        else:
+            break
+    essential = [t for t in present if t not in nonessential]
+
+    wdf = spark.createDataFrame(
+        [(t, int(c)) for t, c in weights.items()], "term string, qtf int"
+    )
+
+    dec_ess = decode_blocks(ix.postings.filter(F.col("term").isin(essential)))
+    if nonessential:
+        cand = dec_ess.select("doc_id").distinct()
+        dec_non = decode_blocks(
+            ix.postings.filter(F.col("term").isin(nonessential))
+        ).join(cand, "doc_id")  # contribution restriction, AQE picks strategy
+        decoded = dec_ess.unionByName(dec_non)
+    else:
+        decoded = dec_ess
+
+    scored = (
+        decoded.join(F.broadcast(tstats), "term")
+        .join(F.broadcast(wdf), "term")
+        .withColumn("_s", score_col(ix.avgdl, ix.n_docs) * F.col("qtf").cast("double"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("_s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

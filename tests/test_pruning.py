@@ -1,0 +1,49 @@
+"""MaxScore pruning == exhaustive scoring (SURVEY.md section 5 item 1:
+"WAND pruning == exhaustive scoring (equivalence test)")."""
+
+import math
+
+import pytest
+
+from siem_on_amazon_opensearch_service_spark import corpus
+from siem_on_amazon_opensearch_service_spark.index import build_index
+from siem_on_amazon_opensearch_service_spark.index.query import bm25_topk
+from siem_on_amazon_opensearch_service_spark.oracle import OracleIndex
+from siem_on_amazon_opensearch_service_spark.plans.pruning import bm25_topk_pruned
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    from siem_on_amazon_opensearch_service_spark.index import PostingsIndex
+
+    pdf = corpus.make_pages_pdf(500, seed=11)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    sdf = spark.createDataFrame(pdf)
+    built = build_index(spark, sdf, id_col="doc_id", salt_threshold=40)
+    path = str(tmp_path_factory.mktemp("ix_pruning"))
+    built.save(spark, path, buckets=4)
+    ix = PostingsIndex.load(spark, path)
+    oracle = OracleIndex.build({i: t for i, t in enumerate(pdf["text"])})
+    return ix, oracle
+
+
+@pytest.mark.parametrize(
+    "query,k",
+    [
+        ("w00000 w00001 w09211", 10),      # stopwords + rare: prunes hard
+        ("w00000", 5),                     # single hot term
+        ("w00007 w00003 w00001 w00000", 10),  # all-stopword query
+        ("w08000 w07123", 10),             # all-rare (theta=0, no pruning)
+        ("zzz_absent w00002", 3),
+        ("w00000 w00000 w00555", 10),      # duplicate query term
+    ],
+)
+def test_pruned_equals_exhaustive_and_oracle(setup, query, k):
+    ix, oracle = setup
+    pruned = [(r["doc_id"], r["score"]) for r in bm25_topk_pruned(ix, query, k).collect()]
+    full = [(r["doc_id"], r["score"]) for r in bm25_topk(ix, query, k).collect()]
+    exp = oracle.search(query, k)
+    assert [d for d, _ in pruned] == [d for d, _ in full] == [d for d, _ in exp]
+    for (_, a), (_, b), (_, c) in zip(pruned, full, exp):
+        assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(a, c, rel_tol=1e-9, abs_tol=1e-9)
