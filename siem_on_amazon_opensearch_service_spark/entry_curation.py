@@ -1,0 +1,279 @@
+"""Registry entries for the training-data curation operators
+(dedup, similarity search, text analysis, multimodal) — each a
+(PySpark callable, DuckDB oracle SQL) pair on the shared testdata
+tables. Imported by entry_queries at module bottom."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analysis import duckdb_tokens_sql
+from .entry_queries import _t, register
+from .operators import dedup, multimodal, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_stats",
+    f"""
+    WITH k AS (
+      SELECT md5(array_to_string({duckdb_tokens_sql('text')}, ' ')) AS k
+      FROM documents
+    ), g AS (SELECT k, count(*) AS n FROM k GROUP BY k)
+    SELECT sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct,
+           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+           sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::BIGINT AS n_removable
+    FROM g
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on normalized text): corpus stats."""
+    return dedup.exact_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh_pairs", dedup.duckdb_lsh_pairs_sql())
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands x 2) candidate near-dup pairs with
+    estimated Jaccard (matching-signature fraction)."""
+    return dedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard_top20",
+    f"""
+    WITH s AS (
+      SELECT doc_id AS id, {dedup.duckdb_shingles_sql('text')} AS sh
+      FROM documents WHERE doc_id < 100
+    ), s2 AS (SELECT id, sh FROM s WHERE len(sh) > 0)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM s2 a JOIN s2 b ON a.id < b.id
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+)
+def dedup_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard, all pairs of a bounded id
+    range — the small-scale baseline the LSH path approximates."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup.jaccard_pairs(docs)
+    return pairs.orderBy(
+        F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")
+    ).limit(20)
+
+
+@register("dedup_simhash16", dedup.duckdb_simhash_sql())
+def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (md5-projection bits)."""
+    return dedup.simhash16(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id < 100
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold (bounded id
+    range; at scale this runs per ANN bucket)."""
+    vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return dedup.embedding_dup_pairs(vecs, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(e, q) / (sqrt(list_dot_product(e, e)) "
+    "* sqrt(list_dot_product(q, q)))"
+)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return list(row["embedding"])
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+    ), v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT vec_id, round({_COS}, 4) AS cosine
+    FROM v, q ORDER BY {_COS} DESC, vec_id LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k to a query vector (exact baseline)."""
+    vecs = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(vecs, _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cent_id FROM (
+        SELECT cent_id, cv AS e FROM cent) c, qv
+      ORDER BY {_COS} DESC, cent_id LIMIT 4
+    ),
+    asg AS (
+      SELECT vec_id, cent_id, rn FROM (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, c.cv)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.cent_id) AS rn
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v
+        CROSS JOIN cent c)
+      WHERE rn = 1
+    ),
+    cand AS (
+      SELECT v.vec_id, v.e
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v
+      JOIN asg ON asg.vec_id = v.vec_id
+      JOIN probe ON probe.cent_id = asg.cent_id
+    )
+    SELECT vec_id, round({_COS}, 4) AS cosine
+    FROM cand, qv ORDER BY {_COS} DESC, vec_id LIMIT 10
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: probe the 4 nearest of 16 cells only —
+    the partition-pruned scale path."""
+    vecs = _t(spark, sf_dir, "embeddings")
+    cents = similarity.make_centroids(vecs, 16)
+    return similarity.ivf_topk(vecs, cents, _query_vec(spark, sf_dir),
+                               k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_PRED, _LANG_SCORE = textstats.duckdb_lang_sql()
+
+
+@register(
+    "text_lang_id_counts",
+    f"""
+    SELECT {_LANG_PRED} AS lang_pred, count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def text_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language id (stopword-ratio argmax), corpus counts."""
+    out = textstats.lang_id(_t(spark, sf_dir, "documents"))
+    return out.groupBy("lang_pred").agg(F.count("*").alias("n"))
+
+
+@register("text_quality", textstats.duckdb_quality_sql())
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc curation quality features + composite score."""
+    out = textstats.quality_features(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", "mean_token_len", "distinct_ratio",
+        "stopword_ratio", "symbol_ratio", "quality_score",
+    )
+
+
+@register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+      len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT
+        AS ws_tokens,
+      len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}'))::BIGINT
+        AS bpe_tokens,
+      len({duckdb_tokens_sql('text')})::BIGINT AS analyzer_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace vs BPE-ish pretokens vs analyzer."""
+    out = textstats.token_counts(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "ws_tokens", "bpe_tokens", "analyzer_tokens")
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+      md5(array_to_string({duckdb_tokens_sql('text')}, ' ')) AS fp_exact,
+      md5(array_to_string(list_sort(list_distinct({duckdb_tokens_sql('text')})), ' '))
+        AS fp_bag
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprints (exact + bag-of-tokens)."""
+    out = textstats.fingerprint(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "fp_exact", "fp_bag")
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+_MM_VARIANTS = [m[0] for m in multimodal.MAGIC[:4]]
+_MM_HDR = (
+    "(CASE doc_id % 4 "
+    + " ".join(
+        f"WHEN {i} THEN from_hex('{v}')" for i, v in enumerate(_MM_VARIANTS)
+    )
+    + " END)"
+)
+
+
+@register(
+    "mm_magic_sniff_counts",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, {_MM_HDR} || encode(text) AS media
+      FROM documents
+    )
+    SELECT {multimodal.duckdb_sniff_sql('media')} AS fmt,
+           count(*) AS n, sum(octet_length(media))::BIGINT AS total_bytes
+    FROM m GROUP BY 1
+    """,
+)
+def mm_magic_sniff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing: synthesize media payloads, sniff the
+    container format from magic bytes (ref siem/utils.py:913-927
+    analog), aggregate per format."""
+    media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
+    meta = multimodal.media_metadata(media)
+    return meta.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )

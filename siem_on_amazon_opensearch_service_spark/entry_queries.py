@@ -486,3 +486,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value").over(w), 4).alias("running"),
         )
     )
+
+
+# Curation-operator registrations (dedup / similarity / text analysis /
+# multimodal) live in entry_curation.py; importing it at module bottom
+# runs its @register decorators against this module's registry.
+from . import entry_curation  # noqa: E402,F401

@@ -1,0 +1,375 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design (the actual goal — 100 TB corpora):
+
+* exact: one hash-aggregate on ``md5(normalized_text)`` — shuffle
+  volume is one 32-byte digest per doc, not the text.
+* MinHash+LSH: shingle explode is narrow (docs stay in place); the
+  signature aggregate is a map-side-combinable ``min`` per (doc,
+  seed); the only join is band-bucket self-join whose key cardinality
+  is bounded by band keys, and bucket sizes are capped (``MAX_BUCKET``)
+  before pairing so a degenerate bucket (boilerplate pages) can never
+  produce a quadratic pair explosion.
+* SimHash: pure per-doc map-side computation (explode + conditional
+  sums), no pairwise work at all — collisions found by a groupBy on
+  the 16-bit key.
+* n-gram Jaccard: exact verification of *candidate pairs only* (LSH
+  output), never all-pairs at scale; the all-pairs variant here is
+  explicitly scoped to a bounded id range as the small-scale oracle
+  baseline.
+* embedding cosine: all math in double precision over float32 input
+  so Spark and the oracle agree bit-for-bit after 4-decimal rounding.
+
+Determinism: all hashing is md5 over explicit seed||value strings —
+identical in Spark, DuckDB and Python, no engine-private hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import duckdb_tokens_sql, tokens_sql
+
+SHINGLE = 3
+N_HASH = 8          # minhash signature length
+N_BANDS = 4         # LSH bands (rows per band = N_HASH / N_BANDS)
+MAX_BUCKET = 64     # cap on docs per LSH bucket before pairing
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def shingles_col(text_col: str, n: int = SHINGLE) -> Column:
+    """Spark Column of distinct n-token shingles (native, codegen'd)."""
+    toks = F.expr(tokens_sql(text_col))
+    # guard: sequence(0, negative) is a DESCENDING sequence in Spark,
+    # so short docs need an explicit empty index array.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def mk(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        )
+
+    return F.array_distinct(F.transform(idx, mk))
+
+
+def duckdb_shingles_sql(text_expr: str, n: int = SHINGLE) -> str:
+    """DuckDB SQL producing the identical distinct shingle list."""
+    toks = duckdb_tokens_sql(text_expr)
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    # single-element-list + lambda binds the token array to `t` once
+    # (DuckDB has no correlated scalar subquery in this position).
+    return (
+        f"list_transform([{toks}], t -> list_distinct(list_transform("
+        f"range(1, greatest(len(t) - {n - 1}, 0) + 1), i -> {parts})))[1]"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplicate stats on normalized text.
+
+    Normalization: lowercase + whitespace-collapse (the token join),
+    so trivially-reformatted copies hash identically. Shuffle carries
+    md5 digests only.
+    """
+    key = F.md5(F.concat_ws(" ", F.expr(tokens_sql(text_col))))
+    per_key = docs.select(key.alias("k")).groupBy("k").agg(
+        F.count("*").alias("n")
+    )
+    return per_key.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+        .cast("long").alias("n_removable"),
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per normalized-text group (the canonical
+    survivor rule; deterministic)."""
+    key = F.md5(F.concat_ws(" ", F.expr(tokens_sql(text_col))))
+    keyed = docs.withColumn("_k", key)
+    keep = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, ["_k", id_col], "left_semi").drop("_k")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       n_hash: int = N_HASH) -> DataFrame:
+    """(id, h0..h{n-1}): per-seed min of md5('s<i>|' || shingle).
+
+    Min-aggregate is map-side combinable; shuffle rows = docs, each
+    n_hash * 32 bytes. Docs with < SHINGLE tokens have no shingles and
+    drop out (cannot near-dup match).
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(text_col)).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("s")))).alias(f"h{i}")
+        for i in range(n_hash)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(id_a, id_b, n_bands) candidate near-dup pairs: docs sharing at
+    least one LSH band key, with est_jaccard = matching signature
+    fraction.
+
+    Buckets are capped at MAX_BUCKET docs (rank by id within bucket)
+    so boilerplate-heavy buckets cannot go quadratic — the cap is the
+    skew guard this operator needs at web scale (same posture as the
+    index build's hot-term salting).
+    """
+    from pyspark.sql import Window
+
+    rows = N_HASH // N_BANDS
+    sigs = minhash_signatures(docs, text_col, id_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    w = Window.partitionBy("band", "key").orderBy("id")
+    bands = bands.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= MAX_BUCKET
+    ).drop("_rn")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASH)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASH)],
+    )
+    match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASH)
+    )
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "n_bands",
+            F.round(match.cast("double") / N_HASH, 4).alias("est_jaccard"),
+        )
+    )
+
+
+def duckdb_lsh_pairs_sql(table: str = "documents", text_expr: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`lsh_candidate_pairs` (same constants)."""
+    rows = N_HASH // N_BANDS
+    hashes = ", ".join(
+        f"min(md5('s{i}|' || s)) AS h{i}" for i in range(N_HASH)
+    )
+    band_rows = ", ".join(
+        "({b}, {key})".format(
+            b=b,
+            key=" || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(N_BANDS)
+    )
+    match = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASH)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, unnest({duckdb_shingles_sql(text_expr)}) AS s
+      FROM {table}
+    ),
+    sigs AS (SELECT id, {hashes} FROM sh GROUP BY id),
+    bands AS (
+      SELECT id, bk.band AS band, bk.key AS key
+      FROM sigs, LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, key)) bk
+    ),
+    capped AS (
+      SELECT id, band, key,
+             row_number() OVER (PARTITION BY band, key ORDER BY id) AS rn
+      FROM bands
+    ),
+    c AS (SELECT id, band, key FROM capped WHERE rn <= {MAX_BUCKET}),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_bands
+      FROM c a JOIN c b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_bands,
+           round(({match})::DOUBLE / {N_HASH}, 4) AS est_jaccard
+    FROM pairs
+    JOIN sigs sa ON sa.id = pairs.id_a
+    JOIN sigs sb ON sb.id = pairs.id_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(docs_a: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact 3-gram Jaccard over all pairs of ``docs_a`` (bound the
+    input! — at scale this runs on LSH candidates, not the corpus).
+    Returns (id_a, id_b, jaccard)."""
+    sh = docs_a.select(
+        F.col(id_col).alias("id"), shingles_col(text_col).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+        )
+    )
+
+
+def verify_candidates_jaccard(docs: DataFrame, pairs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Scale path: exact Jaccard only for (id_a, id_b) candidate pairs
+    (LSH output). Two broadcast-able joins against the shingle table."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_col(text_col).alias("sh")
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.array_union(F.col("sha"), F.col("shb")))
+    return (
+        pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sha")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("shb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash16(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per doc: bit p = sign of the sum over distinct
+    tokens of (+1 if hex digit p of md5(token) >= 8 else -1).
+
+    Each hex digit's top bit is an independent hash bit, so this is a
+    real SimHash with 16 projections — and it is expressible
+    identically in Spark SQL, DuckDB and Python. Entirely map-side:
+    explode + conditional sum + bit-pack, no pairwise computation.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.expr(tokens_sql(text_col)))).alias("t"),
+    ).withColumn("h", F.md5("t"))
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", p + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"b{p}")
+        for p in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*aggs)
+    packed = sum(
+        F.when(F.col(f"b{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(SIMHASH_BITS)
+    )
+    return per_doc.select(F.col(id_col), packed.cast("long").alias("simhash"))
+
+
+def duckdb_simhash_sql(table: str = "documents", text_expr: str = "text",
+                       id_col: str = "doc_id") -> str:
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    bits = ", ".join(
+        f"sum(CASE WHEN substr(h, {p + 1}, 1) IN {hexhi} "
+        f"THEN 1 ELSE -1 END) AS b{p}"
+        for p in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN b{p} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, unnest(list_distinct({duckdb_tokens_sql(text_expr)})) AS t
+      FROM {table}
+    ), h AS (SELECT {id_col}, md5(t) AS h FROM tok),
+    per_doc AS (SELECT {id_col}, {bits} FROM h GROUP BY {id_col})
+    SELECT {id_col}, ({pack})::BIGINT AS simhash FROM per_doc
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_col(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity of two array<float> columns, computed in
+    double precision (cross-engine reproducible)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(ca, cb) / (F.sqrt(dot(ca, ca)) * F.sqrt(dot(cb, cb)))
+
+
+def embedding_dup_pairs(vecs: DataFrame, threshold: float,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine >= threshold (bound the input at scale —
+    run per LSH/IVF bucket, not all-pairs)."""
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = cosine_col("va", "vb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

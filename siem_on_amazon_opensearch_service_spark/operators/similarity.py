@@ -1,0 +1,110 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths (SURVEY-style baseline + scale path):
+
+* :func:`cosine_topk` — brute-force: one narrow pass computing the
+  query-vs-row cosine with native array expressions (``zip_with`` +
+  ``aggregate``, whole-stage codegen — no Python in the hot path),
+  then ``TakeOrderedAndProject`` for top-k. At 100 TB this is the
+  exact-rescore stage, not the entry point.
+
+* IVF (inverted-file) — the scale path: partition vectors into cells
+  around centroids (:func:`ivf_assign`), at query time probe only the
+  ``nprobe`` nearest cells (:func:`ivf_topk`). The cell assignment is
+  a broadcast join against the (tiny) centroid table + per-row argmax;
+  a materialized assignment table partitioned by ``cell`` gives
+  partition-pruned probes, the IVF analog of the term-bucketed
+  postings layout.
+
+Centroids here are caller-provided (deterministic); at scale they come
+from a sampled k-means — the engine's contract only needs "some
+centroid table", keeping the operator testable without randomness.
+
+All math in double precision over the float32 input so the DuckDB
+oracle reproduces values bit-comparably (4-decimal rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import cosine_col
+
+
+def cosine_topk(vecs: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine to ``query_vec``. Ties break by id asc."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = vecs.select(
+        F.col(id_col), cosine_col(F.col(vec_col), q).alias("cosine")
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def ivf_assign(vecs: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cent_id: str = "cent_id", cent_vec: str = "cent_vec") -> DataFrame:
+    """Assign every vector to its max-cosine centroid.
+
+    centroids is small — broadcast; the argmax is a groupBy(max_by)
+    whose input never leaves the vector's partition except for the
+    final combine. Ties break by centroid id asc (deterministic).
+    """
+    sim = cosine_col(F.col(vec_col), F.col(cent_vec))
+    crossed = vecs.join(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(cent_id), sim.alias("sim")
+    )
+    # max_by with explicit deterministic tie-break: struct ordering
+    # (sim desc, cent_id asc) via a single max over struct(sim, -cent_id).
+    best = crossed.groupBy(id_col).agg(
+        F.max(F.struct(F.col("sim"), (-F.col(cent_id)).alias("_neg"))).alias("m")
+    )
+    return best.select(
+        F.col(id_col), (-F.col("m._neg")).cast("long").alias("cell")
+    )
+
+
+def ivf_topk(vecs: DataFrame, centroids: DataFrame, query_vec: list[float],
+             k: int = 10, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cent_id: str = "cent_id", cent_vec: str = "cent_vec") -> DataFrame:
+    """Approximate top-k: probe the nprobe closest cells only.
+
+    With the assignment materialized partitioned-by-cell, the semi-join
+    on cell becomes partition pruning: only nprobe/n_cells of the
+    corpus is scanned.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = (
+        centroids.select(
+            F.col(cent_id).alias("cell"),
+            cosine_col(F.col(cent_vec), q).alias("csim"),
+        )
+        .orderBy(F.desc("csim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    assign = ivf_assign(vecs, centroids, id_col, vec_col, cent_id, cent_vec)
+    cand = vecs.join(
+        assign.join(F.broadcast(probe), "cell").select(id_col), id_col
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def make_centroids(vecs: DataFrame, n_cells: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroid table: the vectors with the n_cells
+    smallest ids (a fixed 'sample'; swap for sampled k-means at scale)."""
+    return (
+        vecs.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).cast("long").alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+        )
+    )

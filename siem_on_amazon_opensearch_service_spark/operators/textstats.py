@@ -1,0 +1,208 @@
+"""Text analysis operators for training-data curation: language id,
+quality scoring, token counting, document fingerprinting.
+
+All native column expressions (whole-stage codegen, map-side only, no
+shuffle except final aggregates) with exact DuckDB twins for the
+correctness gate. The analyzer is the engine's single shared
+tokenizer (analysis.py) — same invariant as the index path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import duckdb_tokens_sql, tokens_sql
+
+#: tiny per-language stopword lists for the n-gram/stopword-ratio
+#: language heuristic (public common function words).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "con", "para"],
+}
+
+#: BPE-ish pre-tokenization: letter runs, digit runs, single other
+#: non-space symbols (the GPT-2-style pretoken split, simplified to a
+#: cross-engine-safe character-class regex).
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _ratio(hits: Column, total: Column) -> Column:
+    return F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(0.0)
+
+
+# ---------------------------------------------------------------------------
+# language id
+# ---------------------------------------------------------------------------
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Per-language stopword-hit ratio columns."""
+    toks = F.expr(tokens_sql(text_col))
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        hits = F.size(
+            F.filter(toks, lambda t: t.isin(*words))  # noqa: B023
+        )
+        out[lang] = _ratio(hits, F.size(toks))
+    return out
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language = argmax stopword ratio; 'und' when no list
+    scores > 0. Ties break in fixed LANG_STOPWORDS order."""
+    scores = lang_scores(text_col)
+    best = F.lit("und")
+    best_s = F.lit(0.0)
+    for lang, s in scores.items():  # first lang wins ties (> not >=)
+        take = s > best_s
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_s = F.when(take, s).otherwise(best_s)
+    return docs.withColumn("lang_pred", best).withColumn(
+        "lang_score", F.round(best_s, 4)
+    )
+
+
+def duckdb_lang_sql(text_expr: str = "text") -> tuple[str, str]:
+    """(lang_pred_sql, lang_score_sql) DuckDB expressions — same
+    greedy argmax with identical tie order."""
+    toks = duckdb_tokens_sql(text_expr)
+    ratios = {}
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        ratios[lang] = (
+            f"(CASE WHEN len({toks}) > 0 THEN "
+            f"len(list_filter({toks}, t -> t IN ({lst})))::DOUBLE"
+            f" / len({toks}) ELSE 0.0 END)"
+        )
+    pred = "'und'"
+    score = "0.0"
+    for lang, r in ratios.items():
+        pred = f"(CASE WHEN {r} > {score} THEN '{lang}' ELSE {pred} END)"
+        score = f"(CASE WHEN {r} > {score} THEN {r} ELSE {score} END)"
+    return pred, f"round({score}, 4)"
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc curation features: token count, mean token length,
+    distinct-token ratio, stopword ratio, non-alnum char ratio, plus a
+    composite [0,1] quality score (heuristic gate in the Gopher/C4
+    style: length window + lexical diversity + stopword presence)."""
+    toks = F.expr(tokens_sql(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    alnum = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))
+    en = LANG_STOPWORDS["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*en)))
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double") / n_tok,
+    ).otherwise(0.0)
+    distinct_ratio = _ratio(F.size(F.array_distinct(toks)), n_tok)
+    stop_ratio = _ratio(stop_hits, n_tok)
+    sym_ratio = _ratio(n_chars - alnum, n_chars)
+
+    length_ok = (n_tok >= 10) & (n_tok <= 100000)
+    word_ok = (mean_len >= 2.0) & (mean_len <= 12.0)
+    score = (
+        F.when(length_ok, 0.25).otherwise(0.0)
+        + F.when(word_ok, 0.25).otherwise(0.0)
+        + F.least(distinct_ratio * 0.5, F.lit(0.25))
+        + F.least(stop_ratio * 2.5, F.lit(0.25))
+    )
+    return docs.select(
+        "*",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def duckdb_quality_sql(table: str = "documents", text_expr: str = "text",
+                       id_col: str = "doc_id") -> str:
+    toks = duckdb_tokens_sql(text_expr)
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+    WITH b AS (
+      SELECT {id_col}, {toks} AS t, length({text_expr}) AS n_chars,
+             length(regexp_replace(lower({text_expr}), '[^a-z0-9]', '', 'g')) AS alnum
+      FROM {table}
+    ), f AS (
+      SELECT {id_col},
+        len(t) AS n_tok,
+        CASE WHEN len(t) > 0 THEN
+          list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+          ELSE 0.0 END AS mean_len,
+        CASE WHEN len(t) > 0 THEN
+          len(list_distinct(t))::DOUBLE / len(t) ELSE 0.0 END AS dratio,
+        CASE WHEN len(t) > 0 THEN
+          len(list_filter(t, x -> x IN ({en})))::DOUBLE / len(t)
+          ELSE 0.0 END AS sratio,
+        CASE WHEN n_chars > 0 THEN
+          (n_chars - alnum)::DOUBLE / n_chars ELSE 0.0 END AS symr
+      FROM b
+    )
+    SELECT {id_col},
+      n_tok::BIGINT AS n_tokens,
+      round(mean_len, 4) AS mean_token_len,
+      round(dratio, 4) AS distinct_ratio,
+      round(sratio, 4) AS stopword_ratio,
+      round(symr, 4) AS symbol_ratio,
+      round(
+        (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN mean_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+        + least(dratio * 0.5, 0.25) + least(sratio * 2.5, 0.25), 4)
+        AS quality_score
+    FROM f
+    """
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens vs BPE-ish pretokens vs analyzer tokens —
+    the three counts a data pipeline budgets with."""
+    ws = F.size(
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    )
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+    an = F.size(F.expr(tokens_sql(text_col)))
+    return docs.select(
+        "*",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        an.cast("long").alias("analyzer_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two deterministic fingerprints per doc:
+
+    * ``fp_exact``  — md5 of the normalized token stream (order-
+      sensitive; equal iff texts tokenize identically);
+    * ``fp_bag``    — md5 of the sorted distinct token set (order-
+      INsensitive; robust to shuffled/reflowed boilerplate — the
+      cheap rolling-hash-family analog for near-dup bucketing).
+    """
+    toks = F.expr(tokens_sql(text_col))
+    return docs.select(
+        "*",
+        F.md5(F.concat_ws(" ", toks)).alias("fp_exact"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fp_bag"),
+    )

@@ -1,0 +1,232 @@
+"""Semantic tests for the curation operators: planted duplicates,
+LSH recall, SimHash locality, ANN recall, text analysis, multimodal
+plumbing."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark.operators import (
+    dedup, multimodal, similarity, textstats,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat near the river bank"),  # near dup of 0
+    (3, "completely different content about spark dataframes and shuffles"),
+    (4, "THE  Quick   Brown FOX jumps over the lazy dog near the river bank"),  # normalized dup of 0
+    (5, "short doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_stats_and_survivors(docs):
+    row = dedup.exact_dup_stats(docs).collect()[0]
+    assert row["n_docs"] == 6
+    assert row["n_distinct"] == 4       # {0,1,4}, {2}, {3}, {5}
+    assert row["n_dup_groups"] == 1
+    assert row["n_removable"] == 2
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs).collect())
+    assert kept == [0, 2, 3, 5]         # lowest id survives per group
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    # exact dups share every band and every signature
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 4)] == 1.0 and pairs[(1, 4)] == 1.0
+    # near dup (one token changed) must be a candidate with high estimate
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5
+    # unrelated docs are not candidates
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_jaccard_matches_python(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs).collect()
+    }
+
+    def sh(text):
+        toks = [t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    texts = dict(DOCS)
+    for (a, b), j in got.items():
+        sa, sb = sh(texts[a]), sh(texts[b])
+        exp = len(sa & sb) / len(sa | sb)
+        assert math.isclose(j, round(exp, 4), abs_tol=1e-9), (a, b)
+    assert got[(0, 1)] == 1.0
+    # doc 5 has < 3 tokens -> no shingles -> excluded entirely
+    assert not any(5 in p for p in got)
+
+
+def _py_simhash(text):
+    toks = {t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t}
+    val = 0
+    for p in range(16):
+        s = sum(
+            1 if hashlib.md5(t.encode()).hexdigest()[p] in "89abcdef" else -1
+            for t in toks
+        )
+        if s > 0:
+            val |= 1 << p
+    return val
+
+
+def test_simhash_matches_python_and_locality(docs):
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(docs).collect()}
+    for i, text in DOCS:
+        assert got[i] == _py_simhash(text), i
+    assert got[0] == got[1] == got[4]           # identical token sets
+    ham = bin(got[0] ^ got[2]).count("1")
+    assert ham <= 4                              # near dup: few bits flip
+
+
+def test_embedding_cosine_pairs(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.001, 0.0]),   # ~identical
+            (2, [0.0, 1.0, 0.0]),     # orthogonal
+            (3, [-1.0, 0.0, 0.0]),    # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_dup_pairs(vecs, threshold=0.9).collect()
+    }
+    assert list(pairs) == [(0, 1)] and pairs[(0, 1)] > 0.999
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 16))
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = centers[c] + rng.normal(scale=0.15, size=16)
+        rows.append((i, [float(x) for x in v]))
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_matches_numpy(clustered_vecs):
+    rows, vdf = clustered_vecs
+    q = rows[7][1]
+    got = [r["vec_id"] for r in similarity.cosine_topk(vdf, q, k=10).collect()]
+    m = np.array([v for _, v in rows])
+    qv = np.array(q)
+    cos = (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+    exp = [int(i) for i in sorted(range(len(rows)), key=lambda i: (-cos[i], i))[:10]]
+    assert got == exp
+
+
+def test_ivf_topk_recall(clustered_vecs):
+    rows, vdf = clustered_vecs
+    q = rows[7][1]
+    cents = similarity.make_centroids(vdf, 16)
+    approx = [r["vec_id"] for r in similarity.ivf_topk(vdf, cents, q, k=10, nprobe=4).collect()]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(vdf, q, k=10).collect()]
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.6, (recall, approx, exact)
+    # every probed result is in a probed cell by construction: sanity
+    assert len(approx) == 10
+
+
+def test_lang_id(spark):
+    samples = spark.createDataFrame(
+        [
+            (0, "the cat is in the hat and it is big"),
+            (1, "der hund ist nicht auf der wiese und das ist gut"),
+            (2, "le chat est dans la maison et il est pour les enfants"),
+            (3, "el perro es una mascota y los gatos no son para todos"),
+            (4, "xyzzy plugh qwq zot"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(samples).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat with a big red hat today ok")],
+        "doc_id long, text string",
+    )
+    r = textstats.quality_features(df).collect()[0]
+    assert r["n_tokens"] == 13
+    assert r["stopword_ratio"] == round(3 / 13, 4)  # the, the, a
+    assert r["quality_score"] > 0.5
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, world! x2 done...")], "doc_id long, text string"
+    )
+    r = textstats.token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 4
+    # Hello , world ! x 2 done . . .
+    assert r["bpe_tokens"] == 10
+    assert r["analyzer_tokens"] == 4  # hello world x2 done
+
+
+def test_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma  BETA alpha"), (2, "alpha beta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.fingerprint(df).collect()}
+    assert rows[0]["fp_exact"] != rows[1]["fp_exact"]   # order-sensitive
+    assert rows[0]["fp_bag"] == rows[1]["fp_bag"]       # bag-identical
+    assert rows[0]["fp_bag"] != rows[2]["fp_bag"]
+
+
+def test_multimodal_sniff_and_features(spark):
+    payloads = [
+        (0, bytes.fromhex("89504E47") + b"xxdata"),
+        (1, bytes.fromhex("FFD8FF") + b"jpegdata"),
+        (2, b"plain bytes here"),
+        (3, b""),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, media binary")
+    meta = {r["media_id"]: r for r in multimodal.media_metadata(df).collect()}
+    assert meta[0]["fmt"] == "png" and meta[1]["fmt"] == "jpeg"
+    assert meta[2]["fmt"] == "unknown"
+    assert meta[0]["n_bytes"] == 10
+
+    feats = {r["media_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert feats[3]["fmt"] == "error"               # empty payload path
+    assert len(feats[0]["feature"]) == 8
+    w, h, pix = multimodal.decode_image_stub(payloads[0][1])
+    assert feats[0]["width"] == w and feats[0]["height"] == h
+    exp0 = [
+        float(np.float32(b.mean())) for b in
+        np.array_split(pix.ravel().astype(np.float64), 8)
+    ]
+    assert [round(x, 4) for x in feats[0]["feature"]] == [round(x, 4) for x in exp0]
+
+
+def test_verify_candidates_jaccard(spark, docs):
+    cand = spark.createDataFrame([(0, 2), (0, 3)], "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.verify_candidates_jaccard(docs, cand).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs).collect()
+    }
+    assert got[(0, 2)] == full[(0, 2)]
+    assert got[(0, 3)] == full[(0, 3)]
