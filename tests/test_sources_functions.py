@@ -1,0 +1,185 @@
+"""Edge-case semantics for source readers and scalar functions
+(beyond the synthesized-input oracle parity in the registry)."""
+
+import urllib.parse
+
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark.functions import scalars
+from siem_on_amazon_opensearch_service_spark.sources import (
+    cef, csvfmt, jsonfmt, multiline, textfmt, winevt,
+)
+
+
+def test_cef_escaped_pipes_and_ext(spark):
+    line = (
+        r"CEF:0|Acme\|Co|Thread \| Defense|1.0|100|Detected a \| in name|5|"
+        r"src=10.1.1.1 dst=2.2.2.2 msg=hello world act=block"
+    )
+    df = spark.createDataFrame([(line,)], "line string")
+    r = cef.parse_cef(df, "line").collect()[0]
+    assert r["device_vendor"] == "Acme|Co"
+    assert r["device_product"] == "Thread | Defense"
+    assert r["name"] == "Detected a | in name"
+    assert r["severity"] == "5"
+    assert r["ext"]["src"] == "10.1.1.1"
+    assert r["ext"]["msg"] == "hello world"      # spaces inside value kept
+    assert r["ext"]["act"] == "block"
+
+
+def test_winevt_parse(spark):
+    xml = (
+        "<Event xmlns='http://schemas.microsoft.com/win/2004/08/events/event'>"
+        "<System><Provider Name='Microsoft-Windows-Security-Auditing'/>"
+        "<EventID Qualifiers='0'>4624</EventID>"
+        "<TimeCreated SystemTime='2024-01-01T00:00:00.000Z'/>"
+        "<Computer>host1.example.com</Computer></System>"
+        "<EventData><Data Name='TargetUserName'>alice</Data>"
+        "<Data Name='LogonType'>3</Data></EventData></Event>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    r = winevt.parse_winevt(df, "xml").collect()[0]
+    assert r["event_id_str"] == "4624"
+    assert r["provider"] == "Microsoft-Windows-Security-Auditing"
+    assert r["computer"] == "host1.example.com"
+    assert r["time_created"] == "2024-01-01T00:00:00.000Z"
+    assert r["event_data"]["TargetUserName"] == "alice"
+    assert r["event_data"]["LogonType"] == "3"
+
+
+def test_url_fields_double_decode_matches_urllib(spark):
+    urls = [
+        "https://a.example.com:8080/x%2520y/f.HtmL?q=1#frag",
+        "http://b.example.com/plain/path.txt",
+        "https://c.example.com/enc%252Fslash",
+        "ftp://d.example.com:21/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    fields = scalars.url_fields("url")
+    rows = df.select("url", *[c.alias(n) for n, c in fields.items()]).collect()
+    for r in rows:
+        p = urllib.parse.urlsplit(r["url"])
+        assert r["scheme"] == p.scheme
+        assert r["domain"] == p.hostname
+        assert r["port"] == (str(p.port) if p.port else "")
+        exp_path = urllib.parse.unquote_plus(urllib.parse.unquote_plus(p.path))
+        assert r["path"] == exp_path, r["url"]
+        assert r["query"] == p.query
+        assert r["fragment"] == p.fragment
+
+
+def test_ip_helpers(spark):
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("255.255.255.255",), ("256.1.1.1",), ("abc",), ("1.2.3",)],
+        "ip string",
+    )
+    rows = df.select(
+        "ip", scalars.is_ipv4("ip").alias("ok"),
+        F.when(scalars.is_ipv4("ip"), scalars.ipv4_to_long("ip")).alias("n"),
+    ).collect()
+    by = {r["ip"]: r for r in rows}
+    assert by["1.2.3.4"]["ok"] and by["1.2.3.4"]["n"] == 16909060
+    assert by["255.255.255.255"]["n"] == 4294967295
+    assert not by["256.1.1.1"]["ok"]
+    assert not by["abc"]["ok"] and not by["1.2.3"]["ok"]
+
+
+def test_xff_selection(spark):
+    cases = [
+        ("1.1.1.1, 10.0.0.5, 10.0.0.9", "1.1.1.1"),     # all proxies trusted
+        ("10.0.0.1, 10.0.0.2", "10.0.0.1"),             # all trusted -> leftmost
+        ("garbage, 9.9.9.9, 10.1.1.1", "9.9.9.9"),      # invalid entries skipped
+        ("", None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "xff string")
+    got = [
+        r["c"] for r in
+        df.select(scalars.xff_client_ip("xff", ["10."]).alias("c")).collect()
+    ]
+    assert got == [c[1] for c in cases]
+
+
+def test_csv_safe_names_and_parse(spark):
+    df = spark.createDataFrame([("1,click,42",)], "line string")
+    out = csvfmt.parse_csv_col(df, "line", "id,event-type,user-id")
+    r = out.collect()[0]
+    assert r["event_type"] == "click" and r["user_id"] == "42"
+    assert csvfmt.safe_names(["a-b", " c "]) == ["a_b", "c"]
+
+
+def test_regex_parse_quarantine_flag(spark):
+    df = spark.createDataFrame(
+        [('1.2.3.4 - u1 [t] "GET /x HTTP/1.1" 200 10',), ("not a log line",)],
+        "line string",
+    )
+    out = textfmt.regex_parse(df, "line", textfmt.APACHE_PATTERN,
+                              textfmt.APACHE_GROUPS)
+    rows = out.collect()
+    assert [r["_matched"] for r in rows] == [True, False]
+    assert rows[0]["status"] == "200"
+
+
+def test_json_explode_and_envelope(spark):
+    df = spark.createDataFrame(
+        [('{"Records":[{"a":1},{"a":2}]}',)], "j string"
+    )
+    p = jsonfmt.parse_json_col(df, "j", "Records array<struct<a:int>>", out="env")
+    ex = jsonfmt.explode_records(p, "env", "Records")
+    assert [r["rec"]["a"] for r in ex.collect()] == [1, 2]
+
+    env = spark.createDataFrame(
+        [('{"detail-type":"x","detail":{"b":7}}',)], "j string"
+    )
+    pe = jsonfmt.parse_json_col(
+        env, "j", "`detail-type` string, detail struct<b:int>"
+    )
+    out = pe.select(jsonfmt.strip_envelope(pe, "rec").alias("r")).collect()[0]
+    assert out["r"]["b"] == 7
+    # no envelope in schema -> record passes through unchanged
+    plain = jsonfmt.parse_json_col(
+        spark.createDataFrame([('{"b": 3}',)], "j string"), "j", "b int"
+    )
+    assert plain.select(
+        jsonfmt.strip_envelope(plain, "rec").alias("r")
+    ).collect()[0]["r"]["b"] == 3
+
+
+def test_multiline_assembly_order(spark):
+    lines = [
+        (1, 1, "START a"),
+        (1, 2, " cont1"),
+        (1, 3, " cont2"),
+        (1, 4, "START b"),
+        (2, 1, "orphan"),       # before any START -> record 0
+        (2, 2, "START c"),
+    ]
+    df = spark.createDataFrame(lines, "file_id int, lineno int, line string")
+    out = multiline.assemble_records(df, "line", "file_id", "lineno", r"^START")
+    recs = {(r["file_id"], r["record_id"]): r["record"] for r in out.collect()}
+    assert recs[(1, 1)] == "START a\n cont1\n cont2"
+    assert recs[(1, 2)] == "START b"
+    assert recs[(2, 0)] == "orphan"
+    assert recs[(2, 1)] == "START c"
+
+
+def test_epoch_auto_units(spark):
+    df = spark.createDataFrame(
+        [(1704067200,), (1704067200_000,), (1704067200_000_000,)], "e long"
+    )
+    got = [
+        r["t"] for r in df.select(
+            F.date_format(scalars.epoch_auto_ts("e"), "yyyy-MM-dd HH:mm:ss").alias("t")
+        ).collect()
+    ]
+    assert got == ["2024-01-01 00:00:00"] * 3
+
+
+def test_protocol_and_outcome(spark):
+    df = spark.createDataFrame([(6, 200), (17, 404), (999, 302)], "p int, s int")
+    rows = df.select(
+        scalars.protocol_name("p").alias("proto"),
+        scalars.http_outcome("s").alias("out"),
+    ).collect()
+    assert [(r["proto"], r["out"]) for r in rows] == [
+        ("tcp", "success"), ("udp", "failure"), ("999", "success"),
+    ]
