@@ -1,0 +1,242 @@
+"""Resumable, lineage-tracked index builds (SURVEY.md M6; north_rule:
+"resumable from Iceberg snapshot checkpoints with per-partition
+lineage and build metrics").
+
+This sandbox ships no Iceberg runtime, so the snapshot layer is a
+parquet-directory + JSON-manifest equivalent with the same contract:
+
+* the source is split into deterministic **source partitions** (hash
+  of url mod P — stable across runs and cluster sizes);
+* each partition builds independently into ``delta/part=<p>/`` and
+  appends a manifest entry carrying its **lineage** (partition id,
+  source fingerprint, doc/posting counts, bytes, wall seconds — the
+  reference's per-file finish/error accounting, index.py:710-755,
+  and its CloudWatch metrics, index.py:400-438);
+* a resumed build skips every partition whose manifest entry matches
+  its current source fingerprint (the idempotency analog of the
+  reference's deterministic MD5 doc id, siem/__init__.py:683-706 —
+  at partition granularity, SURVEY.md section 7.3 item 6);
+* ``merge()`` shuffle-merges the partition deltas into the final
+  term-partitioned postings layout.
+
+On an Iceberg deployment: delta write -> ``writeTo(...).append()``
+with the manifest row in a lineage table; skip-check -> snapshot
+summary lookup; merge -> ``rewrite_data_files``-style compaction.
+
+Doc-id scheme under resumability: ``doc_id = (part_id << 40) | local
+rank of url within the partition`` — deterministic and stable no
+matter which subset of partitions rebuilds, unique across partitions,
+and still delta-friendly (ids within a partition are dense). The
+non-resumable batch build keeps dense global url-rank ids; both paths
+share every other stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis import tokens_col
+from ..index.build import (
+    POSTINGS_SCHEMA, PostingsIndex, _encode_group,
+)
+
+PART_SHIFT = 40  # doc_id = part_id << 40 | local_rank
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "manifest.json")
+
+
+def read_manifest(path: str) -> dict:
+    p = _manifest_path(path)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"partitions": {}}
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(path))
+
+
+def source_fingerprint(part: DataFrame) -> str:
+    """Deterministic content fingerprint of one source partition:
+    xor-ish aggregate of per-row md5(url||length(text)). Cheap (one
+    narrow agg) and order-independent."""
+    row = part.select(
+        F.sum(
+            F.conv(F.substring(F.md5(F.concat_ws("|", "url", F.length("text"))), 1, 15),
+                   16, 10).cast("decimal(38,0)")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return f"{row['n']}:{row['s']}"
+
+
+def checkpointed_build(
+    spark: SparkSession,
+    pages: DataFrame,
+    path: str,
+    num_parts: int = 8,
+    salt_threshold: int = 100_000,
+) -> dict:
+    """Build (or resume) the per-partition posting deltas.
+
+    Returns the manifest. Call :func:`merge` afterwards to produce the
+    queryable merged index. Each partition's delta is an independent
+    parquet dir; a crash between partitions loses nothing.
+    """
+    manifest = read_manifest(path)
+    part_col = F.pmod(F.xxhash64("url"), F.lit(num_parts)).cast("int")
+    tagged = pages.withColumn("_part", part_col)
+
+    for p in range(num_parts):
+        part = tagged.filter(F.col("_part") == p).drop("_part")
+        fp = source_fingerprint(part)
+        ent = manifest["partitions"].get(str(p))
+        if ent and ent.get("fingerprint") == fp and ent.get("status") == "ok":
+            continue  # lineage hit: partition unchanged, skip rebuild
+
+        t0 = time.perf_counter()
+        delta_dir = os.path.join(path, f"delta/part={p}")
+
+        from pyspark.sql import Window
+        w = Window.orderBy("url")  # within one partition only
+        with_ids = (
+            part.repartition(1)
+            .withColumn("_rank", F.row_number().over(w) - 1)
+            .withColumn(
+                "doc_id",
+                (F.lit(p).cast("long") * (1 << PART_SHIFT) + F.col("_rank")),
+            )
+            .drop("_rank")
+        )
+        base = with_ids.select(
+            "doc_id", "url", tokens_col("text").alias("_toks")
+        )
+        docs = base.select("doc_id", "url", F.size("_toks").alias("doclen"))
+        tf = (
+            base.select("doc_id", F.size("_toks").alias("doclen"),
+                        F.explode("_toks").alias("term"))
+            .groupBy("doc_id", "doclen", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("salt", F.lit(0))
+        )
+        postings = tf.groupBy("term", "salt").applyInPandas(
+            _encode_group, schema=POSTINGS_SCHEMA
+        )
+        postings.write.mode("overwrite").parquet(f"{delta_dir}/postings")
+        docs.write.mode("overwrite").parquet(f"{delta_dir}/docs")
+
+        stats = spark.read.parquet(f"{delta_dir}/postings").agg(
+            F.sum("doc_count").alias("n_postings"),
+            F.sum(
+                F.octet_length("doc_ids_vb") + F.octet_length("tfs_vb")
+                + F.octet_length("dls_vb")
+            ).alias("bytes"),
+        ).collect()[0]
+        dstats = spark.read.parquet(f"{delta_dir}/docs").agg(
+            F.count("*").alias("n_docs"), F.sum("doclen").alias("total_dl")
+        ).collect()[0]
+
+        manifest["partitions"][str(p)] = {
+            "status": "ok",
+            "fingerprint": fp,
+            "n_docs": int(dstats["n_docs"] or 0),
+            "total_dl": int(dstats["total_dl"] or 0),
+            "n_postings": int(stats["n_postings"] or 0),
+            "bytes_postings": int(stats["bytes"] or 0),
+            "seconds": round(time.perf_counter() - t0, 3),
+        }
+        _write_manifest(path, manifest)  # durable after EVERY partition
+
+    manifest["num_parts"] = num_parts
+    manifest["salt_threshold"] = salt_threshold
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def build_metrics(spark: SparkSession, path: str) -> DataFrame:
+    """Per-partition lineage/metrics as a DataFrame (docs/sec,
+    postings/sec, bytes) — the reference's metrics-emission analog."""
+    manifest = read_manifest(path)
+    rows = [
+        (
+            int(p), e["n_docs"], e["n_postings"], e["bytes_postings"],
+            e["seconds"],
+            round(e["n_docs"] / e["seconds"], 2) if e["seconds"] else 0.0,
+            round(e["n_postings"] / e["seconds"], 2) if e["seconds"] else 0.0,
+        )
+        for p, e in sorted(manifest["partitions"].items(), key=lambda kv: int(kv[0]))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "part int, n_docs long, n_postings long, bytes_postings long, "
+        "seconds double, docs_per_sec double, postings_per_sec double",
+    )
+
+
+def merge(spark: SparkSession, path: str,
+          salt_threshold: int | None = None) -> PostingsIndex:
+    """Shuffle-merge all partition deltas into the final
+    term-partitioned index (decode -> regroup by term with hot-term
+    salting -> re-encode blocks). Writes ``merged/`` and returns the
+    loaded index."""
+    from ..index.query import decode_blocks
+
+    manifest = read_manifest(path)
+    if salt_threshold is None:
+        salt_threshold = manifest.get("salt_threshold", 100_000)
+
+    deltas = spark.read.parquet(f"{path}/delta/part=*/postings")
+    docs = spark.read.parquet(f"{path}/delta/part=*/docs")
+
+    decoded = decode_blocks(deltas).withColumnRenamed("dl", "doclen")
+    df_tbl = decoded.groupBy("term").agg(F.count("*").alias("df"))
+    hot = df_tbl.filter(F.col("df") > salt_threshold).select(
+        "term",
+        F.ceil(F.col("df") / F.lit(salt_threshold)).cast("int").alias("n_salts"),
+    )
+    salted = (
+        decoded.join(F.broadcast(hot), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("n_salts").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("n_salts")
+    )
+    postings = salted.groupBy("term", "salt").applyInPandas(
+        _encode_group, schema=POSTINGS_SCHEMA
+    )
+
+    n_docs = sum(e["n_docs"] for e in manifest["partitions"].values())
+    total_dl = sum(e["total_dl"] for e in manifest["partitions"].values())
+    avgdl = total_dl / n_docs if n_docs else 0.0
+
+    merged = os.path.join(path, "merged")
+    (
+        postings.repartition(32, "term")
+        .sortWithinPartitions("term", "salt", "block_id")
+        .write.mode("overwrite").parquet(f"{merged}/postings")
+    )
+    docs.write.mode("overwrite").parquet(f"{merged}/docs")
+    pp = spark.read.parquet(f"{merged}/postings")
+    pp.groupBy("term").agg(
+        F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf")
+    ).write.mode("overwrite").parquet(f"{merged}/term_stats")
+    spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs long, avgdl double"
+    ).write.mode("overwrite").parquet(f"{merged}/stats")
+    return PostingsIndex.load(spark, merged)

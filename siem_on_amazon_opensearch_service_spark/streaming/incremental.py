@@ -1,0 +1,181 @@
+"""Incremental (streaming) index maintenance.
+
+Reference streaming model (SURVEY.md section 2.9): at-least-once
+event-driven micro-batches — one Lambda per arriving S3 object,
+documents appended to the dated index; no watermarks, no stateful
+ops. Spark restatement: a Structured Streaming file source feeds
+``foreachBatch``; every micro-batch runs the SAME batch build
+pipeline on the new documents only and appends a self-contained
+delta (postings + docs + stats). Exactly-once comes from the
+streaming checkpoint (committed batch ids are not re-delivered) plus
+idempotent per-batch output paths — the reference gets the same
+property from deterministic doc ids (siem/__init__.py:683-706);
+we get it at batch granularity.
+
+Query-time: :func:`load_incremental` unions base + deltas and
+recombines corpus stats exactly (n_docs and total doc length are
+additive; df per term sums across deltas because a doc lives in
+exactly one delta). BM25 scores over the union are therefore
+IDENTICAL to a from-scratch batch build on the full corpus — asserted
+by tests/test_streaming.py.
+
+Periodic ``compact()`` folds accumulated deltas into one merged
+layout (the OpenSearch segment-merge analog) using the checkpoint
+merge machinery.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis import tokens_col
+from ..index.build import POSTINGS_SCHEMA, PostingsIndex, _encode_group
+
+BATCH_SHIFT = 40  # doc_id = (batch_id << 40) | row-in-batch rank
+
+
+class IncrementalIndexer:
+    """foreachBatch sink maintaining an append-only postings store."""
+
+    def __init__(self, path: str, salt_threshold: int = 100_000):
+        self.path = path
+        self.salt_threshold = salt_threshold
+
+    # -- the foreachBatch callable ------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.process_batch(batch_df, batch_id)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Index one micro-batch into ``delta/batch=<id>/``.
+
+        Overwrite mode makes re-delivery of a failed batch idempotent
+        (same batch id -> same path -> same deterministic ids).
+        """
+        from pyspark.sql import Window
+
+        delta = os.path.join(self.path, f"delta/batch={batch_id}")
+        w = Window.orderBy("url")
+        with_ids = (
+            batch_df.repartition(1)
+            .withColumn("_rank", F.row_number().over(w) - 1)
+            .withColumn(
+                "doc_id",
+                F.lit(int(batch_id)).cast("long") * (1 << BATCH_SHIFT)
+                + F.col("_rank"),
+            )
+            .drop("_rank")
+        )
+        base = with_ids.select(
+            "doc_id", "url", tokens_col("text").alias("_toks")
+        )
+        docs = base.select("doc_id", "url", F.size("_toks").alias("doclen"))
+        tf = (
+            base.select("doc_id", F.size("_toks").alias("doclen"),
+                        F.explode("_toks").alias("term"))
+            .groupBy("doc_id", "doclen", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("salt", F.lit(0))
+        )
+        postings = tf.groupBy("term", "salt").applyInPandas(
+            _encode_group, schema=POSTINGS_SCHEMA
+        )
+        postings.write.mode("overwrite").parquet(f"{delta}/postings")
+        docs.write.mode("overwrite").parquet(f"{delta}/docs")
+        spark = batch_df.sparkSession
+        d = spark.read.parquet(f"{delta}/docs").agg(
+            F.count("*").alias("n"), F.sum("doclen").alias("dl")
+        ).collect()[0]
+        spark.createDataFrame(
+            [(int(d["n"] or 0), int(d["dl"] or 0))], "n_docs long, total_dl long"
+        ).write.mode("overwrite").parquet(f"{delta}/stats")
+
+    # -- maintenance ---------------------------------------------------
+    def compact(self, spark: SparkSession) -> PostingsIndex:
+        """Fold all deltas into ``merged/`` (segment-merge analog):
+        decode -> regroup(term, salt) with hot-term salting ->
+        re-encode blocks, same path as plans.checkpoint.merge."""
+        from ..index.query import decode_blocks
+
+        deltas = spark.read.parquet(f"{self.path}/delta/batch=*/postings")
+        docs = spark.read.parquet(f"{self.path}/delta/batch=*/docs")
+        stats = spark.read.parquet(f"{self.path}/delta/batch=*/stats").agg(
+            F.sum("n_docs").alias("n"), F.sum("total_dl").alias("dl")
+        ).collect()[0]
+        n_docs, total_dl = int(stats["n"] or 0), int(stats["dl"] or 0)
+
+        decoded = decode_blocks(deltas).withColumnRenamed("dl", "doclen")
+        df_tbl = decoded.groupBy("term").agg(F.count("*").alias("df"))
+        hot = df_tbl.filter(F.col("df") > self.salt_threshold).select(
+            "term",
+            F.ceil(F.col("df") / F.lit(self.salt_threshold)).cast("int")
+            .alias("n_salts"),
+        )
+        salted = (
+            decoded.join(F.broadcast(hot), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("n_salts").isNotNull(),
+                    F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("n_salts")
+        )
+        postings = salted.groupBy("term", "salt").applyInPandas(
+            _encode_group, schema=POSTINGS_SCHEMA
+        )
+        merged = os.path.join(self.path, "merged")
+        (
+            postings.repartition(32, "term")
+            .sortWithinPartitions("term", "salt", "block_id")
+            .write.mode("overwrite").parquet(f"{merged}/postings")
+        )
+        docs.write.mode("overwrite").parquet(f"{merged}/docs")
+        spark.read.parquet(f"{merged}/postings").groupBy("term").agg(
+            F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf")
+        ).write.mode("overwrite").parquet(f"{merged}/term_stats")
+        spark.createDataFrame(
+            [(n_docs, total_dl / n_docs if n_docs else 0.0)],
+            "n_docs long, avgdl double",
+        ).write.mode("overwrite").parquet(f"{merged}/stats")
+        return PostingsIndex.load(spark, merged)
+
+
+def load_incremental(spark: SparkSession, path: str) -> PostingsIndex:
+    """Open the live (uncompacted) view: base deltas unioned, stats
+    recombined exactly. df/max_tf per term recomputed from block
+    metadata only (no posting decode)."""
+    postings = spark.read.parquet(f"{path}/delta/batch=*/postings")
+    docs = spark.read.parquet(f"{path}/delta/batch=*/docs")
+    stats = spark.read.parquet(f"{path}/delta/batch=*/stats").agg(
+        F.sum("n_docs").alias("n"), F.sum("total_dl").alias("dl")
+    ).collect()[0]
+    n_docs, total_dl = int(stats["n"] or 0), int(stats["dl"] or 0)
+    term_stats = postings.groupBy("term").agg(
+        F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf")
+    )
+    return PostingsIndex(
+        docs=docs, postings=postings, term_stats=term_stats,
+        n_docs=n_docs, avgdl=(total_dl / n_docs if n_docs else 0.0),
+    )
+
+
+def stream_build(spark: SparkSession, input_dir: str, index_path: str,
+                 checkpoint_dir: str, schema: str,
+                 salt_threshold: int = 100_000):
+    """Wire a file-source stream into the indexer: new parquet files
+    dropped into ``input_dir`` are indexed exactly once
+    (availableNow trigger returns when the backlog is drained)."""
+    indexer = IncrementalIndexer(index_path, salt_threshold)
+    stream = (
+        spark.readStream.schema(schema).parquet(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(indexer)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
