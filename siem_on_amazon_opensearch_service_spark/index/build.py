@@ -100,6 +100,97 @@ class PostingsIndex:
         )
 
 
+def _encode_sorted_batch(term: np.ndarray, salt: np.ndarray,
+                         doc_ids: np.ndarray, tfs: np.ndarray,
+                         dls: np.ndarray) -> pd.DataFrame:
+    """Rows sorted by (term, salt, doc_id), COMPLETE groups only ->
+    block rows. Group boundaries found with numpy (no per-group
+    pandas objects)."""
+    n = len(term)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    if n > 1:
+        change[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    rows = []
+    for s, e in zip(starts, ends):
+        t, sa = term[s], int(salt[s])
+        d_all, t_all, l_all = doc_ids[s:e], tfs[s:e], dls[s:e]
+        for b, bs in enumerate(range(0, e - s, BLOCK_SIZE)):
+            be = min(bs + BLOCK_SIZE, e - s)
+            d, tt, ll = d_all[bs:be], t_all[bs:be], l_all[bs:be]
+            rows.append(
+                (
+                    t, sa, b, int(be - bs), int(tt.max()),
+                    int(d[0]), int(d[-1]),
+                    vb_encode(delta_encode(d.astype(np.uint64))),
+                    vb_encode(tt.astype(np.uint64)),
+                    vb_encode(ll.astype(np.uint64)),
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "term", "salt", "block_id", "doc_count", "max_tf",
+            "min_doc_id", "max_doc_id", "doc_ids_vb", "tfs_vb", "dls_vb",
+        ],
+    )
+
+
+def encode_postings_df(tf: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, doclen, term, tf, salt) -> block-compressed postings.
+
+    Physical plan: ONE shuffle (repartition by (term, salt)) + an
+    in-partition sort (spillable, no per-group materialization), then
+    a streaming ``mapInPandas`` encoder that slices groups with numpy
+    and carries the trailing incomplete group across Arrow batches.
+    This replaces a per-group ``applyInPandas`` whose pandas-object
+    overhead dominated build time (~1ms x |vocabulary| groups).
+    """
+    parts = (
+        tf.repartition(num_partitions, "term", "salt")
+        if num_partitions
+        else tf.repartition("term", "salt")
+    )
+    parts = parts.sortWithinPartitions("term", "salt", "doc_id").select(
+        "term", "salt", "doc_id", "tf", "doclen"
+    )
+
+    def encode(batches):
+        carry: pd.DataFrame | None = None
+        for b in batches:
+            if carry is not None and len(carry):
+                b = pd.concat([carry, b], ignore_index=True)
+            if b.empty:
+                continue
+            term = b["term"].to_numpy()
+            salt = b["salt"].to_numpy()
+            last = (term == term[-1]) & (salt == salt[-1])
+            # first row index of the trailing (possibly incomplete) group
+            cut = len(b) - int(last[::-1].argmin()) if not last.all() else 0
+            if cut == 0:
+                carry = b
+                continue
+            head = b.iloc[:cut]
+            carry = b.iloc[cut:].reset_index(drop=True)
+            yield _encode_sorted_batch(
+                head["term"].to_numpy(), head["salt"].to_numpy(),
+                head["doc_id"].to_numpy(np.int64),
+                head["tf"].to_numpy(np.int64),
+                head["doclen"].to_numpy(np.int64),
+            )
+        if carry is not None and len(carry):
+            yield _encode_sorted_batch(
+                carry["term"].to_numpy(), carry["salt"].to_numpy(),
+                carry["doc_id"].to_numpy(np.int64),
+                carry["tf"].to_numpy(np.int64),
+                carry["doclen"].to_numpy(np.int64),
+            )
+
+    return parts.mapInPandas(encode, schema=POSTINGS_SCHEMA)
+
+
 def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """One (term, salt) group -> block rows. Vectorized numpy inside."""
     term = pdf["term"].iloc[0]
@@ -161,31 +252,42 @@ def build_index(
         *keep,
     )
 
-    # docs table: narrow (no shuffle) -- doclen computed from the same
-    # shared analyzer expression used for postings.
-    docs = base.select(
-        "doc_id", *keep, F.size("_toks").alias("doclen")
-    )
-
     # (doc, term, tf): explode + hash agg. Partial aggregation combines
     # all of a doc's duplicate terms map-side (a doc lives in one
-    # partition), so shuffle bytes == distinct postings.
+    # partition), so shuffle bytes == distinct postings. This is the
+    # ONLY tokenize scan of the corpus: doc lengths ride along, corpus
+    # stats and the docs table derive from tf, never from a re-scan.
     tokens = base.select(
         "doc_id", F.size("_toks").alias("doclen"), F.explode("_toks").alias("term")
     )
     tf = tokens.groupBy("doc_id", "doclen", "term").agg(
         F.count("*").alias("tf")
     )
-    # tf feeds two consumers (hot-term detection + posting assembly);
-    # persist so the explode+agg pass runs once. MEMORY_AND_DISK: at
-    # cluster scale this spills rather than recomputing a 100 TB scan.
+    # tf feeds three consumers (stats, hot-term detection, posting
+    # assembly); persist so the explode+agg pass runs once.
+    # MEMORY_AND_DISK: at cluster scale this spills rather than
+    # recomputing a 100 TB scan.
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # corpus stats (single tiny row)
-    srow = docs.agg(
-        F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"] or 0.0)
+    # corpus stats WITHOUT a second tokenize pass:
+    #   total_dl == sum(tf) over all postings (Σ_d Σ_t tf == Σ_d dl);
+    #   n_docs from the id-assignment offsets when available (free),
+    #   else a narrow count (covers 0-token docs either way).
+    n_docs = getattr(pages, "_spark_graft_n_rows", None)
+    if n_docs is None:
+        n_docs = pages.count()
+    drow = tf.agg(F.sum("tf").alias("dl")).collect()[0]
+    avgdl = (int(drow["dl"] or 0)) / n_docs if n_docs else 0.0
+
+    # docs table (ids, presentation cols, doclen): doclen joined from
+    # tf (one row per doc) instead of re-tokenizing; 0-token docs get
+    # doclen 0 via the left join.
+    doclen_tbl = tf.select("doc_id", "doclen").dropDuplicates(["doc_id"])
+    docs = (
+        base.select("doc_id", *keep)
+        .join(doclen_tbl, "doc_id", "left")
+        .fillna({"doclen": 0})
+    )
 
     # hot-term salt map: only the Zipf head exceeds the threshold, so
     # the map is small -> broadcast join (no skewed shuffle on term
@@ -207,12 +309,7 @@ def build_index(
         .drop("n_salts")
     )
 
-    if shuffle_partitions:
-        salted = salted.repartition(shuffle_partitions, "term", "salt")
-
-    postings = salted.groupBy("term", "salt").applyInPandas(
-        _encode_group, schema=POSTINGS_SCHEMA
-    )
+    postings = encode_postings_df(salted, shuffle_partitions)
 
     # df per term == sum of block doc_counts (salts are doc-disjoint).
     term_stats = postings.groupBy("term").agg(

@@ -34,7 +34,13 @@ from pyspark.sql import types as T
 def assign_doc_ids(df: DataFrame, order_col: str = "url",
                    num_partitions: int | None = None) -> DataFrame:
     """Return ``df`` plus a dense ``doc_id`` long column == rank of
-    ``order_col`` (dense, unique, deterministic for a given input)."""
+    ``order_col`` (dense, unique, deterministic for a given input).
+
+    The total row count (already paid for by the offset pass) is
+    exposed as ``out._spark_graft_n_rows`` so callers don't trigger
+    another full count action."""
+    from pyspark import StorageLevel
+
     if num_partitions:
         part = df.repartitionByRange(num_partitions, order_col)
     else:
@@ -42,6 +48,14 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url",
     part = part.sortWithinPartitions(order_col).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # PIN the physical partitioning: repartitionByRange samples its
+    # boundaries with a per-execution random seed, so the count pass
+    # and the id pass (and every downstream consumer) MUST observe one
+    # materialization -- otherwise partition ids shift between passes
+    # and ids go wrong (or the offset lookup misses). The final ids
+    # are boundary-independent (offset + local index == global rank),
+    # so persisting is only needed within one build, not across runs.
+    part = part.persist(StorageLevel.MEMORY_AND_DISK)
 
     counts = {
         r["_pid"]: r["cnt"]
@@ -70,4 +84,6 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url",
             out.insert(0, "doc_id", ids.astype("int64"))
             yield out
 
-    return part.mapInPandas(add_ids, schema=out_schema)
+    out = part.mapInPandas(add_ids, schema=out_schema)
+    out._spark_graft_n_rows = acc
+    return out

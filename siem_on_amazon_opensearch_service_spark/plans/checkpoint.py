@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..analysis import tokens_col
 from ..index.build import (
-    POSTINGS_SCHEMA, PostingsIndex, _encode_group,
+    PostingsIndex, encode_postings_df,
 )
 
 PART_SHIFT = 40  # doc_id = part_id << 40 | local_rank
@@ -131,9 +131,7 @@ def checkpointed_build(
             .agg(F.count("*").alias("tf"))
             .withColumn("salt", F.lit(0))
         )
-        postings = tf.groupBy("term", "salt").applyInPandas(
-            _encode_group, schema=POSTINGS_SCHEMA
-        )
+        postings = encode_postings_df(tf)
         postings.write.mode("overwrite").parquet(f"{delta_dir}/postings")
         docs.write.mode("overwrite").parquet(f"{delta_dir}/docs")
 
@@ -217,9 +215,7 @@ def merge(spark: SparkSession, path: str,
         )
         .drop("n_salts")
     )
-    postings = salted.groupBy("term", "salt").applyInPandas(
-        _encode_group, schema=POSTINGS_SCHEMA
-    )
+    postings = encode_postings_df(salted)
 
     n_docs = sum(e["n_docs"] for e in manifest["partitions"].values())
     total_dl = sum(e["total_dl"] for e in manifest["partitions"].values())

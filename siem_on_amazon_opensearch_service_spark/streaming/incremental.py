@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis import tokens_col
-from ..index.build import POSTINGS_SCHEMA, PostingsIndex, _encode_group
+from ..index.build import PostingsIndex, encode_postings_df
 
 BATCH_SHIFT = 40  # doc_id = (batch_id << 40) | row-in-batch rank
 
@@ -79,9 +79,7 @@ class IncrementalIndexer:
             .agg(F.count("*").alias("tf"))
             .withColumn("salt", F.lit(0))
         )
-        postings = tf.groupBy("term", "salt").applyInPandas(
-            _encode_group, schema=POSTINGS_SCHEMA
-        )
+        postings = encode_postings_df(tf)
         postings.write.mode("overwrite").parquet(f"{delta}/postings")
         docs.write.mode("overwrite").parquet(f"{delta}/docs")
         spark = batch_df.sparkSession
@@ -124,9 +122,7 @@ class IncrementalIndexer:
             )
             .drop("n_salts")
         )
-        postings = salted.groupBy("term", "salt").applyInPandas(
-            _encode_group, schema=POSTINGS_SCHEMA
-        )
+        postings = encode_postings_df(salted)
         merged = os.path.join(self.path, "merged")
         (
             postings.repartition(32, "term")
