@@ -1,0 +1,126 @@
+"""Command-line entry points, runnable under ``spark-submit``.
+
+The north_rule deployment shape is ``spark-submit --py-files pkg.zip
+job.py`` on a multi-executor cluster; this module is the ``job.py``.
+It only ever calls ``SparkSession.builder.getOrCreate()`` so the
+cluster master, executor counts and memory all come from
+spark-submit/cluster conf, never from code.
+
+    spark-submit --py-files pkg.zip -m ... cli.py build \
+        --input  /data/pages_parquet \
+        --output /data/index \
+        [--salt-threshold 100000] [--resumable --parts 512]
+
+    ... cli.py query  --index /data/index --query "some terms" --k 10
+    ... cli.py metrics --index-checkpoint /data/index_ckpt
+
+Packaging: ``python tools/make_pyfiles_zip.py`` produces the
+``--py-files`` zip of this package.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def cmd_build(args: argparse.Namespace) -> None:
+    spark = _spark()
+    pages = spark.read.parquet(args.input)
+    if args.resumable:
+        from siem_on_amazon_opensearch_service_spark.plans import checkpoint
+
+        manifest = checkpoint.checkpointed_build(
+            spark, pages, args.output, num_parts=args.parts,
+            salt_threshold=args.salt_threshold,
+        )
+        ix = checkpoint.merge(spark, args.output,
+                              salt_threshold=args.salt_threshold)
+        done = sum(1 for e in manifest["partitions"].values()
+                   if e["status"] == "ok")
+        print(json.dumps({
+            "status": "ok", "mode": "resumable", "partitions": done,
+            "n_docs": ix.n_docs, "avgdl": round(ix.avgdl, 4),
+            "index": f"{args.output}/merged",
+        }))
+    else:
+        from siem_on_amazon_opensearch_service_spark.index import build_index
+
+        ix = build_index(spark, pages, text_col=args.text_col,
+                         salt_threshold=args.salt_threshold)
+        ix.save(spark, args.output, buckets=args.buckets)
+        print(json.dumps({
+            "status": "ok", "mode": "batch", "n_docs": ix.n_docs,
+            "avgdl": round(ix.avgdl, 4), "index": args.output,
+        }))
+
+
+def cmd_query(args: argparse.Namespace) -> None:
+    spark = _spark()
+    from siem_on_amazon_opensearch_service_spark.index import (
+        PostingsIndex, bm25_topk,
+    )
+
+    ix = PostingsIndex.load(spark, args.index)
+    if args.pruned:
+        from siem_on_amazon_opensearch_service_spark.plans.pruning import (
+            bm25_topk_pruned,
+        )
+
+        rows = bm25_topk_pruned(ix, args.query, k=args.k).collect()
+    else:
+        rows = bm25_topk(ix, args.query, k=args.k,
+                         with_url=args.with_url).collect()
+    for r in rows:
+        print(json.dumps(r.asDict()))
+
+
+def cmd_metrics(args: argparse.Namespace) -> None:
+    spark = _spark()
+    from siem_on_amazon_opensearch_service_spark.plans import checkpoint
+
+    for r in checkpoint.build_metrics(spark, args.index_checkpoint).collect():
+        print(json.dumps(r.asDict()))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="spark-webtext-index")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--salt-threshold", type=int, default=100_000)
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--resumable", action="store_true")
+    b.add_argument("--parts", type=int, default=64)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--pruned", action="store_true")
+    q.add_argument("--with-url", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    m = sub.add_parser("metrics", help="per-partition build lineage")
+    m.add_argument("--index-checkpoint", required=True)
+    m.set_defaults(fn=cmd_metrics)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,66 @@
+"""CLI wiring (in-process) and doc-id determinism guarantees."""
+
+import json
+
+from siem_on_amazon_opensearch_service_spark import cli, corpus
+from siem_on_amazon_opensearch_service_spark.index.docids import assign_doc_ids
+
+
+def test_doc_ids_stable_across_partitionings(spark):
+    """doc_id == global url rank, independent of how the input is
+    partitioned (the determinism the resumability story leans on)."""
+    pdf = corpus.make_pages_pdf(400, seed=21)
+    expected = {u: i for i, u in enumerate(sorted(pdf["url"]))}
+    for nparts in (2, 7):
+        sdf = spark.createDataFrame(pdf).repartition(nparts)
+        got = {
+            r["url"]: r["doc_id"]
+            for r in assign_doc_ids(sdf).select("url", "doc_id").collect()
+        }
+        assert got == expected, nparts
+
+
+def test_doc_ids_dense_and_unique(spark):
+    sdf = spark.createDataFrame(corpus.make_pages_pdf(300, seed=3))
+    ids = sorted(
+        r["doc_id"] for r in assign_doc_ids(sdf).select("doc_id").collect()
+    )
+    assert ids == list(range(300))
+
+
+def test_cli_build_and_query(spark, tmp_path, capsys):
+    """Drive the spark-submit entry point in-process: build, query,
+    pruned query, resumable build + metrics."""
+    pages = spark.createDataFrame(
+        corpus.make_pages_pdf(200, seed=8)[["url", "text"]]
+    )
+    inp = str(tmp_path / "pages")
+    pages.write.parquet(inp)
+
+    ixp = str(tmp_path / "ix")
+    cli.main(["build", "--input", inp, "--output", ixp,
+              "--salt-threshold", "100"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "ok" and out["n_docs"] == 200
+
+    cli.main(["query", "--index", ixp, "--query", "w00000", "--k", "3"])
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(rows) <= 3 and "score" in rows[0]
+
+    cli.main(["query", "--index", ixp, "--query", "w00000", "--k", "3",
+              "--pruned"])
+    prows = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in prows] == [r["doc_id"] for r in rows]
+
+    ckpt = str(tmp_path / "ckpt")
+    cli.main(["build", "--input", inp, "--output", ckpt, "--resumable",
+              "--parts", "3", "--salt-threshold", "100"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["partitions"] == 3 and out["n_docs"] == 200
+
+    cli.main(["metrics", "--index-checkpoint", ckpt])
+    mrows = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(mrows) == 3 and all(m["n_docs"] > 0 for m in mrows)
