@@ -64,6 +64,26 @@ def _utc(spark: SparkSession) -> None:
 FT_QUERY = "spark table join stream"
 FT_K = 20
 
+#: one built index per (sf_dir) per session: the driver calls every
+#: registry entry in one SparkSession, and the postings DataFrame
+#: otherwise re-runs the whole build DAG per action (term_stats and
+#: decode are two consumers of the same lazy postings).
+_IX_CACHE: dict[str, object] = {}
+
+
+def _built_index(spark: SparkSession, sf_dir: str):
+    from .index import build_index
+
+    ix = _IX_CACHE.get(sf_dir)
+    if ix is None:
+        docs = _t(spark, sf_dir, "documents")
+        ix = build_index(spark, docs, text_col="text", id_col="doc_id",
+                         salt_threshold=200)
+        ix.postings = ix.postings.persist()
+        ix.term_stats = ix.term_stats.persist()
+        _IX_CACHE[sf_dir] = ix
+    return ix
+
 _BM25_SQL_BODY = f"""
 WITH tok AS (
   SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term
@@ -91,13 +111,19 @@ FROM scored ORDER BY s DESC, doc_id LIMIT {FT_K}
 def ft_bm25_topk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k through the REAL engine: salted block-compressed
     postings index (build_index) + varbyte decode + native scoring."""
-    from .index import build_index
     from .index.query import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
-    ix = build_index(spark, docs, text_col="text", id_col="doc_id",
-                     salt_threshold=200)
-    top = bm25_topk(ix, FT_QUERY, k=FT_K)
+    top = bm25_topk(_built_index(spark, sf_dir), FT_QUERY, k=FT_K)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+@register("ft_bm25_topk_pruned", _BM25_SQL_BODY)
+def ft_bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics through the MaxScore-pruned path (block-max
+    upper bounds; plans/pruning.py) -- must be rank-identical."""
+    from .plans.pruning import bm25_topk_pruned
+
+    top = bm25_topk_pruned(_built_index(spark, sf_dir), FT_QUERY, k=FT_K)
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 

@@ -28,12 +28,13 @@ salt sub-keys (hash(doc_id) % n_salts), so
     one term are doc-disjoint; queries read all salts of a term).
 
 Postings layout: one row per 128-doc block
-  (term, salt, block_id, doc_count, max_tf, min_doc_id, max_doc_id,
+  (term, salt, block_id, doc_count, max_tf, max_impact,
+   min_doc_id, max_doc_id,
    doc_ids_vb, tfs_vb, dls_vb)
 doc ids are strictly increasing per (term, salt) and delta+varbyte
 compressed (codec.py); per-posting doc length rides along varbyte'd
 (the Lucene "norms" analog) so query-time scoring needs NO join back
-to the docs table. ``max_tf`` per block powers block-max pruning
+to the docs table. ``max_tf``/``max_impact`` per block power block-max pruning
 (plans/pruning.py). On disk the table is written
 ``repartition(term)`` + ``sortWithinPartitions(term, salt, block_id)``
 so parquet row-group min/max statistics prune non-query terms.
@@ -59,7 +60,7 @@ DEFAULT_SALT_THRESHOLD = 100_000
 
 POSTINGS_SCHEMA = (
     "term string, salt int, block_id int, doc_count int, max_tf int, "
-    "min_doc_id long, max_doc_id long, "
+    "max_impact double, min_doc_id long, max_doc_id long, "
     "doc_ids_vb binary, tfs_vb binary, dls_vb binary"
 )
 
@@ -70,7 +71,7 @@ class PostingsIndex:
 
     docs: DataFrame        # doc_id, url, doclen, warc_ts, lang
     postings: DataFrame    # POSTINGS_SCHEMA
-    term_stats: DataFrame  # term, df, max_tf
+    term_stats: DataFrame  # term, df, max_tf, max_impact
     n_docs: int
     avgdl: float
 
@@ -102,10 +103,31 @@ class PostingsIndex:
 
 def _encode_sorted_batch(term: np.ndarray, salt: np.ndarray,
                          doc_ids: np.ndarray, tfs: np.ndarray,
-                         dls: np.ndarray) -> pd.DataFrame:
+                         dls: np.ndarray,
+                         avgdl: float | None) -> pd.DataFrame:
     """Rows sorted by (term, salt, doc_id), COMPLETE groups only ->
     block rows. Group boundaries found with numpy (no per-group
-    pandas objects)."""
+    pandas objects).
+
+    ``max_impact`` is the block-max of the BM25 term factor
+    tf/(tf + k1(1-b+b·dl/avgdl)) — the Lucene block-max-WAND impact
+    bound. When ``avgdl`` is unknown at encode time (incremental
+    deltas: the GLOBAL avgdl isn't known yet, and a too-small local
+    avgdl would understate the bound ⇒ unsound skipping), the dl→0
+    limit tf/(tf + k1(1-b)) is stored instead — an upper bound for
+    every possible avgdl. Merge/compact re-encodes with the known
+    global avgdl for tight bounds.
+    """
+    from ..bm25 import B, K1
+
+    tfs_f = tfs.astype(np.float64)
+    if avgdl and avgdl > 0:
+        impacts = tfs_f / (
+            tfs_f + K1 * (1.0 - B) + K1 * B * dls.astype(np.float64) / avgdl
+        )
+    else:
+        impacts = tfs_f / (tfs_f + K1 * (1.0 - B))
+
     n = len(term)
     change = np.empty(n, dtype=bool)
     change[0] = True
@@ -117,12 +139,14 @@ def _encode_sorted_batch(term: np.ndarray, salt: np.ndarray,
     for s, e in zip(starts, ends):
         t, sa = term[s], int(salt[s])
         d_all, t_all, l_all = doc_ids[s:e], tfs[s:e], dls[s:e]
+        i_all = impacts[s:e]
         for b, bs in enumerate(range(0, e - s, BLOCK_SIZE)):
             be = min(bs + BLOCK_SIZE, e - s)
             d, tt, ll = d_all[bs:be], t_all[bs:be], l_all[bs:be]
             rows.append(
                 (
                     t, sa, b, int(be - bs), int(tt.max()),
+                    float(i_all[bs:be].max()),
                     int(d[0]), int(d[-1]),
                     vb_encode(delta_encode(d.astype(np.uint64))),
                     vb_encode(tt.astype(np.uint64)),
@@ -132,13 +156,14 @@ def _encode_sorted_batch(term: np.ndarray, salt: np.ndarray,
     return pd.DataFrame(
         rows,
         columns=[
-            "term", "salt", "block_id", "doc_count", "max_tf",
+            "term", "salt", "block_id", "doc_count", "max_tf", "max_impact",
             "min_doc_id", "max_doc_id", "doc_ids_vb", "tfs_vb", "dls_vb",
         ],
     )
 
 
-def encode_postings_df(tf: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def encode_postings_df(tf: DataFrame, num_partitions: int | None = None,
+                       avgdl: float | None = None) -> DataFrame:
     """(doc_id, doclen, term, tf, salt) -> block-compressed postings.
 
     Physical plan: ONE shuffle (repartition by (term, salt)) + an
@@ -179,6 +204,7 @@ def encode_postings_df(tf: DataFrame, num_partitions: int | None = None) -> Data
                 head["doc_id"].to_numpy(np.int64),
                 head["tf"].to_numpy(np.int64),
                 head["doclen"].to_numpy(np.int64),
+                avgdl,
             )
         if carry is not None and len(carry):
             yield _encode_sorted_batch(
@@ -186,46 +212,10 @@ def encode_postings_df(tf: DataFrame, num_partitions: int | None = None) -> Data
                 carry["doc_id"].to_numpy(np.int64),
                 carry["tf"].to_numpy(np.int64),
                 carry["doclen"].to_numpy(np.int64),
+                avgdl,
             )
 
     return parts.mapInPandas(encode, schema=POSTINGS_SCHEMA)
-
-
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (term, salt) group -> block rows. Vectorized numpy inside."""
-    term = pdf["term"].iloc[0]
-    salt = int(pdf["salt"].iloc[0])
-    order = np.argsort(pdf["doc_id"].values, kind="stable")
-    doc_ids = pdf["doc_id"].values[order].astype(np.int64)
-    tfs = pdf["tf"].values[order].astype(np.int64)
-    dls = pdf["doclen"].values[order].astype(np.int64)
-
-    n = len(doc_ids)
-    rows = []
-    for b, start in enumerate(range(0, n, BLOCK_SIZE)):
-        end = min(start + BLOCK_SIZE, n)
-        d, t, l = doc_ids[start:end], tfs[start:end], dls[start:end]
-        rows.append(
-            (
-                term,
-                salt,
-                b,
-                int(end - start),
-                int(t.max()),
-                int(d[0]),
-                int(d[-1]),
-                vb_encode(delta_encode(d.astype(np.uint64))),
-                vb_encode(t.astype(np.uint64)),
-                vb_encode(l.astype(np.uint64)),
-            )
-        )
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "term", "salt", "block_id", "doc_count", "max_tf",
-            "min_doc_id", "max_doc_id", "doc_ids_vb", "tfs_vb", "dls_vb",
-        ],
-    )
 
 
 def build_index(
@@ -309,11 +299,12 @@ def build_index(
         .drop("n_salts")
     )
 
-    postings = encode_postings_df(salted, shuffle_partitions)
+    postings = encode_postings_df(salted, shuffle_partitions, avgdl=avgdl)
 
     # df per term == sum of block doc_counts (salts are doc-disjoint).
     term_stats = postings.groupBy("term").agg(
-        F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf")
+        F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf"),
+        F.max("max_impact").alias("max_impact"),
     )
 
     return PostingsIndex(

@@ -198,6 +198,11 @@ def merge(spark: SparkSession, path: str,
     deltas = spark.read.parquet(f"{path}/delta/part=*/postings")
     docs = spark.read.parquet(f"{path}/delta/part=*/docs")
 
+    # global stats first: the re-encode stores avgdl-tight max_impact
+    n_docs = sum(e["n_docs"] for e in manifest["partitions"].values())
+    total_dl = sum(e["total_dl"] for e in manifest["partitions"].values())
+    avgdl = total_dl / n_docs if n_docs else 0.0
+
     decoded = decode_blocks(deltas).withColumnRenamed("dl", "doclen")
     df_tbl = decoded.groupBy("term").agg(F.count("*").alias("df"))
     hot = df_tbl.filter(F.col("df") > salt_threshold).select(
@@ -215,11 +220,7 @@ def merge(spark: SparkSession, path: str,
         )
         .drop("n_salts")
     )
-    postings = encode_postings_df(salted)
-
-    n_docs = sum(e["n_docs"] for e in manifest["partitions"].values())
-    total_dl = sum(e["total_dl"] for e in manifest["partitions"].values())
-    avgdl = total_dl / n_docs if n_docs else 0.0
+    postings = encode_postings_df(salted, avgdl=avgdl)
 
     merged = os.path.join(path, "merged")
     (
@@ -230,7 +231,8 @@ def merge(spark: SparkSession, path: str,
     docs.write.mode("overwrite").parquet(f"{merged}/docs")
     pp = spark.read.parquet(f"{merged}/postings")
     pp.groupBy("term").agg(
-        F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf")
+        F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf"),
+        F.max("max_impact").alias("max_impact"),
     ).write.mode("overwrite").parquet(f"{merged}/term_stats")
     spark.createDataFrame(
         [(n_docs, avgdl)], "n_docs long, avgdl double"

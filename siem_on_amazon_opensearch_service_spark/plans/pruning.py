@@ -40,26 +40,36 @@ from ..index.build import PostingsIndex
 from ..index.query import _query_weights, decode_blocks, score_col
 
 
-def bm25_topk_pruned(ix: PostingsIndex, query: str, k: int = 10) -> DataFrame:
-    """MaxScore-pruned BM25 top-k; rank-identical to bm25_topk."""
+def bm25_topk_pruned(ix: PostingsIndex, query: str, k: int = 10,
+                     stats_out: dict | None = None) -> DataFrame:
+    """MaxScore + block-max pruned BM25 top-k; rank-identical to
+    bm25_topk. Pass ``stats_out={}`` to receive
+    ``{"blocks_total", "blocks_scanned", "essential", "theta"}``
+    (costs two extra count jobs — debugging/tests only)."""
     weights = _query_weights(query)
     spark = ix.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not weights:
         return empty
 
-    stats = {
-        r["term"]: (int(r["df"]), int(r["max_tf"]))
-        for r in ix.term_stats.filter(
-            F.col("term").isin(list(weights))
-        ).collect()
+    rows = ix.term_stats.filter(F.col("term").isin(list(weights))).collect()
+    stats = {r["term"]: (int(r["df"]), int(r["max_tf"])) for r in rows}
+    # stored block-max impact (tight: uses tf AND dl); fall back to the
+    # dl→0 analytic bound for indexes written before the column existed.
+    impact = {
+        r["term"]: (
+            float(r["max_impact"])
+            if "max_impact" in r.asDict() and r["max_impact"] is not None
+            else upper_bound(int(r["max_tf"]), 1.0)
+        )
+        for r in rows
     }
     present = [t for t in weights if t in stats]
     if not present:
         return empty
 
     ub = {
-        t: weights[t] * upper_bound(stats[t][1], idf(ix.n_docs, stats[t][0]))
+        t: weights[t] * idf(ix.n_docs, stats[t][0]) * impact[t]
         for t in present
     }
 
@@ -93,12 +103,54 @@ def bm25_topk_pruned(ix: PostingsIndex, query: str, k: int = 10) -> DataFrame:
         [(t, int(c)) for t, c in weights.items()], "term string, qtf int"
     )
 
-    dec_ess = decode_blocks(ix.postings.filter(F.col("term").isin(essential)))
+    # --- BLOCK-MAX skip (exact): drop block b of term t when
+    #       UB_block(t, b) + Σ_{t'≠t} UB_global(t')  <  θ.
+    # Any doc in such a block totals < θ, so it cannot reach the
+    # top-k; and no true top-k doc's block can satisfy the condition
+    # (its own score would contradict the strict bound) — so every
+    # surviving doc's score stays exact. Implemented as a native
+    # predicate over block metadata (max_tf) with a per-term
+    # complement broadcast map; skipped blocks are never decoded.
+    total_ub = sum(ub.values())
+    idfs = {t: idf(ix.n_docs, stats[t][0]) for t in present}
+    complement = {t: theta - (total_ub - ub[t]) for t in present}
+
+    has_impact = "max_impact" in ix.postings.columns
+
+    def blocks_pruned(terms: list[str]) -> DataFrame:
+        blk = ix.postings.filter(F.col("term").isin(terms))
+        idf_map = F.create_map(
+            *[F.lit(x) for t in terms for x in (t, float(idfs[t] * weights[t]))]
+        )
+        comp_map = F.create_map(
+            *[F.lit(x) for t in terms for x in (t, float(complement[t]))]
+        )
+        if has_impact:
+            block_ub = idf_map[F.col("term")] * F.col("max_impact")
+        else:
+            from ..bm25 import B, K1
+
+            mt = F.col("max_tf").cast("double")
+            block_ub = idf_map[F.col("term")] * mt / (mt + K1 * (1.0 - B))
+        return blk.filter(block_ub >= comp_map[F.col("term")])
+
+    if stats_out is not None:
+        stats_out["blocks_total"] = ix.postings.filter(
+            F.col("term").isin(present)
+        ).count()
+        stats_out["blocks_scanned"] = (
+            blocks_pruned(essential).count()
+            + (blocks_pruned(nonessential).count() if nonessential else 0)
+        )
+        stats_out["essential"] = list(essential)
+        stats_out["theta"] = theta
+
+    dec_ess = decode_blocks(blocks_pruned(essential))
     if nonessential:
         cand = dec_ess.select("doc_id").distinct()
-        dec_non = decode_blocks(
-            ix.postings.filter(F.col("term").isin(nonessential))
-        ).join(cand, "doc_id")  # contribution restriction, AQE picks strategy
+        dec_non = decode_blocks(blocks_pruned(nonessential)).join(
+            cand, "doc_id"
+        )  # contribution restriction, AQE picks strategy
         decoded = dec_ess.unionByName(dec_non)
     else:
         decoded = dec_ess

@@ -122,7 +122,7 @@ class IncrementalIndexer:
             )
             .drop("n_salts")
         )
-        postings = encode_postings_df(salted)
+        postings = encode_postings_df(salted, avgdl=(total_dl / n_docs if n_docs else None))
         merged = os.path.join(self.path, "merged")
         (
             postings.repartition(32, "term")
@@ -131,7 +131,8 @@ class IncrementalIndexer:
         )
         docs.write.mode("overwrite").parquet(f"{merged}/docs")
         spark.read.parquet(f"{merged}/postings").groupBy("term").agg(
-            F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf")
+            F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf"),
+            F.max("max_impact").alias("max_impact"),
         ).write.mode("overwrite").parquet(f"{merged}/term_stats")
         spark.createDataFrame(
             [(n_docs, total_dl / n_docs if n_docs else 0.0)],
@@ -151,7 +152,8 @@ def load_incremental(spark: SparkSession, path: str) -> PostingsIndex:
     ).collect()[0]
     n_docs, total_dl = int(stats["n"] or 0), int(stats["dl"] or 0)
     term_stats = postings.groupBy("term").agg(
-        F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf")
+        F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf"),
+        F.max("max_impact").alias("max_impact"),
     )
     return PostingsIndex(
         docs=docs, postings=postings, term_stats=term_stats,

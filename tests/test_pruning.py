@@ -47,3 +47,22 @@ def test_pruned_equals_exhaustive_and_oracle(setup, query, k):
     for (_, a), (_, b), (_, c) in zip(pruned, full, exp):
         assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
         assert math.isclose(a, c, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_block_skipping_fires_and_stays_exact(setup):
+    """Single hot term, k=1: θ is the best impact, so every block
+    whose max_impact bound falls below it MUST be skipped (the
+    block-max-WAND payoff) — and the result must still equal the
+    oracle exactly."""
+    ix, oracle = setup
+    query, k = "w00002", 1
+    stats = {}
+    got = [(r["doc_id"], r["score"])
+           for r in bm25_topk_pruned(ix, query, k, stats_out=stats).collect()]
+    exp = oracle.search(query, k)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    assert stats["theta"] > 0
+    # the skip must actually fire: strictly fewer blocks decoded
+    assert stats["blocks_scanned"] < stats["blocks_total"], stats
