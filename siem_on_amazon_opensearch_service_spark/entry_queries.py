@@ -519,4 +519,5 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs its @register decorators against this module's registry.
 from . import entry_curation  # noqa: E402,F401
 from . import entry_etl  # noqa: E402,F401
+from . import entry_search  # noqa: E402,F401
 from . import entry_sources  # noqa: E402,F401

@@ -1,0 +1,161 @@
+"""Registry entries for the query-DSL surface: phrase queries
+(positional index), boolean must/should/must_not, faceted search."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analysis import duckdb_tokens_sql
+from .bm25 import B, K1
+from .entry_queries import _built_index, _t, register
+
+_PIX_CACHE: dict[str, object] = {}
+
+
+def _pos_index(spark: SparkSession, sf_dir: str):
+    from .index.positional import build_positional_index
+
+    ix = _PIX_CACHE.get(sf_dir)
+    if ix is None:
+        docs = _t(spark, sf_dir, "documents")
+        ix = build_positional_index(spark, docs, text_col="text",
+                                    id_col="doc_id", salt_threshold=200)
+        ix.postings = ix.postings.persist()
+        ix.term_stats = ix.term_stats.persist()
+        _PIX_CACHE[sf_dir] = ix
+    return ix
+
+
+PHRASE = "table value"
+_PHRASE_TERMS = PHRASE.split()
+
+_TOK = duckdb_tokens_sql("text")
+
+_PHRASE_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOK} AS t FROM documents),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM d),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+),
+slots(slot, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(_PHRASE_TERMS))}),
+dft AS (
+  SELECT s.term, count(DISTINCT tokpos.doc_id)::DOUBLE AS df
+  FROM tokpos JOIN slots s ON tokpos.term = s.term GROUP BY s.term
+),
+idfsum AS (
+  SELECT sum(ln(1 + (stats.n - df + 0.5) / (df + 0.5))) AS v
+  FROM dft, stats
+),
+adj AS (
+  SELECT tokpos.doc_id, tokpos.pos - s.slot AS adj, s.slot
+  FROM tokpos JOIN slots s ON tokpos.term = s.term
+),
+cov AS (
+  SELECT doc_id, adj FROM adj WHERE adj >= 0
+  GROUP BY doc_id, adj HAVING count(DISTINCT slot) = {len(_PHRASE_TERMS)}
+),
+freq AS (SELECT doc_id, count(*)::DOUBLE AS ptf FROM cov GROUP BY doc_id),
+scored AS (
+  SELECT f.doc_id,
+         idfsum.v * f.ptf
+           / (f.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
+  FROM freq f JOIN dl ON dl.doc_id = f.doc_id, stats, idfsum
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 20
+"""
+
+
+@register("ft_phrase_topk", _PHRASE_SQL)
+def ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase query through the positional index (Lucene
+    PhraseQuery shape: tf = phrase frequency, idf = sum of term
+    idfs)."""
+    from .index.positional import phrase_topk
+
+    top = phrase_topk(_pos_index(spark, sf_dir), PHRASE, k=20)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_BOOL_MUST = ["table", "value"]
+_BOOL_SHOULD = ["spark"]
+_BOOL_NOT = ["slow"]
+_BOOL_SCORING = _BOOL_MUST + _BOOL_SHOULD
+
+_BOOL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scoring(term) AS (VALUES {", ".join(f"('{t}')" for t in _BOOL_SCORING)}),
+per_doc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s,
+         count(DISTINCT CASE WHEN tf.term IN
+               ({", ".join(f"'{t}'" for t in _BOOL_MUST)}) THEN tf.term END)
+           AS n_must
+  FROM tf JOIN scoring USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+),
+kept AS (
+  SELECT * FROM per_doc
+  WHERE n_must = {len(_BOOL_MUST)}
+    AND doc_id NOT IN (
+      SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(f"'{t}'" for t in _BOOL_NOT)}))
+)
+SELECT doc_id, round(s, 4) AS score
+FROM kept ORDER BY s DESC, doc_id LIMIT 20
+"""
+
+
+@register("ft_bool_topk", _BOOL_SQL)
+def ft_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool query: must=[table, value] should=[spark] must_not=[slow]
+    — conjunction via matched-must count, exclusion via anti-join,
+    scores over matched must+should terms."""
+    from .index.boolquery import bool_topk
+
+    top = bool_topk(
+        _built_index(spark, sf_dir),
+        must=_BOOL_MUST, should=_BOOL_SHOULD, must_not=_BOOL_NOT, k=20,
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_FACET_QUERY = "spark table join stream"
+_FACET_TERMS = _FACET_QUERY.split()
+
+
+@register(
+    "ft_search_facet_lang",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    matched AS (
+      SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(f"'{t}'" for t in _FACET_TERMS)})
+    )
+    SELECT d.lang AS lang, count(*) AS n
+    FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY d.lang ORDER BY n DESC, lang LIMIT 10
+    """,
+)
+def ft_search_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch hits+aggregations shape: a `terms` facet over the
+    FULL match set of the query (dashboard pattern, SURVEY.md A1)."""
+    from .index.boolquery import search_facets
+
+    out = search_facets(
+        _built_index(spark, sf_dir), _FACET_QUERY, ["lang"], k=10
+    )
+    return out["facet:lang"]

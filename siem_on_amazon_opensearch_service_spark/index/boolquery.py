@@ -1,0 +1,116 @@
+"""Boolean queries + faceted search over the postings index —
+the OpenSearch query-DSL shapes the reference's dashboards issue
+(``bool`` with must/should/must_not, and ``terms`` aggregations over
+the match set, ref saved_objects/each-dashboard/*.ndjson).
+
+Lucene/OpenSearch semantics reproduced:
+
+* ``must``   — every clause term must appear; contributes to score.
+* ``should`` — optional; contributes to score when present.
+* ``must_not`` — excluding filter; never contributes to score.
+* score = Σ BM25(term, doc) over matched must+should terms.
+
+Plan shape: one decode pass over the union of must/should/must_not
+terms (term-pruned scan), a conditional aggregate per doc counting
+matched must terms (== len(must) keeps the doc — the co-partitioned
+sort-merge-join restatement of Lucene's conjunction), an anti-join
+for must_not, then the usual score-sum + TakeOrdered.
+
+Facets: ``search_facets`` computes the reference's
+search-then-aggregate dashboards in ONE job over the match set —
+top-k hits plus per-column value counts over ALL matches (not just
+the page of hits), exactly like OpenSearch's hits + aggregations
+response.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import tokenize_py
+from .build import PostingsIndex
+from .query import decode_blocks, score_col
+
+
+def _decoded_scored(ix: PostingsIndex, terms: list[str]) -> DataFrame:
+    """(term, doc_id, score-component) rows for the given terms."""
+    blocks = ix.postings.filter(F.col("term").isin(terms))
+    decoded = decode_blocks(blocks)
+    tstats = ix.term_stats.filter(F.col("term").isin(terms)).select("term", "df")
+    return (
+        decoded.join(F.broadcast(tstats), "term")
+        .withColumn("_s", score_col(ix.avgdl, ix.n_docs))
+    )
+
+
+def bool_topk(ix: PostingsIndex, must: list[str] | str = (),
+              should: list[str] | str = (), must_not: list[str] | str = (),
+              k: int = 10) -> DataFrame:
+    """Top-k for a bool query. Clause strings are analyzed with the
+    shared tokenizer; duplicate terms within a clause are deduped
+    (set semantics, like Lucene's BooleanQuery clause sets)."""
+    def norm(c) -> list[str]:
+        if isinstance(c, str):
+            c = [c]
+        out: list[str] = []
+        for chunk in c:
+            out.extend(tokenize_py(chunk))
+        return list(dict.fromkeys(out))
+
+    must_t, should_t, not_t = norm(must), norm(should), norm(must_not)
+    spark = ix.postings.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    scoring = list(dict.fromkeys(must_t + should_t))
+    if not scoring:
+        return empty
+
+    scored = _decoded_scored(ix, scoring)
+    is_must = F.col("term").isin(must_t) if must_t else F.lit(False)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("_s").alias("score"),
+        F.countDistinct(F.when(is_must, F.col("term"))).alias("_n_must"),
+    )
+    if must_t:
+        per_doc = per_doc.filter(F.col("_n_must") == len(must_t))
+    if not_t:
+        excl = decode_blocks(
+            ix.postings.filter(F.col("term").isin(not_t))
+        ).select("doc_id").distinct()
+        per_doc = per_doc.join(excl, "doc_id", "left_anti")
+    return (
+        per_doc.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def search_facets(ix: PostingsIndex, query: str, facet_cols: list[str],
+                  k: int = 10, facet_size: int = 10) -> dict[str, DataFrame]:
+    """OpenSearch-style hits + aggregations: returns
+    ``{"hits": top-k DataFrame, "facet:<col>": counts DataFrame}``.
+    Facets aggregate over the FULL match set (every doc containing at
+    least one query term), joined to the docs table for the facet
+    columns — a broadcast of the tiny facet dimension is not needed:
+    the match set itself is the smaller side after aggregation."""
+    terms = list(dict.fromkeys(tokenize_py(query)))
+    spark = ix.postings.sparkSession
+    if not terms:
+        return {"hits": spark.createDataFrame([], "doc_id long, score double")}
+
+    scored = _decoded_scored(ix, terms)
+    per_doc = scored.groupBy("doc_id").agg(F.sum("_s").alias("score"))
+    hits = (
+        per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    )
+    out: dict[str, DataFrame] = {"hits": hits}
+    if facet_cols:
+        matched = per_doc.select("doc_id").join(ix.docs, "doc_id")
+        for c in facet_cols:
+            out[f"facet:{c}"] = (
+                matched.groupBy(c)
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), F.asc(c))
+                .limit(facet_size)
+            )
+    return out

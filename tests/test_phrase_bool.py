@@ -1,0 +1,160 @@
+"""Phrase (positional) and boolean queries vs a pure-Python brute
+force over the same corpus."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark import corpus
+from siem_on_amazon_opensearch_service_spark.bm25 import B, K1, idf
+from siem_on_amazon_opensearch_service_spark.index import build_index
+from siem_on_amazon_opensearch_service_spark.index.boolquery import (
+    bool_topk, search_facets,
+)
+from siem_on_amazon_opensearch_service_spark.index.positional import (
+    build_positional_index, phrase_topk,
+)
+
+N = 300
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    pdf = corpus.make_pages_pdf(N, seed=13)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    sdf = spark.createDataFrame(pdf)
+    return pdf, sdf
+
+
+@pytest.fixture(scope="module")
+def pix(spark, data):
+    _, sdf = data
+    ix = build_positional_index(spark, sdf, id_col="doc_id",
+                                salt_threshold=40)
+    ix.postings = ix.postings.persist()
+    ix.postings.count()
+    return ix
+
+
+@pytest.fixture(scope="module")
+def fix(spark, data):
+    _, sdf = data
+    ix = build_index(spark, sdf, id_col="doc_id", salt_threshold=40)
+    ix.postings = ix.postings.persist()
+    ix.term_stats = ix.term_stats.persist()
+    ix.postings.count()
+    return ix
+
+
+def _find_phrase(pdf):
+    """An adjacent token pair occurring in several docs."""
+    from collections import Counter
+
+    c = Counter()
+    for text in pdf["text"]:
+        tk = _toks(text)
+        for a, b in set(zip(tk, tk[1:])):
+            c[(a, b)] += 1
+    (a, b), n = c.most_common(1)[0]
+    assert n >= 3
+    return f"{a} {b}"
+
+
+def _py_phrase_scores(pdf, phrase, k):
+    terms = phrase.split()
+    docs = {r.doc_id: _toks(r.text) for r in pdf.itertuples()}
+    n_docs = len(docs)
+    dls = {d: len(t) for d, t in docs.items()}
+    avgdl = sum(dls.values()) / n_docs
+    dfs = {
+        t: sum(1 for tk in docs.values() if t in tk) for t in set(terms)
+    }
+    idf_sum = sum(idf(n_docs, dfs[t]) for t in terms)
+    out = []
+    for d, tk in docs.items():
+        ptf = sum(
+            1 for i in range(len(tk) - len(terms) + 1)
+            if tk[i:i + len(terms)] == terms
+        )
+        if ptf:
+            s = idf_sum * ptf / (
+                ptf + K1 * (1 - B + B * dls[d] / avgdl)
+            )
+            out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_phrase_topk_matches_python(data, pix):
+    pdf, _ = data
+    phrase = _find_phrase(pdf)
+    got = [(r["doc_id"], r["score"]) for r in phrase_topk(pix, phrase, k=10).collect()]
+    exp = _py_phrase_scores(pdf, phrase, 10)
+    assert [d for d, _ in got] == [d for d, _ in exp], phrase
+    for (_, a), (_, b) in zip(got, exp):
+        assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_phrase_absent_and_single(data, pix):
+    pdf, _ = data
+    assert phrase_topk(pix, "zzz yyy", k=5).count() == 0
+    # single-word "phrase" == that word's postings
+    got = phrase_topk(pix, "w00000", k=5).collect()
+    assert len(got) == 5
+
+
+def test_bool_topk_matches_python(data, fix):
+    pdf, _ = data
+    must, should, must_not = ["w00001", "w00002"], ["w00010"], ["w00000"]
+    docs = {r.doc_id: _toks(r.text) for r in pdf.itertuples()}
+    n_docs = len(docs)
+    dls = {d: len(t) for d, t in docs.items()}
+    avgdl = sum(dls.values()) / n_docs
+    scoring = must + should
+    dfs = {t: sum(1 for tk in docs.values() if t in tk) for t in scoring}
+    exp = []
+    for d, tk in docs.items():
+        s = set(tk)
+        if not all(m in s for m in must):
+            continue
+        if any(x in s for x in must_not):
+            continue
+        score = sum(
+            idf(n_docs, dfs[t]) * tk.count(t)
+            / (tk.count(t) + K1 * (1 - B + B * dls[d] / avgdl))
+            for t in scoring if t in s
+        )
+        exp.append((d, score))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    exp = exp[:10]
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bool_topk(fix, must=must, should=should,
+                           must_not=must_not, k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_facets_match_python(data, fix):
+    pdf, _ = data
+    q = "w00000 w00005"
+    out = search_facets(fix, q, ["lang"], k=5)
+    hits = out["hits"].collect()
+    assert 0 < len(hits) <= 5
+    got = {(r["lang"], r["n"]) for r in out["facet:lang"].collect()}
+    qt = set(q.split())
+    from collections import Counter
+
+    c = Counter(
+        r.lang for r in pdf.itertuples() if qt & set(_toks(r.text))
+    )
+    assert got == {(lang, n) for lang, n in c.most_common(10)}
