@@ -131,6 +131,26 @@ def ft_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+@register(
+    "ft_prefix_match",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    )
+    SELECT DISTINCT doc_id, 1.0::DOUBLE AS score FROM tok
+    WHERE term LIKE 'st%'
+    ORDER BY doc_id LIMIT 30
+    """,
+)
+def ft_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix query st* (constant-score multi-term rewrite; the term
+    LIKE predicate pushes down to the term-sorted parquet scan as a
+    dictionary range seek)."""
+    from .index.boolquery import multiterm_topk
+
+    return multiterm_topk(_built_index(spark, sf_dir), "st%", k=30)
+
+
 _FACET_QUERY = "spark table join stream"
 _FACET_TERMS = _FACET_QUERY.split()
 

@@ -85,6 +85,26 @@ def bool_topk(ix: PostingsIndex, must: list[str] | str = (),
     )
 
 
+def multiterm_topk(ix: PostingsIndex, like_pattern: str,
+                   k: int = 10) -> DataFrame:
+    """Prefix/wildcard query (OpenSearch ``query_string`` ``pre*`` /
+    ``wild*card`` shapes): every doc containing ANY term matching the
+    SQL LIKE pattern scores a constant 1.0 — Lucene's
+    ConstantScore(MultiTermQuery) rewrite — ties broken by doc_id.
+
+    A prefix pattern (``abc%``) pushes down to the parquet term scan
+    as StringStartsWith, so only the matching dictionary range is
+    read (the term-sorted layout makes this a range scan, same as
+    Lucene's term-dictionary seek)."""
+    blocks = ix.postings.filter(F.col("term").like(like_pattern))
+    matched = decode_blocks(blocks).select("doc_id").distinct()
+    return (
+        matched.select("doc_id", F.lit(1.0).alias("score"))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def search_facets(ix: PostingsIndex, query: str, facet_cols: list[str],
                   k: int = 10, facet_size: int = 10) -> dict[str, DataFrame]:
     """OpenSearch-style hits + aggregations: returns

@@ -1,1 +1,1 @@
-from . import cef, csvfmt, jsonfmt, multiline, textfmt, winevt  # noqa: F401
+from . import cef, csvfmt, jsonfmt, multiline, textfmt, winevt, xmlfmt  # noqa: F401
