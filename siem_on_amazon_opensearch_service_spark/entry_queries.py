@@ -74,14 +74,18 @@ _IX_CACHE: dict[str, object] = {}
 def _built_index(spark: SparkSession, sf_dir: str):
     from .index import build_index
 
-    ix = _IX_CACHE.get(sf_dir)
+    # cache key includes the Spark application id: cached DataFrames
+    # die with their session, so a driver that cycles sessions must
+    # get a fresh build, never a stale handle.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    ix = _IX_CACHE.get(key)
     if ix is None:
         docs = _t(spark, sf_dir, "documents")
         ix = build_index(spark, docs, text_col="text", id_col="doc_id",
                          salt_threshold=200)
         ix.postings = ix.postings.persist()
         ix.term_stats = ix.term_stats.persist()
-        _IX_CACHE[sf_dir] = ix
+        _IX_CACHE[key] = ix
     return ix
 
 _BM25_SQL_BODY = f"""

@@ -16,14 +16,15 @@ _PIX_CACHE: dict[str, object] = {}
 def _pos_index(spark: SparkSession, sf_dir: str):
     from .index.positional import build_positional_index
 
-    ix = _PIX_CACHE.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    ix = _PIX_CACHE.get(key)
     if ix is None:
         docs = _t(spark, sf_dir, "documents")
         ix = build_positional_index(spark, docs, text_col="text",
                                     id_col="doc_id", salt_threshold=200)
         ix.postings = ix.postings.persist()
         ix.term_stats = ix.term_stats.persist()
-        _PIX_CACHE[sf_dir] = ix
+        _PIX_CACHE[key] = ix
     return ix
 
 
