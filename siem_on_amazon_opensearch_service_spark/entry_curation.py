@@ -96,6 +96,33 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(vecs, threshold=0.3)
 
 
+@register(
+    "dedup_lsh_components",
+    f"""
+    WITH RECURSIVE pairs AS ({dedup.duckdb_lsh_pairs_sql()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id
+    """,
+)
+def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (min-label
+    propagation) over the MinHash-LSH candidate graph — component id
+    is the canonical survivor; everything else in a component is a
+    near-duplicate removal candidate."""
+    pairs = dedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+    comps = dedup.connected_components(pairs)
+    return comps.select(F.col("id").alias("doc_id"), "comp")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -173,6 +200,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition-pruned scale path."""
     vecs = _t(spark, sf_dir, "embeddings")
     cents = similarity.make_centroids(vecs, 16)
+    return similarity.ivf_topk(vecs, cents, _query_vec(spark, sf_dir),
+                               k=10, nprobe=4)
+
+
+@register("sim_kmeans_ivf_topk", None)  # iterative training: rows-only gate
+def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Lloyd-trained centroids (deterministic init, 3
+    iterations) — the real ANN training step; exactness of the probe
+    path is covered by sim_ivf_topk's oracle, recall by pytest."""
+    vecs = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(vecs, 16, n_iter=3)
     return similarity.ivf_topk(vecs, cents, _query_vec(spark, sf_dir),
                                k=10, nprobe=4)
 

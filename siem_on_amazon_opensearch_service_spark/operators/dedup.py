@@ -340,6 +340,68 @@ def duckdb_simhash_sql(table: str = "documents", text_expr: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) for the undirected graph of candidate pairs;
+    component id = min node id in the component (canonical survivor).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(graph
+    diameter) rounds — near-dup clusters are tiny and dense, so
+    diameter is small. Each round is one join + one aggregate
+    (shuffle on node id); iterate-with-persist keeps lineage bounded,
+    the standard Spark idiom for iterative graph algorithms.
+    """
+    F_ = F
+    fwd = pairs.select(F_.col(id_a).alias("src"), F_.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F_.col("dst").alias("src"), F_.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F_.col("src").alias("id")).distinct()
+        .withColumn("comp", F_.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F_.col("id").alias("dst"), F_.col("comp").alias("dcomp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F_.min("dcomp").alias("ncomp"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F_.least(
+                    labels["comp"], F_.coalesce(F_.col("ncomp"), labels["comp"])
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F_.col("n.comp") != F_.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F_.col("id"), F_.col("comp"))
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -99,7 +99,7 @@ def ivf_topk(vecs: DataFrame, centroids: DataFrame, query_vec: list[float],
 def make_centroids(vecs: DataFrame, n_cells: int,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic centroid table: the vectors with the n_cells
-    smallest ids (a fixed 'sample'; swap for sampled k-means at scale)."""
+    smallest ids (a fixed 'sample'; refine with :func:`kmeans_fit`)."""
     return (
         vecs.orderBy(F.asc(id_col))
         .limit(n_cells)
@@ -108,3 +108,48 @@ def make_centroids(vecs: DataFrame, n_cells: int,
             F.col(vec_col).alias("cent_vec"),
         )
     )
+
+
+def kmeans_fit(vecs: DataFrame, n_cells: int, n_iter: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means with deterministic init (the n_cells lowest-id
+    vectors) — the real IVF training step.
+
+    Each iteration: assignment = broadcast-argmax against the tiny
+    centroid table (narrow), update = per-dimension mean via
+    ``posexplode`` + hash agg (one shuffle keyed (cell, dim)). Empty
+    cells keep their previous centroid. Iterations are bounded and the
+    centroid table is collected per round (it is k x dim floats — tiny
+    by construction), so lineage never grows with n_iter.
+    """
+    cents = make_centroids(vecs, n_cells, id_col, vec_col)
+    for _ in range(n_iter):
+        assign = ivf_assign(vecs, cents, id_col, vec_col)
+        joined = vecs.join(assign, id_col).select("cell", vec_col)
+        dims = joined.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        means = (
+            dims.groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"].cast("float"),
+                ).alias("new_vec")
+            )
+        )
+        prev = cents
+        updated = prev.join(
+            means, prev["cent_id"] == means["cell"], "left"
+        ).select(
+            prev["cent_id"],
+            F.coalesce(means["new_vec"], prev["cent_vec"]).alias("cent_vec"),
+        )
+        # materialize: the table is k x dim — collect breaks lineage
+        rows = [(int(r["cent_id"]), list(r["cent_vec"])) for r in updated.collect()]
+        cents = vecs.sparkSession.createDataFrame(
+            rows, "cent_id long, cent_vec array<float>"
+        )
+    return cents

@@ -145,6 +145,34 @@ def test_ivf_topk_recall(clustered_vecs):
     assert len(approx) == 10
 
 
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 10)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
+
+
+def test_kmeans_improves_ivf_recall(clustered_vecs):
+    rows, vdf = clustered_vecs
+    q = rows[7][1]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(vdf, q, k=10).collect()]
+    cents = similarity.kmeans_fit(vdf, 8, n_iter=3)
+    assert cents.count() == 8
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(vdf, cents, q, k=10, nprobe=2).collect()
+    ]
+    recall = len(set(approx) & set(exact)) / 10
+    # 8 trained centroids on 8 true clusters, probing 2: the query's
+    # cluster must be found -> high recall even at nprobe=2
+    assert recall >= 0.8, (recall, approx, exact)
+
+
 def test_lang_id(spark):
     samples = spark.createDataFrame(
         [
