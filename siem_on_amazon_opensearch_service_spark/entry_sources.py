@@ -368,6 +368,53 @@ def fn_protocol_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J6: user-agent parse
+# ---------------------------------------------------------------------------
+
+_UA_SAMPLES = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) "
+    "Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "curl/8.4.0",
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    "SomeUnknownClient/1.0",
+]
+
+
+@register(
+    "fn_ua_parse",
+    (lambda d: f"""
+    WITH ua AS (
+      SELECT event_id,
+        (['{"', '".join(s.replace("'", "''") for s in _UA_SAMPLES)}'])
+          [(event_id % {len(_UA_SAMPLES)}) + 1] AS ua_string
+      FROM events WHERE event_id < 500
+    )
+    SELECT event_id, {d['ua_family']} AS ua_family,
+           {d['ua_version']} AS ua_version, {d['ua_os']} AS ua_os
+    FROM ua
+    """)(scalars.duckdb_ua_sql("ua_string")),
+)
+def fn_ua_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-agent parse (J6, ref siem/user_agent.py:22-54): first-
+    match regex cascade for family/version/os, fully native."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    samples = F.array(*[F.lit(s) for s in _UA_SAMPLES])
+    ua = ev.select(
+        "event_id",
+        F.element_at(
+            samples, (F.col("event_id") % len(_UA_SAMPLES) + 1).cast("int")
+        ).alias("ua_string"),
+    )
+    fields = scalars.ua_fields("ua_string")
+    return ua.select("event_id", *[c.alias(n) for n, c in fields.items()])
+
+
+# ---------------------------------------------------------------------------
 # F4/J4: XFF client-ip selection
 # ---------------------------------------------------------------------------
 

@@ -187,6 +187,72 @@ def duckdb_protocol_sql(expr: str) -> str:
     return f"(CASE {expr}::INT {whens} ELSE {expr}::VARCHAR END)"
 
 
+# ---------------------------------------------------------------------------
+# J6: user-agent parsing (reference siem/user_agent.py:22-54 wraps the
+# ua_parser regex cascade; restated as a native first-match regex
+# cascade for the dominant families — extensible the same way the
+# ua_parser corpus is, one (pattern, family) row at a time)
+# ---------------------------------------------------------------------------
+
+UA_RULES: list[tuple[str, str]] = [
+    # (regex with version group, family) — order matters: first match
+    # wins, so more specific families come first (Edge/Chrome both
+    # carry "Chrome/", bots before browsers).
+    (r"(?:Googlebot|bingbot|DuckDuckBot|Baiduspider)/?([0-9.]*)", "Bot"),
+    (r"curl/([0-9.]+)", "curl"),
+    (r"Edg(?:e|A|iOS)?/([0-9.]+)", "Edge"),
+    (r"OPR/([0-9.]+)", "Opera"),
+    (r"Chrome/([0-9.]+)", "Chrome"),
+    (r"Version/([0-9.]+).*Safari", "Safari"),
+    (r"Firefox/([0-9.]+)", "Firefox"),
+    (r"MSIE ([0-9.]+)", "IE"),
+]
+
+
+def ua_fields(col: str | Column) -> dict[str, Column]:
+    """(browser family, version, os) from a User-Agent string.
+
+    Native expression cascade (first matching rule wins), no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    family: Column = F.lit("Other")
+    version: Column = F.lit("")
+    for pattern, fam in reversed(UA_RULES):
+        hit = c.rlike(pattern)
+        family = F.when(hit, F.lit(fam)).otherwise(family)
+        version = F.when(hit, F.regexp_extract(c, pattern, 1)).otherwise(version)
+    os_col = (
+        F.when(c.rlike(r"Windows NT"), "Windows")
+        .when(c.rlike(r"Android"), "Android")
+        .when(c.rlike(r"iPhone|iPad|iOS"), "iOS")
+        .when(c.rlike(r"Mac OS X|Macintosh"), "macOS")
+        .when(c.rlike(r"Linux"), "Linux")
+        .otherwise("Other")
+    )
+    return {"ua_family": family, "ua_version": version, "ua_os": os_col}
+
+
+def duckdb_ua_sql(expr: str) -> dict[str, str]:
+    fam = "'Other'"
+    ver = "''"
+    for pattern, f_ in reversed(UA_RULES):
+        p = pattern.replace("'", "''")
+        fam = f"(CASE WHEN regexp_matches({expr}, '{p}') THEN '{f_}' ELSE {fam} END)"
+        ver = (
+            f"(CASE WHEN regexp_matches({expr}, '{p}') THEN "
+            f"coalesce(regexp_extract({expr}, '{p}', 1), '') ELSE {ver} END)"
+        )
+    os_sql = (
+        f"(CASE WHEN regexp_matches({expr}, 'Windows NT') THEN 'Windows' "
+        f"WHEN regexp_matches({expr}, 'Android') THEN 'Android' "
+        f"WHEN regexp_matches({expr}, 'iPhone|iPad|iOS') THEN 'iOS' "
+        f"WHEN regexp_matches({expr}, 'Mac OS X|Macintosh') THEN 'macOS' "
+        f"WHEN regexp_matches({expr}, 'Linux') THEN 'Linux' "
+        f"ELSE 'Other' END)"
+    )
+    return {"ua_family": fam, "ua_version": ver, "ua_os": os_sql}
+
+
 def http_outcome(status_col: str | Column) -> Column:
     """HTTP status -> ECS event.outcome (ref sf_apache_access.py:61-71)."""
     c = (F.col(status_col) if isinstance(status_col, str) else status_col).cast("int")

@@ -23,6 +23,14 @@ Scale design (the actual goal — 100 TB corpora):
 
 Determinism: all hashing is md5 over explicit seed||value strings —
 identical in Spark, DuckDB and Python, no engine-private hash.
+
+Algorithms are the public classics: MinHash (Broder, "On the
+resemblance and containment of documents", SEQUENCES 1997) with
+banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+ch. 3), SimHash (Charikar, "Similarity estimation techniques from
+rounding algorithms", STOC 2002), and min-label-propagation connected
+components (the iterative MapReduce formulation, cf. Kang et al.
+PEGASUS, ICDM 2009).
 """
 
 from __future__ import annotations

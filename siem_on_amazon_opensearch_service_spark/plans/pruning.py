@@ -5,9 +5,13 @@ The reference delegates top-k pruning to Lucene's block-max WAND
 reference es_loader/index.py:345; no repo code). Classic BMW is a
 doc-at-a-time sequential traversal with a shared heap -- inherently
 single-threaded state, the wrong shape for Spark. The distributed-
-exact family used here is **MaxScore** (Turtle & Flood 1995; the same
-upper-bound machinery BMW refines), which maps cleanly onto DataFrame
-ops and keeps results rank-identical with exhaustive scoring:
+exact family used here is **MaxScore** (Turtle & Flood, "Query
+evaluation: strategies and optimizations", IP&M 1995) combined with
+per-block impact bounds in the spirit of **Block-Max WAND** (Ding &
+Suel, "Faster top-k document retrieval using block-max indexes",
+SIGIR 2011); both public algorithms, restated as set-at-a-time
+DataFrame ops that keep results rank-identical with exhaustive
+scoring:
 
 1. cheap θ: the k-th best *single-term* score over the highest-
    upper-bound query term is a lower bound on the final k-th best
