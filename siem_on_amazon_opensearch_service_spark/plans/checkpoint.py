@@ -82,80 +82,108 @@ def source_fingerprint(part: DataFrame) -> str:
     return f"{row['n']}:{row['s']}"
 
 
+def _build_partition(spark: SparkSession, part: DataFrame, p: int,
+                     path: str) -> dict:
+    """Build one partition's delta; returns its manifest entry."""
+    t0 = time.perf_counter()
+    delta_dir = os.path.join(path, f"delta/part={p}")
+
+    # Dense local rank WITHOUT serializing the partition through one
+    # task: the same range-partition + offset technique as the batch
+    # build (docids.py). A repartition(1) + global window here would
+    # push this source partition's full data through a single task —
+    # fatal at 100 TB / hundreds of GB per partition.
+    from ..index.docids import assign_doc_ids
+
+    with_ids = assign_doc_ids(part, order_col="url").withColumn(
+        "doc_id",
+        (F.lit(p).cast("long") * (1 << PART_SHIFT) + F.col("doc_id")),
+    )
+    base = with_ids.select(
+        "doc_id", "url", tokens_col("text").alias("_toks")
+    )
+    docs = base.select("doc_id", "url", F.size("_toks").alias("doclen"))
+    tf = (
+        base.select("doc_id", F.size("_toks").alias("doclen"),
+                    F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "doclen", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("salt", F.lit(0))
+    )
+    postings = encode_postings_df(tf)
+    postings.write.mode("overwrite").parquet(f"{delta_dir}/postings")
+    docs.write.mode("overwrite").parquet(f"{delta_dir}/docs")
+
+    stats = spark.read.parquet(f"{delta_dir}/postings").agg(
+        F.sum("doc_count").alias("n_postings"),
+        F.sum(
+            F.octet_length("doc_ids_vb") + F.octet_length("tfs_vb")
+            + F.octet_length("dls_vb")
+        ).alias("bytes"),
+    ).collect()[0]
+    dstats = spark.read.parquet(f"{delta_dir}/docs").agg(
+        F.count("*").alias("n_docs"), F.sum("doclen").alias("total_dl")
+    ).collect()[0]
+    return {
+        "status": "ok",
+        "n_docs": int(dstats["n_docs"] or 0),
+        "total_dl": int(dstats["total_dl"] or 0),
+        "n_postings": int(stats["n_postings"] or 0),
+        "bytes_postings": int(stats["bytes"] or 0),
+        "seconds": round(time.perf_counter() - t0, 3),
+    }
+
+
 def checkpointed_build(
     spark: SparkSession,
     pages: DataFrame,
     path: str,
     num_parts: int = 8,
     salt_threshold: int = 100_000,
+    max_concurrency: int = 4,
 ) -> dict:
     """Build (or resume) the per-partition posting deltas.
 
     Returns the manifest. Call :func:`merge` afterwards to produce the
     queryable merged index. Each partition's delta is an independent
     parquet dir; a crash between partitions loses nothing.
+
+    Partitions are dispatched from ``max_concurrency`` threads —
+    Spark's scheduler interleaves the independent jobs, so the cluster
+    stays busy while any one partition is in a narrow stage (a strict
+    sequential loop would leave executors idle between jobs). The
+    manifest write is serialized under a lock and flushed after every
+    completed partition (crash durability unchanged).
     """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     manifest = read_manifest(path)
     part_col = F.pmod(F.xxhash64("url"), F.lit(num_parts)).cast("int")
     tagged = pages.withColumn("_part", part_col)
 
+    todo: list[tuple[int, DataFrame, str]] = []
     for p in range(num_parts):
         part = tagged.filter(F.col("_part") == p).drop("_part")
         fp = source_fingerprint(part)
         ent = manifest["partitions"].get(str(p))
         if ent and ent.get("fingerprint") == fp and ent.get("status") == "ok":
             continue  # lineage hit: partition unchanged, skip rebuild
+        todo.append((p, part, fp))
 
-        t0 = time.perf_counter()
-        delta_dir = os.path.join(path, f"delta/part={p}")
+    lock = threading.Lock()
 
-        from pyspark.sql import Window
-        w = Window.orderBy("url")  # within one partition only
-        with_ids = (
-            part.repartition(1)
-            .withColumn("_rank", F.row_number().over(w) - 1)
-            .withColumn(
-                "doc_id",
-                (F.lit(p).cast("long") * (1 << PART_SHIFT) + F.col("_rank")),
-            )
-            .drop("_rank")
-        )
-        base = with_ids.select(
-            "doc_id", "url", tokens_col("text").alias("_toks")
-        )
-        docs = base.select("doc_id", "url", F.size("_toks").alias("doclen"))
-        tf = (
-            base.select("doc_id", F.size("_toks").alias("doclen"),
-                        F.explode("_toks").alias("term"))
-            .groupBy("doc_id", "doclen", "term")
-            .agg(F.count("*").alias("tf"))
-            .withColumn("salt", F.lit(0))
-        )
-        postings = encode_postings_df(tf)
-        postings.write.mode("overwrite").parquet(f"{delta_dir}/postings")
-        docs.write.mode("overwrite").parquet(f"{delta_dir}/docs")
+    def run(item: tuple[int, DataFrame, str]) -> None:
+        p, part, fp = item
+        entry = _build_partition(spark, part, p, path)
+        entry["fingerprint"] = fp
+        with lock:
+            manifest["partitions"][str(p)] = entry
+            _write_manifest(path, manifest)  # durable per partition
 
-        stats = spark.read.parquet(f"{delta_dir}/postings").agg(
-            F.sum("doc_count").alias("n_postings"),
-            F.sum(
-                F.octet_length("doc_ids_vb") + F.octet_length("tfs_vb")
-                + F.octet_length("dls_vb")
-            ).alias("bytes"),
-        ).collect()[0]
-        dstats = spark.read.parquet(f"{delta_dir}/docs").agg(
-            F.count("*").alias("n_docs"), F.sum("doclen").alias("total_dl")
-        ).collect()[0]
-
-        manifest["partitions"][str(p)] = {
-            "status": "ok",
-            "fingerprint": fp,
-            "n_docs": int(dstats["n_docs"] or 0),
-            "total_dl": int(dstats["total_dl"] or 0),
-            "n_postings": int(stats["n_postings"] or 0),
-            "bytes_postings": int(stats["bytes"] or 0),
-            "seconds": round(time.perf_counter() - t0, 3),
-        }
-        _write_manifest(path, manifest)  # durable after EVERY partition
+    if todo:
+        with ThreadPoolExecutor(max_workers=max(1, max_concurrency)) as ex:
+            list(ex.map(run, todo))
 
     manifest["num_parts"] = num_parts
     manifest["salt_threshold"] = salt_threshold

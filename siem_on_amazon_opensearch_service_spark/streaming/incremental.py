@@ -54,19 +54,15 @@ class IncrementalIndexer:
         Overwrite mode makes re-delivery of a failed batch idempotent
         (same batch id -> same path -> same deterministic ids).
         """
-        from pyspark.sql import Window
+        from ..index.docids import assign_doc_ids
 
         delta = os.path.join(self.path, f"delta/batch={batch_id}")
-        w = Window.orderBy("url")
-        with_ids = (
-            batch_df.repartition(1)
-            .withColumn("_rank", F.row_number().over(w) - 1)
-            .withColumn(
-                "doc_id",
-                F.lit(int(batch_id)).cast("long") * (1 << BATCH_SHIFT)
-                + F.col("_rank"),
-            )
-            .drop("_rank")
+        # dense per-batch rank via the distributed offset technique
+        # (docids.py) — no single-task window even for a large batch.
+        with_ids = assign_doc_ids(batch_df, order_col="url").withColumn(
+            "doc_id",
+            F.lit(int(batch_id)).cast("long") * (1 << BATCH_SHIFT)
+            + F.col("doc_id"),
         )
         base = with_ids.select(
             "doc_id", "url", tokens_col("text").alias("_toks")
