@@ -65,3 +65,31 @@ def duckdb_tokens_sql(expr: str) -> str:
         + expr
         + f"), '{TOKEN_SPLIT_PATTERN}'), t -> t <> '')"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode analyzer variant — closer to Lucene's `standard` analyzer
+# (Unicode word break over letters/digits). Java regex and RE2 both
+# support \p{L}/\p{N}, so Spark and DuckDB agree; Python's `re` does
+# not, which is why the ORACLE-GATED default stays the ASCII pattern
+# above (three-engine determinism). Select per field, like Lucene's
+# per-field analyzer config.
+# ---------------------------------------------------------------------------
+
+UNICODE_SPLIT_PATTERN = r"[^\p{L}\p{N}]+"
+
+
+def tokens_col_unicode(col: Column | str) -> Column:
+    """Unicode-aware tokens (Spark native; letters+digits of any
+    script kept, lowercase)."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.split(F.lower(c), UNICODE_SPLIT_PATTERN)
+    return F.filter(arr, lambda t: t != "")
+
+
+def duckdb_tokens_unicode_sql(expr: str) -> str:
+    return (
+        "list_filter(regexp_split_to_array(lower("
+        + expr
+        + f"), '{UNICODE_SPLIT_PATTERN}'), t -> t <> '')"
+    )

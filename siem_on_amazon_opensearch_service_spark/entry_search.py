@@ -152,6 +152,61 @@ def ft_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiterm_topk(_built_index(spark, sf_dir), "st%", k=30)
 
 
+_FUZZY_TERM = "tabl"  # one deletion from 'table'
+
+_FUZZY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+matched AS (
+  SELECT term FROM dft WHERE levenshtein(term, '{_FUZZY_TERM}') <= 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN matched USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 20
+"""
+
+
+@register("ft_fuzzy_match", _FUZZY_SQL)
+def ft_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term query 'tabel'~1: dictionary expansion by edit
+    distance over term_stats, matched variants scored and summed."""
+    from .index.boolquery import fuzzy_topk
+
+    top = fuzzy_topk(_built_index(spark, sf_dir), _FUZZY_TERM, k=20,
+                     max_edits=1)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+@register("ft_index_stats", None)  # engine internals: rows-only gate
+def ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index storage metrics (the A8 build-metrics analog at rest):
+    blocks, postings, compressed bytes, bytes/posting, salted terms."""
+    ix = _built_index(spark, sf_dir)
+    byte_cols = (
+        F.octet_length("doc_ids_vb") + F.octet_length("tfs_vb")
+        + F.octet_length("dls_vb")
+    )
+    return ix.postings.agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("doc_count").cast("long").alias("n_postings"),
+        F.sum(byte_cols).cast("long").alias("compressed_bytes"),
+        F.round(F.sum(byte_cols) / F.sum("doc_count"), 2).alias("bytes_per_posting"),
+        F.countDistinct(F.when(F.col("salt") > 0, F.col("term"))).alias("n_salted_terms"),
+    )
+
+
 _FACET_QUERY = "spark table join stream"
 _FACET_TERMS = _FACET_QUERY.split()
 

@@ -105,6 +105,37 @@ def multiterm_topk(ix: PostingsIndex, like_pattern: str,
     )
 
 
+def fuzzy_topk(ix: PostingsIndex, term: str, k: int = 10,
+               max_edits: int = 1) -> DataFrame:
+    """Fuzzy term query (OpenSearch ``term~`` / fuzziness=1): expand
+    against the term dictionary by Levenshtein distance, then score
+    every matched variant with its own BM25 and sum per doc.
+
+    The expansion is a scan of term_stats (the term dictionary — tiny
+    relative to postings) with a native ``levenshtein`` predicate;
+    matched terms then follow the ordinary pruned-decode path.
+    (Lucene's FuzzyQuery blends dfs across variants; summing
+    per-variant BM25 keeps the same candidates with a deterministic,
+    cross-engine-reproducible scoring — documented deviation.)"""
+    q = term.lower().strip()
+    matched_terms = [
+        r["term"]
+        for r in ix.term_stats.filter(
+            F.levenshtein(F.col("term"), F.lit(q)) <= max_edits
+        ).select("term").collect()
+    ]
+    spark = ix.postings.sparkSession
+    if not matched_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    scored = _decoded_scored(ix, matched_terms)
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("_s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def search_facets(ix: PostingsIndex, query: str, facet_cols: list[str],
                   k: int = 10, facet_size: int = 10) -> dict[str, DataFrame]:
     """OpenSearch-style hits + aggregations: returns
