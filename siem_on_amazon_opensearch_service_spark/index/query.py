@@ -90,30 +90,46 @@ def _query_weights(query: str) -> dict[str, int]:
 
 def bm25_topk(ix: PostingsIndex, query: str, k: int = 10,
               with_url: bool = False) -> DataFrame:
-    """Top-k docs for one query string. Returns (doc_id, score[, url])."""
+    """Top-k docs for one query string. Returns (doc_id, score[, url]).
+
+    Per-term idf·qtf is metadata (a handful of floats): it is
+    collected from term_stats once and folded into a literal map, so
+    the physical plan is scan → decode → native score → ONE shuffle
+    (partial+final sum) → TakeOrdered — no joins at all.
+    """
+    from ..bm25 import idf as _idf
+
     weights = _query_weights(query)
     terms = list(weights)
     spark = ix.postings.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
-        empty = spark.createDataFrame([], "doc_id long, score double")
         return empty
 
-    blocks = ix.postings.filter(F.col("term").isin(terms))
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in ix.term_stats.filter(F.col("term").isin(terms))
+        .select("term", "df").collect()
+    }
+    present = [t for t in terms if t in dfs]
+    if not present:
+        return empty
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for t in present
+            for x in (t, float(weights[t] * _idf(ix.n_docs, dfs[t])))
+        ]
+    )
+
+    blocks = ix.postings.filter(F.col("term").isin(present))
     decoded = decode_blocks(blocks)
-
-    tstats = ix.term_stats.filter(F.col("term").isin(terms)).select(
-        "term", "df"
-    )
-    wdf = spark.createDataFrame(
-        [(t, int(c)) for t, c in weights.items()], "term string, qtf int"
-    )
-
-    scored = (
-        decoded.join(F.broadcast(tstats), "term")
-        .join(F.broadcast(wdf), "term")
-        .withColumn(
-            "_s", score_col(ix.avgdl, ix.n_docs) * F.col("qtf").cast("double")
-        )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    scored = decoded.withColumn(
+        "_s",
+        wmap[F.col("term")]
+        * tf / (tf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl))),
     )
     topk = (
         scored.groupBy("doc_id")
@@ -197,27 +213,46 @@ def bm25_topk_batch(ix: PostingsIndex, queries: DataFrame, k_col: str = "k") -> 
 
     from ..analysis import tokens_col
 
+    from ..bm25 import idf as _idf
+
     spark = ix.postings.sparkSession
-    qterms = (
+    # the query set is metadata-sized: collect it once, fold per-term
+    # idf in driver-side, broadcast ONE (term, qid, weight, k) table —
+    # the only join left is the genuine postings→queries fan-out.
+    qrows = (
         queries.select(
             "qid", F.col(k_col).alias("k"), F.explode(tokens_col("query")).alias("term")
         )
         .groupBy("qid", "k", "term")
         .agg(F.count("*").alias("qtf"))
+        .collect()
     )
-    needed = [r["term"] for r in qterms.select("term").distinct().collect()]
-    if not needed:
+    if not qrows:
         return spark.createDataFrame([], "qid int, rank int, doc_id long, score double")
+    needed = sorted({r["term"] for r in qrows})
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in ix.term_stats.filter(F.col("term").isin(needed))
+        .select("term", "df").collect()
+    }
+    wrows = [
+        (int(r["qid"]), int(r["k"]), r["term"],
+         float(r["qtf"] * _idf(ix.n_docs, dfs[r["term"]])))
+        for r in qrows if r["term"] in dfs
+    ]
+    if not wrows:
+        return spark.createDataFrame([], "qid int, rank int, doc_id long, score double")
+    wdf = spark.createDataFrame(wrows, "qid int, k int, term string, w double")
 
-    blocks = ix.postings.filter(F.col("term").isin(needed))
-    decoded = decode_blocks(blocks)
-    tstats = ix.term_stats.filter(F.col("term").isin(needed)).select("term", "df")
-
+    matched_terms = sorted({r[2] for r in wrows})
+    decoded = decode_blocks(ix.postings.filter(F.col("term").isin(matched_terms)))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
     scored = (
-        decoded.join(F.broadcast(tstats), "term")
-        .join(F.broadcast(qterms), "term")  # fan out postings to queries
+        decoded.join(F.broadcast(wdf), "term")  # fan out postings to queries
         .withColumn(
-            "_s", score_col(ix.avgdl, ix.n_docs) * F.col("qtf").cast("double")
+            "_s",
+            F.col("w") * tf / (tf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl))),
         )
         .groupBy("qid", "k", "doc_id")
         .agg(F.sum("_s").alias("score"))
