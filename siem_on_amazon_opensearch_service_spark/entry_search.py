@@ -207,6 +207,83 @@ def ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FILTER_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES ('spark'), ('table')),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.s, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE d.lang = 'en'
+ORDER BY s.s DESC, s.doc_id LIMIT 20
+"""
+
+
+@register("ft_filtered_search", _FILTER_SQL)
+def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch filter context: BM25 match scored as usual, then a
+    non-scoring keyword filter (lang = en) applied as a join against
+    the docs side-table — the filter never touches scores, exactly
+    like a `bool.filter` clause."""
+    from .index.query import bm25_scores
+
+    ix = _built_index(spark, sf_dir)
+    scored = bm25_scores(ix, "spark table")  # full match set, no limit
+    en = ix.docs.filter(F.col("lang") == "en").select("doc_id")
+    return (
+        scored.join(en, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+_HL_TERM = "spark"
+
+
+@register(
+    "ft_highlight",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lower(text) AS lt, text FROM documents
+      WHERE strpos(lower(text), '{_HL_TERM}') > 0
+    )
+    SELECT doc_id,
+      substr(text, greatest(strpos(lt, '{_HL_TERM}') - 20, 1), 60) AS snippet
+    FROM m ORDER BY doc_id LIMIT 20
+    """,
+)
+def ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlight/snippet extraction (OpenSearch `highlight`): a 60-char
+    window around the first hit, native string ops only."""
+    d = _t(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    pos = F.instr(lt, _HL_TERM)
+    return (
+        d.filter(pos > 0)
+        .select(
+            "doc_id",
+            F.substring(
+                F.col("text"), F.greatest(pos - 20, F.lit(1)), 60
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
 _FACET_QUERY = "spark table join stream"
 _FACET_TERMS = _FACET_QUERY.split()
 

@@ -88,14 +88,12 @@ def _query_weights(query: str) -> dict[str, int]:
     return w
 
 
-def bm25_topk(ix: PostingsIndex, query: str, k: int = 10,
-              with_url: bool = False) -> DataFrame:
-    """Top-k docs for one query string. Returns (doc_id, score[, url]).
-
-    Per-term idf·qtf is metadata (a handful of floats): it is
-    collected from term_stats once and folded into a literal map, so
-    the physical plan is scan → decode → native score → ONE shuffle
-    (partial+final sum) → TakeOrdered — no joins at all.
+def bm25_scores(ix: PostingsIndex, query: str) -> DataFrame:
+    """(doc_id, score) for EVERY matching doc — the unlimited match
+    set, for filter-context composition or downstream joins. Plan:
+    scan (term pushdown) → decode → native score → one shuffle
+    (partial+final sum). No joins: per-term idf·qtf is metadata,
+    collected once and folded into a literal map.
     """
     from ..bm25 import idf as _idf
 
@@ -131,9 +129,16 @@ def bm25_topk(ix: PostingsIndex, query: str, k: int = 10,
         wmap[F.col("term")]
         * tf / (tf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl))),
     )
+    return scored.groupBy("doc_id").agg(F.sum("_s").alias("score"))
+
+
+def bm25_topk(ix: PostingsIndex, query: str, k: int = 10,
+              with_url: bool = False) -> DataFrame:
+    """Top-k docs for one query string. Returns (doc_id, score[, url]).
+    TakeOrderedAndProject over :func:`bm25_scores` — per-partition
+    heaps + driver merge, never a global sort."""
     topk = (
-        scored.groupBy("doc_id")
-        .agg(F.sum("_s").alias("score"))
+        bm25_scores(ix, query)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
