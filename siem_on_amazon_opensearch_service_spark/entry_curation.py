@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from .analysis import duckdb_tokens_sql
 from .entry_queries import _t, register
-from .operators import dedup, multimodal, similarity, textstats
+from .operators import dedup, multimodal, packing, similarity, textstats
 
 # ---------------------------------------------------------------------------
 # deduplication
@@ -277,6 +277,69 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprints (exact + bag-of-tokens)."""
     out = textstats.fingerprint(_t(spark, sf_dir, "documents"))
     return out.select("doc_id", "fp_exact", "fp_bag")
+
+
+# ---------------------------------------------------------------------------
+# training-batch assembly: packing / sampling / sharding
+# ---------------------------------------------------------------------------
+
+_TOKEXPR = f"len({duckdb_tokens_sql('text')})"
+
+
+@register(
+    "pack_sequences",
+    packing.duckdb_pack_sql("documents", _TOKEXPR, budget=512,
+                            shard_col="lang"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to ~512-token training packs per
+    language shard (window cumulative sum, deterministic order)."""
+    from .analysis import tokens_sql
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_tok", F.size(F.expr(tokens_sql("text"))).cast("long")
+    )
+    return packing.pack_sequences(d, "_tok", budget=512, shard_col="lang")
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT lang, count(*) AS n FROM documents
+    WHERE (CASE
+      WHEN lang = 'en' THEN {packing.duckdb_hash_sample_sql('doc_id', 0.25)}
+      ELSE {packing.duckdb_hash_sample_sql('doc_id', 0.8)} END)
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (downsample the head
+    language, keep the tail): md5-threshold predicate, row-identical
+    across engines and runs."""
+    d = _t(spark, sf_dir, "documents")
+    out = packing.stratified_sample(
+        d, "lang", {"en": 0.25}, key_col="doc_id", default=0.8
+    )
+    return out.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@register(
+    "export_shard_assign",
+    f"""
+    SELECT {packing.duckdb_shard_sql('doc_id', 16)} AS shard,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def export_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment histogram (the
+    write_training_shards layout, verified engine-neutrally)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(packing.shard_id("doc_id", 16).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -13,4 +13,4 @@ deterministic cross-engine definition so the DuckDB oracle can verify
 it value-identically.
 """
 
-from . import dedup, similarity, textstats, multimodal  # noqa: F401
+from . import dedup, multimodal, packing, similarity, textstats  # noqa: F401

@@ -1,0 +1,154 @@
+"""Training-batch assembly operators: sequence packing, deterministic
+sampling, shard assignment — the last mile of a 100 TB training-data
+pipeline (corpus → curated docs → packed, sharded training batches).
+
+All deterministic and cross-engine reproducible:
+
+* packing uses a window cumulative sum (no sequential state), the
+  standard approximate-greedy: pack_id = floor(cum_before / budget)
+  per shard, docs ordered by id. A doc may straddle its pack boundary
+  by at most itself (downstream truncation/rollover handles it —
+  exact greedy would need per-shard sequential state for a <1%
+  packing-efficiency difference).
+* sampling thresholds an md5 hex prefix (uniform over 16^4 buckets),
+  so Spark, DuckDB and Python agree row-for-row — unlike engine
+  `sample()`/`TABLESAMPLE`, which are RNG-implementation-specific.
+* shard ids come from the first md5 hex digit(s) via an
+  index-in-alphabet trick (``instr``/``strpos``), again engine-neutral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, token_col: str, budget: int,
+                   shard_col: str | None = None,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign each doc to a pack of ~``budget`` tokens within its
+    shard (docs ordered by id — deterministic). Oversize docs
+    (tokens > budget) are flagged, not dropped."""
+    keys = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*keys).orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w) - F.col(token_col)  # tokens before me
+    return docs.select(
+        id_col,
+        *(keys),
+        F.col(token_col).alias("tokens"),
+        F.floor(cum / budget).cast("long").alias("pack_id"),
+        (F.col(token_col) > budget).alias("oversize"),
+    )
+
+
+def duckdb_pack_sql(table: str, token_expr: str, budget: int,
+                    shard_col: str | None = None,
+                    id_col: str = "doc_id") -> str:
+    part = f"PARTITION BY {shard_col} " if shard_col else ""
+    shard_sel = f"{shard_col}, " if shard_col else ""
+    return f"""
+    SELECT {id_col}, {shard_sel}tokens,
+      floor((cum - tokens) / {budget})::BIGINT AS pack_id,
+      tokens > {budget} AS oversize
+    FROM (
+      SELECT {id_col}, {shard_sel}{token_expr} AS tokens,
+        sum({token_expr}) OVER ({part}ORDER BY {id_col}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM {table})
+    """
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+def hash_sample_pred(key: Column | str, fraction: float,
+                     seed: str = "s0") -> Column:
+    """Deterministic keep-predicate: md5(seed|key) 4-hex-digit prefix
+    below fraction·65536 (row-identical across engines and runs)."""
+    c = F.col(key) if isinstance(key, str) else key
+    cut = max(0, min(65536, int(round(fraction * 65536))))
+    if cut >= 65536:          # keep-all: "10000" would compare wrong
+        return F.lit(True)
+    if cut <= 0:
+        return F.lit(False)
+    cut_hex = f"{cut:04x}"
+    return F.substring(
+        F.md5(F.concat(F.lit(seed + "|"), c.cast("string"))), 1, 4
+    ) < F.lit(cut_hex)
+
+
+def duckdb_hash_sample_sql(key_expr: str, fraction: float,
+                           seed: str = "s0") -> str:
+    cut = max(0, min(65536, int(round(fraction * 65536))))
+    if cut >= 65536:
+        return "TRUE"
+    if cut <= 0:
+        return "FALSE"
+    return (
+        f"substr(md5('{seed}|' || ({key_expr})::VARCHAR), 1, 4) "
+        f"< '{cut:04x}'"
+    )
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[str, float], key_col: str,
+                      default: float = 0.0, seed: str = "s0") -> DataFrame:
+    """Per-stratum deterministic sampling (the curation move: keep 100%
+    of rare languages, downsample the head)."""
+    pred = F.lit(False)
+    covered = F.lit(False)
+    for stratum, frac in fractions.items():
+        is_s = F.col(strata_col) == stratum
+        pred = F.when(is_s, hash_sample_pred(key_col, frac, seed)).otherwise(pred)
+        covered = covered | is_s
+    if default > 0:
+        pred = F.when(~covered, hash_sample_pred(key_col, default, seed)).otherwise(pred)
+    return df.filter(pred)
+
+
+# ---------------------------------------------------------------------------
+# shard assignment
+# ---------------------------------------------------------------------------
+
+def shard_id(key: Column | str, n_shards: int = 16,
+             seed: str = "sh") -> Column:
+    """Deterministic shard in [0, n_shards): md5 hex digits mapped via
+    index-in-alphabet (cross-engine; n_shards ≤ 256)."""
+    assert 1 <= n_shards <= 256
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(seed + "|"), c.cast("string")))
+    d1 = F.instr(F.lit(HEX), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(HEX), F.substring(h, 2, 1)) - 1
+    return ((d1 * 16 + d2) % n_shards).cast("int")
+
+
+def duckdb_shard_sql(key_expr: str, n_shards: int = 16,
+                     seed: str = "sh") -> str:
+    return (
+        f"(((strpos('{HEX}', substr(md5('{seed}|' || ({key_expr})::VARCHAR), 1, 1)) - 1) * 16"
+        f" + strpos('{HEX}', substr(md5('{seed}|' || ({key_expr})::VARCHAR), 2, 1)) - 1)"
+        f" % {n_shards})::INT"
+    )
+
+
+def write_training_shards(df: DataFrame, path: str, key_col: str,
+                          n_shards: int = 16,
+                          max_records_per_file: int | None = None) -> None:
+    """Physical export: repartition by deterministic shard id and
+    write parquet partitioned by shard (each shard a stable, evenly
+    sized slice — the training-loader contract)."""
+    out = df.withColumn("shard", shard_id(key_col, n_shards))
+    writer = out.repartition(n_shards, "shard").write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("shard").parquet(path)
