@@ -342,6 +342,84 @@ def export_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q_SQL = textstats.duckdb_quality_sql()
+
+
+@register(
+    "pipeline_curate_corpus",
+    f"""
+    WITH RECURSIVE q AS ({_Q_SQL}),
+    qualified AS (
+      SELECT d.doc_id, d.lang,
+             md5(array_to_string({duckdb_tokens_sql('d.text')}, ' ')) AS fp
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+      WHERE q.quality_score >= 0.5 AND q.n_tokens >= 20
+    ),
+    exact_kept AS (
+      SELECT min(doc_id) AS doc_id FROM qualified GROUP BY fp
+    ),
+    pairs AS ({dedup.duckdb_lsh_pairs_sql()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+    near_dropped AS (SELECT id FROM comp WHERE id <> comp),
+    survivors AS (
+      SELECT k.doc_id FROM exact_kept k
+      WHERE k.doc_id NOT IN (SELECT id FROM near_dropped)
+    )
+    SELECT d.lang AS lang, count(*) AS n_docs,
+           sum(len({duckdb_tokens_sql('d.text')}))::BIGINT AS n_tokens
+    FROM survivors s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY d.lang
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline in one DAG: quality gate →
+    exact dedup (canonical survivor) → near-dup removal (LSH
+    candidates → connected components, non-canonical members dropped)
+    → per-language doc/token budget of the surviving corpus."""
+    from .analysis import tokens_sql
+
+    d = _t(spark, sf_dir, "documents")
+    q = textstats.quality_features(d).select(
+        "doc_id", "quality_score", "n_tokens"
+    )
+    qualified = (
+        d.join(q, "doc_id")
+        .filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 20))
+        .withColumn(
+            "fp", F.md5(F.concat_ws(" ", F.expr(tokens_sql("text"))))
+        )
+    )
+    exact_kept = qualified.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+
+    pairs = dedup.lsh_candidate_pairs(d)
+    comps = dedup.connected_components(pairs)
+    near_dropped = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = exact_kept.select("doc_id").join(
+        near_dropped, "doc_id", "left_anti"
+    )
+    return (
+        survivors.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.expr(tokens_sql("text")))).cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
