@@ -66,6 +66,29 @@ def dedup_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+@register(
+    "dedup_lsh_verified",
+    f"""
+    WITH pairs AS ({dedup.duckdb_lsh_pairs_sql()}),
+    sh AS (
+      SELECT doc_id AS id, {dedup.duckdb_shingles_sql('text')} AS s
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b,
+      round(len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+    FROM pairs p JOIN sh a ON a.id = p.id_a JOIN sh b ON b.id = p.id_b
+    """,
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path dedup decision: exact n-gram Jaccard computed
+    ONLY for LSH candidate pairs (two joins against the shingle
+    table; never all-pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs).select("id_a", "id_b")
+    return dedup.verify_candidates_jaccard(docs, pairs)
+
+
 @register("dedup_simhash16", dedup.duckdb_simhash_sql())
 def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (md5-projection bits)."""

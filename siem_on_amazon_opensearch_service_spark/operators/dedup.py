@@ -406,6 +406,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F_.col("id"), F_.col("comp"))
 
 
