@@ -322,6 +322,57 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id <= 50
+    ), sess AS (
+      SELECT user_id, ts, value,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): the custom stateful
+    operator family, expressed statelessly as lag + cumulative-sum
+    windows — one shuffle on user_id, no per-row Python. (The
+    streaming twin would be applyInPandasWithState; the reference has
+    no stateful streaming ops at all, SURVEY.md 2.9.)"""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("ts").over(w)
+    gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(prev)
+    new_s = F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
+    wcum = Window.partitionBy("user_id").orderBy(F.asc("ts")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        ev.withColumn("new_session", new_s)
+        .withColumn("session_id", F.sum("new_session").over(wcum))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+@register(
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,80 @@
+"""Physical-plan regression guards: the optimizations the engine
+depends on must stay visible in `.explain` — term pushdown at the
+postings scan, broadcast-only dimension joins, TakeOrdered top-k
+(never a global sort), single-exchange scoring."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark import corpus
+from siem_on_amazon_opensearch_service_spark.index import (
+    PostingsIndex, bm25_topk, build_index,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def saved_ix(spark, tmp_path_factory):
+    pdf = corpus.make_pages_pdf(300, seed=31)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    built = build_index(spark, spark.createDataFrame(pdf),
+                        id_col="doc_id", salt_threshold=60)
+    path = str(tmp_path_factory.mktemp("planix"))
+    built.save(spark, path, buckets=4)
+    return PostingsIndex.load(spark, path)
+
+
+def test_topk_plan_is_pushed_broadcast_free_takeordered(saved_ix):
+    plan = _plan(bm25_topk(saved_ix, "w00001 w00057", k=10))
+    # term filter reaches the parquet scan (row-group pruning)
+    assert "PushedFilters" in plan and "In(term" in plan
+    # join-free scoring: exactly one exchange, TakeOrdered at the top
+    assert "TakeOrderedAndProject" in plan
+    # one Exchange NODE (formatted output mentions each node twice:
+    # tree + detail section, so count the detail headers)
+    assert plan.count(") Exchange") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Sort " not in plan        # no global sort node
+
+
+def test_prefix_scan_pushes_startswith(saved_ix):
+    from siem_on_amazon_opensearch_service_spark.index.boolquery import (
+        multiterm_topk,
+    )
+
+    plan = _plan(multiterm_topk(saved_ix, "w000%", k=10))
+    assert "StringStartsWith(term,w000)" in plan.replace(" ", "").replace(
+        "'", ""
+    ) or "StringStartsWith" in plan
+
+
+def test_dim_join_broadcasts(spark):
+    sf = "/root/testdata/sf0.01"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).groupBy(
+        "c_mktsegment"
+    ).count()
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_prunes_columns(spark):
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey")
+    plan = _plan(q)
+    # only the needed columns reach the scan; the filter is pushed
+    assert "ReadSchema: struct<l_orderkey" in plan
+    assert "l_comment" not in plan.split("ReadSchema")[1].split("\n")[0]
+    assert "GreaterThan(l_quantity" in plan
