@@ -230,6 +230,77 @@ def join_ip_range_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# geo_point (reference: 10 geo_point fields, data.ini:127; region_map
+# rollups in waf.ndjson) -- haversine distance filter + bucket rollup
+# ---------------------------------------------------------------------------
+
+_GEO_LAT = "((user_id * 7 % 180) - 90 + 0.5)"
+_GEO_LON = "((event_id * 13 % 360) - 180 + 0.5)"
+_CENTER_LAT, _CENTER_LON = 40.0, -74.0
+_HAV_DUCK = f"""
+  2 * 6371.0 * asin(sqrt(
+    pow(sin(radians(({_GEO_LAT}) - {_CENTER_LAT}) / 2), 2)
+    + cos(radians({_CENTER_LAT})) * cos(radians({_GEO_LAT}))
+      * pow(sin(radians(({_GEO_LON}) - ({_CENTER_LON})) / 2), 2)))
+"""
+
+
+@register(
+    "geo_distance_rollup",
+    f"""
+    SELECT floor({_HAV_DUCK} / 2500)::BIGINT AS ring_2500km,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def geo_distance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_point semantics: haversine distance from synthesized
+    lat/lon to a center, rolled up into 2500 km rings (the region_map
+    aggregation shape) -- native trig expressions, map-side only."""
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.col("user_id") * 7 % 180) - 90 + 0.5
+    lon = (F.col("event_id") * 13 % 360) - 180 + 0.5
+    clat = F.lit(float(_CENTER_LAT))
+    dist = (
+        2 * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(lat - clat) / 2), 2)
+                + F.cos(F.radians(clat)) * F.cos(F.radians(lat))
+                * F.pow(F.sin(F.radians(lon - F.lit(float(_CENTER_LON))) / 2), 2)
+            )
+        )
+    )
+    return (
+        ev.select(F.floor(dist / 2500).cast("long").alias("ring_2500km"))
+        .groupBy("ring_2500km")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT event_type,
+      round(quantile_cont(value, 0.5), 4) AS p50,
+      round(quantile_cont(value, 0.9), 4) AS p90,
+      round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles aggregation (the OpenSearch `percentiles` metric):
+    exact interpolated percentiles per bucket."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S10: CloudWatch-Logs-style envelope source
 # ---------------------------------------------------------------------------
 
