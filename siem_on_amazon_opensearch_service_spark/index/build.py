@@ -89,6 +89,22 @@ class PostingsIndex:
             [(self.n_docs, self.avgdl)], "n_docs long, avgdl double"
         ).write.mode("overwrite").parquet(f"{path}/stats")
 
+    def save_bucketed(self, spark: SparkSession, table: str,
+                      buckets: int = 32) -> None:
+        """Persist postings as a TERM-BUCKETED table (the Iceberg
+        ``bucket(term, B)`` layout): any later per-term aggregation or
+        co-located merge over the table plans with ZERO exchanges —
+        the bucketing carries the partitioning (pinned by
+        tests/test_plan_shapes.py). Requires a metastore-backed
+        catalog (saveAsTable), which is why the default ``save`` is
+        plain term-repartitioned parquet."""
+        (
+            self.postings.write.bucketBy(buckets, "term")
+            .sortBy("term", "salt", "block_id")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "PostingsIndex":
         stats = spark.read.parquet(f"{path}/stats").collect()[0]

@@ -57,6 +57,24 @@ def test_prefix_scan_pushes_startswith(saved_ix):
     ) or "StringStartsWith" in plan
 
 
+def test_bucketed_postings_agg_is_shuffle_free(spark, saved_ix):
+    """save_bucketed: per-term aggregation over the term-bucketed
+    table must plan with ZERO exchanges (the co-located layout claim —
+    Iceberg bucket(term, B) equivalent)."""
+    spark.sql("DROP TABLE IF EXISTS _test_postings_bucketed")
+    saved_ix.save_bucketed(spark, "_test_postings_bucketed", buckets=4)
+    t = spark.table("_test_postings_bucketed")
+    plan = _plan(t.groupBy("term").agg(F.sum("doc_count").alias("df")))
+    assert plan.count(") Exchange") == 0
+    assert "Bucketed: true" in plan
+    # and the data round-trips
+    df1 = {r["term"]: r["df"] for r in
+           t.groupBy("term").agg(F.sum("doc_count").alias("df")).collect()}
+    df2 = {r["term"]: r["df"] for r in saved_ix.term_stats.select("term", "df").collect()}
+    assert df1 == df2
+    spark.sql("DROP TABLE _test_postings_bucketed")
+
+
 def test_dim_join_broadcasts(spark):
     sf = "/root/testdata/sf0.01"
     o = spark.read.parquet(f"{sf}/orders.parquet")
