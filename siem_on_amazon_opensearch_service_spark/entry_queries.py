@@ -322,6 +322,48 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_extended_stats",
+    """
+    SELECT event_type, count(*) AS n, round(min(value), 4) AS min_v,
+           round(max(value), 4) AS max_v, round(avg(value), 4) AS avg_v,
+           round(stddev_samp(value), 4) AS std_v,
+           round(sum(value), 4) AS sum_v
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`extended_stats` metric agg: min/max/avg/stddev/sum per bucket
+    in one pass."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("min_v"),
+        F.round(F.max("value"), 4).alias("max_v"),
+        F.round(F.avg("value"), 4).alias("avg_v"),
+        F.round(F.stddev_samp("value"), 4).alias("std_v"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+    )
+
+
+@register(
+    "agg_histogram_numeric",
+    """
+    SELECT floor(value / 25)::BIGINT AS bucket, count(*) AS n,
+           round(sum(value), 4) AS sum_v
+    FROM events GROUP BY 1
+    """,
+)
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`histogram` agg: fixed numeric interval buckets."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 25).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v")
+    )
+
+
+@register(
     "agg_sessionize",
     """
     WITH marked AS (

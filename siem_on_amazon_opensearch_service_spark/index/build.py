@@ -42,7 +42,6 @@ so parquet row-group min/max statistics prune non-query terms.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import numpy as np
