@@ -52,6 +52,23 @@ def cmd_build(args: argparse.Namespace) -> None:
             "n_docs": ix.n_docs, "avgdl": round(ix.avgdl, 4),
             "index": f"{args.output}/merged",
         }))
+    elif args.positional:
+        from siem_on_amazon_opensearch_service_spark.index.docids import (
+            assign_doc_ids,
+        )
+        from siem_on_amazon_opensearch_service_spark.index.positional import (
+            build_positional_index,
+        )
+
+        if "doc_id" not in pages.columns:
+            pages = assign_doc_ids(pages, order_col="url")
+        ix = build_positional_index(spark, pages, text_col=args.text_col,
+                                    salt_threshold=args.salt_threshold)
+        ix.save(spark, args.output, buckets=args.buckets)
+        print(json.dumps({
+            "status": "ok", "mode": "positional", "n_docs": ix.n_docs,
+            "avgdl": round(ix.avgdl, 4), "index": args.output,
+        }))
     else:
         from siem_on_amazon_opensearch_service_spark.index import build_index
 
@@ -71,7 +88,13 @@ def cmd_query(args: argparse.Namespace) -> None:
     )
 
     ix = PostingsIndex.load(spark, args.index)
-    if args.pruned:
+    if args.phrase:
+        from siem_on_amazon_opensearch_service_spark.index.positional import (
+            phrase_topk,
+        )
+
+        rows = phrase_topk(ix, args.query, k=args.k).collect()
+    elif args.pruned:
         from siem_on_amazon_opensearch_service_spark.plans.pruning import (
             bm25_topk_pruned,
         )
@@ -103,6 +126,8 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--salt-threshold", type=int, default=100_000)
     b.add_argument("--buckets", type=int, default=32)
     b.add_argument("--resumable", action="store_true")
+    b.add_argument("--positional", action="store_true",
+                   help="store term positions (enables phrase queries)")
     b.add_argument("--parts", type=int, default=64)
     b.set_defaults(fn=cmd_build)
 
@@ -111,6 +136,8 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--query", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--pruned", action="store_true")
+    q.add_argument("--phrase", action="store_true",
+                   help="exact-phrase match (needs a --positional index)")
     q.add_argument("--with-url", action="store_true")
     q.set_defaults(fn=cmd_query)
 

@@ -12,10 +12,9 @@ Pipeline (see SURVEY.md section 3.1 "Spark restatement"):
         ──(groupBy(doc_id, term).count(): partial agg map-side,
            shuffle volume == distinct postings, the minimum)──▶ tf
         ──(broadcast-join hot-term salt map; salt = hash(doc_id) % n)
-        ──(groupBy(term, salt).applyInPandas: sort by doc_id,
-           delta+varbyte encode into 128-doc blocks)──▶ postings
-  docs   = map-side only: doc_id, url, doclen = size(tokens)
-  stats  = single-row corpus aggregate (N, avgdl, n_terms)
+        ──(repartition(term, salt) + sortWithinPartitions + streaming
+           mapInPandas encoder: delta+varbyte 128-doc blocks)──▶ postings
+  docs / stats derive from the persisted tf table (one tokenize scan).
 
 Skew: Zipfian web text makes stopword terms ~percent-of-corpus sized
 (SURVEY.md section 7.3 item 2). Terms whose document frequency
@@ -23,7 +22,7 @@ exceeds ``salt_threshold`` are split into ``ceil(df/threshold)``
 salt sub-keys (hash(doc_id) % n_salts), so
 
   * no single reducer receives an unbounded group,
-  * ``applyInPandas`` per-group memory stays O(salt_threshold),
+  * encoder memory stays O(Arrow batch) (carry-over streaming),
   * block manifests merge back transparently at query time (salts of
     one term are doc-disjoint; queries read all salts of a term).
 

@@ -64,3 +64,15 @@ def test_cli_build_and_query(spark, tmp_path, capsys):
     mrows = [json.loads(line) for line in
              capsys.readouterr().out.strip().splitlines()]
     assert len(mrows) == 3 and all(m["n_docs"] > 0 for m in mrows)
+
+    # positional build + phrase query through the CLI
+    pixp = str(tmp_path / "pix")
+    cli.main(["build", "--input", inp, "--output", pixp, "--positional",
+              "--salt-threshold", "100"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "positional" and out["n_docs"] == 200
+    cli.main(["query", "--index", pixp, "--query", "w00000", "--k", "3",
+              "--phrase"])
+    prows = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(prows) <= 3 and "score" in prows[0]
