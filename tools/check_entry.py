@@ -10,9 +10,11 @@ from __future__ import annotations
 import math
 import sys
 
+import os
+
 import duckdb
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
