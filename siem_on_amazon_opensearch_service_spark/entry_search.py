@@ -152,6 +152,43 @@ def ft_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiterm_topk(_built_index(spark, sf_dir), "st%", k=30)
 
 
+_MSM_SHOULD = ["spark", "join", "stream"]
+
+_MSM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _MSM_SHOULD)}),
+per_doc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s,
+         count(DISTINCT tf.term) AS n_should
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score
+FROM per_doc WHERE n_should >= 2
+ORDER BY s DESC, doc_id LIMIT 20
+"""
+
+
+@register("ft_bool_min_should_match", _MSM_SQL)
+def ft_bool_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool with minimum_should_match=2 over three should clauses —
+    docs must contain at least two distinct query terms."""
+    from .index.boolquery import bool_topk
+
+    top = bool_topk(_built_index(spark, sf_dir), should=_MSM_SHOULD,
+                    k=20, minimum_should_match=2)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 _FUZZY_TERM = "tabl"  # one deletion from 'table'
 
 _FUZZY_SQL = f"""

@@ -46,10 +46,12 @@ def _decoded_scored(ix: PostingsIndex, terms: list[str]) -> DataFrame:
 
 def bool_topk(ix: PostingsIndex, must: list[str] | str = (),
               should: list[str] | str = (), must_not: list[str] | str = (),
-              k: int = 10) -> DataFrame:
+              k: int = 10, minimum_should_match: int = 0) -> DataFrame:
     """Top-k for a bool query. Clause strings are analyzed with the
     shared tokenizer; duplicate terms within a clause are deduped
-    (set semantics, like Lucene's BooleanQuery clause sets)."""
+    (set semantics, like Lucene's BooleanQuery clause sets).
+    ``minimum_should_match`` requires at least that many distinct
+    should terms per doc (OpenSearch bool parameter)."""
     def norm(c) -> list[str]:
         if isinstance(c, str):
             c = [c]
@@ -67,12 +69,16 @@ def bool_topk(ix: PostingsIndex, must: list[str] | str = (),
 
     scored = _decoded_scored(ix, scoring)
     is_must = F.col("term").isin(must_t) if must_t else F.lit(False)
+    is_should = F.col("term").isin(should_t) if should_t else F.lit(False)
     per_doc = scored.groupBy("doc_id").agg(
         F.sum("_s").alias("score"),
         F.countDistinct(F.when(is_must, F.col("term"))).alias("_n_must"),
+        F.countDistinct(F.when(is_should, F.col("term"))).alias("_n_should"),
     )
     if must_t:
         per_doc = per_doc.filter(F.col("_n_must") == len(must_t))
+    if minimum_should_match > 0:
+        per_doc = per_doc.filter(F.col("_n_should") >= minimum_should_match)
     if not_t:
         excl = decode_blocks(
             ix.postings.filter(F.col("term").isin(not_t))
