@@ -33,6 +33,8 @@ _ORACLE: dict[str, str] = {}
 
 def register(name: str, sql: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate registry query name: {name}")
         _REGISTRY[name] = fn
         if sql is not None:
             _ORACLE[name] = sql
