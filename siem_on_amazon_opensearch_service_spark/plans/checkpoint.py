@@ -211,27 +211,18 @@ def build_metrics(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def merge(spark: SparkSession, path: str,
-          salt_threshold: int | None = None) -> PostingsIndex:
-    """Shuffle-merge all partition deltas into the final
-    term-partitioned index (decode -> regroup by term with hot-term
-    salting -> re-encode blocks). Writes ``merged/`` and returns the
-    loaded index."""
+def merge_decoded_deltas(spark: SparkSession, delta_postings: DataFrame,
+                         docs: DataFrame, n_docs: int, total_dl: int,
+                         out_dir: str, salt_threshold: int) -> PostingsIndex:
+    """Shared delta-merge path (segment-merge analog), used by both
+    checkpointed builds and streaming compaction: decode delta blocks,
+    regroup (term, salt) with hot-term salting, re-encode with the
+    now-known global avgdl (tight max_impact bounds), write the
+    term-partitioned layout + term_stats + stats."""
     from ..index.query import decode_blocks
 
-    manifest = read_manifest(path)
-    if salt_threshold is None:
-        salt_threshold = manifest.get("salt_threshold", 100_000)
-
-    deltas = spark.read.parquet(f"{path}/delta/part=*/postings")
-    docs = spark.read.parquet(f"{path}/delta/part=*/docs")
-
-    # global stats first: the re-encode stores avgdl-tight max_impact
-    n_docs = sum(e["n_docs"] for e in manifest["partitions"].values())
-    total_dl = sum(e["total_dl"] for e in manifest["partitions"].values())
     avgdl = total_dl / n_docs if n_docs else 0.0
-
-    decoded = decode_blocks(deltas).withColumnRenamed("dl", "doclen")
+    decoded = decode_blocks(delta_postings).withColumnRenamed("dl", "doclen")
     df_tbl = decoded.groupBy("term").agg(F.count("*").alias("df"))
     hot = df_tbl.filter(F.col("df") > salt_threshold).select(
         "term",
@@ -249,20 +240,36 @@ def merge(spark: SparkSession, path: str,
         .drop("n_salts")
     )
     postings = encode_postings_df(salted, avgdl=avgdl)
-
-    merged = os.path.join(path, "merged")
     (
         postings.repartition(32, "term")
         .sortWithinPartitions("term", "salt", "block_id")
-        .write.mode("overwrite").parquet(f"{merged}/postings")
+        .write.mode("overwrite").parquet(f"{out_dir}/postings")
     )
-    docs.write.mode("overwrite").parquet(f"{merged}/docs")
-    pp = spark.read.parquet(f"{merged}/postings")
-    pp.groupBy("term").agg(
+    docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+    spark.read.parquet(f"{out_dir}/postings").groupBy("term").agg(
         F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf"),
         F.max("max_impact").alias("max_impact"),
-    ).write.mode("overwrite").parquet(f"{merged}/term_stats")
+    ).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
     spark.createDataFrame(
         [(n_docs, avgdl)], "n_docs long, avgdl double"
-    ).write.mode("overwrite").parquet(f"{merged}/stats")
-    return PostingsIndex.load(spark, merged)
+    ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    return PostingsIndex.load(spark, out_dir)
+
+
+def merge(spark: SparkSession, path: str,
+          salt_threshold: int | None = None) -> PostingsIndex:
+    """Shuffle-merge all partition deltas into the final
+    term-partitioned index. Writes ``merged/`` and returns the loaded
+    index."""
+    manifest = read_manifest(path)
+    if salt_threshold is None:
+        salt_threshold = manifest.get("salt_threshold", 100_000)
+
+    deltas = spark.read.parquet(f"{path}/delta/part=*/postings")
+    docs = spark.read.parquet(f"{path}/delta/part=*/docs")
+    n_docs = sum(e["n_docs"] for e in manifest["partitions"].values())
+    total_dl = sum(e["total_dl"] for e in manifest["partitions"].values())
+    return merge_decoded_deltas(
+        spark, deltas, docs, n_docs, total_dl,
+        os.path.join(path, "merged"), salt_threshold,
+    )

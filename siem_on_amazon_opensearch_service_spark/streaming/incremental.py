@@ -88,10 +88,9 @@ class IncrementalIndexer:
 
     # -- maintenance ---------------------------------------------------
     def compact(self, spark: SparkSession) -> PostingsIndex:
-        """Fold all deltas into ``merged/`` (segment-merge analog):
-        decode -> regroup(term, salt) with hot-term salting ->
-        re-encode blocks, same path as plans.checkpoint.merge."""
-        from ..index.query import decode_blocks
+        """Fold all deltas into ``merged/`` (segment-merge analog) via
+        the shared delta-merge path (plans.checkpoint)."""
+        from ..plans.checkpoint import merge_decoded_deltas
 
         deltas = spark.read.parquet(f"{self.path}/delta/batch=*/postings")
         docs = spark.read.parquet(f"{self.path}/delta/batch=*/docs")
@@ -99,42 +98,10 @@ class IncrementalIndexer:
             F.sum("n_docs").alias("n"), F.sum("total_dl").alias("dl")
         ).collect()[0]
         n_docs, total_dl = int(stats["n"] or 0), int(stats["dl"] or 0)
-
-        decoded = decode_blocks(deltas).withColumnRenamed("dl", "doclen")
-        df_tbl = decoded.groupBy("term").agg(F.count("*").alias("df"))
-        hot = df_tbl.filter(F.col("df") > self.salt_threshold).select(
-            "term",
-            F.ceil(F.col("df") / F.lit(self.salt_threshold)).cast("int")
-            .alias("n_salts"),
+        return merge_decoded_deltas(
+            spark, deltas, docs, n_docs, total_dl,
+            os.path.join(self.path, "merged"), self.salt_threshold,
         )
-        salted = (
-            decoded.join(F.broadcast(hot), "term", "left")
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("n_salts").isNotNull(),
-                    F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
-                ).otherwise(F.lit(0)),
-            )
-            .drop("n_salts")
-        )
-        postings = encode_postings_df(salted, avgdl=(total_dl / n_docs if n_docs else None))
-        merged = os.path.join(self.path, "merged")
-        (
-            postings.repartition(32, "term")
-            .sortWithinPartitions("term", "salt", "block_id")
-            .write.mode("overwrite").parquet(f"{merged}/postings")
-        )
-        docs.write.mode("overwrite").parquet(f"{merged}/docs")
-        spark.read.parquet(f"{merged}/postings").groupBy("term").agg(
-            F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf"),
-            F.max("max_impact").alias("max_impact"),
-        ).write.mode("overwrite").parquet(f"{merged}/term_stats")
-        spark.createDataFrame(
-            [(n_docs, total_dl / n_docs if n_docs else 0.0)],
-            "n_docs long, avgdl double",
-        ).write.mode("overwrite").parquet(f"{merged}/stats")
-        return PostingsIndex.load(spark, merged)
 
 
 def load_incremental(spark: SparkSession, path: str) -> PostingsIndex:
