@@ -152,6 +152,40 @@ def ft_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiterm_topk(_built_index(spark, sf_dir), "st%", k=30)
 
 
+_BOOST_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term, boost) AS (VALUES ('spark', 3.0), ('table', 1.0)),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.boost * ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 20
+"""
+
+
+@register("ft_bool_boosted", _BOOST_SQL)
+def ft_bool_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clause boost (query_string spark^3 table): the boosted
+    term's contribution is tripled before summation."""
+    from .index.boolquery import bool_topk
+
+    top = bool_topk(_built_index(spark, sf_dir),
+                    should=["spark", "table"], k=20,
+                    boosts={"spark": 3.0})
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 _MSM_SHOULD = ["spark", "join", "stream"]
 
 _MSM_SQL = f"""

@@ -46,12 +46,14 @@ def _decoded_scored(ix: PostingsIndex, terms: list[str]) -> DataFrame:
 
 def bool_topk(ix: PostingsIndex, must: list[str] | str = (),
               should: list[str] | str = (), must_not: list[str] | str = (),
-              k: int = 10, minimum_should_match: int = 0) -> DataFrame:
+              k: int = 10, minimum_should_match: int = 0,
+              boosts: dict[str, float] | None = None) -> DataFrame:
     """Top-k for a bool query. Clause strings are analyzed with the
     shared tokenizer; duplicate terms within a clause are deduped
     (set semantics, like Lucene's BooleanQuery clause sets).
     ``minimum_should_match`` requires at least that many distinct
-    should terms per doc (OpenSearch bool parameter)."""
+    should terms per doc; ``boosts`` multiplies a term's score
+    contribution (the ``term^2`` query_string boost)."""
     def norm(c) -> list[str]:
         if isinstance(c, str):
             c = [c]
@@ -68,6 +70,13 @@ def bool_topk(ix: PostingsIndex, must: list[str] | str = (),
         return empty
 
     scored = _decoded_scored(ix, scoring)
+    if boosts:
+        bmap = F.create_map(
+            *[F.lit(x) for t, b in boosts.items() for x in (t, float(b))]
+        )
+        scored = scored.withColumn(
+            "_s", F.col("_s") * F.coalesce(bmap[F.col("term")], F.lit(1.0))
+        )
     is_must = F.col("term").isin(must_t) if must_t else F.lit(False)
     is_should = F.col("term").isin(should_t) if should_t else F.lit(False)
     per_doc = scored.groupBy("doc_id").agg(
