@@ -152,6 +152,54 @@ def ft_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiterm_topk(_built_index(spark, sf_dir), "st%", k=30)
 
 
+_TOPHITS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES ('spark'), ('table'), ('join'), ('stream')),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT d.lang, s.doc_id, s.s,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s.s DESC, s.doc_id)
+           AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT lang, rn AS rank, doc_id, round(s, 4) AS score
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register("ft_top_hits_per_facet", _TOPHITS_SQL)
+def ft_top_hits_per_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`top_hits` sub-aggregation: the best 3 hits inside every facet
+    bucket (the dashboard per-group table) — window row_number over
+    the match set joined to the facet column."""
+    from pyspark.sql import Window
+
+    from .index.query import bm25_scores
+
+    ix = _built_index(spark, sf_dir)
+    scored = bm25_scores(ix, _FACET_QUERY)
+    with_lang = scored.join(ix.docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        with_lang.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "rank", "doc_id", F.round("score", 4).alias("score"))
+    )
+
+
 _BOOST_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOK}) AS term FROM documents
