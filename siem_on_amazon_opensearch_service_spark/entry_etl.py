@@ -47,8 +47,9 @@ def filter_exclusion_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
       coalesce(nullif(json_extract_string(props, '$.missing'), ''),
                nullif(event_type, ''), 'unknown') AS ecs_action,
-      list_sort(list_distinct([event_type, 'evt' || (event_id % 3)::VARCHAR]))
-        AS ecs_category
+      array_to_string(
+        list_sort(list_distinct([event_type, 'evt' || (event_id % 3)::VARCHAR])),
+        '|') AS ecs_category
     FROM events WHERE event_id < 500
     """,
 )
@@ -73,7 +74,10 @@ def proj_ecs_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         first_nonempty.alias("ecs_action"),
-        union_list.alias("ecs_category"),
+        # array_join: the driver's canonicalizer sorts pandas columns,
+        # which crashes on list cells -- project list targets as a
+        # joined scalar so the gate hashes them (values unchanged).
+        F.array_join(union_list, "|").alias("ecs_category"),
     )
 
 

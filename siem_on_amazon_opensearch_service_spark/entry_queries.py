@@ -275,30 +275,31 @@ def agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_cardinality_exact",
+    "agg_cardinality",
     """
-    SELECT event_type, count(DISTINCT user_id) AS n_users
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           TRUE AS approx_in_bound
     FROM events GROUP BY event_type
     """,
 )
-def agg_cardinality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`cardinality` agg (A4) -- exact variant for the oracle gate; the
-    HLL variant (approx_count_distinct) is `agg_cardinality_approx`."""
+def agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cardinality` agg (A4): exact distinct count PLUS the HLL++
+    approx variant (approx_count_distinct, the same algorithm family
+    OpenSearch uses). Sketch internals differ per engine, so the
+    hash-checkable formulation emits the exact count and a boolean
+    asserting the sketch landed within 3x its configured rsd; the
+    oracle emits exact + literal TRUE."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users")
+    agged = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("n_approx"),
     )
-
-
-@register("agg_cardinality_approx", None)  # HLL sketches differ per engine
-def agg_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`cardinality` agg (A4) as OpenSearch computes it: HLL++ approx
-    (same algorithm family as Spark's approx_count_distinct). No SQL
-    oracle -- sketch internals differ across engines; pytest bounds the
-    relative error instead (rows-only check here)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx")
+    in_bound = (
+        F.abs(F.col("n_approx") - F.col("n_users"))
+        / F.col("n_users") <= 0.06
+    )
+    return agged.select(
+        "event_type", "n_users", in_bound.alias("approx_in_bound")
     )
 
 
@@ -309,7 +310,7 @@ def agg_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, user_id, count(*) AS n
       FROM events GROUP BY 1, 2
     )
-    SELECT event_type, sum(n) AS total, round(avg(n), 4) AS avg_per_user
+    SELECT event_type, sum(n)::BIGINT AS total, round(avg(n), 4) AS avg_per_user
     FROM per_user GROUP BY event_type
     """,
 )
@@ -369,7 +370,7 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_sessionize",
     """
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   > INTERVAL 30 MINUTE OR
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -378,8 +379,8 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE user_id <= 50
     ), sess AS (
       SELECT user_id, ts, value,
-        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -402,8 +403,10 @@ def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(prev)
     new_s = F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
-    wcum = Window.partitionBy("user_id").orderBy(F.asc("ts")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = (
         ev.withColumn("new_session", new_s)

@@ -10,20 +10,13 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_approx_cardinality_error_bounded(spark):
-    """The rows-only `agg_cardinality_approx` (HLL++, rsd=0.02) must
-    stay within a conservative 3x-rsd band of the exact counts."""
+    """`agg_cardinality` (HLL++, rsd=0.02) asserts in-band itself:
+    every bucket's approx_in_bound boolean must hold."""
     reg = entry_queries.registry()
-    approx = {
-        r["event_type"]: r["n_users_approx"]
-        for r in reg["agg_cardinality_approx"](spark, SF).collect()
-    }
-    exact = {
-        r["event_type"]: r["n_users"]
-        for r in reg["agg_cardinality_exact"](spark, SF).collect()
-    }
-    assert approx.keys() == exact.keys()
-    for k, e in exact.items():
-        assert abs(approx[k] - e) <= max(3, 0.06 * e), (k, approx[k], e)
+    rows = reg["agg_cardinality"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["approx_in_bound"], (r["event_type"], r["n_users"])
 
 
 def test_index_stats_consistent(spark):

@@ -8,7 +8,6 @@ import sys
 #: iterative / engine-internal entries that legitimately have no SQL
 #: oracle (the driver records a weaker rows-only check for these).
 ROWS_ONLY = {
-    "agg_cardinality_approx",   # HLL sketch internals differ per engine
     "sim_kmeans_ivf_topk",      # iterative Lloyd training
     "ft_index_stats",           # compressed-layout internals
 }
