@@ -403,6 +403,67 @@ def ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_BOOSTS = {"body": 1.0, "title": 2.0}
+_MM_QUERY = "spark table join stream"
+
+_MM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_TOK} AS bt FROM documents
+),
+per AS (
+  SELECT doc_id, 'body' AS field, bt AS toks FROM d
+  UNION ALL SELECT doc_id, 'title', bt[1:8] FROM d
+),
+tok AS (SELECT doc_id, field, unnest(toks) AS term FROM per),
+dl AS (SELECT doc_id, field, count(*)::DOUBLE AS dl FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT field, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY field
+),
+tf AS (
+  SELECT doc_id, field, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3
+),
+dft AS (SELECT field, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1, 2),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _MM_QUERY.split())}),
+boosts(field, boost) AS (
+  VALUES {", ".join(f"('{f}', {b})" for f, b in _MM_BOOSTS.items())}
+),
+scored AS (
+  SELECT tf.doc_id,
+    sum(b.boost * ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+        / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS sc
+  FROM tf JOIN q USING (term)
+       JOIN dft ON dft.field = tf.field AND dft.term = tf.term
+       JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+       JOIN stats s ON s.field = tf.field
+       JOIN boosts b ON b.field = tf.field
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(sc, 4) AS score
+FROM scored ORDER BY sc DESC, doc_id LIMIT 20
+"""
+
+
+@register("ft_multi_match", _MM_SQL)
+def ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match with per-field boosts (most_fields: score =
+    sum_field boost_f * BM25_f), the reference's multi-fields mapping
+    (deploy_es/data.ini:314). Fields here: body = full text (boost 1),
+    title = first 8 tokens (boost 2) -- independently-built scoring
+    spaces with their own df/avgdl, through the field-columned
+    postings layout (index/multifield.py)."""
+    from .analysis import tokens_col
+    from .index.multifield import build_multi_index, multi_match_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    title = F.array_join(F.slice(tokens_col("text"), 1, 8), " ")
+    mix = build_multi_index(
+        spark, docs, {"body": "text", "title": title},
+        id_col="doc_id", salt_threshold=200,
+    )
+    top = multi_match_topk(mix, _MM_QUERY, _MM_BOOSTS, k=20)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 _FACET_QUERY = "spark table join stream"
 _FACET_TERMS = _FACET_QUERY.split()
 

@@ -1,3 +1,8 @@
 from .build import PostingsIndex, build_index  # noqa: F401
 from .docids import assign_doc_ids  # noqa: F401
+from .multifield import (  # noqa: F401
+    MultiFieldIndex,
+    build_multi_index,
+    multi_match_topk,
+)
 from .query import bm25_topk, bm25_topk_batch  # noqa: F401

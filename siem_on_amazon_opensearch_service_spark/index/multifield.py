@@ -1,0 +1,270 @@
+"""Multi-field index + multi_match scoring (per-field boosts).
+
+Reference parity target: OpenSearch multi-fields mappings (reference
+deploy_es/data.ini:314 -- ``url.original`` indexed both as ``keyword``
+and as a ``.text`` subfield) queried with ``multi_match`` /
+``query_string`` over several fields with per-field boosts
+(``fields: ["title^2", "body"]``). Lucene semantics rebuilt here
+(``most_fields``): every field is an independent BM25 scoring space
+(its own df, doc length, avgdl, docCount), and the document score is
+
+    score(q, d) = sum_f boost_f * BM25_f(q, d)
+
+Spark-first design
+------------------
+The single-field build (build.py) already reduces to "group postings
+by a key and encode". A field is just one more dimension of that key,
+so the multi-field build reuses the SAME streaming encoder and salting
+machinery by shuffling on the composite key ``field:term`` (tokens are
+``[a-z0-9]+`` so ``:`` can never collide), then splits the composite
+back out so the stored layout carries an explicit ``field`` column:
+
+    (field, term, salt, block_id, doc_count, max_tf, max_impact,
+     min_doc_id, max_doc_id, doc_ids_vb, tfs_vb, dls_vb)
+
+Hot-term salting therefore operates per (field, term) -- a stopword
+hot in ``body`` but rare in ``title`` only salts where it is hot.
+
+Block ``max_impact`` bounds use the dl->0 upper limit (sound for every
+avgdl) because blocks of different fields share an encoder pass;
+multi_match queries run the exhaustive path, so the looser bound is
+never consulted.
+
+Scale: postings volume grows by the extra fields' tokens only; the
+build keeps the single (key, salt) shuffle, and scoring stays
+join-free -- per-(field, term) idf*boost and per-field avgdl are
+metadata-sized literal maps folded into one native expression.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis import tokenize_py, tokens_col
+from ..bm25 import B, K1, idf as _idf
+from .build import DEFAULT_SALT_THRESHOLD, encode_postings_df
+from .docids import assign_doc_ids
+from .query import decode_blocks
+
+#: separator between field and term in the composite shuffle key --
+#: analyzer tokens match [a-z0-9]+ so this byte never appears in one.
+SEP = ":"
+
+
+@dataclass
+class MultiFieldIndex:
+    """Built multi-field index handles.
+
+    ``field_stats``: field -> (n_docs_f, avgdl_f) where n_docs_f counts
+    docs with >=1 token in the field (the Lucene per-field docCount
+    analog) and avgdl_f averages doc length over those docs.
+    """
+
+    docs: DataFrame        # doc_id + presentation cols
+    postings: DataFrame    # field + POSTINGS_SCHEMA columns
+    term_stats: DataFrame  # field, term, df
+    field_stats: dict[str, tuple[int, float]]
+
+    def save(self, spark: SparkSession, path: str, buckets: int = 32) -> None:
+        (
+            self.postings.repartition(buckets, "field", "term")
+            .sortWithinPartitions("field", "term", "salt", "block_id")
+            .write.mode("overwrite").parquet(f"{path}/postings")
+        )
+        self.docs.write.mode("overwrite").parquet(f"{path}/docs")
+        self.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+        rows = [(f, int(n), float(a)) for f, (n, a) in self.field_stats.items()]
+        spark.createDataFrame(
+            rows, "field string, n_docs long, avgdl double"
+        ).write.mode("overwrite").parquet(f"{path}/field_stats")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "MultiFieldIndex":
+        fs = {
+            r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
+            for r in spark.read.parquet(f"{path}/field_stats").collect()
+        }
+        return cls(
+            docs=spark.read.parquet(f"{path}/docs"),
+            postings=spark.read.parquet(f"{path}/postings"),
+            term_stats=spark.read.parquet(f"{path}/term_stats"),
+            field_stats=fs,
+        )
+
+
+def build_multi_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    fields: dict[str, Column | str],
+    id_col: str | None = None,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    shuffle_partitions: int | None = None,
+) -> MultiFieldIndex:
+    """Build one index over several text fields.
+
+    ``fields``: field name -> source column (name or Column expr); each
+    is analyzed with THE shared analyzer (analysis.py) -- per-field
+    analyzers would slot in here, mirroring Lucene's per-field config.
+    """
+    if id_col is None:
+        pages = assign_doc_ids(pages, order_col="url")
+        id_col = "doc_id"
+
+    keep = [c for c in ("url", "warc_ts", "lang") if c in pages.columns]
+    base = pages.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *keep,
+        *[
+            tokens_col(F.col(src) if isinstance(src, str) else src)
+            .alias(f"_toks_{name}")
+            for name, src in fields.items()
+        ],
+    )
+
+    # One union of per-field token streams; each row carries its
+    # field's doclen so scoring never joins back (norms-in-postings,
+    # same trick as the single-field build).
+    per_field = [
+        base.select(
+            "doc_id",
+            F.lit(name).alias("field"),
+            F.size(f"_toks_{name}").alias("doclen"),
+            F.explode(f"_toks_{name}").alias("term"),
+        )
+        for name in fields
+    ]
+    tokens = per_field[0]
+    for p in per_field[1:]:
+        tokens = tokens.unionByName(p)
+
+    tf = (
+        tokens.groupBy("doc_id", "field", "doclen", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+
+    # per-field corpus stats from tf (no re-tokenize): docs with >=1
+    # token and their average length.
+    srows = (
+        tf.select("field", "doc_id", "doclen").dropDuplicates(["field", "doc_id"])
+        .groupBy("field")
+        .agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl"))
+        .collect()
+    )
+    field_stats = {
+        r["field"]: (int(r["n"]), float(r["avgdl"] or 0.0)) for r in srows
+    }
+    for name in fields:
+        field_stats.setdefault(name, (0, 0.0))
+
+    # composite shuffle key -> reuse single-field salting + encoder.
+    ckey = tf.withColumn("term", F.concat_ws(SEP, "field", "term")).drop("field")
+    df_tbl = ckey.groupBy("term").agg(F.count("*").alias("df"))
+    hot = df_tbl.filter(F.col("df") > salt_threshold).select(
+        "term",
+        F.ceil(F.col("df") / F.lit(salt_threshold)).cast("int").alias("n_salts"),
+    )
+    salted = (
+        ckey.join(F.broadcast(hot), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("n_salts").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("n_salts")
+    )
+    enc = encode_postings_df(salted, shuffle_partitions, avgdl=None)
+    postings = enc.select(
+        F.split_part("term", F.lit(SEP), F.lit(1)).alias("field"),
+        F.split_part("term", F.lit(SEP), F.lit(2)).alias("term"),
+        *[c for c in enc.columns if c != "term"],
+    )
+
+    term_stats = postings.groupBy("field", "term").agg(
+        F.sum("doc_count").alias("df"), F.max("max_tf").alias("max_tf"),
+    )
+
+    docs = base.select("doc_id", *keep)
+    return MultiFieldIndex(
+        docs=docs, postings=postings, term_stats=term_stats,
+        field_stats=field_stats,
+    )
+
+
+def multi_match_scores(
+    mix: MultiFieldIndex, query: str, boosts: dict[str, float]
+) -> DataFrame:
+    """(doc_id, score) over the full match set, most_fields semantics.
+
+    Join-free plan: scan postings filtered to (query terms x boosted
+    fields) -- the term predicate pushes to parquet -- decode varbyte
+    blocks once, then one native expression scores with two literal
+    maps: (field:term) -> boost*qtf*idf_field and field -> avgdl_field.
+    Single exchange: the final groupBy(doc_id) partial+final sum.
+    """
+    weights: dict[str, int] = {}
+    for t in tokenize_py(query):
+        weights[t] = weights.get(t, 0) + 1
+    terms = list(weights)
+    spark = mix.postings.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    use_fields = [f for f, b in boosts.items() if b and f in mix.field_stats]
+    if not terms or not use_fields:
+        return empty
+
+    stats = (
+        mix.term_stats.filter(
+            F.col("term").isin(terms) & F.col("field").isin(use_fields)
+        )
+        .select("field", "term", "df")
+        .collect()
+    )
+    if not stats:
+        return empty
+    wmap_items: list[F.Column] = []
+    for r in stats:
+        f_, t_ = r["field"], r["term"]
+        n_f, _ = mix.field_stats[f_]
+        w = boosts[f_] * weights[t_] * _idf(n_f, int(r["df"]))
+        wmap_items += [F.lit(f_ + SEP + t_), F.lit(float(w))]
+    wmap = F.create_map(*wmap_items)
+    amap = F.create_map(
+        *[
+            F.lit(x)
+            for f_ in use_fields
+            for x in (f_, float(mix.field_stats[f_][1]) or 1.0)
+        ]
+    )
+
+    present_terms = sorted({r["term"] for r in stats})
+    blocks = mix.postings.filter(
+        F.col("term").isin(present_terms) & F.col("field").isin(use_fields)
+    )
+    # decode_blocks keys on `term` alone: thread the composite through.
+    composite = blocks.withColumn("term", F.concat_ws(SEP, "field", "term"))
+    decoded = decode_blocks(composite)
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    avgdl = amap[F.split_part("term", F.lit(SEP), F.lit(1))]
+    scored = decoded.withColumn(
+        "_s",
+        wmap[F.col("term")] * tf / (tf + K1 * (1.0 - B + B * dl / avgdl)),
+    ).filter(F.col("_s").isNotNull())
+    return scored.groupBy("doc_id").agg(F.sum("_s").alias("score"))
+
+
+def multi_match_topk(
+    mix: MultiFieldIndex, query: str, boosts: dict[str, float], k: int = 10
+) -> DataFrame:
+    """Top-k multi_match: TakeOrderedAndProject over the match set,
+    ties broken (score desc, doc_id asc) like every other query path."""
+    return (
+        multi_match_scores(mix, query, boosts)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

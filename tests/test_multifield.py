@@ -1,0 +1,94 @@
+"""multi_match (multi-field index, per-field boosts) semantics.
+
+Ground truth: most_fields decomposes -- the multi-field score must
+equal sum_f boost_f * (single-field BM25 over field f alone), where
+each single-field run is the already-oracle-verified engine."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark import corpus
+from siem_on_amazon_opensearch_service_spark.analysis import tokens_col
+from siem_on_amazon_opensearch_service_spark.index import build_index
+from siem_on_amazon_opensearch_service_spark.index.multifield import (
+    MultiFieldIndex,
+    build_multi_index,
+    multi_match_scores,
+    multi_match_topk,
+)
+
+QUERY = "w00001 w00057 w00003"
+BOOSTS = {"body": 1.0, "title": 2.5}
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    p = corpus.pages_df(spark, 400, seed=7, partitions=4).withColumn(
+        "title", F.array_join(F.slice(tokens_col("text"), 1, 6), " ")
+    )
+    p.persist().count()
+    return p
+
+
+@pytest.fixture(scope="module")
+def mix(spark, pages):
+    m = build_multi_index(
+        spark, pages, {"body": "text", "title": "title"}, salt_threshold=50
+    )
+    m.postings = m.postings.persist()
+    m.term_stats = m.term_stats.persist()
+    return m
+
+
+def _single_field_scores(spark, pages, col, k=1000):
+    ix = build_index(spark, pages, text_col=col, salt_threshold=50)
+    from siem_on_amazon_opensearch_service_spark.index.query import bm25_scores
+
+    return {
+        r["doc_id"]: r["score"] for r in bm25_scores(ix, QUERY).collect()
+    }
+
+
+def test_most_fields_decomposition(spark, pages, mix):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in multi_match_scores(mix, QUERY, BOOSTS).collect()
+    }
+    body = _single_field_scores(spark, pages, "text")
+    title = _single_field_scores(spark, pages, "title")
+    want = {}
+    for d, s in body.items():
+        want[d] = want.get(d, 0.0) + BOOSTS["body"] * s
+    for d, s in title.items():
+        want[d] = want.get(d, 0.0) + BOOSTS["title"] * s
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9), d
+
+
+def test_zero_boost_field_excluded(spark, pages, mix):
+    only_body = {
+        r["doc_id"]: r["score"]
+        for r in multi_match_scores(mix, QUERY, {"body": 1.0, "title": 0.0})
+        .collect()
+    }
+    body = _single_field_scores(spark, pages, "text")
+    assert only_body.keys() == body.keys()
+    for d, s in body.items():
+        assert only_body[d] == pytest.approx(s, abs=1e-9)
+
+
+def test_topk_order_and_field_column(spark, mix, tmp_path):
+    top = multi_match_topk(mix, QUERY, BOOSTS, k=10).collect()
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert set(mix.postings.select("field").distinct().toPandas()["field"]) == {
+        "body", "title"
+    }
+    # save/load roundtrip preserves results
+    mix.save(spark, str(tmp_path / "mix"), buckets=2)
+    re = MultiFieldIndex.load(spark, str(tmp_path / "mix"))
+    top2 = multi_match_topk(re, QUERY, BOOSTS, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in top] == [
+        (r["doc_id"], round(r["score"], 9)) for r in top2
+    ]
