@@ -157,37 +157,97 @@ _IP_DIM = [
 ]
 
 
-@register(
-    "join_ip_range_lookup",
-    f"""
-    WITH dim(net_start, net_end, label) AS (
-      VALUES {", ".join(f"({a}, {b}, '{c}')" for a, b, c in _IP_DIM)}
+# Mixed v4/v6 interval dimension in the reference's 3-column integer
+# space (hi = bits 127..80, mid = 79..32, lo = 31..0; IPv4 embedded
+# IPv4-mapped at (0, 0xffff, uint32)). Ref
+# ioc_database/lambda_function.py:296-346.
+_V6_HI = 0x20010DB80000  # 2001:db8::/48 of the synthesized v6 facts
+_IP6_DIM = [
+    (0, 0xFFFF, 0, 0, 0xFFFF, (1 << 31) - 1, "v4-low"),
+    (0, 0xFFFF, 1 << 31, 0, 0xFFFF, (1 << 32) - 1, "v4-high"),
+    (_V6_HI, 0, 0, _V6_HI, 0, (1 << 31) - 1, "v6-low"),
+    (_V6_HI, 0, 1 << 31, _V6_HI, 0, (1 << 32) - 1, "v6-high"),
+]
+
+#: half v4 dotted-quad, half compressed v6 under 2001:db8::/48 --
+#: exercises '::' expansion + the v4-mapped embedding on BOTH engines.
+_MIXED_IP_DUCK = """
+  CASE WHEN event_id % 2 = 0 THEN
+    ((user_id * 2654435761 + event_id) % 4294967296 // 16777216 % 256)::VARCHAR
+    || '.' || ((user_id * 2654435761 + event_id) % 4294967296 // 65536 % 256)::VARCHAR
+    || '.' || ((user_id * 2654435761 + event_id) % 4294967296 // 256 % 256)::VARCHAR
+    || '.' || ((user_id * 2654435761 + event_id) % 4294967296 % 256)::VARCHAR
+  ELSE '2001:db8::' || lower(to_hex(user_id % 65536))
+    || ':' || lower(to_hex(event_id % 65536)) END
+"""
+
+
+def _mixed_ip_spark() -> F.Column:
+    from .functions.scalars import long_to_ipv4 as _l2v4
+
+    v4int = (F.col("user_id") * 2654435761 + F.col("event_id")) % 4294967296
+    v6 = F.concat(
+        F.lit("2001:db8::"), F.lower(F.hex(F.col("user_id") % 65536)),
+        F.lit(":"), F.lower(F.hex(F.col("event_id") % 65536)),
+    )
+    return F.when(F.col("event_id") % 2 == 0, _l2v4(v4int)).otherwise(v6)
+
+
+def _ip6_lookup_oracle() -> str:
+    from .functions.scalars import duckdb_ip_any_3long_sql
+
+    parts = duckdb_ip_any_3long_sql("ip")
+    dim_rows = ", ".join(
+        f"({a}, {b}, {c}, {d}, {e}, {f}, '{g}')" for a, b, c, d, e, f, g in _IP6_DIM
+    )
+    return f"""
+    WITH dim(s_hi, s_mid, s_lo, e_hi, e_mid, e_lo, label) AS (
+      VALUES {dim_rows}
     ), fact AS (
-      SELECT event_id, (user_id * 2654435761 + event_id) % 4294967296 AS ip
-      FROM events
+      SELECT event_id, {_MIXED_IP_DUCK} AS ip FROM events
+    ), keyed AS (
+      SELECT event_id, {parts["ip6_hi"]} AS hi, {parts["ip6_mid"]} AS mid,
+             {parts["ip6_lo"]} AS lo
+      FROM fact
     )
     SELECT d.label AS label, count(*) AS n
-    FROM fact f JOIN dim d ON f.ip >= d.net_start AND f.ip < d.net_end
+    FROM keyed f JOIN dim d
+      ON (f.hi, f.mid, f.lo) >= (d.s_hi, d.s_mid, d.s_lo)
+     AND (f.hi, f.mid, f.lo) <= (d.e_hi, d.e_mid, d.e_lo)
     GROUP BY d.label
-    """,
-)
+    """
+
+
+@register("join_ip_range_lookup", _ip6_lookup_oracle())
 def join_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GeoIP/IOC IP-interval lookup (J1/J2, ref siem/ioc.py:167-230,
-    siem/geodb.py:110-137): fact ip BETWEEN dim interval, dim
-    broadcast -- plans as BroadcastNestedLoopJoin over the tiny
-    interval table, never a shuffle of the fact side."""
+    """GeoIP/IOC IP-interval lookup over MIXED v4/v6 facts (J1/J2, ref
+    siem/ioc.py:167-230 + the IPv6 3-column split of
+    ioc_database/lambda_function.py:296-346): every address maps into
+    one (hi, mid, lo) integer space -- IPv6 split 48/48/32, IPv4
+    embedded IPv4-mapped -- and the interval test is a lexicographic
+    struct comparison against the broadcast dimension (the 128-bit
+    compare sqlite does with its 3-column index). Plans as
+    BroadcastNestedLoopJoin; the fact side never shuffles."""
+    from .functions.scalars import ip_any_to_3long
+
     ev = _t(spark, sf_dir, "events")
-    fact = ev.select(
+    fact = ev.select("event_id", _mixed_ip_spark().alias("ip"))
+    parts = ip_any_to_3long("ip")
+    keyed = fact.select(
         "event_id",
-        ((F.col("user_id") * 2654435761 + F.col("event_id")) % 4294967296)
-        .alias("ip"),
+        parts["ip6_hi"].alias("hi"), parts["ip6_mid"].alias("mid"),
+        parts["ip6_lo"].alias("lo"),
     )
-    dim = spark.createDataFrame(_IP_DIM, "net_start long, net_end long, label string")
+    dim = spark.createDataFrame(
+        _IP6_DIM,
+        "s_hi long, s_mid long, s_lo long, e_hi long, e_mid long, "
+        "e_lo long, label string",
+    )
+    key = F.struct(F.col("hi"), F.col("mid"), F.col("lo"))
+    lo_b = F.struct(dim.s_hi, dim.s_mid, dim.s_lo)
+    hi_b = F.struct(dim.e_hi, dim.e_mid, dim.e_lo)
     return (
-        fact.join(
-            F.broadcast(dim),
-            (fact.ip >= dim.net_start) & (fact.ip < dim.net_end),
-        )
+        keyed.join(F.broadcast(dim), (key >= lo_b) & (key <= hi_b))
         .groupBy("label")
         .agg(F.count("*").alias("n"))
     )

@@ -47,6 +47,88 @@ def duckdb_epoch_auto_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# timestamps (F2, full dispatcher breadth; ref siem/utils.py:308-443)
+# ---------------------------------------------------------------------------
+
+
+def syslog_ts(col: str | Column, now_utc: str) -> Column:
+    """Syslog timestamp ('MMM d HH:mm:ss', no year) with the
+    reference's year inference (siem/utils.py:381-413): assume the
+    current year; a result in the future means the log rolled over a
+    year boundary, so subtract one year. ``now_utc`` is an explicit
+    'YYYY-MM-DD HH:MM:SS' reference instant (deterministic -- the
+    caller supplies "now")."""
+    c = F.col(col) if isinstance(col, str) else col
+    now = F.lit(now_utc).cast("timestamp")
+    year = F.date_format(now, "yyyy")
+    # normalize the syslog double-space day padding ('Jan  3') first.
+    norm = F.regexp_replace(c, r"\s+", " ")
+    parsed = F.to_timestamp(
+        F.concat(year, F.lit(" "), norm), "yyyy MMM d HH:mm:ss"
+    )
+    return F.when(parsed > now, parsed - F.expr("INTERVAL 1 YEAR")).otherwise(
+        parsed
+    )
+
+
+def duckdb_syslog_sql(expr: str, now_utc: str) -> str:
+    parsed = (
+        f"strptime(strftime(TIMESTAMP '{now_utc}', '%Y') || ' ' || "
+        f"regexp_replace({expr}, '\\s+', ' ', 'g'), '%Y %b %-d %H:%M:%S')"
+    )
+    return (
+        f"(CASE WHEN {parsed} > TIMESTAMP '{now_utc}' "
+        f"THEN {parsed} - INTERVAL 1 YEAR ELSE {parsed} END)"
+    )
+
+
+#: (spark format, duckdb format) pairs tried in order by the
+#: format-list dispatcher -- the reference's per-logtype strptime
+#: lists (siem/utils.py:415-443) collapse to a coalesce over formats.
+TS_FORMATS: list[tuple[str, str]] = [
+    ("yyyy-MM-dd HH:mm:ss", "%Y-%m-%d %H:%M:%S"),
+    ("yyyy/MM/dd HH:mm:ss", "%Y/%m/%d %H:%M:%S"),
+    ("dd/MMM/yyyy:HH:mm:ss", "%d/%b/%Y:%H:%M:%S"),
+    ("MM-dd-yyyy HH:mm:ss", "%m-%d-%Y %H:%M:%S"),
+]
+
+
+def ts_from_formats(col: str | Column,
+                    formats: list[tuple[str, str]] = TS_FORMATS) -> Column:
+    """First-successful-format parse: coalesce of try_to_timestamp over
+    the format list (NULL when none match -- the reference logs and
+    drops those rows)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        *[F.try_to_timestamp(c, F.lit(sf)) for sf, _ in formats]
+    )
+
+
+def duckdb_ts_formats_sql(expr: str,
+                          formats: list[tuple[str, str]] = TS_FORMATS) -> str:
+    tries = ", ".join(f"try_strptime({expr}, '{df}')" for _, df in formats)
+    return f"coalesce({tries})"
+
+
+def tz_shift_to_utc(ts_col: str | Column, offset_hours: Column) -> Column:
+    """Local timestamp + per-source UTC offset (hours, may be
+    fractional) -> UTC instant (ref siem/utils.py:605-615 applies a
+    per-logtype configured offset). Pure epoch arithmetic so both
+    engines agree to the second."""
+    t = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.timestamp_seconds(
+        F.unix_timestamp(t) - (offset_hours * 3600).cast("long")
+    )
+
+
+def duckdb_tz_shift_sql(ts_expr: str, offset_expr: str) -> str:
+    return (
+        f"to_timestamp(floor(epoch({ts_expr}))::BIGINT"
+        f" - (({offset_expr}) * 3600)::BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL fields (F3): request-target -> url.* (double-decode, split order
 # mirrors the reference exactly: decode twice, then split fragment,
 # query, path, extension)
@@ -138,6 +220,174 @@ def long_to_ipv4(col: str | Column) -> Column:
         (c / 256).cast("long") % 256,
         c % 256,
     )
+
+
+# ---------------------------------------------------------------------------
+# IPv6 (J2 parity): the reference splits an IPv6 address into THREE
+# integer columns (>>80, >>32 & 2^48-1, & 2^32-1) so sqlite can range-
+# scan it (ref ioc_database/lambda_function.py:296-346). Same split
+# here: hi/mid/lo longs (48+48+32 bits), each well inside a BIGINT,
+# with lexicographic (hi, mid, lo) struct comparison replacing the
+# 128-bit compare in range joins. Native expressions only; '::'
+# zero-compression handled, IPv4-mapped forms out of scope (as in the
+# reference, which normalizes those upstream).
+# ---------------------------------------------------------------------------
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def _pad_groups(arr: Column) -> Column:
+    return F.array_join(F.transform(arr, lambda g: F.lpad(g, 4, "0")), "")
+
+
+_V4_TAIL_RE = r"((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"
+
+
+def _v4_tail_to_groups(c: Column) -> Column:
+    """'::ffff:1.2.3.4' -> '::ffff:102:304' (dotted-quad tail rewritten
+    as two hex groups, the RFC 4291 mixed notation)."""
+    tail = F.regexp_extract(c, _V4_TAIL_RE, 0)
+    n = ipv4_to_long(tail)
+    rewritten = F.concat(
+        F.substring(c, F.lit(1), F.length(c) - F.length(tail)),
+        F.lower(F.hex((n / 65536).cast("long"))),
+        F.lit(":"),
+        F.lower(F.hex(n.cast("long") % 65536)),
+    )
+    return F.when(tail != "", rewritten).otherwise(c)
+
+
+def ipv6_to_hex32(col: str | Column) -> Column:
+    """IPv6 string -> 32-hex-char canonical form (zero-compression
+    expanded, groups zero-padded, RFC 4291 dotted-quad tails
+    normalized)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = _v4_tail_to_groups(c)
+    parts = F.split(c, "::", 2)
+    left = F.filter(F.split(F.get(parts, 0), ":"), lambda x: x != "")
+    right = F.filter(
+        F.coalesce(F.split(F.get(parts, 1), ":"), F.array().cast("array<string>")),
+        lambda x: x != "",
+    )
+    missing = F.lit(8) - F.size(left) - F.size(right)
+    compressed = F.concat(
+        _pad_groups(left),
+        F.substring(F.lit("0" * 32), F.lit(1), missing * 4),
+        _pad_groups(right),
+    )
+    plain = _pad_groups(F.filter(F.split(c, ":"), lambda x: x != ""))
+    return F.when(c.contains("::"), compressed).otherwise(plain)
+
+
+def ipv6_to_3long(col: str | Column) -> dict[str, Column]:
+    """IPv6 string -> {ip6_hi, ip6_mid, ip6_lo} long columns (top 48 /
+    middle 48 / low 32 bits -- the reference's 3-column layout)."""
+    h = ipv6_to_hex32(col)
+    return {
+        "ip6_hi": F.conv(F.substring(h, 1, 12), 16, 10).cast("long"),
+        "ip6_mid": F.conv(F.substring(h, 13, 12), 16, 10).cast("long"),
+        "ip6_lo": F.conv(F.substring(h, 25, 8), 16, 10).cast("long"),
+    }
+
+
+def longs_to_ipv6(hi: Column, mid: Column, lo: Column) -> Column:
+    """(hi, mid, lo) -> uncompressed lowercase IPv6 string."""
+    h = F.concat(
+        F.lpad(F.lower(F.hex(hi)), 12, "0"),
+        F.lpad(F.lower(F.hex(mid)), 12, "0"),
+        F.lpad(F.lower(F.hex(lo)), 8, "0"),
+    )
+    groups = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.substring(h, i * 4 + 1, 4),
+    )
+    return F.array_join(groups, ":")
+
+
+def duckdb_ipv6_hex32_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ipv6_to_hex32` (list ops + lambdas)."""
+    e0 = f"lower({expr})"
+    tail = f"coalesce(regexp_extract({e0}, '{_V4_TAIL_RE}', 0), '')"
+    tp = f"string_split({tail}, '.')"
+    v4 = (
+        f"({tp}[1]::BIGINT * 16777216 + {tp}[2]::BIGINT * 65536"
+        f" + {tp}[3]::BIGINT * 256 + {tp}[4]::BIGINT)"
+    )
+    rewritten = (
+        f"substr({e0}, 1, len({e0}) - len({tail}))"
+        f" || lower(to_hex({v4} // 65536)) || ':' || lower(to_hex({v4} % 65536))"
+    )
+    e = f"(CASE WHEN {tail} <> '' THEN {rewritten} ELSE {e0} END)"
+    pad = (
+        "list_aggregate(list_transform(list_filter(string_split({src}, ':'),"
+        " x -> x <> ''), g -> lpad(g, 4, '0')), 'string_agg', '')"
+    )
+    left = pad.format(src=f"string_split({e}, '::')[1]")
+    right = pad.format(src=f"coalesce(string_split({e}, '::')[2], '')")
+    nleft = (
+        f"len(list_filter(string_split(string_split({e}, '::')[1], ':'),"
+        " x -> x <> ''))"
+    )
+    nright = (
+        f"len(list_filter(string_split(coalesce(string_split({e}, '::')[2],"
+        " ''), ':'), x -> x <> ''))"
+    )
+    compressed = (
+        f"coalesce({left}, '') || repeat('0000', 8 - {nleft} - {nright})"
+        f" || coalesce({right}, '')"
+    )
+    plain = pad.format(src=e)
+    return (
+        f"(CASE WHEN contains({e}, '::') THEN {compressed} ELSE {plain} END)"
+    )
+
+
+def duckdb_hex_to_long_sql(expr: str, start: int, length: int) -> str:
+    """Hex substring -> BIGINT without conv() (DuckDB lacks it): fold
+    digit values * 16^position; exact because 16^11 * 15 < 2^53."""
+    h = f"substr({expr}, {start}, {length})"
+    return (
+        f"list_aggregate(list_transform(range(1, {length} + 1), i -> "
+        f"(strpos('{_HEX_DIGITS}', substr({h}, i::INT, 1)) - 1)"
+        f" * power(16, {length} - i)), 'sum')::BIGINT"
+    )
+
+
+#: the `mid` value of an IPv4-mapped IPv6 address (::ffff:a.b.c.d):
+#: bits 47..32 are all-ones, so v4 and v6 facts share ONE (hi, mid,
+#: lo) space and one dimension table, as the 3-column layout intends.
+V4_MAPPED_MID = 0xFFFF
+
+
+def ip_any_to_3long(col: str | Column) -> dict[str, Column]:
+    """Mixed v4/v6 string -> the 3-column space: IPv6 split hi/mid/lo,
+    IPv4 embedded at (0, 0xffff, uint32) -- its IPv4-mapped position."""
+    c = F.col(col) if isinstance(col, str) else col
+    is6 = c.contains(":")
+    v6 = ipv6_to_3long(c)
+    return {
+        "ip6_hi": F.when(is6, v6["ip6_hi"]).otherwise(F.lit(0)),
+        "ip6_mid": F.when(is6, v6["ip6_mid"]).otherwise(F.lit(V4_MAPPED_MID)),
+        "ip6_lo": F.when(is6, v6["ip6_lo"]).otherwise(ipv4_to_long(c)),
+    }
+
+
+def duckdb_ip_any_3long_sql(expr: str) -> dict[str, str]:
+    hex_sql = duckdb_ipv6_hex32_sql(expr)
+    p = f"string_split({expr}, '.')"
+    v4 = (
+        f"({p}[1]::BIGINT * 16777216 + {p}[2]::BIGINT * 65536"
+        f" + {p}[3]::BIGINT * 256 + {p}[4]::BIGINT)"
+    )
+    is6 = f"contains({expr}, ':')"
+    return {
+        "ip6_hi": f"(CASE WHEN {is6} THEN "
+        f"{duckdb_hex_to_long_sql(hex_sql, 1, 12)} ELSE 0 END)",
+        "ip6_mid": f"(CASE WHEN {is6} THEN "
+        f"{duckdb_hex_to_long_sql(hex_sql, 13, 12)} ELSE {V4_MAPPED_MID} END)",
+        "ip6_lo": f"(CASE WHEN {is6} THEN "
+        f"{duckdb_hex_to_long_sql(hex_sql, 25, 8)} ELSE {v4} END)",
+    }
 
 
 # ---------------------------------------------------------------------------
