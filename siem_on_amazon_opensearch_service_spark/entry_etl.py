@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .entry_queries import _t, register
+from .entry_queries import _t, _utc, register
 from .functions.scalars import long_to_ipv4
 
 # ---------------------------------------------------------------------------
@@ -290,6 +290,97 @@ def join_ip_range_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             long_to_ipv4("ip").alias("ip_str"),
             F.col("label").alias("geo_label"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P6/P8 + F2: declarative source-config compiler (the aws.ini
+# analog, ref siem/utils.py:618-636) driving an end-to-end pipeline
+# ---------------------------------------------------------------------------
+
+_CFG_TS_FMT = [("dd/MMM/yyyy:HH:mm:ss", "%d/%b/%Y:%H:%M:%S")]
+
+#: one declarative section == one aws.ini logtype: regex source,
+#: exclusion, rename, static field, ECS coalesce, strptime-list
+#: timestamp with a per-source TZ offset.
+APACHE_CONFIG = {
+    "format": "regex",
+    "pattern": (
+        r"^(\S+) \S+ (\S+) \[([^\]]+)\] \"(\S+) (\S+) ([^\"]+)\" "
+        r"(\d{3}) (\d+|-)"
+    ),
+    "groups": [
+        "client_ip", "user", "ts_raw", "method", "request",
+        "http_version", "status", "bytes",
+    ],
+    "exclusions": [{"field": "status", "pattern": "^[45]"}],
+    "renames": {"request": "url_path"},
+    "static_fields": {"log_type": "apache_access"},
+    "ecs": {"source_ip": ["client_ip"]},
+    "timestamp": {
+        "field": "ts_raw", "formats": _CFG_TS_FMT,
+        "tz_offset_hours": 2.0, "out": "ts_utc",
+    },
+    "select": [
+        "event_id", "source_ip", "url_path", "status", "log_type", "ts_utc",
+    ],
+}
+
+_CFG_LINE_DUCK = (
+    "'192.0.2.' || (user_id % 256)::VARCHAR || ' - u' || user_id::VARCHAR"
+    " || ' [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || '] \"GET /p/'"
+    " || event_id::VARCHAR || ' HTTP/1.1\" '"
+    " || (100 + (floor(value)::BIGINT % 500))::VARCHAR"
+    " || ' ' || (event_id % 10000)::VARCHAR"
+)
+
+
+def _cfg_line_spark() -> F.Column:
+    return F.concat(
+        F.lit("192.0.2."), (F.col("user_id") % 256).cast("string"),
+        F.lit(" - u"), F.col("user_id").cast("string"),
+        F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit('] "GET /p/'), F.col("event_id").cast("string"),
+        F.lit(' HTTP/1.1" '),
+        (F.floor(F.col("value")).cast("long") % 500 + 100).cast("string"),
+        F.lit(" "), (F.col("event_id") % 10000).cast("string"),
+    )
+
+
+@register(
+    "etl_config_pipeline",
+    """
+    WITH lines AS (
+      SELECT event_id, """ + _CFG_LINE_DUCK + """ AS line
+      FROM events WHERE event_id < 400
+    ), parsed AS (
+      SELECT event_id,
+        regexp_extract(line, '^(\\S+) \\S+ (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]+)" (\\d{3}) (\\d+|-)', 1) AS client_ip,
+        regexp_extract(line, '^(\\S+) \\S+ (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]+)" (\\d{3}) (\\d+|-)', 3) AS ts_raw,
+        regexp_extract(line, '^(\\S+) \\S+ (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]+)" (\\d{3}) (\\d+|-)', 5) AS request,
+        regexp_extract(line, '^(\\S+) \\S+ (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]+)" (\\d{3}) (\\d+|-)', 7) AS status
+      FROM lines
+    )
+    SELECT event_id, client_ip AS source_ip, request AS url_path, status,
+      'apache_access' AS log_type,
+      strftime(to_timestamp(floor(epoch(try_strptime(ts_raw, '%d/%b/%Y:%H:%M:%S')))::BIGINT
+               - (2.0 * 3600)::BIGINT), '%Y-%m-%d %H:%M:%S') AS ts_utc
+    FROM parsed WHERE NOT regexp_matches(status, '^[45]')
+    """,
+)
+def etl_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END config-defined source: APACHE_CONFIG (one aws.ini
+    section analog) compiles into parse -> exclude -> rename -> static
+    -> ECS -> timestamp(+TZ shift) -> select, all native expressions
+    (config.py). The oracle is the same pipeline hand-written in SQL."""
+    from .config import compile_pipeline
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    lines = ev.select("event_id", _cfg_line_spark().alias("line"))
+    out = compile_pipeline(APACHE_CONFIG)(lines)
+    return out.withColumn(
+        "ts_utc", F.date_format("ts_utc", "yyyy-MM-dd HH:mm:ss")
     )
 
 
