@@ -154,7 +154,7 @@ def main() -> None:
     # --- representative reference-workload queries from the registry ---
     reg = entry_queries.registry()
     for name in ("agg_terms_topn", "agg_date_histogram", "join_broadcast_dim",
-                 "q1_pricing_summary", "window_topn_per_group"):
+                 "q1_pricing_summary", "window_suite"):
         if name in reg:
             timed(name, lambda n=name: reg[n](spark, SF_DIR).collect())
 

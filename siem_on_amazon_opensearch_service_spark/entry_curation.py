@@ -43,50 +43,50 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_jaccard_top20",
+    "dedup_jaccard_verified",
     f"""
     WITH s AS (
       SELECT doc_id AS id, {dedup.duckdb_shingles_sql('text')} AS sh
       FROM documents WHERE doc_id < 100
-    ), s2 AS (SELECT id, sh FROM s WHERE len(sh) > 0)
-    SELECT a.id AS id_a, b.id AS id_b,
-           round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-    FROM s2 a JOIN s2 b ON a.id < b.id
-    ORDER BY jaccard DESC, id_a, id_b LIMIT 20
-    """,
-)
-def dedup_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (3-shingle) Jaccard, all pairs of a bounded id
-    range — the small-scale baseline the LSH path approximates."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    pairs = dedup.jaccard_pairs(docs)
-    return pairs.orderBy(
-        F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")
-    ).limit(20)
-
-
-@register(
-    "dedup_lsh_verified",
-    f"""
-    WITH pairs AS ({dedup.duckdb_lsh_pairs_sql()}),
-    sh AS (
+    ), s2 AS (SELECT id, sh FROM s WHERE len(sh) > 0),
+    pairs AS ({dedup.duckdb_lsh_pairs_sql()}),
+    shall AS (
       SELECT doc_id AS id, {dedup.duckdb_shingles_sql('text')} AS s
       FROM documents
     )
-    SELECT p.id_a, p.id_b,
+    SELECT 'all_pairs_top20' AS mode, id_a, id_b, jaccard FROM (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+               AS jaccard
+      FROM s2 a JOIN s2 b ON a.id < b.id
+      ORDER BY jaccard DESC, id_a, id_b LIMIT 20)
+    UNION ALL
+    SELECT 'lsh_verified', p.id_a, p.id_b,
       round(len(list_intersect(a.s, b.s))::DOUBLE
-            / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-    FROM pairs p JOIN sh a ON a.id = p.id_a JOIN sh b ON b.id = p.id_b
+            / len(list_distinct(list_concat(a.s, b.s))), 4)
+    FROM pairs p JOIN shall a ON a.id = p.id_a JOIN shall b ON b.id = p.id_b
     """,
 )
-def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale-path dedup decision: exact n-gram Jaccard computed
-    ONLY for LSH candidate pairs (two joins against the shingle
-    table; never all-pairs)."""
+def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard both ways, one gated entry:
+    the all-pairs baseline over a bounded id range (the oracle the LSH
+    path approximates) UNION the scale-path decision -- exact Jaccard
+    computed ONLY for LSH candidate pairs (two joins against the
+    shingle table; never all-pairs)."""
     docs = _t(spark, sf_dir, "documents")
+    top20 = (
+        dedup.jaccard_pairs(docs.filter(F.col("doc_id") < 100))
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+        .select(F.lit("all_pairs_top20").alias("mode"), "id_a", "id_b",
+                "jaccard")
+    )
     pairs = dedup.lsh_candidate_pairs(docs).select("id_a", "id_b")
-    return dedup.verify_candidates_jaccard(docs, pairs)
+    verified = dedup.verify_candidates_jaccard(docs, pairs).select(
+        F.lit("lsh_verified").alias("mode"), "id_a", "id_b", "jaccard"
+    )
+    return top20.unionByName(verified)
 
 
 @register("dedup_simhash16", dedup.duckdb_simhash_sql())
@@ -246,60 +246,48 @@ _LANG_PRED, _LANG_SCORE = textstats.duckdb_lang_sql()
 
 
 @register(
-    "text_lang_id_counts",
+    "text_doc_metrics",
     f"""
-    SELECT {_LANG_PRED} AS lang_pred, count(*) AS n
-    FROM documents GROUP BY 1
+    WITH q AS ({textstats.duckdb_quality_sql()})
+    SELECT d.doc_id, {_LANG_PRED} AS lang_pred,
+      q.n_tokens, q.mean_token_len, q.distinct_ratio, q.stopword_ratio,
+      q.symbol_ratio, q.quality_score,
+      len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+          t -> t <> ''))::BIGINT AS ws_tokens,
+      len(regexp_extract_all(d.text, '{textstats.BPE_ISH_PATTERN}'))::BIGINT
+        AS bpe_tokens,
+      len({duckdb_tokens_sql('d.text')})::BIGINT AS analyzer_tokens,
+      md5(array_to_string({duckdb_tokens_sql('d.text')}, ' ')) AS fp_exact,
+      md5(array_to_string(
+        list_sort(list_distinct({duckdb_tokens_sql('d.text')})), ' '))
+        AS fp_bag
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
     """,
 )
-def text_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language id (stopword-ratio argmax), corpus counts."""
-    out = textstats.lang_id(_t(spark, sf_dir, "documents"))
-    return out.groupBy("lang_pred").agg(F.count("*").alias("n"))
-
-
-@register("text_quality", textstats.duckdb_quality_sql())
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc curation quality features + composite score."""
-    out = textstats.quality_features(_t(spark, sf_dir, "documents"))
-    return out.select(
+def text_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole text-analysis family as ONE wide per-doc row:
+    language id (stopword-ratio argmax), quality features + composite
+    score, the three token budgets (whitespace / BPE-ish / analyzer),
+    and both deterministic fingerprints (exact + bag-of-tokens)."""
+    d = _t(spark, sf_dir, "documents")
+    q = textstats.quality_features(d).select(
         "doc_id", "n_tokens", "mean_token_len", "distinct_ratio",
         "stopword_ratio", "symbol_ratio", "quality_score",
     )
-
-
-@register(
-    "text_token_counts",
-    f"""
-    SELECT doc_id,
-      len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT
-        AS ws_tokens,
-      len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}'))::BIGINT
-        AS bpe_tokens,
-      len({duckdb_tokens_sql('text')})::BIGINT AS analyzer_tokens
-    FROM documents
-    """,
-)
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token budgeting: whitespace vs BPE-ish pretokens vs analyzer."""
-    out = textstats.token_counts(_t(spark, sf_dir, "documents"))
-    return out.select("doc_id", "ws_tokens", "bpe_tokens", "analyzer_tokens")
-
-
-@register(
-    "text_fingerprint",
-    f"""
-    SELECT doc_id,
-      md5(array_to_string({duckdb_tokens_sql('text')}, ' ')) AS fp_exact,
-      md5(array_to_string(list_sort(list_distinct({duckdb_tokens_sql('text')})), ' '))
-        AS fp_bag
-    FROM documents
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic document fingerprints (exact + bag-of-tokens)."""
-    out = textstats.fingerprint(_t(spark, sf_dir, "documents"))
-    return out.select("doc_id", "fp_exact", "fp_bag")
+    li = textstats.lang_id(d).select("doc_id", "lang_pred")
+    tc = textstats.token_counts(d).select(
+        "doc_id", "ws_tokens", "bpe_tokens", "analyzer_tokens"
+    )
+    fp = textstats.fingerprint(d).select("doc_id", "fp_exact", "fp_bag")
+    return (
+        li.join(q, "doc_id").join(tc, "doc_id").join(fp, "doc_id")
+        .select(
+            "doc_id", "lang_pred", "n_tokens", "mean_token_len",
+            "distinct_ratio", "stopword_ratio", "symbol_ratio",
+            "quality_score", "ws_tokens", "bpe_tokens", "analyzer_tokens",
+            "fp_exact", "fp_bag",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -310,59 +298,63 @@ _TOKEXPR = f"len({duckdb_tokens_sql('text')})"
 
 
 @register(
-    "pack_sequences",
-    packing.duckdb_pack_sql("documents", _TOKEXPR, budget=512,
-                            shard_col="lang"),
-)
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: assign docs to ~512-token training packs per
-    language shard (window cumulative sum, deterministic order)."""
-    from .analysis import tokens_sql
-
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "_tok", F.size(F.expr(tokens_sql("text"))).cast("long")
-    )
-    return packing.pack_sequences(d, "_tok", budget=512, shard_col="lang")
-
-
-@register(
-    "sample_stratified",
+    "pack_sample_shard",
     f"""
-    SELECT lang, count(*) AS n FROM documents
+    WITH packed AS (
+      {packing.duckdb_pack_sql("documents", _TOKEXPR, budget=512,
+                               shard_col="lang")}
+    )
+    SELECT 'pack' AS chk, doc_id::VARCHAR AS key, pack_id AS n,
+      lang || ':' || tokens::VARCHAR || ':' || oversize::VARCHAR AS detail
+    FROM packed
+    UNION ALL
+    SELECT 'sample', lang, count(*), '' FROM documents
     WHERE (CASE
       WHEN lang = 'en' THEN {packing.duckdb_hash_sample_sql('doc_id', 0.25)}
       ELSE {packing.duckdb_hash_sample_sql('doc_id', 0.8)} END)
     GROUP BY lang
+    UNION ALL
+    SELECT 'shard', ({packing.duckdb_shard_sql('doc_id', 16)})::VARCHAR,
+           count(*), ''
+    FROM documents GROUP BY 2
     """,
 )
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling (downsample the head
-    language, keep the tail): md5-threshold predicate, row-identical
-    across engines and runs."""
+def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch assembly in one gated entry: ~512-token sequence
+    packing per language shard (window cumsum), deterministic
+    stratified sampling (md5-threshold, head language downsampled),
+    and the 16-way training-shard assignment histogram."""
+    from .analysis import tokens_sql
+
     d = _t(spark, sf_dir, "documents")
-    out = packing.stratified_sample(
+    dt = d.withColumn("_tok", F.size(F.expr(tokens_sql("text"))).cast("long"))
+    pack = packing.pack_sequences(dt, "_tok", budget=512, shard_col="lang") \
+        .select(
+            F.lit("pack").alias("chk"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("pack_id").alias("n"),
+            F.concat_ws(
+                ":", "lang", F.col("tokens").cast("string"),
+                F.col("oversize").cast("string"),
+            ).alias("detail"),
+        )
+    sample = packing.stratified_sample(
         d, "lang", {"en": 0.25}, key_col="doc_id", default=0.8
+    ).groupBy("lang").agg(F.count("*").alias("n")).select(
+        F.lit("sample").alias("chk"), F.col("lang").alias("key"), "n",
+        F.lit("").alias("detail"),
     )
-    return out.groupBy("lang").agg(F.count("*").alias("n"))
-
-
-@register(
-    "export_shard_assign",
-    f"""
-    SELECT {packing.duckdb_shard_sql('doc_id', 16)} AS shard,
-           count(*) AS n
-    FROM documents GROUP BY 1
-    """,
-)
-def export_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic training-shard assignment histogram (the
-    write_training_shards layout, verified engine-neutrally)."""
-    d = _t(spark, sf_dir, "documents")
-    return (
+    shard = (
         d.select(packing.shard_id("doc_id", 16).alias("shard"))
         .groupBy("shard")
         .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("shard").alias("chk"),
+            F.col("shard").cast("string").alias("key"), "n",
+            F.lit("").alias("detail"),
+        )
     )
+    return pack.unionByName(sample).unionByName(shard)
 
 
 _Q_SQL = textstats.duckdb_quality_sql()

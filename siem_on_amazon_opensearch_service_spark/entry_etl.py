@@ -87,22 +87,28 @@ def proj_ecs_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "proj_prune_truncate",
+    "proj_shape",
     """
-    SELECT doc_id,
-      CASE WHEN text IS NULL OR text IN ('', '-', 'null') THEN NULL
-           ELSE text END IS NOT NULL AS kept,
+    SELECT 'prune_truncate' AS chk, doc_id::VARCHAR AS key,
+      (CASE WHEN text IS NULL OR text IN ('', '-', 'null') THEN NULL
+            ELSE text END IS NOT NULL)::VARCHAR AS v1,
       CASE WHEN length(text) > 200
            THEN substr(text, 1, 200) || '<<TRUNCATED>>'
-           ELSE text END AS body,
-      length(text) > 200 AS truncated
+           ELSE text END AS v2,
+      (length(text) > 200)::VARCHAR AS v3
     FROM documents
+    UNION ALL
+    SELECT 'field_prefix', event_id::VARCHAR, event_type,
+           user_id::VARCHAR, ''
+    FROM events WHERE event_id < 300
     """,
 )
-def proj_prune_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value hygiene (P10 + P11, ref siem/__init__.py:1105-1147):
-    empty/'-'/'null' values pruned to NULL; oversize strings truncated
-    with the reference's '<<TRUNCATED>>' marker."""
+def proj_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-shape family in one gated entry: value hygiene
+    (P10/P11, ref siem/__init__.py:1105-1147 -- empty/'-'/'null' ->
+    NULL, oversize strings truncated with '<<TRUNCATED>>') UNION field
+    prefixing (P12, ref siem/__init__.py:981-995 -- originals moved
+    under a namespace struct, projected flat for hashing)."""
     d = _t(spark, sf_dir, "documents")
     pruned = F.when(
         F.col("text").isNull() | F.col("text").isin("", "-", "null"), None
@@ -111,37 +117,23 @@ def proj_prune_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") > 200,
         F.concat(F.substring("text", 1, 200), F.lit("<<TRUNCATED>>")),
     ).otherwise(F.col("text"))
-    return d.select(
-        "doc_id",
-        pruned.isNotNull().alias("kept"),
-        body.alias("body"),
-        (F.length("text") > 200).alias("truncated"),
+    prune_part = d.select(
+        F.lit("prune_truncate").alias("chk"),
+        F.col("doc_id").cast("string").alias("key"),
+        pruned.isNotNull().cast("string").alias("v1"),
+        body.alias("v2"),
+        (F.length("text") > 200).cast("string").alias("v3"),
     )
-
-
-# ---------------------------------------------------------------------------
-# P12: field prefixing (namespace struct)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "proj_field_prefix",
-    """
-    SELECT event_id, event_type AS aws_event_type, user_id AS aws_user_id
-    FROM events WHERE event_id < 300
-    """,
-)
-def proj_field_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Field prefixing (P12, ref siem/__init__.py:981-995): original
-    fields moved under a namespace struct; projected flat here so the
-    oracle can hash it (struct == prefixed columns)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
     ns = F.struct(F.col("event_type"), F.col("user_id"))
-    return ev.select(
-        "event_id",
-        ns.getField("event_type").alias("aws_event_type"),
-        ns.getField("user_id").alias("aws_user_id"),
+    prefix_part = ev.select(
+        F.lit("field_prefix").alias("chk"),
+        F.col("event_id").cast("string").alias("key"),
+        ns.getField("event_type").alias("v1"),
+        ns.getField("user_id").cast("string").alias("v2"),
+        F.lit("").alias("v3"),
     )
+    return prune_part.unionByName(prefix_part)
 
 
 # ---------------------------------------------------------------------------
@@ -210,16 +202,29 @@ def _ip6_lookup_oracle() -> str:
              {parts["ip6_lo"]} AS lo
       FROM fact
     )
-    SELECT d.label AS label, count(*) AS n
+    SELECT 'lookup' AS chk, d.label AS key, count(*)::VARCHAR AS v1,
+           '' AS v2
     FROM keyed f JOIN dim d
       ON (f.hi, f.mid, f.lo) >= (d.s_hi, d.s_mid, d.s_lo)
      AND (f.hi, f.mid, f.lo) <= (d.e_hi, d.e_mid, d.e_lo)
     GROUP BY d.label
+    UNION ALL
+    SELECT 'enrich', f.event_id::VARCHAR,
+      ((f.ip // 16777216) % 256)::VARCHAR || '.' ||
+      ((f.ip // 65536) % 256)::VARCHAR || '.' ||
+      ((f.ip // 256) % 256)::VARCHAR || '.' || (f.ip % 256)::VARCHAR,
+      d.label
+    FROM (
+      SELECT event_id, (user_id * 2654435761 + event_id) % 4294967296 AS ip
+      FROM events WHERE event_id < 300
+    ) f JOIN (VALUES {", ".join(f"({a}, {b}, '{c}')" for a, b, c in _IP_DIM)})
+        d(net_start, net_end, label)
+      ON f.ip >= d.net_start AND f.ip < d.net_end
     """
 
 
-@register("join_ip_range_lookup", _ip6_lookup_oracle())
-def join_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("join_ip_range", _ip6_lookup_oracle())
+def join_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoIP/IOC IP-interval lookup over MIXED v4/v6 facts (J1/J2, ref
     siem/ioc.py:167-230 + the IPv6 3-column split of
     ioc_database/lambda_function.py:296-346): every address maps into
@@ -246,51 +251,42 @@ def join_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.struct(F.col("hi"), F.col("mid"), F.col("lo"))
     lo_b = F.struct(dim.s_hi, dim.s_mid, dim.s_lo)
     hi_b = F.struct(dim.e_hi, dim.e_mid, dim.e_lo)
-    return (
+    lookup_part = (
         keyed.join(F.broadcast(dim), (key >= lo_b) & (key <= hi_b))
         .groupBy("label")
         .agg(F.count("*").alias("n"))
-    )
-
-
-@register(
-    "join_ip_range_enrich",
-    f"""
-    WITH dim(net_start, net_end, label) AS (
-      VALUES {", ".join(f"({a}, {b}, '{c}')" for a, b, c in _IP_DIM)}
-    ), fact AS (
-      SELECT event_id, (user_id * 2654435761 + event_id) % 4294967296 AS ip
-      FROM events WHERE event_id < 300
-    )
-    SELECT f.event_id,
-      ((f.ip // 16777216) % 256)::VARCHAR || '.' ||
-      ((f.ip // 65536) % 256)::VARCHAR || '.' ||
-      ((f.ip // 256) % 256)::VARCHAR || '.' || (f.ip % 256)::VARCHAR AS ip_str,
-      d.label AS geo_label
-    FROM fact f JOIN dim d ON f.ip >= d.net_start AND f.ip < d.net_end
-    """,
-)
-def join_ip_range_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level enrichment variant of the range join (the GeoIP
-    city-per-event shape) with the ip rendered dotted-quad."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
-    fact = ev.select(
-        "event_id",
-        ((F.col("user_id") * 2654435761 + F.col("event_id")) % 4294967296)
-        .alias("ip"),
-    )
-    dim = spark.createDataFrame(_IP_DIM, "net_start long, net_end long, label string")
-    return (
-        fact.join(
-            F.broadcast(dim),
-            (fact.ip >= dim.net_start) & (fact.ip < dim.net_end),
+        .select(
+            F.lit("lookup").alias("chk"), F.col("label").alias("key"),
+            F.col("n").cast("string").alias("v1"), F.lit("").alias("v2"),
         )
+    )
+
+    # row-level enrichment variant (the GeoIP city-per-event shape,
+    # v4 dim) -- same broadcast range-join machinery, row output.
+    fact4 = (
+        ev.filter(F.col("event_id") < 300)
         .select(
             "event_id",
-            long_to_ipv4("ip").alias("ip_str"),
-            F.col("label").alias("geo_label"),
+            ((F.col("user_id") * 2654435761 + F.col("event_id")) % 4294967296)
+            .alias("ip4"),
         )
     )
+    dim4 = spark.createDataFrame(
+        _IP_DIM, "net_start long, net_end long, label string"
+    )
+    enrich_part = (
+        fact4.join(
+            F.broadcast(dim4),
+            (fact4.ip4 >= dim4.net_start) & (fact4.ip4 < dim4.net_end),
+        )
+        .select(
+            F.lit("enrich").alias("chk"),
+            F.col("event_id").cast("string").alias("key"),
+            long_to_ipv4("ip4").alias("v1"),
+            F.col("label").alias("v2"),
+        )
+    )
+    return lookup_part.unionByName(enrich_part)
 
 
 # ---------------------------------------------------------------------------
@@ -401,19 +397,42 @@ _HAV_DUCK = f"""
 
 
 @register(
-    "geo_distance_rollup",
+    "join_range_geo_bands",
     f"""
-    SELECT floor({_HAV_DUCK} / 2500)::BIGINT AS ring_2500km,
-           count(*) AS n
-    FROM events
-    GROUP BY 1
+    WITH bands(lo, hi, band) AS (
+      VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'),
+             (200.0, 1e9, 'high')
+    )
+    SELECT 'value_band:' || b.band AS bucket, count(*) AS n,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    UNION ALL
+    SELECT 'geo_ring:' || (floor({_HAV_DUCK} / 2500)::BIGINT)::VARCHAR,
+           count(*), 0.0
+    FROM events GROUP BY 1
     """,
 )
-def geo_distance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """geo_point semantics: haversine distance from synthesized
-    lat/lon to a center, rolled up into 2500 km rings (the region_map
-    aggregation shape) -- native trig expressions, map-side only."""
+def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two band rollups in one gated entry: the numeric interval
+    lookup join (J1/J2 shape: fact value BETWEEN broadcast dim bounds,
+    plans as BroadcastNestedLoopJoin over 3 rows -- the fact side
+    never shuffles) and the geo_point haversine ring rollup (the
+    region_map aggregation, ref data.ini:127 / waf.ndjson) -- native
+    trig, map-side only."""
     ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1e9, "high")],
+        "lo double, hi double, band string",
+    )
+    band_part = (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy(F.concat(F.lit("value_band:"), F.col("band")).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
     lat = (F.col("user_id") * 7 % 180) - 90 + 0.5
     lon = (F.col("event_id") * 13 % 360) - 180 + 0.5
     clat = F.lit(float(_CENTER_LAT))
@@ -427,87 +446,15 @@ def geo_distance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return (
-        ev.select(F.floor(dist / 2500).cast("long").alias("ring_2500km"))
-        .groupBy("ring_2500km")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@register(
-    "agg_percentiles",
-    """
-    SELECT event_type,
-      round(quantile_cont(value, 0.5), 4) AS p50,
-      round(quantile_cont(value, 0.9), 4) AS p90,
-      round(quantile_cont(value, 0.99), 4) AS p99
-    FROM events GROUP BY event_type
-    """,
-)
-def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percentiles aggregation (the OpenSearch `percentiles` metric):
-    exact interpolated percentiles per bucket."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# S10: CloudWatch-Logs-style envelope source
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "src_envelope_explode",
-    """
-    WITH env AS (
-      SELECT user_id,
-        '{"messageType":"' ||
-        (CASE WHEN user_id % 7 = 0 THEN 'CONTROL_MESSAGE' ELSE 'DATA_MESSAGE' END)
-        || '","owner":"acct' || (user_id % 5)::VARCHAR
-        || '","logEvents":[{"id":1,"message":"m' || user_id::VARCHAR
-        || 'a"},{"id":2,"message":"m' || user_id::VARCHAR || 'b"}]}' AS payload
-      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 200)
-    )
-    SELECT json_extract_string(payload, '$.owner') AS owner,
-           json_array_length(payload, '$.logEvents')::BIGINT AS inner_id_count
-    FROM env
-    WHERE json_extract_string(payload, '$.messageType') = 'DATA_MESSAGE'
-    """,
-)
-def src_envelope_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CloudWatch-Logs envelope source (S10, ref
-    siem/__init__.py:290-338): DATA_MESSAGE filter, meta fan-out, and
-    the nested logEvents array surfaced (count projected here so the
-    oracle hashes scalars)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
-    users = ev.select("user_id").distinct()
-    payload = F.concat(
-        F.lit('{"messageType":"'),
-        F.when(F.col("user_id") % 7 == 0, F.lit("CONTROL_MESSAGE"))
-        .otherwise(F.lit("DATA_MESSAGE")),
-        F.lit('","owner":"acct'), (F.col("user_id") % 5).cast("string"),
-        F.lit('","logEvents":[{"id":1,"message":"m'),
-        F.col("user_id").cast("string"),
-        F.lit('a"},{"id":2,"message":"m'), F.col("user_id").cast("string"),
-        F.lit('b"}]}'),
-    )
-    env = users.select("user_id", payload.alias("payload"))
-    parsed = env.withColumn(
-        "rec",
-        F.from_json(
-            "payload",
-            "messageType string, owner string, "
-            "logEvents array<struct<id:int,message:string>>",
-        ),
-    )
-    return (
-        parsed.filter(F.col("rec.messageType") == "DATA_MESSAGE")
-        .select(
-            F.col("rec.owner").alias("owner"),
-            F.size("rec.logEvents").cast("long").alias("inner_id_count"),
+    geo_part = (
+        ev.select(
+            F.concat(
+                F.lit("geo_ring:"),
+                F.floor(dist / 2500).cast("long").cast("string"),
+            ).alias("bucket")
         )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("sum_value", F.lit(0.0))
     )
+    return band_part.unionByName(geo_part)

@@ -171,42 +171,48 @@ def ft_term_df_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ft_doclen",
-    f"SELECT doc_id, len({duckdb_tokens_sql('text')})::BIGINT AS doclen "
-    "FROM documents",
-)
-def ft_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc token count (the Lucene norms analog, SURVEY.md M2)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.size(F.expr(tokens_sql("text"))).cast("long").alias("doclen")
-    )
-
-
-@register(
-    "ft_corpus_stats",
+    "ft_corpus_doclen",
     f"""
     WITH dl AS (
       SELECT doc_id, len({duckdb_tokens_sql('text')}) AS dl FROM documents
-    ), v AS (
-      SELECT count(DISTINCT term) AS nt FROM (
-        SELECT unnest({duckdb_tokens_sql('text')}) AS term FROM documents)
     )
-    SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 4) AS avgdl,
-           (SELECT nt FROM v)::BIGINT AS n_terms
-    FROM dl
+    SELECT 'doclen' AS chk, doc_id::VARCHAR AS key, dl::DOUBLE AS num FROM dl
+    UNION ALL SELECT 'stats', 'n_docs', count(*)::DOUBLE FROM dl
+    UNION ALL SELECT 'stats', 'avgdl', round(avg(dl), 4) FROM dl
+    UNION ALL SELECT 'stats', 'n_terms', count(DISTINCT term)::DOUBLE FROM (
+      SELECT unnest({duckdb_tokens_sql('text')}) AS term FROM documents)
     """,
 )
-def ft_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ft_corpus_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts (the Lucene norms analog, SURVEY.md M2)
+    UNION the corpus stats (n_docs, avgdl, vocabulary size) as tagged
+    (chk, key, num) rows -- one driver-hashed entry for both."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.expr(tokens_sql("text")).alias("t"))
-    dl = toks.select(F.size("t").alias("dl"))
-    nt = toks.select(F.explode("t").alias("term")).agg(
-        F.countDistinct("term").alias("nt")
+    toks = docs.select("doc_id", F.expr(tokens_sql("text")).alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    doclen_part = dl.select(
+        F.lit("doclen").alias("chk"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("dl").cast("double").alias("num"),
     )
-    return dl.agg(
-        F.count("*").alias("n_docs"), F.round(F.avg("dl"), 4).alias("avgdl")
-    ).crossJoin(nt.select(F.col("nt").cast("long").alias("n_terms")))
+    nt = toks.select(F.explode("t").alias("term")).agg(
+        F.countDistinct("term").cast("double").alias("n_terms")
+    )
+    srow = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.round(F.avg("dl"), 4).alias("avgdl"),
+    ).crossJoin(nt)
+    stats_part = srow.select(
+        F.lit("stats").alias("chk"),
+        F.explode(
+            F.create_map(
+                F.lit("n_docs"), F.col("n_docs"),
+                F.lit("avgdl"), F.col("avgdl"),
+                F.lit("n_terms"), F.col("n_terms"),
+            )
+        ),
+    ).withColumnRenamed("key", "key").withColumnRenamed("value", "num")
+    return doclen_part.unionByName(stats_part)
 
 # ---------------------------------------------------------------------------
 # Aggregations (reference dashboard workload, SURVEY.md section 2.4)
@@ -253,25 +259,53 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_filters",
+    "agg_filters_histogram",
     """
-    SELECT count(*) FILTER (event_type = 'click') AS n_click,
-           count(*) FILTER (event_type = 'purchase') AS n_purchase,
-           count(*) FILTER (event_type = 'error' AND value > 100) AS n_error_high
-    FROM events
+    SELECT 'filters:' ||
+           (CASE b WHEN 0 THEN 'click' WHEN 1 THEN 'purchase'
+                   ELSE 'error_high' END) AS bucket,
+           (CASE b WHEN 0 THEN count(*) FILTER (event_type = 'click')
+                   WHEN 1 THEN count(*) FILTER (event_type = 'purchase')
+                   ELSE count(*) FILTER (event_type = 'error' AND value > 100)
+            END) AS n,
+           0.0 AS sum_v
+    FROM events, (SELECT unnest([0, 1, 2]) AS b) GROUP BY b
+    UNION ALL
+    SELECT 'hist:' || (floor(value / 25)::BIGINT)::VARCHAR AS bucket,
+           count(*) AS n, round(sum(value), 4) AS sum_v
+    FROM events GROUP BY 1
     """,
 )
-def agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`filters` agg (A6): N named predicate buckets as conditional
-    counts -- grouping-sets style, single pass."""
+def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`filters` agg (A6: named predicate buckets, single pass) UNION
+    the numeric `histogram` agg (fixed 25-wide intervals) as tagged
+    bucket rows."""
     ev = _t(spark, sf_dir, "events")
-    return ev.agg(
-        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
-        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+    filters_part = ev.agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("click"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase"),
         F.count(
             F.when((F.col("event_type") == "error") & (F.col("value") > 100), 1)
-        ).alias("n_error_high"),
+        ).alias("error_high"),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("filters:click"), F.col("click"),
+                F.lit("filters:purchase"), F.col("purchase"),
+                F.lit("filters:error_high"), F.col("error_high"),
+            )
+        ).alias("bucket", "n")
+    ).select("bucket", "n", F.lit(0.0).alias("sum_v"))
+    hist_part = (
+        ev.groupBy(
+            F.concat(
+                F.lit("hist:"),
+                F.floor(F.col("value") / 25).cast("long").cast("string"),
+            ).alias("bucket")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
     )
+    return filters_part.unionByName(hist_part)
 
 
 @register(
@@ -325,18 +359,21 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_extended_stats",
+    "agg_stats_percentiles",
     """
     SELECT event_type, count(*) AS n, round(min(value), 4) AS min_v,
            round(max(value), 4) AS max_v, round(avg(value), 4) AS avg_v,
            round(stddev_samp(value), 4) AS std_v,
-           round(sum(value), 4) AS sum_v
+           round(sum(value), 4) AS sum_v,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
     FROM events GROUP BY event_type
     """,
 )
-def agg_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`extended_stats` metric agg: min/max/avg/stddev/sum per bucket
-    in one pass."""
+def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`extended_stats` + `percentiles` metric aggs in one pass per
+    bucket: min/max/avg/stddev/sum plus exact interpolated p50/90/99."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -345,25 +382,12 @@ def agg_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 4).alias("avg_v"),
         F.round(F.stddev_samp("value"), 4).alias("std_v"),
         F.round(F.sum("value"), 4).alias("sum_v"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
 
 
-@register(
-    "agg_histogram_numeric",
-    """
-    SELECT floor(value / 25)::BIGINT AS bucket, count(*) AS n,
-           round(sum(value), 4) AS sum_v
-    FROM events GROUP BY 1
-    """,
-)
-def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`histogram` agg: fixed numeric interval buckets."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.floor(F.col("value") / 25).cast("long").alias("bucket")
-    ).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v")
-    )
 
 
 @register(
@@ -416,6 +440,40 @@ def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+@register(
+    "agg_alert_threshold",
+    """
+    WITH windowed AS (
+      SELECT user_id, count(*) AS n_failures,
+             round(sum(value), 4) AS sum_value
+      FROM events
+      WHERE event_type = 'error'
+      GROUP BY user_id
+    )
+    SELECT user_id, n_failures, sum_value,
+           CASE WHEN n_failures >= 10 THEN 'high' ELSE 'medium' END
+             AS severity
+    FROM windowed WHERE n_failures >= 5
+    """,
+)
+def agg_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting monitor over agg buckets (ref opensearch_alert_config/
+    .../ALL_User_ConsoleLogin_failure.json:2-10: bucket the failure
+    events per user, trigger when the count crosses the threshold,
+    grade severity) -- the query a scheduled monitor would run; the
+    trigger condition is a plain HAVING over the bucket agg."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    buckets = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_failures"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return buckets.filter(F.col("n_failures") >= 5).select(
+        "user_id", "n_failures", "sum_value",
+        F.when(F.col("n_failures") >= 10, "high").otherwise("medium")
+        .alias("severity"),
     )
 
 
@@ -486,75 +544,37 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_range_bands",
-    """
-    WITH bands(lo, hi, band) AS (
-      VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'),
-             (200.0, 1e9, 'high')
-    )
-    SELECT b.band AS band, count(*) AS n,
-           round(sum(e.value), 4) AS sum_value
-    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
-    GROUP BY b.band
-    """,
-)
-def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval/range lookup join (J1/J2: the GeoIP / IOC ip-interval
-    pattern, ref siem/ioc.py:176-214): fact value BETWEEN dim bounds,
-    dim broadcast so it plans as BroadcastNestedLoopJoin over a
-    3-row table instead of a shuffle."""
-    ev = _t(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
-        [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1e9, "high")],
-        "lo double, hi double, band string",
-    )
-    return (
-        ev.join(
-            F.broadcast(bands),
-            (ev.value >= bands.lo) & (ev.value < bands.hi),
-        )
-        .groupBy("band")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
-    )
 
 
 @register(
-    "join_semi_customers_with_orders",
+    "join_semi_anti",
     """
-    SELECT c_mktsegment, count(*) AS n_customers
+    SELECT 'semi' AS mode, c_mktsegment, count(*) AS n_customers
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_mktsegment
-    """,
-)
-def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers"))
-    )
-
-
-@register(
-    "join_anti_customers_without_orders",
-    """
-    SELECT c_mktsegment, count(*) AS n_customers
+    UNION ALL
+    SELECT 'anti', c_mktsegment, count(*)
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_mktsegment
     """,
 )
-def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence joins both ways: left_semi (customers WITH orders) and
+    left_anti (WITHOUT), tagged and unioned into one gated entry."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers"))
-    )
+
+    def side(how: str, tag: str) -> DataFrame:
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, how)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"))
+            .select(F.lit(tag).alias("mode"), "c_mktsegment", "n_customers")
+        )
+
+    return side("left_semi", "semi").unionByName(side("left_anti", "anti"))
 
 
 # ---------------------------------------------------------------------------
@@ -563,57 +583,63 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
-    "window_topn_per_group",
+    "window_suite",
     """
-    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    SELECT 'topn' AS chk, o_custkey::VARCHAR AS k1, o_orderkey::VARCHAR AS k2,
+           o_totalprice AS num1, rn::DOUBLE AS num2
+    FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (
                PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey) AS rn
       FROM orders)
     WHERE rn <= 2 AND o_custkey <= 100
+    UNION ALL
+    SELECT 'running', event_id::VARCHAR, user_id::VARCHAR,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4), 0.0
+    FROM events WHERE user_id <= 20
     """,
 )
-def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function family (SURVEY.md 2.5) in one gated entry:
+    top-N per group (row_number, the dashboard per-group table) and a
+    running cumulative sum, tagged and canonicalized to strings."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
-    return (
+    topn = (
         o.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") <= 2) & (F.col("o_custkey") <= 100))
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .select(
+            F.lit("topn").alias("chk"),
+            F.col("o_custkey").cast("string").alias("k1"),
+            F.col("o_orderkey").cast("string").alias("k2"),
+            F.col("o_totalprice").alias("num1"),
+            F.col("rn").cast("double").alias("num2"),
+        )
     )
-
-
-@register(
-    "window_running_sum",
-    """
-    SELECT event_id, user_id,
-           round(sum(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
-    FROM events WHERE user_id <= 20
-    """,
-)
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
-    w = (
+    wr = (
         Window.partitionBy("user_id")
         .orderBy(F.asc("ts"), F.asc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    running = (
         ev.filter(F.col("user_id") <= 20)
         .select(
-            "event_id", "user_id",
-            F.round(F.sum("value").over(w), 4).alias("running"),
+            F.lit("running").alias("chk"),
+            F.col("event_id").cast("string").alias("k1"),
+            F.col("user_id").cast("string").alias("k2"),
+            F.round(F.sum("value").over(wr), 4).alias("num1"),
+            F.lit(0.0).alias("num2"),
         )
     )
+    return topn.unionByName(running)
 
 
 # Curation-operator registrations (dedup / similarity / text analysis /

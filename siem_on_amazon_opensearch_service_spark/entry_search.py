@@ -118,38 +118,43 @@ FROM kept ORDER BY s DESC, doc_id LIMIT 20
 """
 
 
-@register("ft_bool_topk", _BOOL_SQL)
-def ft_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bool query: must=[table, value] should=[spark] must_not=[slow]
-    — conjunction via matched-must count, exclusion via anti-join,
-    scores over matched must+should terms."""
+def ft_bool_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bool-query family in one gated entry: must/should/must_not
+    conjunction + exclusion, per-clause boosts (query_string term^N),
+    and minimum_should_match=2 -- each variant's top-20 tagged and
+    unioned."""
     from .index.boolquery import bool_topk
 
-    top = bool_topk(
-        _built_index(spark, sf_dir),
-        must=_BOOL_MUST, should=_BOOL_SHOULD, must_not=_BOOL_NOT, k=20,
+    ix = _built_index(spark, sf_dir)
+
+    def tagged(tag: str, top: DataFrame) -> DataFrame:
+        return top.select(
+            F.lit(tag).alias("variant"), "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+
+    return (
+        tagged("bool", bool_topk(
+            ix, must=_BOOL_MUST, should=_BOOL_SHOULD, must_not=_BOOL_NOT,
+            k=20,
+        ))
+        .unionByName(tagged("boosted", bool_topk(
+            ix, should=["spark", "table"], k=20, boosts={"spark": 3.0},
+        )))
+        .unionByName(tagged("min_should", bool_topk(
+            ix, should=_MSM_SHOULD, k=20, minimum_should_match=2,
+        )))
     )
-    return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
-@register(
-    "ft_prefix_match",
-    f"""
+_PREFIX_SQL = f"""
     WITH tok AS (
       SELECT doc_id, unnest({_TOK}) AS term FROM documents
     )
     SELECT DISTINCT doc_id, 1.0::DOUBLE AS score FROM tok
     WHERE term LIKE 'st%'
     ORDER BY doc_id LIMIT 30
-    """,
-)
-def ft_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix query st* (constant-score multi-term rewrite; the term
-    LIKE predicate pushes down to the term-sorted parquet scan as a
-    dictionary range seek)."""
-    from .index.boolquery import multiterm_topk
-
-    return multiterm_topk(_built_index(spark, sf_dir), "st%", k=30)
+"""
 
 
 _TOPHITS_SQL = f"""
@@ -180,8 +185,7 @@ FROM ranked WHERE rn <= 3
 """
 
 
-@register("ft_top_hits_per_facet", _TOPHITS_SQL)
-def ft_top_hits_per_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _top_hits_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`top_hits` sub-aggregation: the best 3 hits inside every facet
     bucket (the dashboard per-group table) — window row_number over
     the match set joined to the facet column."""
@@ -222,16 +226,6 @@ FROM scored ORDER BY s DESC, doc_id LIMIT 20
 """
 
 
-@register("ft_bool_boosted", _BOOST_SQL)
-def ft_bool_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-clause boost (query_string spark^3 table): the boosted
-    term's contribution is tripled before summation."""
-    from .index.boolquery import bool_topk
-
-    top = bool_topk(_built_index(spark, sf_dir),
-                    should=["spark", "table"], k=20,
-                    boosts={"spark": 3.0})
-    return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
 _MSM_SHOULD = ["spark", "join", "stream"]
@@ -260,15 +254,18 @@ ORDER BY s DESC, doc_id LIMIT 20
 """
 
 
-@register("ft_bool_min_should_match", _MSM_SQL)
-def ft_bool_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bool with minimum_should_match=2 over three should clauses —
-    docs must contain at least two distinct query terms."""
-    from .index.boolquery import bool_topk
-
-    top = bool_topk(_built_index(spark, sf_dir), should=_MSM_SHOULD,
-                    k=20, minimum_should_match=2)
-    return top.select("doc_id", F.round("score", 4).alias("score"))
+# register the merged bool family now that all three oracle bodies
+# exist (the callable itself is defined above).
+register(
+    "ft_bool_variants",
+    f"""
+    SELECT 'bool' AS variant, doc_id, score FROM ({_BOOL_SQL})
+    UNION ALL
+    SELECT 'boosted', doc_id, score FROM ({_BOOST_SQL})
+    UNION ALL
+    SELECT 'min_should', doc_id, score FROM ({_MSM_SQL})
+    """,
+)(ft_bool_variants)
 
 
 _FUZZY_TERM = "tabl"  # one deletion from 'table'
@@ -297,32 +294,78 @@ FROM scored ORDER BY s DESC, doc_id LIMIT 20
 """
 
 
-@register("ft_fuzzy_match", _FUZZY_SQL)
-def ft_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy term query 'tabel'~1: dictionary expansion by edit
-    distance over term_stats, matched variants scored and summed."""
-    from .index.boolquery import fuzzy_topk
+@register(
+    "ft_multiterm",
+    f"""
+    SELECT 'prefix' AS qtype, doc_id, score FROM ({_PREFIX_SQL})
+    UNION ALL
+    SELECT 'fuzzy', doc_id, score FROM ({_FUZZY_SQL})
+    """,
+)
+def ft_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term dictionary-expansion queries in one gated entry:
+    prefix st* (constant-score rewrite; the LIKE predicate pushes down
+    to the term-sorted parquet scan) and fuzzy 'tabl'~1 (edit-distance
+    expansion over term_stats, matched variants scored and summed)."""
+    from .index.boolquery import fuzzy_topk, multiterm_topk
 
-    top = fuzzy_topk(_built_index(spark, sf_dir), _FUZZY_TERM, k=20,
-                     max_edits=1)
-    return top.select("doc_id", F.round("score", 4).alias("score"))
+    ix = _built_index(spark, sf_dir)
+    prefix = multiterm_topk(ix, "st%", k=30).select(
+        F.lit("prefix").alias("qtype"), "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+    fuzzy = fuzzy_topk(ix, _FUZZY_TERM, k=20, max_edits=1).select(
+        F.lit("fuzzy").alias("qtype"), "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+    return prefix.unionByName(fuzzy)
 
 
-@register("ft_index_stats", None)  # engine internals: rows-only gate
+@register(
+    "ft_index_stats",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ), dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT (SELECT count(*) FROM tf)::BIGINT AS n_postings,
+           (SELECT count(*) FROM dft WHERE df > 200)::BIGINT
+             AS n_salted_terms,
+           TRUE AS layout_ok
+    """,
+)
 def ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index storage metrics (the A8 build-metrics analog at rest):
-    blocks, postings, compressed bytes, bytes/posting, salted terms."""
+    """Index storage metrics (the A8 build-metrics analog at rest).
+    Oracle-checkable formulation: total postings and salted-term count
+    are content-determined (salting is exactly df > threshold), and
+    the engine-internal compressed layout is asserted as a boolean
+    (blocks exist, 1-8 bytes/posting for delta+varbyte on dense ids)
+    that the oracle pins to TRUE."""
     ix = _built_index(spark, sf_dir)
     byte_cols = (
         F.octet_length("doc_ids_vb") + F.octet_length("tfs_vb")
         + F.octet_length("dls_vb")
     )
-    return ix.postings.agg(
+    agged = ix.postings.agg(
         F.count("*").alias("n_blocks"),
         F.sum("doc_count").cast("long").alias("n_postings"),
         F.sum(byte_cols).cast("long").alias("compressed_bytes"),
-        F.round(F.sum(byte_cols) / F.sum("doc_count"), 2).alias("bytes_per_posting"),
-        F.countDistinct(F.when(F.col("salt") > 0, F.col("term"))).alias("n_salted_terms"),
+        (F.sum(byte_cols) / F.sum("doc_count")).alias("bytes_per_posting"),
+    )
+    # df in term_stats is summed from compressed block doc_counts, so
+    # this cross-checks the salting rule AND the block bookkeeping
+    # against the oracle's raw-token df.
+    salted = ix.term_stats.agg(
+        F.count(F.when(F.col("df") > 200, 1)).alias("n_salted_terms")
+    )
+    layout_ok = (
+        (F.col("n_blocks") > 0) & (F.col("compressed_bytes") > 0)
+        & (F.col("bytes_per_posting") >= 1.0)
+        & (F.col("bytes_per_posting") <= 8.0)
+    )
+    return agged.crossJoin(salted).select(
+        "n_postings", "n_salted_terms", layout_ok.alias("layout_ok")
     )
 
 
@@ -468,9 +511,7 @@ _FACET_QUERY = "spark table join stream"
 _FACET_TERMS = _FACET_QUERY.split()
 
 
-@register(
-    "ft_search_facet_lang",
-    f"""
+_FACET_SQL = f"""
     WITH tok AS (
       SELECT doc_id, unnest({_TOK}) AS term FROM documents
     ),
@@ -481,14 +522,33 @@ _FACET_TERMS = _FACET_QUERY.split()
     SELECT d.lang AS lang, count(*) AS n
     FROM matched m JOIN documents d ON d.doc_id = m.doc_id
     GROUP BY d.lang ORDER BY n DESC, lang LIMIT 10
+"""
+
+
+@register(
+    "ft_facets",
+    f"""
+    SELECT 'facet' AS chk, lang, 0 AS rank, 0::BIGINT AS doc_id,
+           n::DOUBLE AS score
+    FROM ({_FACET_SQL})
+    UNION ALL
+    SELECT 'top_hits', lang, rank, doc_id, score FROM ({_TOPHITS_SQL})
     """,
 )
-def ft_search_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OpenSearch hits+aggregations shape: a `terms` facet over the
-    FULL match set of the query (dashboard pattern, SURVEY.md A1)."""
+def ft_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OpenSearch hits+aggregations shape in one gated entry: a
+    `terms` facet over the FULL match set (dashboard pattern,
+    SURVEY.md A1) UNION the `top_hits` best-3-per-bucket table."""
     from .index.boolquery import search_facets
 
-    out = search_facets(
+    facet = search_facets(
         _built_index(spark, sf_dir), _FACET_QUERY, ["lang"], k=10
+    )["facet:lang"].select(
+        F.lit("facet").alias("chk"), "lang",
+        F.lit(0).alias("rank"), F.lit(0).cast("long").alias("doc_id"),
+        F.col("n").cast("double").alias("score"),
     )
-    return out["facet:lang"]
+    top = _top_hits_df(spark, sf_dir).select(
+        F.lit("top_hits").alias("chk"), "lang", "rank", "doc_id", "score",
+    )
+    return facet.unionByName(top)

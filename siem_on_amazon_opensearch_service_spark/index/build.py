@@ -261,37 +261,37 @@ def build_index(
     # partition), so shuffle bytes == distinct postings. This is the
     # ONLY tokenize scan of the corpus: doc lengths ride along, corpus
     # stats and the docs table derive from tf, never from a re-scan.
+    # explode_OUTER keeps zero-token docs as a (doc_id, doclen=0,
+    # term=NULL) sentinel row, so n_docs/doclen accounting is exact
+    # from this one pass -- no fallback count over the source.
     tokens = base.select(
-        "doc_id", F.size("_toks").alias("doclen"), F.explode("_toks").alias("term")
+        "doc_id", F.size("_toks").alias("doclen"),
+        F.explode_outer("_toks").alias("term"),
     )
-    tf = tokens.groupBy("doc_id", "doclen", "term").agg(
+    tf_all = tokens.groupBy("doc_id", "doclen", "term").agg(
         F.count("*").alias("tf")
     )
-    # tf feeds three consumers (stats, hot-term detection, posting
-    # assembly); persist so the explode+agg pass runs once.
-    # MEMORY_AND_DISK: at cluster scale this spills rather than
-    # recomputing a 100 TB scan.
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # corpus stats WITHOUT a second tokenize pass:
-    #   total_dl == sum(tf) over all postings (Σ_d Σ_t tf == Σ_d dl);
-    #   n_docs from the id-assignment offsets when available (free),
-    #   else a narrow count (covers 0-token docs either way).
-    n_docs = getattr(pages, "_spark_graft_n_rows", None)
-    if n_docs is None:
-        n_docs = pages.count()
-    drow = tf.agg(F.sum("tf").alias("dl")).collect()[0]
-    avgdl = (int(drow["dl"] or 0)) / n_docs if n_docs else 0.0
+    # tf feeds four consumers (stats, doclen table, hot-term
+    # detection, posting assembly); persist so the explode+agg pass
+    # runs once. MEMORY_AND_DISK: at cluster scale this spills rather
+    # than recomputing a 100 TB scan.
+    tf_all = tf_all.persist(StorageLevel.MEMORY_AND_DISK)
+    tf = tf_all.filter(F.col("term").isNotNull())
 
     # docs table (ids, presentation cols, doclen): doclen joined from
-    # tf (one row per doc) instead of re-tokenizing; 0-token docs get
-    # doclen 0 via the left join.
-    doclen_tbl = tf.select("doc_id", "doclen").dropDuplicates(["doc_id"])
-    docs = (
-        base.select("doc_id", *keep)
-        .join(doclen_tbl, "doc_id", "left")
-        .fillna({"doclen": 0})
-    )
+    # tf_all (one row per doc INCLUDING empty docs) -- never from a
+    # source re-scan.
+    doclen_tbl = tf_all.select("doc_id", "doclen").dropDuplicates(["doc_id"])
+    docs = base.select("doc_id", *keep).join(doclen_tbl, "doc_id", "left")
+
+    # corpus stats from the persisted tf pass alone:
+    #   n_docs == doclen rows (sentinels included);
+    #   total_dl == sum(tf) over real postings (Σ_d Σ_t tf == Σ_d dl).
+    n_docs = getattr(pages, "_spark_graft_n_rows", None)
+    if n_docs is None:
+        n_docs = doclen_tbl.count()
+    drow = tf.agg(F.sum("tf").alias("dl")).collect()[0]
+    avgdl = (int(drow["dl"] or 0)) / n_docs if n_docs else 0.0
 
     # hot-term salt map: only the Zipf head exceeds the threshold, so
     # the map is small -> broadcast join (no skewed shuffle on term

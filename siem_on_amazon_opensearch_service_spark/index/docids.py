@@ -86,4 +86,21 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url",
 
     out = part.mapInPandas(add_ids, schema=out_schema)
     out._spark_graft_n_rows = acc
+    # hand the pinned block back to the caller: once every consumer of
+    # the ids has materialized (delta written, index saved), call
+    # release_doc_ids(out) -- otherwise cached blocks/spill files
+    # accumulate per call (checkpointed builds call this once per
+    # partition, the streaming indexer once per micro-batch).
+    out._spark_graft_pinned = part
     return out
+
+
+def release_doc_ids(with_ids: DataFrame) -> None:
+    """Unpersist the range-partitioned block pinned by
+    :func:`assign_doc_ids`. Safe to call only AFTER every consumer of
+    the returned DataFrame has materialized its output: a later
+    recompute would re-sample range boundaries and mis-assign ids
+    against the stale offset table."""
+    pinned = getattr(with_ids, "_spark_graft_pinned", None)
+    if pinned is not None:
+        pinned.unpersist()

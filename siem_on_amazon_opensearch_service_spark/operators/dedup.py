@@ -137,27 +137,43 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def lsh_threshold(n_hash: int = N_HASH, n_bands: int = N_BANDS) -> float:
+    """The (b, r) S-curve midpoint: with b bands of r = n_hash/b rows,
+    the probability a pair of Jaccard similarity s becomes a candidate
+    is 1 - (1 - s^r)^b, which crosses ~0.5 near (1/b)^(1/r). Defaults
+    (b=4, r=2) target ~0.5 — a deliberately recall-heavy toy setting;
+    a production near-dup pass at 0.8+ similarity would run e.g.
+    n_hash=128, n_bands=16 (r=8, threshold ~0.71) and let the exact
+    verify step (verify_candidates_jaccard) cut the tail."""
+    r = n_hash // n_bands
+    return (1.0 / n_bands) ** (1.0 / r)
+
+
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id", n_hash: int = N_HASH,
+                        n_bands: int = N_BANDS,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
     """(id_a, id_b, n_bands) candidate near-dup pairs: docs sharing at
     least one LSH band key, with est_jaccard = matching signature
-    fraction.
+    fraction. ``(n_hash, n_bands)`` select the similarity threshold --
+    see :func:`lsh_threshold` for the S-curve.
 
-    Buckets are capped at MAX_BUCKET docs (rank by id within bucket)
-    so boilerplate-heavy buckets cannot go quadratic — the cap is the
-    skew guard this operator needs at web scale (same posture as the
-    index build's hot-term salting).
+    Buckets are capped at ``max_bucket`` docs (rank by id within
+    bucket) so boilerplate-heavy buckets cannot go quadratic — the cap
+    is the skew guard this operator needs at web scale (same posture
+    as the index build's hot-term salting).
     """
     from pyspark.sql import Window
 
-    rows = N_HASH // N_BANDS
-    sigs = minhash_signatures(docs, text_col, id_col)
+    assert n_hash % n_bands == 0, "n_hash must divide into n_bands"
+    rows = n_hash // n_bands
+    sigs = minhash_signatures(docs, text_col, id_col, n_hash)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
             F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
         )
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     ]
     bands = sigs.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
@@ -165,7 +181,7 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 
     w = Window.partitionBy("band", "key").orderBy("id")
     bands = bands.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= MAX_BUCKET
+        F.col("_rn") <= max_bucket
     ).drop("_rn")
 
     a, b = bands.alias("a"), bands.alias("b")
@@ -183,41 +199,43 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     )
     sa = sigs.select(
         F.col(id_col).alias("id_a"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASH)],
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hash)],
     )
     sb = sigs.select(
         F.col(id_col).alias("id_b"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASH)],
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hash)],
     )
     match = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(N_HASH)
+        for i in range(n_hash)
     )
     return (
         pairs.join(sa, "id_a").join(sb, "id_b")
         .select(
             "id_a", "id_b", "n_bands",
-            F.round(match.cast("double") / N_HASH, 4).alias("est_jaccard"),
+            F.round(match.cast("double") / n_hash, 4).alias("est_jaccard"),
         )
     )
 
 
 def duckdb_lsh_pairs_sql(table: str = "documents", text_expr: str = "text",
-                         id_col: str = "doc_id") -> str:
-    """DuckDB twin of :func:`lsh_candidate_pairs` (same constants)."""
-    rows = N_HASH // N_BANDS
+                         id_col: str = "doc_id", n_hash: int = N_HASH,
+                         n_bands: int = N_BANDS,
+                         max_bucket: int = MAX_BUCKET) -> str:
+    """DuckDB twin of :func:`lsh_candidate_pairs` (same parameters)."""
+    rows = n_hash // n_bands
     hashes = ", ".join(
-        f"min(md5('s{i}|' || s)) AS h{i}" for i in range(N_HASH)
+        f"min(md5('s{i}|' || s)) AS h{i}" for i in range(n_hash)
     )
     band_rows = ", ".join(
         "({b}, {key})".format(
             b=b,
             key=" || ".join(f"h{b * rows + r}" for r in range(rows)),
         )
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     )
     match = " + ".join(
-        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASH)
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(n_hash)
     )
     return f"""
     WITH sh AS (
@@ -234,14 +252,14 @@ def duckdb_lsh_pairs_sql(table: str = "documents", text_expr: str = "text",
              row_number() OVER (PARTITION BY band, key ORDER BY id) AS rn
       FROM bands
     ),
-    c AS (SELECT id, band, key FROM capped WHERE rn <= {MAX_BUCKET}),
+    c AS (SELECT id, band, key FROM capped WHERE rn <= {max_bucket}),
     pairs AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_bands
       FROM c a JOIN c b ON a.band = b.band AND a.key = b.key AND a.id < b.id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, n_bands,
-           round(({match})::DOUBLE / {N_HASH}, 4) AS est_jaccard
+           round(({match})::DOUBLE / {n_hash}, 4) AS est_jaccard
     FROM pairs
     JOIN sigs sa ON sa.id = pairs.id_a
     JOIN sigs sb ON sb.id = pairs.id_b

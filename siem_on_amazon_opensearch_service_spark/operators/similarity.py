@@ -111,17 +111,23 @@ def make_centroids(vecs: DataFrame, n_cells: int,
 
 
 def kmeans_fit(vecs: DataFrame, n_cells: int, n_iter: int = 5,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               tol: float = 1e-4) -> DataFrame:
     """Lloyd's k-means with deterministic init (the n_cells lowest-id
     vectors) — the real IVF training step.
 
     Each iteration: assignment = broadcast-argmax against the tiny
     centroid table (narrow), update = per-dimension mean via
     ``posexplode`` + hash agg (one shuffle keyed (cell, dim)). Empty
-    cells keep their previous centroid. Iterations are bounded and the
-    centroid table is collected per round (it is k x dim floats — tiny
-    by construction), so lineage never grows with n_iter.
+    cells keep their previous centroid. The centroid table is
+    collected per round (k x dim floats — tiny by construction), so
+    lineage never grows with n_iter, and the collected rounds give a
+    FREE convergence criterion: stop early once the max per-centroid
+    L2 shift drops below ``tol`` (``n_iter`` stays the hard bound).
     """
+    import math
+
+    prev_rows: dict[int, list[float]] | None = None
     cents = make_centroids(vecs, n_cells, id_col, vec_col)
     for _ in range(n_iter):
         assign = ivf_assign(vecs, cents, id_col, vec_col)
@@ -152,4 +158,19 @@ def kmeans_fit(vecs: DataFrame, n_cells: int, n_iter: int = 5,
         cents = vecs.sparkSession.createDataFrame(
             rows, "cent_id long, cent_vec array<float>"
         )
+        cur = {cid: vec for cid, vec in rows}
+        if prev_rows is not None:
+            shift = max(
+                (
+                    math.sqrt(
+                        sum((a - b) ** 2 for a, b in zip(vec, prev_rows[cid]))
+                    )
+                    for cid, vec in cur.items()
+                    if cid in prev_rows
+                ),
+                default=0.0,
+            )
+            if shift < tol:
+                break  # converged: centroids stopped moving
+        prev_rows = cur
     return cents

@@ -68,18 +68,42 @@ def _write_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(path))
 
 
+def _row_digest_col() -> F.Column:
+    """Per-row CONTENT digest: md5 over url + md5(text). Including the
+    text hash (not just its length) means any content change flips the
+    partition fingerprint — a same-length edit must trigger a rebuild."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("url"), F.md5(F.col("text")))), 1, 15
+        ),
+        16, 10,
+    ).cast("decimal(38,0)")
+
+
 def source_fingerprint(part: DataFrame) -> str:
     """Deterministic content fingerprint of one source partition:
-    xor-ish aggregate of per-row md5(url||length(text)). Cheap (one
-    narrow agg) and order-independent."""
+    order-independent sum of per-row content digests + row count."""
     row = part.select(
-        F.sum(
-            F.conv(F.substring(F.md5(F.concat_ws("|", "url", F.length("text"))), 1, 15),
-                   16, 10).cast("decimal(38,0)")
-        ).alias("s"),
-        F.count("*").alias("n"),
+        F.sum(_row_digest_col()).alias("s"), F.count("*").alias("n")
     ).collect()[0]
     return f"{row['n']}:{row['s']}"
+
+
+def partition_fingerprints(tagged: DataFrame, num_parts: int) -> dict[int, str]:
+    """All partitions' fingerprints in ONE source pass (groupBy on the
+    partition tag) instead of one scan per partition — a fully-resumed
+    no-op run costs a single scan regardless of --parts."""
+    rows = (
+        tagged.groupBy("_part")
+        .agg(F.sum(_row_digest_col()).alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    fps = {int(r["_part"]): f"{r['n']}:{r['s']}" for r in rows}
+    # empty partitions produce no group row; match source_fingerprint's
+    # empty-input rendering.
+    for p in range(num_parts):
+        fps.setdefault(p, "0:None")
+    return fps
 
 
 def _build_partition(spark: SparkSession, part: DataFrame, p: int,
@@ -93,7 +117,7 @@ def _build_partition(spark: SparkSession, part: DataFrame, p: int,
     # build (docids.py). A repartition(1) + global window here would
     # push this source partition's full data through a single task —
     # fatal at 100 TB / hundreds of GB per partition.
-    from ..index.docids import assign_doc_ids
+    from ..index.docids import assign_doc_ids, release_doc_ids
 
     with_ids = assign_doc_ids(part, order_col="url").withColumn(
         "doc_id",
@@ -113,6 +137,10 @@ def _build_partition(spark: SparkSession, part: DataFrame, p: int,
     postings = encode_postings_df(tf)
     postings.write.mode("overwrite").parquet(f"{delta_dir}/postings")
     docs.write.mode("overwrite").parquet(f"{delta_dir}/docs")
+    # both consumers of the ids are on disk now: release the pinned
+    # range-partitioned cache (one block per partition otherwise
+    # accumulates for the life of the application).
+    release_doc_ids(with_ids)
 
     stats = spark.read.parquet(f"{delta_dir}/postings").agg(
         F.sum("doc_count").alias("n_postings"),
@@ -159,16 +187,27 @@ def checkpointed_build(
     from concurrent.futures import ThreadPoolExecutor
 
     manifest = read_manifest(path)
+    prev_parts = manifest.get("num_parts")
+    if prev_parts is not None and prev_parts != num_parts:
+        # resuming with a different partitioning would duplicate docs
+        # (stale delta dirs + manifest rows outside the new range are
+        # still merged) and corrupt n_docs/avgdl — refuse loudly.
+        raise ValueError(
+            f"checkpoint at {path} was built with num_parts={prev_parts}; "
+            f"requested {num_parts}. Resume with the original value or "
+            f"start a fresh checkpoint path."
+        )
     part_col = F.pmod(F.xxhash64("url"), F.lit(num_parts)).cast("int")
     tagged = pages.withColumn("_part", part_col)
+    fps = partition_fingerprints(tagged, num_parts)  # ONE source pass
 
     todo: list[tuple[int, DataFrame, str]] = []
     for p in range(num_parts):
-        part = tagged.filter(F.col("_part") == p).drop("_part")
-        fp = source_fingerprint(part)
+        fp = fps[p]
         ent = manifest["partitions"].get(str(p))
         if ent and ent.get("fingerprint") == fp and ent.get("status") == "ok":
             continue  # lineage hit: partition unchanged, skip rebuild
+        part = tagged.filter(F.col("_part") == p).drop("_part")
         todo.append((p, part, fp))
 
     lock = threading.Lock()
@@ -265,10 +304,25 @@ def merge(spark: SparkSession, path: str,
     if salt_threshold is None:
         salt_threshold = manifest.get("salt_threshold", 100_000)
 
-    deltas = spark.read.parquet(f"{path}/delta/part=*/postings")
-    docs = spark.read.parquet(f"{path}/delta/part=*/docs")
-    n_docs = sum(e["n_docs"] for e in manifest["partitions"].values())
-    total_dl = sum(e["total_dl"] for e in manifest["partitions"].values())
+    # read ONLY the delta dirs the manifest lists as ok for the
+    # current partitioning — a stale part=* dir on disk (e.g. from an
+    # aborted run at a different num_parts) must not leak into the
+    # merge or the n_docs/avgdl accounting.
+    num_parts = manifest.get("num_parts")
+    ok = {
+        p: e
+        for p, e in manifest["partitions"].items()
+        if e.get("status") == "ok"
+        and (num_parts is None or int(p) < num_parts)
+    }
+    if not ok:
+        raise ValueError(f"no completed partitions in manifest at {path}")
+    posting_dirs = [f"{path}/delta/part={p}/postings" for p in sorted(ok)]
+    doc_dirs = [f"{path}/delta/part={p}/docs" for p in sorted(ok)]
+    deltas = spark.read.parquet(*posting_dirs)
+    docs = spark.read.parquet(*doc_dirs)
+    n_docs = sum(e["n_docs"] for e in ok.values())
+    total_dl = sum(e["total_dl"] for e in ok.values())
     return merge_decoded_deltas(
         spark, deltas, docs, n_docs, total_dl,
         os.path.join(path, "merged"), salt_threshold,

@@ -44,12 +44,23 @@ from ..index.build import PostingsIndex
 from ..index.query import _query_weights, decode_blocks, score_col
 
 
+#: below this many candidate postings (sum of query-term dfs) the θ
+#: phase's extra job costs more than the decode it saves -- dispatch
+#: to the single-job exhaustive plan instead. Lucene gates WAND the
+#: same way (cost-based); both plans are exact, so rank identity is
+#: unaffected either way.
+PRUNE_MIN_POSTINGS = 100_000
+
+
 def bm25_topk_pruned(ix: PostingsIndex, query: str, k: int = 10,
-                     stats_out: dict | None = None) -> DataFrame:
+                     stats_out: dict | None = None,
+                     min_postings: int | None = None) -> DataFrame:
     """MaxScore + block-max pruned BM25 top-k; rank-identical to
     bm25_topk. Pass ``stats_out={}`` to receive
     ``{"blocks_total", "blocks_scanned", "essential", "theta"}``
-    (costs two extra count jobs — debugging/tests only)."""
+    (costs two extra count jobs — debugging/tests only; also forces
+    the pruned plan regardless of size). ``min_postings`` overrides
+    the cost-based dispatch threshold (0 = always prune)."""
     weights = _query_weights(query)
     spark = ix.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -57,6 +68,17 @@ def bm25_topk_pruned(ix: PostingsIndex, query: str, k: int = 10,
         return empty
 
     rows = ix.term_stats.filter(F.col("term").isin(list(weights))).collect()
+
+    # cost-based dispatch: term_stats rows are already on the driver,
+    # so the size check is free. Small match sets run the one-job
+    # exhaustive plan (same results); the pruning machinery engages
+    # when posting volume is what dominates.
+    if min_postings is None:
+        min_postings = PRUNE_MIN_POSTINGS
+    if stats_out is None and sum(int(r["df"]) for r in rows) < min_postings:
+        from ..index.query import bm25_topk
+
+        return bm25_topk(ix, query, k=k)
     stats = {r["term"]: (int(r["df"]), int(r["max_tf"])) for r in rows}
     # stored block-max impact (tight: uses tf AND dl); fall back to the
     # dl→0 analytic bound for indexes written before the column existed.
@@ -72,24 +94,46 @@ def bm25_topk_pruned(ix: PostingsIndex, query: str, k: int = 10,
     if not present:
         return empty
 
-    ub = {
-        t: weights[t] * idf(ix.n_docs, stats[t][0]) * impact[t]
-        for t in present
-    }
+    idfs = {t: idf(ix.n_docs, stats[t][0]) for t in present}
+    ub = {t: weights[t] * idfs[t] * impact[t] for t in present}
+    has_impact = "max_impact" in ix.postings.columns
 
-    # --- phase 1: θ from the best single term (k-th best lone score) ---
+    # --- phase 1: θ lower bound from the TOP-IMPACT blocks of the
+    # best term only. Any subset of docs under-estimates the k-th best
+    # single-term score, and a smaller θ only weakens pruning, never
+    # exactness -- so instead of decoding the best term's whole
+    # posting list (the old two-full-job shape that made the pruned
+    # path slower than exhaustive on small indexes), the block-max
+    # metadata picks a handful of highest-bound blocks (enough to hold
+    # >= k docs with headroom), and only those are decoded. Scoring is
+    # a single native expression (idf folded as a literal; no join).
+    from ..bm25 import B, K1
+    from ..index.build import BLOCK_SIZE
+
     best = max(present, key=lambda t: ub[t])
-    tstats = ix.term_stats.filter(F.col("term").isin(present)).select("term", "df")
+    n_theta_blocks = max(2, -(-k // BLOCK_SIZE) + 4)
+    order = F.desc("max_impact") if has_impact else F.desc("max_tf")
+    best_blocks = (
+        ix.postings.filter(F.col("term") == best)
+        .orderBy(order)
+        .limit(n_theta_blocks)
+    )
+    tf_c = F.col("tf").cast("double")
+    dl_c = F.col("dl").cast("double")
+    single = F.lit(float(weights[best] * idfs[best])) * tf_c / (
+        tf_c + K1 * (1.0 - B + B * dl_c / F.lit(ix.avgdl))
+    )
     best_scores = (
-        decode_blocks(ix.postings.filter(F.col("term") == best))
-        .join(F.broadcast(tstats), "term")
-        .withColumn("_s", score_col(ix.avgdl, ix.n_docs) * F.lit(float(weights[best])))
+        decode_blocks(best_blocks)
+        .withColumn("_s", single)
         .orderBy(F.desc("_s"))
         .limit(k)
         .select("_s")
         .collect()
     )
     theta = float(best_scores[-1]["_s"]) if len(best_scores) >= k else 0.0
+
+    tstats = ix.term_stats.filter(F.col("term").isin(present)).select("term", "df")
 
     # --- term split: maximal low-UB suffix with Σ UB strictly < θ ---
     by_ub = sorted(present, key=lambda t: ub[t])  # ascending
@@ -116,10 +160,7 @@ def bm25_topk_pruned(ix: PostingsIndex, query: str, k: int = 10,
     # predicate over block metadata (max_tf) with a per-term
     # complement broadcast map; skipped blocks are never decoded.
     total_ub = sum(ub.values())
-    idfs = {t: idf(ix.n_docs, stats[t][0]) for t in present}
     complement = {t: theta - (total_ub - ub[t]) for t in present}
-
-    has_impact = "max_impact" in ix.postings.columns
 
     def blocks_pruned(terms: list[str]) -> DataFrame:
         blk = ix.postings.filter(F.col("term").isin(terms))

@@ -54,7 +54,7 @@ class IncrementalIndexer:
         Overwrite mode makes re-delivery of a failed batch idempotent
         (same batch id -> same path -> same deterministic ids).
         """
-        from ..index.docids import assign_doc_ids
+        from ..index.docids import assign_doc_ids, release_doc_ids
 
         delta = os.path.join(self.path, f"delta/batch={batch_id}")
         # dense per-batch rank via the distributed offset technique
@@ -78,6 +78,9 @@ class IncrementalIndexer:
         postings = encode_postings_df(tf)
         postings.write.mode("overwrite").parquet(f"{delta}/postings")
         docs.write.mode("overwrite").parquet(f"{delta}/docs")
+        # delta is durable; drop the per-batch pinned id cache so
+        # long-running streams don't accumulate one block per batch.
+        release_doc_ids(with_ids)
         spark = batch_df.sparkSession
         d = spark.read.parquet(f"{delta}/docs").agg(
             F.count("*").alias("n"), F.sum("doclen").alias("dl")

@@ -40,7 +40,12 @@ def setup(spark, tmp_path_factory):
 )
 def test_pruned_equals_exhaustive_and_oracle(setup, query, k):
     ix, oracle = setup
-    pruned = [(r["doc_id"], r["score"]) for r in bm25_topk_pruned(ix, query, k).collect()]
+    # min_postings=0 forces the PRUNED plan even on this tiny corpus
+    # (the cost-based dispatch would otherwise route to exhaustive).
+    pruned = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_pruned(ix, query, k, min_postings=0).collect()
+    ]
     full = [(r["doc_id"], r["score"]) for r in bm25_topk(ix, query, k).collect()]
     exp = oracle.search(query, k)
     assert [d for d, _ in pruned] == [d for d, _ in full] == [d for d, _ in exp]
@@ -66,3 +71,16 @@ def test_block_skipping_fires_and_stays_exact(setup):
     assert stats["theta"] > 0
     # the skip must actually fire: strictly fewer blocks decoded
     assert stats["blocks_scanned"] < stats["blocks_total"], stats
+
+
+def test_cost_dispatch_small_index_routes_to_exhaustive(setup):
+    """Below the posting-volume threshold the pruned entry point must
+    return the exhaustive plan's results (identical anyway) without
+    running the theta job."""
+    ix, oracle = setup
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_pruned(ix, "w00000 w00001", 5).collect()
+    ]
+    exp = [(d, round(s, 9)) for d, s in oracle.search("w00000 w00001", 5)]
+    assert got == exp
