@@ -1,0 +1,124 @@
+"""Document delete / update on a saved index -- the Lucene
+deleted-docs model, restated for the parquet/Iceberg layout.
+
+Reference semantics target: OpenSearch updates and deletes documents
+by ``_id`` (the loader's deterministic MD5 id makes re-ingestion an
+upsert, reference siem/__init__.py:683-706); Lucene implements this
+as a per-segment *deleted-docs bitmap* consulted at query time, with
+segment merges physically dropping the masked docs later.
+
+Spark restatement:
+
+* ``delete_docs`` appends doc ids to a ``tombstones/`` parquet dir --
+  O(deleted) writes, the postings layout is untouched (rewriting
+  term-partitioned posting lists per delete would be a full-index
+  write amplification at 100 TB);
+* ``upsert_docs`` = tombstone the old ids for re-ingested urls +
+  index the new versions as a delta (streaming.IncrementalIndexer's
+  append path);
+* ``live_topk`` masks tombstoned docs with a broadcast anti-join
+  BEFORE the top-k cut (correctness: a masked doc must not occupy a
+  top-k slot). The mask also fixes n_docs/avgdl drift at compaction,
+  not per query -- exactly Lucene's behavior (idf uses segment stats
+  until merge);
+* ``compact`` physically drops masked postings: decode -> anti-join
+  -> re-encode via the shared delta-merge path (checkpoint.py), then
+  clears the tombstones. On Iceberg this whole module is
+  ``MERGE INTO ... WHEN MATCHED THEN DELETE`` plus
+  ``rewrite_data_files``; here it is the same dataflow spelled out.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import PostingsIndex
+from .query import bm25_scores
+
+TOMBSTONE_SCHEMA = "doc_id long"
+
+
+def _tomb_dir(path: str) -> str:
+    return os.path.join(path, "tombstones")
+
+
+def delete_docs(spark: SparkSession, path: str, doc_ids: list[int]) -> None:
+    """Append doc ids to the tombstone set (idempotent -- duplicates
+    are fine, the mask is a semi-join)."""
+    spark.createDataFrame(
+        [(int(d),) for d in doc_ids], TOMBSTONE_SCHEMA
+    ).write.mode("append").parquet(_tomb_dir(path))
+
+
+def delete_by_url(spark: SparkSession, path: str, urls: list[str]) -> int:
+    """Tombstone every doc id whose url is in ``urls`` (the _id-by-
+    content-key delete shape). Returns the number tombstoned."""
+    docs = spark.read.parquet(f"{path}/docs")
+    ids = [
+        int(r["doc_id"])
+        for r in docs.filter(F.col("url").isin(urls)).select("doc_id").collect()
+    ]
+    if ids:
+        delete_docs(spark, path, ids)
+    return len(ids)
+
+
+def load_tombstones(spark: SparkSession, path: str) -> DataFrame:
+    d = _tomb_dir(path)
+    if os.path.isdir(d):
+        return spark.read.parquet(d).select("doc_id").distinct()
+    return spark.createDataFrame([], TOMBSTONE_SCHEMA)
+
+
+def live_topk(ix: PostingsIndex, spark: SparkSession, path: str, query: str,
+              k: int = 10) -> DataFrame:
+    """BM25 top-k over live (non-tombstoned) docs only. The mask is a
+    broadcast LEFT ANTI join applied to the full match set before the
+    top-k cut, so masked docs can never shadow live results."""
+    tombs = load_tombstones(spark, path)
+    return (
+        bm25_scores(ix, query)
+        .join(F.broadcast(tombs), "doc_id", "left_anti")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def compact(spark: SparkSession, path: str, out_path: str,
+            salt_threshold: int = 100_000) -> PostingsIndex:
+    """Physically remove tombstoned docs (the segment-merge analog):
+    decode all blocks, mask, re-encode through the shared delta-merge
+    path with recomputed n_docs/avgdl, write ``out_path``, clear the
+    tombstone set."""
+    from ..plans.checkpoint import merge_from_decoded
+
+    ix = PostingsIndex.load(spark, path)
+    tombs = load_tombstones(spark, path)
+    live_docs = ix.docs.join(F.broadcast(tombs), "doc_id", "left_anti")
+    srow = live_docs.agg(
+        F.count("*").alias("n"), F.sum("doclen").alias("dl")
+    ).collect()[0]
+    n_docs, total_dl = int(srow["n"] or 0), int(srow["dl"] or 0)
+
+    from .query import decode_blocks
+
+    decoded = (
+        decode_blocks(ix.postings)
+        .join(F.broadcast(tombs), "doc_id", "left_anti")
+        .withColumnRenamed("dl", "doclen")
+    )
+    # merge_from_decoded re-salts, re-encodes with the recomputed
+    # global avgdl (tight block bounds) and writes the final layout.
+    out = merge_from_decoded(
+        spark, decoded, live_docs, n_docs, total_dl, out_path,
+        salt_threshold,
+    )
+    # tombstones consumed; clear so future deletes start empty.
+    import shutil
+
+    if os.path.isdir(_tomb_dir(path)):
+        shutil.rmtree(_tomb_dir(path))
+    return out

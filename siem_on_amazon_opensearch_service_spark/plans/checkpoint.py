@@ -260,8 +260,19 @@ def merge_decoded_deltas(spark: SparkSession, delta_postings: DataFrame,
     term-partitioned layout + term_stats + stats."""
     from ..index.query import decode_blocks
 
-    avgdl = total_dl / n_docs if n_docs else 0.0
     decoded = decode_blocks(delta_postings).withColumnRenamed("dl", "doclen")
+    return merge_from_decoded(
+        spark, decoded, docs, n_docs, total_dl, out_dir, salt_threshold
+    )
+
+
+def merge_from_decoded(spark: SparkSession, decoded: DataFrame,
+                       docs: DataFrame, n_docs: int, total_dl: int,
+                       out_dir: str, salt_threshold: int) -> PostingsIndex:
+    """Merge path entry for ALREADY-decoded posting rows
+    (term, doc_id, tf, doclen) -- used directly by tombstone
+    compaction, which masks rows between decode and re-encode."""
+    avgdl = total_dl / n_docs if n_docs else 0.0
     df_tbl = decoded.groupBy("term").agg(F.count("*").alias("df"))
     hot = df_tbl.filter(F.col("df") > salt_threshold).select(
         "term",
