@@ -115,6 +115,58 @@ def cmd_metrics(args: argparse.Namespace) -> None:
         print(json.dumps(r.asDict()))
 
 
+def cmd_delete(args: argparse.Namespace) -> None:
+    """Tombstone documents by url (the _id-style delete; see
+    index/tombstones.py). Physical removal happens at `compact`."""
+    spark = _spark()
+    from siem_on_amazon_opensearch_service_spark.index.tombstones import (
+        delete_by_url,
+    )
+
+    n = delete_by_url(spark, args.index, args.url)
+    print(json.dumps({"status": "ok", "tombstoned": n}))
+
+
+def cmd_compact(args: argparse.Namespace) -> None:
+    spark = _spark()
+    from siem_on_amazon_opensearch_service_spark.index.tombstones import (
+        compact,
+    )
+
+    ix = compact(spark, args.index, args.output,
+                 salt_threshold=args.salt_threshold)
+    print(json.dumps({
+        "status": "ok", "n_docs": ix.n_docs,
+        "avgdl": round(ix.avgdl, 4), "index": args.output,
+    }))
+
+
+def cmd_build_rotated(args: argparse.Namespace) -> None:
+    spark = _spark()
+    from siem_on_amazon_opensearch_service_spark.index.rotation import (
+        build_rotated,
+    )
+
+    pages = spark.read.parquet(args.input)
+    periods = build_rotated(
+        spark, pages, args.output, period=args.period,
+        ts_col=args.ts_col, salt_threshold=args.salt_threshold,
+    )
+    print(json.dumps({"status": "ok", "periods": periods}))
+
+
+def cmd_query_rotated(args: argparse.Namespace) -> None:
+    spark = _spark()
+    from siem_on_amazon_opensearch_service_spark.index import bm25_topk
+    from siem_on_amazon_opensearch_service_spark.index.rotation import (
+        load_rotated,
+    )
+
+    ix = load_rotated(spark, args.index, start=args.start, end=args.end)
+    for r in bm25_topk(ix, args.query, k=args.k).collect():
+        print(json.dumps(r.asDict()))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="spark-webtext-index")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -144,6 +196,38 @@ def main(argv: list[str] | None = None) -> None:
     m = sub.add_parser("metrics", help="per-partition build lineage")
     m.add_argument("--index-checkpoint", required=True)
     m.set_defaults(fn=cmd_metrics)
+
+    d = sub.add_parser("delete", help="tombstone documents by url")
+    d.add_argument("--index", required=True)
+    d.add_argument("--url", action="append", required=True,
+                   help="repeatable: url of a doc to tombstone")
+    d.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("compact",
+                       help="physically drop tombstoned docs (segment merge)")
+    c.add_argument("--index", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--salt-threshold", type=int, default=100_000)
+    c.set_defaults(fn=cmd_compact)
+
+    br = sub.add_parser("build-rotated",
+                        help="one index per time period (dated indices)")
+    br.add_argument("--input", required=True)
+    br.add_argument("--output", required=True)
+    br.add_argument("--period", choices=["day", "month", "year"],
+                    default="month")
+    br.add_argument("--ts-col", default="warc_ts")
+    br.add_argument("--salt-threshold", type=int, default=100_000)
+    br.set_defaults(fn=cmd_build_rotated)
+
+    qr = sub.add_parser("query-rotated",
+                        help="BM25 top-k over a period range")
+    qr.add_argument("--index", required=True)
+    qr.add_argument("--query", required=True)
+    qr.add_argument("--start", default=None)
+    qr.add_argument("--end", default=None)
+    qr.add_argument("--k", type=int, default=10)
+    qr.set_defaults(fn=cmd_query_rotated)
 
     args = p.parse_args(argv)
     args.fn(args)

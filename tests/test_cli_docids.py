@@ -76,3 +76,48 @@ def test_cli_build_and_query(spark, tmp_path, capsys):
     prows = [json.loads(line) for line in
              capsys.readouterr().out.strip().splitlines()]
     assert 0 < len(prows) <= 3 and "score" in prows[0]
+
+
+def test_cli_delete_compact_rotated(spark, tmp_path, capsys):
+    """Round-2 CLI surfaces: tombstone delete + compact, rotated build
+    + period-range query."""
+    from pyspark.sql import functions as F
+
+    pdf = corpus.make_pages_pdf(150, seed=9)[["url", "warc_ts", "text"]]
+    pages = spark.createDataFrame(pdf).withColumn(
+        "warc_ts",
+        F.to_timestamp(
+            F.add_months("warc_ts", F.pmod(F.xxhash64("url"), F.lit(3)))
+        ),
+    )
+    inp = str(tmp_path / "pages")
+    pages.write.parquet(inp)
+
+    ixp = str(tmp_path / "ix")
+    cli.main(["build", "--input", inp, "--output", ixp,
+              "--salt-threshold", "100"])
+    capsys.readouterr()
+
+    victim = sorted(pdf["url"])[0]
+    cli.main(["delete", "--index", ixp, "--url", victim])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tombstoned"] == 1
+
+    cp = str(tmp_path / "ix_compacted")
+    cli.main(["compact", "--index", ixp, "--output", cp,
+              "--salt-threshold", "100"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 149
+
+    rot = str(tmp_path / "rot")
+    cli.main(["build-rotated", "--input", inp, "--output", rot,
+              "--period", "month", "--salt-threshold", "100"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    periods = out["periods"]
+    assert len(periods) >= 2
+
+    cli.main(["query-rotated", "--index", rot, "--query", "w00000",
+              "--start", periods[0], "--end", periods[0], "--k", "3"])
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and "score" in rows[0]
