@@ -229,11 +229,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_kmeans_ivf_topk", None)  # iterative training: rows-only gate
 def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with Lloyd-trained centroids (deterministic init, 3
-    iterations) — the real ANN training step; exactness of the probe
-    path is covered by sim_ivf_topk's oracle, recall by pytest."""
+    """IVF with Lloyd-trained centroids (deterministic init, tol-based
+    convergence within a 10-iteration budget) — the real ANN training
+    step; exactness of the probe path is covered by sim_ivf_topk's
+    oracle, recall by pytest."""
     vecs = _t(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_fit(vecs, 16, n_iter=3)
+    cents = similarity.kmeans_fit(vecs, 16, n_iter=10, tol=1e-4)
     return similarity.ivf_topk(vecs, cents, _query_vec(spark, sf_dir),
                                k=10, nprobe=4)
 
