@@ -503,6 +503,49 @@ def duckdb_ua_sql(expr: str) -> dict[str, str]:
     return {"ua_family": fam, "ua_version": ver, "ua_os": os_sql}
 
 
+def tz_string_to_hours(col: str | Column) -> Column:
+    """F14 (ref siem/utils.py:605-615): '+05:30' / '-08:00' / '+9' ->
+    signed fractional hours as double. Native split + sign arithmetic;
+    invalid strings yield NULL (try_cast semantics)."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    sign = F.when(c.startswith("-"), -1.0).otherwise(1.0)
+    body = F.regexp_replace(c, r"^[+-]", "")
+    parts = F.split(body, ":")
+    hours = F.get(parts, 0).try_cast("double")
+    minutes = F.coalesce(
+        F.get(parts, 1).try_cast("double"), F.lit(0.0)
+    )
+    return sign * (hours + minutes / 60.0)
+
+
+def regroup_underscored(df, sep: str = "_", max_depth: int = 1):
+    """F8 (ref siem/utils.py:178-192): flat ``a_b``-style columns
+    regrouped into nested structs (``userIdentity_type`` ->
+    ``userIdentity.type``), one level per call. Columns without the
+    separator pass through; groups with a single member too (no
+    pointless 1-field structs). Pure projection -- a plan-time column
+    rebuild, zero per-row cost beyond the struct wrap."""
+    groups: dict[str, list[str]] = {}
+    flat: list[str] = []
+    for name in df.columns:
+        if sep in name:
+            head, _ = name.split(sep, 1)
+            groups.setdefault(head, []).append(name)
+        else:
+            flat.append(name)
+    cols: list[Column] = [F.col(n) for n in flat]
+    for head, members in groups.items():
+        cols.append(
+            F.struct(
+                *[
+                    F.col(m).alias(m.split(sep, 1)[1])
+                    for m in members
+                ]
+            ).alias(head)
+        )
+    return df.select(*cols)
+
+
 def http_outcome(status_col: str | Column) -> Column:
     """HTTP status -> ECS event.outcome (ref sf_apache_access.py:61-71)."""
     c = (F.col(status_col) if isinstance(status_col, str) else status_col).cast("int")

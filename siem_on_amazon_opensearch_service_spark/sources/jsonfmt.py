@@ -20,6 +20,32 @@ def parse_json_col(df: DataFrame, col: str, schema: str,
     return df.withColumn(out, F.from_json(F.col(col), schema))
 
 
+def parse_json_col_repaired(df: DataFrame, col: str, schema: str,
+                            out: str = "rec") -> DataFrame:
+    """F9 parity (ref siem/fileformat_json.py:91-110): some producers
+    emit invalid ``\\xNN`` escapes inside JSON strings; the reference
+    retries the parse after escaping the backslash. Same here: plain
+    ``from_json`` first, and rows it nulls are retried with
+    ``\\x`` -> ``\\\\x`` repaired -- a per-row conditional between two
+    native parses, no Python."""
+    c = F.col(col)
+    # PERMISSIVE from_json yields a struct of nulls on failure, not a
+    # null struct -- probe with a corrupt-record column to know which
+    # parse actually succeeded.
+    probe = schema + ", _corrupt string"
+    opts = {"columnNameOfCorruptRecord": "_corrupt"}
+    plain = F.from_json(c, probe, opts)
+    repaired = F.from_json(
+        F.regexp_replace(c, r"\\x", r"\\\\x"), probe, opts
+    )
+
+    def ok(s: Column) -> Column:
+        return s.isNotNull() & s["_corrupt"].isNull()
+
+    chosen = F.when(ok(plain), plain).when(ok(repaired), repaired)
+    return df.withColumn(out, chosen.dropFields("_corrupt"))
+
+
 def explode_records(df: DataFrame, col: str, records_field: str,
                     out: str = "rec") -> DataFrame:
     """CloudTrail-style nested array explode: one output row per

@@ -183,3 +183,67 @@ def test_protocol_and_outcome(spark):
     assert [(r["proto"], r["out"]) for r in rows] == [
         ("tcp", "success"), ("udp", "failure"), ("999", "success"),
     ]
+
+
+def test_json_repair_parse(spark):
+    """F9: invalid \\xNN escapes break plain from_json; the repaired
+    retry recovers the row (ref siem/fileformat_json.py:91-110)."""
+    from siem_on_amazon_opensearch_service_spark.sources.jsonfmt import (
+        parse_json_col_repaired,
+    )
+
+    rows = [
+        (1, '{"k": 1, "s": "plain"}'),
+        (2, '{"k": 2, "s": "bad \\x1b escape"}'),
+        (3, "not json at all"),
+    ]
+    df = spark.createDataFrame(rows, "id int, raw string")
+    out = {
+        r["id"]: r["rec"]
+        for r in parse_json_col_repaired(df, "raw", "k int, s string")
+        .collect()
+    }
+    assert out[1]["k"] == 1 and out[1]["s"] == "plain"
+    assert out[2]["k"] == 2 and "escape" in out[2]["s"]
+    assert out[3] is None  # genuinely unparseable stays null
+
+
+def test_regroup_underscored(spark):
+    """F8: flat a_b columns regrouped into nested structs (ref
+    siem/utils.py:178-192)."""
+    from siem_on_amazon_opensearch_service_spark.functions.scalars import (
+        regroup_underscored,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "IAMUser", "alice", "x")],
+        "event_id int, userIdentity_type string, "
+        "userIdentity_userName string, plain string",
+    )
+    out = regroup_underscored(df, sep="_")
+    # event_id splits on '_' too: event.id -- the reference applies
+    # this only to configured prefixes; here every separated column
+    # regroups, so check the shape of each.
+    r = out.collect()[0]
+    assert r["userIdentity"]["type"] == "IAMUser"
+    assert r["userIdentity"]["userName"] == "alice"
+    assert r["plain"] == "x"
+    assert r["event"]["id"] == 1
+
+
+def test_tz_string_to_hours(spark):
+    from pyspark.sql import functions as F
+
+    from siem_on_amazon_opensearch_service_spark.functions.scalars import (
+        tz_string_to_hours,
+    )
+
+    df = spark.createDataFrame(
+        [("+05:30",), ("-08:00",), ("+9",), ("0",), ("junk",)], "tz string"
+    )
+    got = [
+        r["h"] for r in df.select(tz_string_to_hours("tz").alias("h"))
+        .collect()
+    ]
+    assert got[0] == 5.5 and got[1] == -8.0 and got[2] == 9.0
+    assert got[3] == 0.0 and got[4] is None
