@@ -96,3 +96,37 @@ def test_scan_prunes_columns(spark):
     assert "ReadSchema: struct<l_orderkey" in plan
     assert "l_comment" not in plan.split("ReadSchema")[1].split("\n")[0]
     assert "GreaterThan(l_quantity" in plan
+
+
+def test_multi_match_plan_single_exchange_pushed(spark, tmp_path):
+    """multi_match keeps the single-field plan shape: term AND field
+    predicates pushed to the postings scan, literal-map scoring with
+    no joins, one exchange, TakeOrdered top-k."""
+    from siem_on_amazon_opensearch_service_spark.analysis import tokens_col
+    from siem_on_amazon_opensearch_service_spark.index.multifield import (
+        MultiFieldIndex,
+        build_multi_index,
+        multi_match_topk,
+    )
+
+    pdf = corpus.make_pages_pdf(200, seed=5)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    pages = spark.createDataFrame(pdf)
+    title = F.array_join(F.slice(tokens_col("text"), 1, 6), " ")
+    mix = build_multi_index(
+        spark, pages, {"body": "text", "title": title},
+        id_col="doc_id", salt_threshold=60,
+    )
+    path = str(tmp_path / "mix")
+    mix.save(spark, path, buckets=2)
+    mix = MultiFieldIndex.load(spark, path)
+
+    plan = _plan(
+        multi_match_topk(mix, "w00001 w00057", {"body": 1.0, "title": 2.0},
+                         k=10)
+    )
+    flat = plan.replace(" ", "")
+    assert "In(term" in flat and "In(field" in flat  # both pushed
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count(") Exchange") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
