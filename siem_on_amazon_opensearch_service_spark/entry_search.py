@@ -507,6 +507,56 @@ def ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+_QS_QUERY = "+table value^2 -slow st* lang:en"
+
+_QS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term, boost) AS (VALUES ('table', 1.0), ('value', 2.0)),
+term_part AS (
+  SELECT tf.doc_id,
+    sum(q.boost * ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+        / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s,
+    max(CASE WHEN tf.term = 'table' THEN 1 ELSE 0 END) AS has_must
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+),
+prefix_part AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'st%'),
+combined AS (
+  SELECT coalesce(t.doc_id, p.doc_id) AS doc_id,
+         coalesce(t.s, 0)
+           + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0 END AS s,
+         coalesce(t.has_must, 0) AS has_must
+  FROM term_part t FULL OUTER JOIN prefix_part p ON p.doc_id = t.doc_id
+)
+SELECT c.doc_id, round(c.s, 4) AS score
+FROM combined c JOIN documents d ON d.doc_id = c.doc_id
+WHERE c.has_must = 1 AND d.lang = 'en'
+  AND c.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow')
+ORDER BY c.s DESC, c.doc_id LIMIT 20
+"""
+
+
+@register("ft_query_string", _QS_SQL)
+def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full query_string DSL end-to-end (the syntax every
+    reference dashboard ships, saved_objects/each-dashboard/*.ndjson):
+    '+table value^2 -slow st* lang:en' parses on the driver and
+    compiles into one DataFrame DAG -- required term, boosted should
+    term, exclusion, constant-score prefix clause, and a non-scoring
+    keyword filter (index/querystring.py)."""
+    from .index.querystring import query_string_topk
+
+    top = query_string_topk(_built_index(spark, sf_dir), _QS_QUERY, k=20)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 _FACET_QUERY = "spark table join stream"
 _FACET_TERMS = _FACET_QUERY.split()
 

@@ -223,14 +223,15 @@ def decode_blocks_positions(blocks: DataFrame) -> DataFrame:
     return cols.mapInPandas(dec, schema=DECODED_POS_SCHEMA)
 
 
-def phrase_topk(ix: PostingsIndex, phrase: str, k: int = 10) -> DataFrame:
-    """Top-k BM25 for an exact phrase (Lucene PhraseQuery shape:
-    pseudo-term with tf = phrase frequency, idf = Σ term idfs).
+def phrase_scores(ix: PostingsIndex, phrase: str) -> DataFrame:
+    """(doc_id, score) over the FULL phrase match set (Lucene
+    PhraseQuery shape: pseudo-term with tf = phrase frequency, idf =
+    Σ term idfs) -- for composition into bool / query_string DAGs.
 
     Plan: decode positions for the phrase terms only (term-pruned
     scan) → adjusted position rows (pos - index-in-phrase) →
     groupBy(doc, adj): docs where every phrase slot is covered →
-    phrase_freq per doc → BM25 → TakeOrdered.
+    phrase_freq per doc → BM25.
     """
     spark = ix.postings.sparkSession
     terms = tokenize_py(phrase)
@@ -275,8 +276,13 @@ def phrase_topk(ix: PostingsIndex, phrase: str, k: int = 10) -> DataFrame:
         F.lit(idf_sum) * ptf
         / (ptf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl)))
     )
+    return freq.select("doc_id", score.alias("score"))
+
+
+def phrase_topk(ix: PostingsIndex, phrase: str, k: int = 10) -> DataFrame:
+    """Top-k phrase query: TakeOrdered over :func:`phrase_scores`."""
     return (
-        freq.select("doc_id", score.alias("score"))
+        phrase_scores(ix, phrase)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
