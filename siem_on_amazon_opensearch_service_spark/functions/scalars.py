@@ -518,13 +518,15 @@ def tz_string_to_hours(col: str | Column) -> Column:
     return sign * (hours + minutes / 60.0)
 
 
-def regroup_underscored(df, sep: str = "_", max_depth: int = 1):
+def regroup_underscored(df, sep: str = "_"):
     """F8 (ref siem/utils.py:178-192): flat ``a_b``-style columns
     regrouped into nested structs (``userIdentity_type`` ->
-    ``userIdentity.type``), one level per call. Columns without the
-    separator pass through; groups with a single member too (no
-    pointless 1-field structs). Pure projection -- a plan-time column
-    rebuild, zero per-row cost beyond the struct wrap."""
+    ``userIdentity.type``), one level per call (apply repeatedly for
+    deeper nesting). Columns without the separator pass through; every
+    separated column regroups -- a lone ``a_b`` becomes a one-field
+    struct ``a{b}``, exactly like the reference's dict put. Pure
+    projection: a plan-time column rebuild, zero per-row cost beyond
+    the struct wrap."""
     groups: dict[str, list[str]] = {}
     flat: list[str] = []
     for name in df.columns:

@@ -264,8 +264,12 @@ def build_index(
     # explode_OUTER keeps zero-token docs as a (doc_id, doclen=0,
     # term=NULL) sentinel row, so n_docs/doclen accounting is exact
     # from this one pass -- no fallback count over the source.
+    # greatest(size, 0): NULL-text docs have a NULL token array, whose
+    # size is -1 (legacy) or NULL (ANSI) -- either way their doclen
+    # must enter the accounting as 0 (greatest skips NULLs).
     tokens = base.select(
-        "doc_id", F.size("_toks").alias("doclen"),
+        "doc_id",
+        F.greatest(F.size("_toks"), F.lit(0)).alias("doclen"),
         F.explode_outer("_toks").alias("term"),
     )
     tf_all = tokens.groupBy("doc_id", "doclen", "term").agg(

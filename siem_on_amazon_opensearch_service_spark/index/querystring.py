@@ -77,12 +77,31 @@ def parse_query_string(q: str) -> QuerySpec:
         raw.append((m.group("phrase"), m.group("word")))
 
     pending_not = False
-    and_positions: list[int] = []
+    upgrade_next = False
+    # index of the most recent clause IF the most recent parsed item
+    # was a clause (None after a filter): AND binds to adjacent ITEMS,
+    # and filters are already conjunctive, so an AND touching a filter
+    # upgrades nothing on that side.
+    last_clause_idx: int | None = None
+
+    def added_clauses(start: int) -> None:
+        nonlocal upgrade_next, last_clause_idx
+        if upgrade_next:
+            for i in range(start, len(spec.clauses)):
+                if spec.clauses[i].occur == "should":
+                    spec.clauses[i].occur = "must"
+            upgrade_next = False
+        last_clause_idx = len(spec.clauses) - 1
+
     for phrase, word in raw:
         if word is not None and word.upper() == "OR":
             continue
         if word is not None and word.upper() == "AND":
-            and_positions.append(len(spec.clauses))
+            if last_clause_idx is not None and (
+                spec.clauses[last_clause_idx].occur == "should"
+            ):
+                spec.clauses[last_clause_idx].occur = "must"
+            upgrade_next = True
             continue
         if word is not None and word.upper() == "NOT":
             pending_not = True
@@ -100,7 +119,9 @@ def parse_query_string(q: str) -> QuerySpec:
             pending_not = False
 
         if phrase is not None:
+            start = len(spec.clauses)
             spec.clauses.append(Clause("phrase", phrase, occur))
+            added_clauses(start)
             continue
         if not text:
             continue
@@ -111,6 +132,8 @@ def parse_query_string(q: str) -> QuerySpec:
                 spec.filter_nots.append((fieldname, value))
             else:
                 spec.filters.append((fieldname, value))
+            upgrade_next = False    # AND consumed by the filter
+            last_clause_idx = None
             continue
 
         boost = 1.0
@@ -118,28 +141,22 @@ def parse_query_string(q: str) -> QuerySpec:
         if bm:
             text, boost = bm.group(1), float(bm.group(2))
 
+        start = len(spec.clauses)
         fm = re.match(r"^(.*)~(\d*)$", text)
         if fm and fm.group(1):
             spec.clauses.append(
                 Clause("fuzzy", fm.group(1).lower(), occur, boost,
                        max_edits=int(fm.group(2) or 1))
             )
-            continue
-        if text.endswith("*") and len(text) > 1:
+        elif text.endswith("*") and len(text) > 1:
             spec.clauses.append(
                 Clause("prefix", text[:-1].lower(), occur, boost)
             )
-            continue
-        toks = tokenize_py(text)
-        for t in toks:
-            spec.clauses.append(Clause("term", t, occur, boost))
-
-    # `a AND b`: upgrade the clauses adjacent to each AND to must
-    for pos in and_positions:
-        for idx in (pos - 1, pos):
-            if 0 <= idx < len(spec.clauses):
-                if spec.clauses[idx].occur == "should":
-                    spec.clauses[idx].occur = "must"
+        else:
+            for t in tokenize_py(text):
+                spec.clauses.append(Clause("term", t, occur, boost))
+        if len(spec.clauses) > start:
+            added_clauses(start)
     return spec
 
 
@@ -173,6 +190,32 @@ def _term_scores(ix: PostingsIndex, terms_with_weights: dict[str, float]) -> Dat
     )
 
 
+def _escape_like(s: str) -> str:
+    """Escape LIKE metacharacters so a user prefix is matched
+    literally ('_' in a prefix must not act as a wildcard)."""
+    return s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
+
+def _fuzzy_variants(ix: PostingsIndex, text: str, max_edits: int) -> list[str]:
+    return [
+        r["term"]
+        for r in ix.term_stats.filter(
+            F.levenshtein(F.col("term"), F.lit(text)) <= max_edits
+        ).select("term").collect()
+    ]
+
+
+def _field_pred(value: str) -> F.Column:
+    """Filter value -> predicate column builder: a trailing '*' means
+    prefix match (the dashboards' 'eventSource:signin*' shape)."""
+    def pred(col: F.Column) -> F.Column:
+        if value.endswith("*") and len(value) > 1:
+            return col.like(_escape_like(value[:-1]) + "%")
+        return col == value
+
+    return pred
+
+
 def query_string_topk(
     ix: PostingsIndex,
     q: str,
@@ -186,33 +229,48 @@ def query_string_topk(
     spark = ix.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
 
-    parts: list[DataFrame] = []  # (doc_id, contrib, clause_id)
-    must_ids: list[int] = []
+    # rows: (doc_id, contrib, must_key) -- must_key identifies WHICH
+    # must requirement the row satisfies ('t:<term>' for must terms,
+    # 'c:<clause idx>' for must non-term clauses, NULL otherwise), so
+    # the same term appearing in several clauses, or '+foo foo',
+    # cannot double-count or under-count the must gate.
+    parts: list[DataFrame] = []
     not_parts: list[DataFrame] = []  # (doc_id) exclusion sets
 
-    # group all plain term clauses into ONE decode pass
-    term_weights: dict[str, float] = {}
-    term_clause_ids: dict[str, int] = {}
-    for cid, c in enumerate(spec.clauses):
-        if c.occur == "must":
-            must_ids.append(cid)
-        if c.kind == "term" and c.occur != "must_not":
-            # repeated term across clauses: weights add (Lucene's
-            # repeated-clause behavior)
-            term_weights[c.text] = term_weights.get(c.text, 0.0) + c.boost
-            term_clause_ids.setdefault(c.text, cid)
+    must_terms = {
+        c.text for c in spec.clauses
+        if c.kind == "term" and c.occur == "must"
+    }
+    must_nonterm_ids = [
+        cid for cid, c in enumerate(spec.clauses)
+        if c.kind != "term" and c.occur == "must"
+    ]
+    n_must = len(must_terms) + len(must_nonterm_ids)
 
+    # all plain term clauses share ONE decode pass; weights of a
+    # repeated term add (Lucene's repeated-clause behavior)
+    term_weights: dict[str, float] = {}
+    for c in spec.clauses:
+        if c.kind == "term" and c.occur != "must_not":
+            term_weights[c.text] = term_weights.get(c.text, 0.0) + c.boost
     if term_weights:
         ts = _term_scores(ix, term_weights)
-        cmap = F.create_map(
-            *[F.lit(x) for t, i in term_clause_ids.items() for x in (t, i)]
+        must_key = (
+            F.when(
+                F.col("term").isin(list(must_terms)),
+                F.concat(F.lit("t:"), F.col("term")),
+            )
+            if must_terms
+            else F.lit(None).cast("string")
         )
         parts.append(
-            ts.select(
-                "doc_id", F.col("contrib"),
-                cmap[F.col("term")].alias("clause_id"),
-            )
+            ts.select("doc_id", "contrib", must_key.alias("must_key"))
         )
+
+    def clause_key(cid: int) -> F.Column:
+        if cid in must_nonterm_ids:
+            return F.lit(f"c:{cid}")
+        return F.lit(None).cast("string")
 
     for cid, c in enumerate(spec.clauses):
         if c.occur == "must_not":
@@ -223,6 +281,22 @@ def query_string_topk(
                         ix.postings.filter(F.col("term").isin(toks))
                     ).select("doc_id").distinct()
                 )
+            elif c.kind == "prefix":
+                not_parts.append(
+                    decode_blocks(
+                        ix.postings.filter(
+                            F.col("term").like(_escape_like(c.text) + "%")
+                        )
+                    ).select("doc_id").distinct()
+                )
+            elif c.kind == "fuzzy":
+                variants = _fuzzy_variants(ix, c.text, c.max_edits)
+                if variants:
+                    not_parts.append(
+                        decode_blocks(
+                            ix.postings.filter(F.col("term").isin(variants))
+                        ).select("doc_id").distinct()
+                    )
             elif c.kind == "phrase":
                 if positional_ix is None:
                     raise ValueError("phrase clause needs a positional index")
@@ -234,26 +308,24 @@ def query_string_topk(
             continue
         if c.kind == "prefix":
             matched = decode_blocks(
-                ix.postings.filter(F.col("term").like(c.text + "%"))
+                ix.postings.filter(
+                    F.col("term").like(_escape_like(c.text) + "%")
+                )
             ).select("doc_id").distinct()
             parts.append(
                 matched.select(
                     "doc_id", F.lit(float(c.boost)).alias("contrib"),
-                    F.lit(cid).alias("clause_id"),
+                    clause_key(cid).alias("must_key"),
                 )
             )
         elif c.kind == "fuzzy":
-            variants = [
-                r["term"]
-                for r in ix.term_stats.filter(
-                    F.levenshtein(F.col("term"), F.lit(c.text)) <= c.max_edits
-                ).select("term").collect()
-            ]
+            variants = _fuzzy_variants(ix, c.text, c.max_edits)
             if variants:
                 vs = _term_scores(ix, {v: c.boost for v in variants})
                 parts.append(
                     vs.select(
-                        "doc_id", "contrib", F.lit(cid).alias("clause_id")
+                        "doc_id", "contrib",
+                        clause_key(cid).alias("must_key"),
                     )
                 )
         elif c.kind == "phrase":
@@ -266,42 +338,45 @@ def query_string_topk(
                 ph.select(
                     "doc_id",
                     (F.col("score") * float(c.boost)).alias("contrib"),
-                    F.lit(cid).alias("clause_id"),
+                    clause_key(cid).alias("must_key"),
                 )
             )
 
-    if not parts:
-        return empty
-    allparts = parts[0]
-    for p in parts[1:]:
-        allparts = allparts.unionByName(p)
+    filters_exist = bool(spec.filters or spec.filter_nots)
 
-    must_set = set(must_ids)
-    is_must = (
-        F.col("clause_id").isin(list(must_set)) if must_set else F.lit(False)
-    )
-    per_doc = allparts.groupBy("doc_id").agg(
-        F.sum("contrib").alias("score"),
-        F.countDistinct(F.when(is_must, F.col("clause_id"))).alias("_nm"),
-    )
-    if must_set:
-        per_doc = per_doc.filter(F.col("_nm") == len(must_set))
+    if not parts:
+        if not filters_exist:
+            return empty
+        # filter-only query ('lang:en'): constant-score match of the
+        # filter context, the bool.filter-without-scoring-clauses shape
+        per_doc = ix.docs.select(
+            "doc_id", F.lit(1.0).alias("score")
+        )
+    else:
+        allparts = parts[0]
+        for p in parts[1:]:
+            allparts = allparts.unionByName(p)
+        per_doc = allparts.groupBy("doc_id").agg(
+            F.sum("contrib").alias("score"),
+            F.countDistinct("must_key").alias("_nm"),
+        )
+        if n_must:
+            per_doc = per_doc.filter(F.col("_nm") == n_must)
+        per_doc = per_doc.select("doc_id", "score")
+
     for np_ in not_parts:
         per_doc = per_doc.join(F.broadcast(np_), "doc_id", "left_anti")
 
-    if spec.filters or spec.filter_nots:
-        docs = ix.docs
-        keep = docs
+    if filters_exist:
+        keep = ix.docs
         for fieldname, value in spec.filters:
-            keep = keep.filter(F.col(fieldname) == value)
+            keep = keep.filter(_field_pred(value)(F.col(fieldname)))
         for fieldname, value in spec.filter_nots:
-            keep = keep.filter(
-                F.col(fieldname).isNull() | (F.col(fieldname) != value)
-            )
+            pred = _field_pred(value)(F.col(fieldname))
+            keep = keep.filter(F.col(fieldname).isNull() | ~pred)
         per_doc = per_doc.join(keep.select("doc_id"), "doc_id", "left_semi")
 
     return (
-        per_doc.select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        per_doc.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

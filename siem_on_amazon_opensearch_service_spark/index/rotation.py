@@ -56,9 +56,17 @@ def build_rotated(
 
     fmt = PERIOD_FMTS[period]
     tagged = pages.withColumn("_period", F.date_format(ts_col, fmt))
-    periods = sorted(
+    labels = [
         r["_period"] for r in tagged.select("_period").distinct().collect()
-    )
+    ]
+    if any(p is None for p in labels):
+        # a NULL ts would silently route docs to no period (or crash
+        # the sort) -- surface it as the data error it is.
+        raise ValueError(
+            f"build_rotated: column {ts_col!r} contains NULL timestamps; "
+            "repair or filter them before rotation"
+        )
+    periods = sorted(labels)
     indexer = IncrementalIndexer(path, salt_threshold)
     for i, p in enumerate(periods):
         indexer.process_batch(

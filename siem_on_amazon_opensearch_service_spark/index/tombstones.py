@@ -116,9 +116,15 @@ def compact(spark: SparkSession, path: str, out_path: str,
         spark, decoded, live_docs, n_docs, total_dl, out_path,
         salt_threshold,
     )
-    # tombstones consumed; clear so future deletes start empty.
-    import shutil
+    # The SOURCE index keeps its tombstone set: its postings still
+    # contain the masked docs, and a reader of the old path must keep
+    # masking them (clearing here would resurrect deletes for stale
+    # readers). The compacted output needs no tombstones -- it was
+    # born without the masked docs -- and starts with an empty set.
+    # In-place compaction (out_path == path) IS fully consumed.
+    if os.path.realpath(out_path) == os.path.realpath(path):
+        import shutil
 
-    if os.path.isdir(_tomb_dir(path)):
-        shutil.rmtree(_tomb_dir(path))
+        if os.path.isdir(_tomb_dir(path)):
+            shutil.rmtree(_tomb_dir(path))
     return out

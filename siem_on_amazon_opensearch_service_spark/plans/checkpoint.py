@@ -119,7 +119,11 @@ def _build_partition(spark: SparkSession, part: DataFrame, p: int,
     # fatal at 100 TB / hundreds of GB per partition.
     from ..index.docids import assign_doc_ids, release_doc_ids
 
-    with_ids = assign_doc_ids(part, order_col="url").withColumn(
+    # keep the handle assign_doc_ids returns: withColumn creates a NEW
+    # DataFrame object without the _spark_graft_pinned attribute, so
+    # release must target the original.
+    assigned = assign_doc_ids(part, order_col="url")
+    with_ids = assigned.withColumn(
         "doc_id",
         (F.lit(p).cast("long") * (1 << PART_SHIFT) + F.col("doc_id")),
     )
@@ -140,7 +144,7 @@ def _build_partition(spark: SparkSession, part: DataFrame, p: int,
     # both consumers of the ids are on disk now: release the pinned
     # range-partitioned cache (one block per partition otherwise
     # accumulates for the life of the application).
-    release_doc_ids(with_ids)
+    release_doc_ids(assigned)
 
     stats = spark.read.parquet(f"{delta_dir}/postings").agg(
         F.sum("doc_count").alias("n_postings"),

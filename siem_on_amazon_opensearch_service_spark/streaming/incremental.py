@@ -59,7 +59,10 @@ class IncrementalIndexer:
         delta = os.path.join(self.path, f"delta/batch={batch_id}")
         # dense per-batch rank via the distributed offset technique
         # (docids.py) — no single-task window even for a large batch.
-        with_ids = assign_doc_ids(batch_df, order_col="url").withColumn(
+        # Keep the assign_doc_ids handle: withColumn returns a new
+        # object without the pinned-cache attribute.
+        assigned = assign_doc_ids(batch_df, order_col="url")
+        with_ids = assigned.withColumn(
             "doc_id",
             F.lit(int(batch_id)).cast("long") * (1 << BATCH_SHIFT)
             + F.col("doc_id"),
@@ -80,7 +83,7 @@ class IncrementalIndexer:
         docs.write.mode("overwrite").parquet(f"{delta}/docs")
         # delta is durable; drop the per-batch pinned id cache so
         # long-running streams don't accumulate one block per batch.
-        release_doc_ids(with_ids)
+        release_doc_ids(assigned)
         spark = batch_df.sparkSession
         d = spark.read.parquet(f"{delta}/docs").agg(
             F.count("*").alias("n"), F.sum("doclen").alias("dl")

@@ -121,3 +121,19 @@ def test_cli_delete_compact_rotated(spark, tmp_path, capsys):
     rows = [json.loads(line) for line in
             capsys.readouterr().out.strip().splitlines()]
     assert rows and "score" in rows[0]
+
+
+def test_release_doc_ids_unpersists(spark):
+    """The pinned range-partition cache must actually release (a
+    withColumn wrapper used to drop the handle silently)."""
+    from siem_on_amazon_opensearch_service_spark.index.docids import (
+        release_doc_ids,
+    )
+
+    sdf = spark.createDataFrame(corpus.make_pages_pdf(60, seed=4))
+    out = assign_doc_ids(sdf)
+    out.count()
+    pinned = out._spark_graft_pinned
+    assert pinned.is_cached
+    release_doc_ids(out)
+    assert not pinned.is_cached

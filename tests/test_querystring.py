@@ -86,6 +86,55 @@ def test_parse_and_upgrades_to_must():
     assert occ == {"alpha": "must", "beta": "must", "gamma": "should"}
 
 
+def test_parse_and_adjacent_to_filter_upgrades_nothing_else():
+    """'alpha AND lang:en beta': the AND binds alpha to the filter
+    (filters are conjunctive anyway); beta must stay should."""
+    s = parse_query_string("alpha AND lang:en beta")
+    occ = {c.text: c.occur for c in s.clauses}
+    assert occ == {"alpha": "must", "beta": "should"}
+    assert s.filters == [("lang", "en")]
+
+
+def test_duplicate_term_in_should_and_must(ix):
+    """'foo +foo': the must gate must not be starved by the should
+    duplicate -- docs containing the term qualify, weights add."""
+    got = rows(query_string_topk(ix, "w00001 +w00001", k=K))
+    assert got, "duplicate should+must term must still match"
+    # weights add (2x contribution) but membership == plain must
+    want_members = {d for d, _ in rows(
+        query_string_topk(ix, "+w00001", k=K)
+    )}
+    assert {d for d, _ in got} == want_members
+
+
+def test_negated_prefix_excludes(ix):
+    base = {d for d, _ in rows(query_string_topk(ix, "w00001", k=400))}
+    got = {d for d, _ in rows(
+        query_string_topk(ix, "w00001 -w0005*", k=400)
+    )}
+    prefixed = {d for d, _ in rows(
+        query_string_topk(ix, "w0005*", k=400)
+    )}
+    assert got == base - prefixed
+    assert got != base  # the exclusion actually fired
+
+
+def test_filter_only_query_returns_filtered_docs(ix):
+    out = query_string_topk(ix, "lang:en", k=10_000)
+    res = out.join(ix.docs.select("doc_id", "lang"), "doc_id").collect()
+    n_en = ix.docs.filter(F.col("lang") == "en").count()
+    assert len(res) == n_en > 0
+    assert all(r["lang"] == "en" and r["score"] == 1.0 for r in res)
+
+
+def test_wildcard_filter_value(ix):
+    """'lang:e*' matches lang values by prefix (the dashboards'
+    eventSource:signin* shape)."""
+    out = query_string_topk(ix, "w00001 lang:e*", k=400)
+    res = out.join(ix.docs.select("doc_id", "lang"), "doc_id").collect()
+    assert res and all(r["lang"].startswith("e") for r in res)
+
+
 # -- executor equivalences -------------------------------------------
 
 

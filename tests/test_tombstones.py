@@ -84,9 +84,10 @@ def test_compact_drops_masked_docs_and_recomputes_stats(
     out = str(tmp_path / "compacted")
     cix = compact(spark, path, out, salt_threshold=50)
 
-    # tombstones consumed
-    assert load_tombstones(spark, path).count() == 0
-    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    # the SOURCE keeps its mask (its postings still hold the deleted
+    # docs; stale readers must keep masking); the OUTPUT starts clean.
+    assert load_tombstones(spark, path).count() == 3
+    assert load_tombstones(spark, out).count() == 0
 
     # post-compaction the index IS the remaining corpus: scores match
     # an oracle built on the survivors (fresh n_docs/avgdl).
