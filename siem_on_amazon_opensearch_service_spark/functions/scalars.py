@@ -503,6 +503,47 @@ def duckdb_ua_sql(expr: str) -> dict[str, str]:
     return {"ua_family": fam, "ua_version": ver, "ua_os": os_sql}
 
 
+# ---------------------------------------------------------------------------
+# F6/F7: cloud-resource identifier extraction (ref siem/utils.py:98-175)
+# -- generic regex / path-segment pulls, kept for line-by-line parity
+# ---------------------------------------------------------------------------
+
+_ACCOUNT_RE = r"(?:^|[^0-9])([0-9]{12})(?:[^0-9]|$)"
+_REGION_RE = r"\b((?:us|eu|ap|sa|ca|me|af|il)-(?:gov-)?[a-z]+-[0-9])\b"
+_INSTANCE_RE = r"\b(i-[0-9a-f]{8,17})\b"
+
+
+def aws_ids_from_text(col: str | Column) -> dict[str, Column]:
+    """F6 (ref siem/utils.py:98-141): first 12-digit account id,
+    region code and EC2 instance id found in free text -- empty string
+    when absent, matching the reference's get-or-default."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "account_id": F.regexp_extract(c, _ACCOUNT_RE, 1),
+        "region": F.regexp_extract(c, _REGION_RE, 1),
+        "instance_id": F.regexp_extract(c, _INSTANCE_RE, 1),
+    }
+
+
+def rds_identifiers(log_group_col: str | Column,
+                    cluster_markers: tuple[str, ...] = ("cluster",)) -> dict[str, Column]:
+    """F7 (ref siem/utils.py:144-175): cluster/instance identifier
+    from a log-group-style path ``/aws/rds/<kind>/<identifier>/...``:
+    the segment after the kind marker; kind containing a cluster
+    marker fills cluster_id, otherwise instance_id."""
+    c = F.col(log_group_col) if isinstance(log_group_col, str) else log_group_col
+    parts = F.filter(F.split(c, "/"), lambda s: s != "")
+    kind = F.get(parts, 2)
+    ident = F.coalesce(F.get(parts, 3), F.lit(""))
+    is_cluster = F.lit(False)
+    for m in cluster_markers:
+        is_cluster = is_cluster | kind.contains(m)
+    return {
+        "cluster_id": F.when(is_cluster, ident).otherwise(F.lit("")),
+        "instance_id": F.when(~is_cluster, ident).otherwise(F.lit("")),
+    }
+
+
 def tz_string_to_hours(col: str | Column) -> Column:
     """F14 (ref siem/utils.py:605-615): '+05:30' / '-08:00' / '+9' ->
     signed fractional hours as double. Native split + sign arithmetic;

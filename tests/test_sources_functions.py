@@ -247,3 +247,52 @@ def test_tz_string_to_hours(spark):
     ]
     assert got[0] == 5.5 and got[1] == -8.0 and got[2] == 9.0
     assert got[3] == 0.0 and got[4] is None
+
+
+def test_aws_ids_from_text(spark):
+    """F6: account/region/instance-id regex pulls (ref
+    siem/utils.py:98-141)."""
+    from siem_on_amazon_opensearch_service_spark.functions.scalars import (
+        aws_ids_from_text,
+    )
+
+    rows = [
+        (1, "arn:aws:iam::123456789012:role/foo in us-east-1 on "
+            "i-0abc123def4567890"),
+        (2, "no identifiers here"),
+        (3, "eu-west-2 only"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    fields = aws_ids_from_text("t")
+    got = {
+        r["id"]: (r["account_id"], r["region"], r["instance_id"])
+        for r in df.select(
+            "id", *[c.alias(n) for n, c in fields.items()]
+        ).collect()
+    }
+    assert got[1] == ("123456789012", "us-east-1", "i-0abc123def4567890")
+    assert got[2] == ("", "", "")
+    assert got[3] == ("", "eu-west-2", "")
+
+
+def test_rds_identifiers(spark):
+    """F7: cluster/instance identifier from the log-group path (ref
+    siem/utils.py:144-175)."""
+    from siem_on_amazon_opensearch_service_spark.functions.scalars import (
+        rds_identifiers,
+    )
+
+    rows = [
+        (1, "/aws/rds/cluster/my-aurora-cluster/error"),
+        (2, "/aws/rds/instance/db-1/general"),
+    ]
+    df = spark.createDataFrame(rows, "id int, lg string")
+    fields = rds_identifiers("lg")
+    got = {
+        r["id"]: (r["cluster_id"], r["instance_id"])
+        for r in df.select(
+            "id", *[c.alias(n) for n, c in fields.items()]
+        ).collect()
+    }
+    assert got[1] == ("my-aurora-cluster", "")
+    assert got[2] == ("", "db-1")
