@@ -91,10 +91,16 @@ def load_rotated(
     with open(_manifest_path(path)) as f:
         manifest = json.load(f)
     labels: list[str] = manifest["labels"]
+    # Prefix-compare so a bound more precise than the rotation
+    # granularity keeps its boundary period: start='2020-12-15' over
+    # month labels truncates to '2020-12' (the period CONTAINING the
+    # bound is in range), and end='2020' over month labels compares
+    # the label's year prefix ('through 2020' keeps every 2020 month).
     chosen = [
         (i, p)
         for i, p in enumerate(labels)
-        if (start is None or p >= start) and (end is None or p <= end)
+        if (start is None or p >= start[: len(p)])
+        and (end is None or p[: len(end)] <= end)
     ]
     if not chosen:
         raise ValueError(

@@ -55,15 +55,19 @@ def delete_docs(spark: SparkSession, path: str, doc_ids: list[int]) -> None:
 
 def delete_by_url(spark: SparkSession, path: str, urls: list[str]) -> int:
     """Tombstone every doc id whose url is in ``urls`` (the _id-by-
-    content-key delete shape). Returns the number tombstoned."""
+    content-key delete shape). Returns the number tombstoned.
+
+    The matched ids are appended to the tombstone dir as a DataFrame
+    write -- nothing is collected to the driver, so a delete-by-key
+    that matches a large doc fraction stays executor-sized."""
     docs = spark.read.parquet(f"{path}/docs")
-    ids = [
-        int(r["doc_id"])
-        for r in docs.filter(F.col("url").isin(urls)).select("doc_id").collect()
-    ]
-    if ids:
-        delete_docs(spark, path, ids)
-    return len(ids)
+    matched = docs.filter(F.col("url").isin(urls)).select(
+        F.col("doc_id").cast("long")
+    )
+    n = matched.count()
+    if n:
+        matched.write.mode("append").parquet(_tomb_dir(path))
+    return n
 
 
 def load_tombstones(spark: SparkSession, path: str) -> DataFrame:
@@ -76,12 +80,15 @@ def load_tombstones(spark: SparkSession, path: str) -> DataFrame:
 def live_topk(ix: PostingsIndex, spark: SparkSession, path: str, query: str,
               k: int = 10) -> DataFrame:
     """BM25 top-k over live (non-tombstoned) docs only. The mask is a
-    broadcast LEFT ANTI join applied to the full match set before the
-    top-k cut, so masked docs can never shadow live results."""
+    LEFT ANTI join applied to the full match set before the top-k cut,
+    so masked docs can never shadow live results. No broadcast hint:
+    the tombstone set is Lucene-bitmap-sized after normal deletes (AQE
+    broadcasts it) but unbounded after a large upsert wave, where a
+    forced broadcast would blow the driver -- AQE picks per-run."""
     tombs = load_tombstones(spark, path)
     return (
         bm25_scores(ix, query)
-        .join(F.broadcast(tombs), "doc_id", "left_anti")
+        .join(tombs, "doc_id", "left_anti")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -97,7 +104,7 @@ def compact(spark: SparkSession, path: str, out_path: str,
 
     ix = PostingsIndex.load(spark, path)
     tombs = load_tombstones(spark, path)
-    live_docs = ix.docs.join(F.broadcast(tombs), "doc_id", "left_anti")
+    live_docs = ix.docs.join(tombs, "doc_id", "left_anti")
     srow = live_docs.agg(
         F.count("*").alias("n"), F.sum("doclen").alias("dl")
     ).collect()[0]
@@ -107,24 +114,39 @@ def compact(spark: SparkSession, path: str, out_path: str,
 
     decoded = (
         decode_blocks(ix.postings)
-        .join(F.broadcast(tombs), "doc_id", "left_anti")
+        .join(tombs, "doc_id", "left_anti")
         .withColumnRenamed("dl", "doclen")
     )
+    # In-place compaction (out_path == path) must NOT overwrite the
+    # parquet dirs its own lineage is lazily reading (Spark refuses:
+    # "Cannot overwrite a path that is also being read from"). Write
+    # to a temp sibling, then atomically swap the subdirs AFTER the
+    # job has fully materialized the output.
+    in_place = os.path.realpath(out_path) == os.path.realpath(path)
+    work_dir = out_path.rstrip("/") + ".compacting" if in_place else out_path
+
     # merge_from_decoded re-salts, re-encodes with the recomputed
     # global avgdl (tight block bounds) and writes the final layout.
     out = merge_from_decoded(
-        spark, decoded, live_docs, n_docs, total_dl, out_path,
+        spark, decoded, live_docs, n_docs, total_dl, work_dir,
         salt_threshold,
     )
-    # The SOURCE index keeps its tombstone set: its postings still
-    # contain the masked docs, and a reader of the old path must keep
-    # masking them (clearing here would resurrect deletes for stale
-    # readers). The compacted output needs no tombstones -- it was
-    # born without the masked docs -- and starts with an empty set.
-    # In-place compaction (out_path == path) IS fully consumed.
-    if os.path.realpath(out_path) == os.path.realpath(path):
-        import shutil
+    if not in_place:
+        # The SOURCE index keeps its tombstone set: its postings still
+        # contain the masked docs, and a reader of the old path must
+        # keep masking them (clearing here would resurrect deletes for
+        # stale readers). The compacted output needs no tombstones --
+        # it was born without the masked docs.
+        return out
 
-        if os.path.isdir(_tomb_dir(path)):
-            shutil.rmtree(_tomb_dir(path))
-    return out
+    import shutil
+
+    for sub in ("postings", "docs", "term_stats", "stats"):
+        src, dst = os.path.join(work_dir, sub), os.path.join(path, sub)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.move(src, dst)
+    shutil.rmtree(work_dir, ignore_errors=True)
+    if os.path.isdir(_tomb_dir(path)):
+        shutil.rmtree(_tomb_dir(path))  # fully consumed by the swap
+    return PostingsIndex.load(spark, path)

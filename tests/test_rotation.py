@@ -99,3 +99,20 @@ def test_empty_range_raises(spark, setup):
     _, path, _ = setup
     with pytest.raises(ValueError):
         load_rotated(spark, path, start="1970-01", end="1970-02")
+
+
+def test_bounds_more_precise_than_granularity_keep_boundary(spark, setup):
+    """start='<first month>-15' over month labels must still open the
+    first month (the period CONTAINING the bound), and a bare-year end
+    must keep every month of that year."""
+    pages, path, periods = setup
+    first = periods[0]
+    ix = load_rotated(spark, path, start=f"{first}-15", end=f"{periods[-1]}-28")
+    # every period intersects [first-15, last-28]: the day precision
+    # must not drop the boundary months.
+    assert ix.n_docs == 600
+
+    year = periods[-1][:4]
+    in_year = [p for p in periods if p.startswith(year)]
+    ix2 = load_rotated(spark, path, start=year, end=year)
+    assert ix2.n_docs == len(_oracle_rows(pages, in_year))

@@ -103,3 +103,48 @@ def test_compact_drops_masked_docs_and_recomputes_stats(
     assert [int(r["doc_id"]) for r in got] == [d for d, _ in exp]
     for r, (_, s) in zip(got, exp):
         assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_compact_in_place_swaps_atomically(spark, tmp_path):
+    """out_path == path: compaction must not overwrite parquet dirs
+    its own lineage is reading -- the temp-sibling + swap path must
+    produce exactly the separate-output result, consume the tombstone
+    set, and leave no .compacting residue."""
+    pdf = corpus.make_pages_pdf(200, seed=29)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    path = str(tmp_path / "ix")
+    build_index(
+        spark, spark.createDataFrame(pdf), id_col="doc_id",
+        salt_threshold=50,
+    ).save(spark, path, buckets=4)
+
+    victims = [int(d) for d in pdf["doc_id"][:3]]
+    from siem_on_amazon_opensearch_service_spark.index.tombstones import (
+        delete_docs,
+    )
+
+    delete_docs(spark, path, victims)
+
+    cix = compact(spark, path, path, salt_threshold=50)
+    assert not os.path.isdir(path + ".compacting")
+    assert load_tombstones(spark, path).count() == 0
+
+    survivors = {int(r["doc_id"]) for r in cix.docs.select("doc_id").collect()}
+    assert survivors == set(int(d) for d in pdf["doc_id"]) - set(victims)
+
+    oracle = _oracle_for(pdf, set(victims))
+    exp = oracle.search(QUERY, K)
+    from siem_on_amazon_opensearch_service_spark.index import bm25_topk
+
+    got = bm25_topk(cix, QUERY, k=K).collect()
+    assert [int(r["doc_id"]) for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-9)
+
+    # and a RELOAD from disk (fresh lineage) agrees -- the swap really
+    # landed on disk, not just in the returned handle.
+    reloaded = PostingsIndex.load(spark, path)
+    got2 = bm25_topk(reloaded, QUERY, k=K).collect()
+    assert [(r["doc_id"], r["score"]) for r in got2] == [
+        (r["doc_id"], r["score"]) for r in got
+    ]
