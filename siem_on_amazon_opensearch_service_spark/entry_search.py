@@ -507,7 +507,9 @@ def ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
-_QS_QUERY = "+table value^2 -slow st* lang:en"
+_QS_QUERY = ("+table value^2 -slow st* (join AND stream) "
+             "+lang:(en OR de) AND NOT source:*1 +n_chars:[150 TO 450] "
+             "+lang:*")
 
 _QS_SQL = f"""
 WITH tok AS (
@@ -517,43 +519,67 @@ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-q(term, boost) AS (VALUES ('table', 1.0), ('value', 2.0)),
-term_part AS (
-  SELECT tf.doc_id,
-    sum(q.boost * ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
-        / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s,
-    max(CASE WHEN tf.term = 'table' THEN 1 ELSE 0 END) AS has_must
-  FROM tf JOIN q USING (term) JOIN dft USING (term)
-       JOIN dl USING (doc_id), stats
-  GROUP BY tf.doc_id
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+    ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+      / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN ('table', 'value', 'join', 'stream')
 ),
-prefix_part AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'st%'),
-combined AS (
-  SELECT coalesce(t.doc_id, p.doc_id) AS doc_id,
-         coalesce(t.s, 0)
-           + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0 END AS s,
-         coalesce(t.has_must, 0) AS has_must
-  FROM term_part t FULL OUTER JOIN prefix_part p ON p.doc_id = t.doc_id
+agg AS (
+  SELECT doc_id,
+    max(CASE WHEN term = 'table' THEN c END) AS c_table,
+    max(CASE WHEN term = 'value' THEN c END) AS c_value,
+    max(CASE WHEN term = 'join' THEN c END) AS c_join,
+    max(CASE WHEN term = 'stream' THEN c END) AS c_stream
+  FROM contrib GROUP BY doc_id
+),
+pre AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'st%'),
+scored AS (
+  SELECT a.doc_id,
+    a.c_table + 2.0 * coalesce(a.c_value, 0)
+      + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0 END
+      + CASE WHEN a.c_join IS NOT NULL AND a.c_stream IS NOT NULL
+             THEN a.c_join + a.c_stream ELSE 0 END AS s
+  FROM agg a LEFT JOIN pre p USING (doc_id)
+  WHERE a.c_table IS NOT NULL
 )
-SELECT c.doc_id, round(c.s, 4) AS score
-FROM combined c JOIN documents d ON d.doc_id = c.doc_id
-WHERE c.has_must = 1 AND d.lang = 'en'
-  AND c.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow')
-ORDER BY c.s DESC, c.doc_id LIMIT 20
+SELECT s.doc_id, round(s.s, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE d.lang IN ('en', 'de') AND d.lang IS NOT NULL
+  AND NOT (d.source LIKE '%1')
+  AND d.n_chars::DOUBLE >= 150 AND d.n_chars::DOUBLE <= 450
+  AND s.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow')
+ORDER BY s.s DESC, s.doc_id LIMIT 20
 """
 
 
 @register("ft_query_string", _QS_SQL)
 def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full query_string DSL end-to-end (the syntax every
-    reference dashboard ships, saved_objects/each-dashboard/*.ndjson):
-    '+table value^2 -slow st* lang:en' parses on the driver and
-    compiles into one DataFrame DAG -- required term, boosted should
-    term, exclusion, constant-score prefix clause, and a non-scoring
-    keyword filter (index/querystring.py)."""
+    """The query_string DSL end-to-end over the dashboards' REAL
+    syntax shapes (reference saved_objects/each-dashboard/
+    cloudtrail.ndjson query fields): required + boosted + excluded
+    terms, constant-score prefix, a parenthesized scoring group
+    (join AND stream) that contributes only when BOTH match, a
+    grouped field value list lang:(en OR de), a leading-wildcard
+    field exclusion NOT source:*1, a numeric range filter
+    n_chars:[150 TO 450], and a field existence check lang:*. The
+    whole string parses on the driver into a boolean tree and
+    compiles into ONE DataFrame DAG with a single groupBy -- no
+    broadcast of exclusion sets (index/querystring.py)."""
+    from .index.build import PostingsIndex
     from .index.querystring import query_string_topk
 
-    top = query_string_topk(_built_index(spark, sf_dir), _QS_QUERY, k=20)
+    ix = _built_index(spark, sf_dir)
+    wide_docs = ix.docs.join(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id",
+    )
+    ix2 = PostingsIndex(
+        docs=wide_docs, postings=ix.postings, term_stats=ix.term_stats,
+        n_docs=ix.n_docs, avgdl=ix.avgdl,
+    )
+    top = query_string_topk(ix2, _QS_QUERY, k=20)
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 

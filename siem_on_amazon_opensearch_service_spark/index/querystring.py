@@ -2,39 +2,78 @@
 dashboards actually speak.
 
 Every saved search / visualization in the reference ships a Lucene
-``query_string`` (reference saved_objects/each-dashboard/*.ndjson,
-e.g. ``eventSource:signin* AND NOT responseElements...``); the loader
-never parses it -- OpenSearch does. This module rebuilds the
-commonly-used subset natively:
+``query_string`` (reference saved_objects/each-dashboard/*.ndjson).
+The real workload shapes, verbatim from cloudtrail.ndjson's query
+fields, are::
 
-    term            bare term          -> should clause (default OR)
-    +term           required           -> must clause
-    -term, NOT term excluded           -> must_not clause
+    eventName:(AuthorizeSecurityGroupIngress OR RevokeSecurityGroupEgress)
+    eventSource:kms.amazonaws.com AND eventName:(DisableKey OR PutKeyPolicy)
+    eventSource:s3.amazonaws.com AND (eventName:(PutBucketAcl OR ...))
+    userIdentity.type:Root AND NOT userIdentity.invokedBy:* AND NOT
+        eventType:AwsServiceEvent
+    errorCode:*UnauthorizedOperation OR errorCode:AccessDenied*
+    responseElements.ConsoleLogin:Failure
+
+so the grammar implemented here is the classic-parser subset those
+use, plus the scoring primitives::
+
+    term            bare term            -> should clause (default OR)
+    +term           required             -> must clause
+    -x, NOT x, !x   excluded             -> must_not clause
     term^2.5        per-clause boost
-    "a b c"         exact phrase       -> phrase clause (positional ix)
-    pre*            prefix             -> constant-score clause
-    term~ / term~2  fuzzy              -> dictionary-expansion clause
-    field:value     keyword filter     -> non-scoring filter context
-    -field:value    keyword exclusion
-    AND             upgrades adjacent bare terms to must
-    OR              explicit default (no-op)
+    "a b c"         exact phrase         -> phrase clause (positional ix)
+    pre*            prefix               -> constant-score clause
+    *mid*, te?m     wildcard anywhere    -> constant-score clause
+    term~ / term~2  fuzzy                -> dictionary-expansion clause
+    field:value     keyword filter       -> non-scoring filter context
+    field:val*ue    wildcard filter value (leading/trailing/infix)
+    field:*         existence check      (NOT field:* = missing)
+    field:(A OR B)  grouped value list   -> OR of filter values
+    field:[a TO b]  inclusive range      ({a TO b} exclusive)
+    ( ... )         boolean grouping, arbitrarily nested
+    AND / &&        upgrades adjacent items to must
+    OR / ||         explicit default (no-op)
 
-Parsing happens ON THE DRIVER at plan time (strings are metadata);
-execution composes the existing engine primitives into ONE DataFrame
-DAG: every scoring clause contributes (doc_id, score, clause_id) rows,
-a single groupBy(doc_id) sums contributions and counts matched must
-clauses, filters/exclusions apply as broadcast (anti-)joins, and the
-top-k cut is TakeOrderedAndProject. Scoring follows Lucene: a doc's
-score is the sum over matching clauses; must clauses gate membership
-but score like any other clause.
+Parsing happens ON THE DRIVER at plan time (strings are metadata) and
+yields a boolean tree of Lucene-style groups: each group carries
+(occur, child) clauses; a document matches a group when all ``must``
+children match, no ``must_not`` child matches, and -- when the group
+has no must children -- at least one ``should`` child matches. A
+group with ONLY must_not children falls back to match_all minus the
+exclusions (the OpenSearch query_string behavior).
+
+Execution compiles the tree into ONE DataFrame DAG:
+
+* every scoring (posting-backed) leaf contributes
+  ``(doc_id, leaf, contrib)`` rows -- plain term leaves share a
+  SINGLE decode pass with per-leaf weights folded into a literal map;
+* one ``groupBy(doc_id)`` collects the per-doc hit array; per-leaf
+  match/score lookups are native array expressions over it
+  (``exists`` / ``filter`` + ``aggregate``) -- NO join per clause and
+  NO broadcast of exclusion sets: a ``-the``-style stopword exclusion
+  is just more rows through the same single shuffle, so the plan
+  shape is corpus-size-independent (the round-2 forced-broadcast
+  scale flag is gone by construction);
+* field leaves evaluate as native predicates on the docs side-table,
+  joined once iff any field is referenced;
+* the boolean tree itself becomes one native boolean/arith expression
+  (whole-stage codegen), and the top-k cut is TakeOrderedAndProject.
+
+Scoring follows Lucene: a doc's score is the sum of its matching
+scoring clauses' contributions, gated through the boolean tree (a
+non-matching sub-group contributes nothing, exactly like a
+non-matching BooleanQuery scorer); field filters are filter-context
+(contribute 0). A query with no scoring leaf at all is constant-score
+1.0, the bool.filter shape.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field as dc_field
+from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..analysis import tokenize_py
@@ -42,158 +81,459 @@ from ..bm25 import B, K1, idf as _idf
 from .build import PostingsIndex
 from .query import decode_blocks
 
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TermLeaf:
+    """A posting-backed scoring leaf."""
+
+    kind: str               # term | phrase | prefix | wildcard | fuzzy
+    text: str
+    boost: float = 1.0
+    max_edits: int = 1
+    leaf_id: int = -1       # assigned at compile time
+
+
+@dataclass
+class FieldLeaf:
+    """A docs-column predicate leaf (non-scoring filter context).
+
+    op: exact | wildcard | exists | range
+    """
+
+    field: str
+    op: str
+    value: str = ""
+    lo: str | None = None
+    hi: str | None = None
+    lo_incl: bool = True
+    hi_incl: bool = True
+
+
+@dataclass
+class Group:
+    """One Lucene BooleanQuery level: (occur, child) clauses."""
+
+    clauses: list[tuple[str, object]] = dc_field(default_factory=list)
+
+
 _TOKEN_RE = re.compile(
     r"""
     \s*(
-        "(?P<phrase>[^"]*)"              # quoted phrase
-        | (?P<word>[^\s"]+)              # anything else up to space
+        (?P<lpar>\()
+      | (?P<rpar>\))
+      | "(?P<phrase>[^"]*)"(?P<pboost>\^\d+(?:\.\d+)?)?
+      | (?P<word>[^\s"()\[\]{}]*(?:\[[^\]]*\]|\{[^}]*\})?[^\s"()]*)
     )
     """,
     re.VERBOSE,
 )
 
-
-@dataclass
-class Clause:
-    kind: str              # term | phrase | prefix | fuzzy
-    text: str
-    occur: str = "should"  # must | should | must_not
-    boost: float = 1.0
-    max_edits: int = 1
+_RANGE_RE = re.compile(r"^(\[|\{)\s*(\S+)\s+TO\s+(\S+)\s*(\]|\})$")
 
 
-@dataclass
-class QuerySpec:
-    clauses: list[Clause] = field(default_factory=list)
-    filters: list[tuple[str, str]] = field(default_factory=list)
-    filter_nots: list[tuple[str, str]] = field(default_factory=list)
-
-
-def parse_query_string(q: str) -> QuerySpec:
-    """Driver-side parse of the query_string subset above."""
-    spec = QuerySpec()
-    raw: list[tuple[str | None, str | None]] = []
+def _tokenize(q: str):
+    out = []
     for m in _TOKEN_RE.finditer(q):
-        raw.append((m.group("phrase"), m.group("word")))
+        if m.group("lpar"):
+            out.append(("lpar", None, None))
+        elif m.group("rpar"):
+            out.append(("rpar", None, None))
+        elif m.group("phrase") is not None:
+            b = m.group("pboost")
+            out.append(("phrase", m.group("phrase"),
+                        float(b[1:]) if b else 1.0))
+        elif m.group("word"):
+            out.append(("word", m.group("word"), None))
+    return out
 
-    pending_not = False
-    upgrade_next = False
-    # index of the most recent clause IF the most recent parsed item
-    # was a clause (None after a filter): AND binds to adjacent ITEMS,
-    # and filters are already conjunctive, so an AND touching a filter
-    # upgrades nothing on that side.
-    last_clause_idx: int | None = None
 
-    def added_clauses(start: int) -> None:
-        nonlocal upgrade_next, last_clause_idx
-        if upgrade_next:
-            for i in range(start, len(spec.clauses)):
-                if spec.clauses[i].occur == "should":
-                    spec.clauses[i].occur = "must"
-            upgrade_next = False
-        last_clause_idx = len(spec.clauses) - 1
+def parse_query_string(q: str) -> Group:
+    """Driver-side parse into the boolean tree described above."""
+    tokens = _tokenize(q)
+    pos = 0
 
-    for phrase, word in raw:
-        if word is not None and word.upper() == "OR":
-            continue
-        if word is not None and word.upper() == "AND":
-            if last_clause_idx is not None and (
-                spec.clauses[last_clause_idx].occur == "should"
-            ):
-                spec.clauses[last_clause_idx].occur = "must"
+    def parse_group(field_ctx: str | None, depth: int) -> Group:
+        nonlocal pos
+        g = Group()
+        pending_occur: str | None = None
+        upgrade_next = False
+        # index of the most recent batch of items IF the most recent
+        # parsed thing produced items (AND binds adjacent ITEMS).
+        last_batch: tuple[int, int] | None = None
+
+        def take_occur() -> str:
+            nonlocal pending_occur
+            occ = pending_occur or "should"
+            pending_occur = None
+            return occ
+
+        def added(start: int) -> None:
+            nonlocal upgrade_next, last_batch
+            if upgrade_next:
+                for i in range(start, len(g.clauses)):
+                    if g.clauses[i][0] == "should":
+                        g.clauses[i] = ("must", g.clauses[i][1])
+                upgrade_next = False
+            last_batch = (start, len(g.clauses))
+
+        def apply_and() -> None:
+            nonlocal upgrade_next
+            if last_batch is not None:
+                for i in range(*last_batch):
+                    if g.clauses[i][0] == "should":
+                        g.clauses[i] = ("must", g.clauses[i][1])
             upgrade_next = True
-            continue
-        if word is not None and word.upper() == "NOT":
-            pending_not = True
-            continue
 
-        occur = "should"
-        text = word if word is not None else None
-        if text is not None:
+        while pos < len(tokens):
+            kind, text, pextra = tokens[pos]
+            pos += 1
+            if kind == "rpar":
+                if depth > 0:
+                    break
+                continue  # stray ')' at top level: ignore
+            if kind == "lpar":
+                occ = take_occur()
+                child = parse_group(field_ctx, depth + 1)
+                if child.clauses:
+                    start = len(g.clauses)
+                    g.clauses.append((occ, child))
+                    added(start)
+                continue
+            if kind == "phrase":
+                occ = take_occur()
+                start = len(g.clauses)
+                if field_ctx is not None:
+                    g.clauses.append(
+                        (occ, FieldLeaf(field_ctx, "exact", text))
+                    )
+                else:
+                    g.clauses.append(
+                        (occ, TermLeaf("phrase", text, boost=pextra))
+                    )
+                added(start)
+                continue
+
+            # --- word ---
+            up = text.upper()
+            if up in ("OR", "||"):
+                continue
+            if up in ("AND", "&&"):
+                apply_and()
+                continue
+            if up in ("NOT", "!"):
+                pending_occur = "must_not"
+                continue
+
             if text.startswith("+"):
-                occur, text = "must", text[1:]
-            elif text.startswith("-"):
-                occur, text = "must_not", text[1:]
-        if pending_not:
-            occur = "must_not"
-            pending_not = False
+                pending_occur, text = "must", text[1:]
+            elif text.startswith("-") and len(text) > 1:
+                pending_occur, text = "must_not", text[1:]
+            elif text.startswith("!") and len(text) > 1:
+                pending_occur, text = "must_not", text[1:]
+            elif text == "-":
+                # bare modifier before a quote/paren: carry the occur
+                # into the next parsed item ('-"exact phrase"').
+                pending_occur = "must_not"
+                continue
+            elif text == "+":
+                pending_occur = "must"
+                continue
+            if not text:
+                continue
 
-        if phrase is not None:
-            start = len(spec.clauses)
-            spec.clauses.append(Clause("phrase", phrase, occur))
-            added_clauses(start)
-            continue
-        if not text:
-            continue
+            fieldname: str | None = None
+            if field_ctx is None and ":" in text:
+                cand_field, rest = text.split(":", 1)
+                if cand_field:
+                    fieldname, text = cand_field, rest
+                    if text == "":
+                        # 'field:' then '(' (value group) or a quoted
+                        # phrase value.
+                        if pos < len(tokens) and tokens[pos][0] == "lpar":
+                            pos += 1
+                            occ = take_occur()
+                            child = parse_group(fieldname, depth + 1)
+                            if child.clauses:
+                                start = len(g.clauses)
+                                g.clauses.append((occ, child))
+                                added(start)
+                            continue
+                        if pos < len(tokens) and tokens[pos][0] == "phrase":
+                            _, ptext, _ = tokens[pos]
+                            pos += 1
+                            occ = take_occur()
+                            start = len(g.clauses)
+                            g.clauses.append(
+                                (occ, FieldLeaf(fieldname, "exact", ptext))
+                            )
+                            added(start)
+                            continue
+                        continue  # dangling 'field:' -- ignore
+            elif field_ctx is not None:
+                fieldname = field_ctx
 
-        if ":" in text:  # field filter (non-scoring, keyword exact)
-            fieldname, value = text.split(":", 1)
-            if occur == "must_not":
-                spec.filter_nots.append((fieldname, value))
+            occ = take_occur()
+
+            # strip a boost suffix (valid on any leaf)
+            boost = 1.0
+            bm = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", text)
+            if bm and bm.group(1):
+                text, boost = bm.group(1), float(bm.group(2))
+
+            if fieldname is not None:
+                start = len(g.clauses)
+                g.clauses.append((occ, _field_leaf(fieldname, text)))
+                added(start)
+                continue
+
+            start = len(g.clauses)
+            fm = re.match(r"^(.*)~(\d*)$", text)
+            if fm and fm.group(1) and "*" not in text and "?" not in text:
+                g.clauses.append(
+                    (occ, TermLeaf("fuzzy", fm.group(1).lower(), boost,
+                                   max_edits=int(fm.group(2) or 1)))
+                )
+            elif text.endswith("*") and len(text) > 1 and not any(
+                ch in text[:-1] for ch in "*?"
+            ):
+                g.clauses.append(
+                    (occ, TermLeaf("prefix", text[:-1].lower(), boost))
+                )
+            elif "*" in text or "?" in text:
+                if text.strip("*?"):
+                    g.clauses.append(
+                        (occ, TermLeaf("wildcard", text.lower(), boost))
+                    )
             else:
-                spec.filters.append((fieldname, value))
-            upgrade_next = False    # AND consumed by the filter
-            last_clause_idx = None
-            continue
+                for t in tokenize_py(text):
+                    g.clauses.append((occ, TermLeaf("term", t, boost)))
+            if len(g.clauses) > start:
+                added(start)
+        return g
 
-        boost = 1.0
-        bm = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", text)
-        if bm:
-            text, boost = bm.group(1), float(bm.group(2))
-
-        start = len(spec.clauses)
-        fm = re.match(r"^(.*)~(\d*)$", text)
-        if fm and fm.group(1):
-            spec.clauses.append(
-                Clause("fuzzy", fm.group(1).lower(), occur, boost,
-                       max_edits=int(fm.group(2) or 1))
-            )
-        elif text.endswith("*") and len(text) > 1:
-            spec.clauses.append(
-                Clause("prefix", text[:-1].lower(), occur, boost)
-            )
-        else:
-            for t in tokenize_py(text):
-                spec.clauses.append(Clause("term", t, occur, boost))
-        if len(spec.clauses) > start:
-            added_clauses(start)
-    return spec
+    return parse_group(None, 0)
 
 
-def _term_scores(ix: PostingsIndex, terms_with_weights: dict[str, float]) -> DataFrame:
-    """(doc_id, term, contrib): one decode over ALL needed terms, the
-    per-term weight (boost * idf) folded into a literal map."""
-    stats = {
-        r["term"]: int(r["df"])
-        for r in ix.term_stats.filter(
-            F.col("term").isin(list(terms_with_weights))
-        ).select("term", "df").collect()
-    }
-    present = {t: w for t, w in terms_with_weights.items() if t in stats}
-    spark = ix.postings.sparkSession
-    if not present:
-        return spark.createDataFrame([], "term string, doc_id long, contrib double")
-    wmap = F.create_map(
-        *[
-            F.lit(x)
-            for t, w in present.items()
-            for x in (t, float(w * _idf(ix.n_docs, stats[t])))
-        ]
-    )
-    decoded = decode_blocks(ix.postings.filter(F.col("term").isin(list(present))))
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    return decoded.select(
-        "term", "doc_id",
-        (wmap[F.col("term")] * tf
-         / (tf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl)))).alias("contrib"),
-    )
+def _field_leaf(fieldname: str, value: str) -> FieldLeaf:
+    rm = _RANGE_RE.match(value)
+    if rm:
+        lo = None if rm.group(2) == "*" else rm.group(2)
+        hi = None if rm.group(3) == "*" else rm.group(3)
+        return FieldLeaf(fieldname, "range", lo=lo, hi=hi,
+                         lo_incl=rm.group(1) == "[",
+                         hi_incl=rm.group(4) == "]")
+    if value == "*":
+        return FieldLeaf(fieldname, "exists")
+    if "*" in value or "?" in value:
+        return FieldLeaf(fieldname, "wildcard", value)
+    return FieldLeaf(fieldname, "exact", value)
+
+
+# ---------------------------------------------------------------------------
+# compile helpers
+# ---------------------------------------------------------------------------
 
 
 def _escape_like(s: str) -> str:
-    """Escape LIKE metacharacters so a user prefix is matched
-    literally ('_' in a prefix must not act as a wildcard)."""
+    """Escape LIKE metacharacters so user text matches literally."""
     return s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
+
+def _wild_to_like(pattern: str) -> str:
+    """Lucene wildcard (* any run, ? one char) -> SQL LIKE pattern."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        else:
+            out.append(_escape_like(ch))
+    return "".join(out)
+
+
+def _walk(node, out: list) -> None:
+    if isinstance(node, Group):
+        for _, child in node.clauses:
+            _walk(child, out)
+    else:
+        out.append(node)
+
+
+def _maybe_matches_without_postings(node) -> bool:
+    """Optimistic 3-valued check: can this node possibly match a doc
+    that matches NO posting leaf? (field leaves are 'maybe' = True;
+    posting leaves are False). Decides the anchoring side."""
+    if isinstance(node, TermLeaf):
+        return False
+    if isinstance(node, FieldLeaf):
+        return True
+    musts = [c for occ, c in node.clauses if occ == "must"]
+    shoulds = [c for occ, c in node.clauses if occ == "should"]
+    if any(not _maybe_matches_without_postings(c) for c in musts):
+        return False
+    if not musts and shoulds:
+        return any(_maybe_matches_without_postings(c) for c in shoulds)
+    return True  # must-only (all maybe) or pure-negative match_all
+
+
+class _Compiler:
+    """Turns the parsed tree into native Columns over the per-doc hit
+    array (posting leaves) + docs columns (field leaves)."""
+
+    def __init__(self, hits_col: Column):
+        self.hits = hits_col
+
+    def leaf_matched(self, leaf: TermLeaf) -> Column:
+        return F.exists(self.hits, lambda e: e["leaf"] == leaf.leaf_id)
+
+    def leaf_contrib(self, leaf: TermLeaf) -> Column:
+        return F.aggregate(
+            F.filter(self.hits, lambda e: e["leaf"] == leaf.leaf_id),
+            F.lit(0.0),
+            lambda acc, e: acc + e["contrib"],
+        )
+
+    def field_matched(self, leaf: FieldLeaf) -> Column:
+        col = F.col(leaf.field)
+        if leaf.op == "exists":
+            pred = col.isNotNull()
+        elif leaf.op == "exact":
+            pred = col.cast("string") == leaf.value
+        elif leaf.op == "wildcard":
+            pred = col.cast("string").like(_wild_to_like(leaf.value))
+        elif leaf.op == "range":
+            def bound(v: str) -> Column:
+                try:
+                    return F.lit(float(v))
+                except ValueError:
+                    return F.lit(v)
+
+            def side(v, incl, cmp_i, cmp_e):
+                if v is None:
+                    return F.lit(True)
+                try:
+                    float(v)
+                    c = col.cast("double")
+                except ValueError:
+                    c = col.cast("string")
+                return (cmp_i if incl else cmp_e)(c, bound(v))
+
+            pred = side(leaf.lo, leaf.lo_incl,
+                        Column.__ge__, Column.__gt__) & side(
+                leaf.hi, leaf.hi_incl, Column.__le__, Column.__lt__)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown field op {leaf.op!r}")
+        # NULL field never matches positively (and thus passes NOT):
+        # the reference's missing-key behavior.
+        return F.coalesce(pred, F.lit(False))
+
+    def matched(self, node) -> Column:
+        if isinstance(node, TermLeaf):
+            return self.leaf_matched(node)
+        if isinstance(node, FieldLeaf):
+            return self.field_matched(node)
+        musts = [c for occ, c in node.clauses if occ == "must"]
+        shoulds = [c for occ, c in node.clauses if occ == "should"]
+        nots = [c for occ, c in node.clauses if occ == "must_not"]
+        conds = [self.matched(c) for c in musts]
+        if not musts and shoulds:
+            conds.append(
+                reduce(Column.__or__, [self.matched(c) for c in shoulds])
+            )
+        # no must and no should: match_all minus exclusions (the
+        # OpenSearch pure-negative query behavior)
+        conds.extend(~self.matched(c) for c in nots)
+        if not conds:
+            return F.lit(True)
+        return reduce(Column.__and__, conds)
+
+    def score(self, node) -> Column:
+        if isinstance(node, TermLeaf):
+            return self.leaf_contrib(node)
+        if isinstance(node, FieldLeaf):
+            return F.lit(0.0)  # filter context never scores
+        total = F.lit(0.0)
+        for occ, child in node.clauses:
+            if occ == "must_not":
+                continue
+            total = total + F.when(
+                self.matched(child), self.score(child)
+            ).otherwise(F.lit(0.0))
+        return total
+
+
+# ---------------------------------------------------------------------------
+# leaf -> (doc_id, leaf, contrib) rows
+# ---------------------------------------------------------------------------
+
+
+def _term_leaf_rows(ix: PostingsIndex,
+                    term_leaves: list[TermLeaf]) -> DataFrame | None:
+    """ONE decode pass shared by every plain-term leaf: a literal map
+    term -> array<struct<leaf, w>> fans each decoded posting out to
+    its leaves with boost * idf folded in."""
+    terms = sorted({leaf.text for leaf in term_leaves})
+    stats = {
+        r["term"]: int(r["df"])
+        for r in ix.term_stats.filter(F.col("term").isin(terms))
+        .select("term", "df").collect()
+    }
+    fanout: dict[str, list[tuple[int, float]]] = {}
+    for leaf in term_leaves:
+        if leaf.text in stats:
+            w = leaf.boost * _idf(ix.n_docs, stats[leaf.text])
+            fanout.setdefault(leaf.text, []).append((leaf.leaf_id, w))
+    if not fanout:
+        return None
+    wmap = F.create_map(
+        *[
+            x
+            for t, lws in fanout.items()
+            for x in (
+                F.lit(t),
+                F.array(*[
+                    F.struct(
+                        F.lit(lid).alias("leaf"), F.lit(w).alias("w")
+                    )
+                    for lid, w in lws
+                ]),
+            )
+        ]
+    )
+    decoded = decode_blocks(
+        ix.postings.filter(F.col("term").isin(list(fanout)))
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    bm25_part = tf / (tf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl)))
+    return decoded.select(
+        "doc_id",
+        F.explode(wmap[F.col("term")]).alias("lw"),
+        bm25_part.alias("_p"),
+    ).select(
+        "doc_id", F.col("lw.leaf").alias("leaf"),
+        (F.col("lw.w") * F.col("_p")).alias("contrib"),
+    )
+
+
+def _const_leaf_rows(ix: PostingsIndex, leaf: TermLeaf,
+                     like_pattern: str) -> DataFrame:
+    """Constant-score multi-term leaf (prefix / wildcard): every doc
+    containing ANY dictionary term matching the pattern scores
+    boost * 1.0. No driver-side expansion, no clause-count cap: the
+    LIKE predicate runs inside the term-sorted postings scan."""
+    matched = decode_blocks(
+        ix.postings.filter(F.col("term").like(like_pattern))
+    ).select("doc_id").distinct()
+    return matched.select(
+        "doc_id", F.lit(leaf.leaf_id).alias("leaf"),
+        F.lit(float(leaf.boost)).alias("contrib"),
+    )
 
 
 def _fuzzy_variants(ix: PostingsIndex, text: str, max_edits: int) -> list[str]:
@@ -205,15 +545,9 @@ def _fuzzy_variants(ix: PostingsIndex, text: str, max_edits: int) -> list[str]:
     ]
 
 
-def _field_pred(value: str) -> F.Column:
-    """Filter value -> predicate column builder: a trailing '*' means
-    prefix match (the dashboards' 'eventSource:signin*' shape)."""
-    def pred(col: F.Column) -> F.Column:
-        if value.endswith("*") and len(value) > 1:
-            return col.like(_escape_like(value[:-1]) + "%")
-        return col == value
-
-    return pred
+# ---------------------------------------------------------------------------
+# executor
+# ---------------------------------------------------------------------------
 
 
 def query_string_topk(
@@ -225,158 +559,101 @@ def query_string_topk(
     """Execute a query_string against the index. Phrase clauses need a
     positional index (pass the same index if it was built positional).
     Returns (doc_id, score)."""
-    spec = parse_query_string(q)
+    tree = parse_query_string(q)
     spark = ix.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
 
-    # rows: (doc_id, contrib, must_key) -- must_key identifies WHICH
-    # must requirement the row satisfies ('t:<term>' for must terms,
-    # 'c:<clause idx>' for must non-term clauses, NULL otherwise), so
-    # the same term appearing in several clauses, or '+foo foo',
-    # cannot double-count or under-count the must gate.
+    leaves: list = []
+    _walk(tree, leaves)
+    posting_leaves = [l for l in leaves if isinstance(l, TermLeaf)]
+    field_leaves = [l for l in leaves if isinstance(l, FieldLeaf)]
+    for i, leaf in enumerate(posting_leaves):
+        leaf.leaf_id = i
+    if not leaves:
+        return empty
+
     parts: list[DataFrame] = []
-    not_parts: list[DataFrame] = []  # (doc_id) exclusion sets
-
-    must_terms = {
-        c.text for c in spec.clauses
-        if c.kind == "term" and c.occur == "must"
-    }
-    must_nonterm_ids = [
-        cid for cid, c in enumerate(spec.clauses)
-        if c.kind != "term" and c.occur == "must"
-    ]
-    n_must = len(must_terms) + len(must_nonterm_ids)
-
-    # all plain term clauses share ONE decode pass; weights of a
-    # repeated term add (Lucene's repeated-clause behavior)
-    term_weights: dict[str, float] = {}
-    for c in spec.clauses:
-        if c.kind == "term" and c.occur != "must_not":
-            term_weights[c.text] = term_weights.get(c.text, 0.0) + c.boost
-    if term_weights:
-        ts = _term_scores(ix, term_weights)
-        must_key = (
-            F.when(
-                F.col("term").isin(list(must_terms)),
-                F.concat(F.lit("t:"), F.col("term")),
-            )
-            if must_terms
-            else F.lit(None).cast("string")
-        )
-        parts.append(
-            ts.select("doc_id", "contrib", must_key.alias("must_key"))
-        )
-
-    def clause_key(cid: int) -> F.Column:
-        if cid in must_nonterm_ids:
-            return F.lit(f"c:{cid}")
-        return F.lit(None).cast("string")
-
-    for cid, c in enumerate(spec.clauses):
-        if c.occur == "must_not":
-            if c.kind == "term":
-                toks = tokenize_py(c.text) or [c.text]
-                not_parts.append(
-                    decode_blocks(
-                        ix.postings.filter(F.col("term").isin(toks))
-                    ).select("doc_id").distinct()
-                )
-            elif c.kind == "prefix":
-                not_parts.append(
-                    decode_blocks(
-                        ix.postings.filter(
-                            F.col("term").like(_escape_like(c.text) + "%")
-                        )
-                    ).select("doc_id").distinct()
-                )
-            elif c.kind == "fuzzy":
-                variants = _fuzzy_variants(ix, c.text, c.max_edits)
-                if variants:
-                    not_parts.append(
-                        decode_blocks(
-                            ix.postings.filter(F.col("term").isin(variants))
-                        ).select("doc_id").distinct()
-                    )
-            elif c.kind == "phrase":
-                if positional_ix is None:
-                    raise ValueError("phrase clause needs a positional index")
-                from .positional import phrase_scores
-
-                not_parts.append(
-                    phrase_scores(positional_ix, c.text).select("doc_id")
-                )
-            continue
-        if c.kind == "prefix":
-            matched = decode_blocks(
-                ix.postings.filter(
-                    F.col("term").like(_escape_like(c.text) + "%")
-                )
-            ).select("doc_id").distinct()
+    term_leaves = [l for l in posting_leaves if l.kind == "term"]
+    if term_leaves:
+        rows = _term_leaf_rows(ix, term_leaves)
+        if rows is not None:
+            parts.append(rows)
+    for leaf in posting_leaves:
+        if leaf.kind == "prefix":
             parts.append(
-                matched.select(
-                    "doc_id", F.lit(float(c.boost)).alias("contrib"),
-                    clause_key(cid).alias("must_key"),
-                )
+                _const_leaf_rows(ix, leaf, _escape_like(leaf.text) + "%")
             )
-        elif c.kind == "fuzzy":
-            variants = _fuzzy_variants(ix, c.text, c.max_edits)
+        elif leaf.kind == "wildcard":
+            parts.append(_const_leaf_rows(ix, leaf, _wild_to_like(leaf.text)))
+        elif leaf.kind == "fuzzy":
+            variants = _fuzzy_variants(ix, leaf.text, leaf.max_edits)
             if variants:
-                vs = _term_scores(ix, {v: c.boost for v in variants})
-                parts.append(
-                    vs.select(
-                        "doc_id", "contrib",
-                        clause_key(cid).alias("must_key"),
-                    )
-                )
-        elif c.kind == "phrase":
+                proxy = [
+                    TermLeaf("term", v, leaf.boost, leaf_id=leaf.leaf_id)
+                    for v in variants
+                ]
+                rows = _term_leaf_rows(ix, proxy)
+                if rows is not None:
+                    parts.append(rows)
+        elif leaf.kind == "phrase":
             if positional_ix is None:
                 raise ValueError("phrase clause needs a positional index")
             from .positional import phrase_scores
 
-            ph = phrase_scores(positional_ix, c.text)
+            ph = phrase_scores(positional_ix, leaf.text)
             parts.append(
                 ph.select(
-                    "doc_id",
-                    (F.col("score") * float(c.boost)).alias("contrib"),
-                    clause_key(cid).alias("must_key"),
+                    "doc_id", F.lit(leaf.leaf_id).alias("leaf"),
+                    (F.col("score") * float(leaf.boost)).alias("contrib"),
                 )
             )
 
-    filters_exist = bool(spec.filters or spec.filter_nots)
-
-    if not parts:
-        if not filters_exist:
-            return empty
-        # filter-only query ('lang:en'): constant-score match of the
-        # filter context, the bool.filter-without-scoring-clauses shape
-        per_doc = ix.docs.select(
-            "doc_id", F.lit(1.0).alias("score")
-        )
-    else:
+    # one shuffle: per-doc hit array over ALL scoring leaves
+    # (must_not leaves included -- their rows gate, never score; no
+    # broadcast anti-join anywhere).
+    hits_df = None
+    if parts:
         allparts = parts[0]
         for p in parts[1:]:
             allparts = allparts.unionByName(p)
-        per_doc = allparts.groupBy("doc_id").agg(
-            F.sum("contrib").alias("score"),
-            F.countDistinct("must_key").alias("_nm"),
+        hits_df = allparts.groupBy("doc_id").agg(
+            F.collect_list(F.struct("leaf", "contrib")).alias("_hits")
         )
-        if n_must:
-            per_doc = per_doc.filter(F.col("_nm") == n_must)
-        per_doc = per_doc.select("doc_id", "score")
 
-    for np_ in not_parts:
-        per_doc = per_doc.join(F.broadcast(np_), "doc_id", "left_anti")
+    docs_needed = bool(field_leaves)
+    docs_anchored = _maybe_matches_without_postings(tree) or hits_df is None
 
-    if filters_exist:
-        keep = ix.docs
-        for fieldname, value in spec.filters:
-            keep = keep.filter(_field_pred(value)(F.col(fieldname)))
-        for fieldname, value in spec.filter_nots:
-            pred = _field_pred(value)(F.col(fieldname))
-            keep = keep.filter(F.col(fieldname).isNull() | ~pred)
-        per_doc = per_doc.join(keep.select("doc_id"), "doc_id", "left_semi")
+    if docs_anchored:
+        base = ix.docs
+        if hits_df is not None:
+            base = base.join(hits_df, "doc_id", "left")
+        else:
+            base = base.withColumn(
+                "_hits",
+                F.lit(None).cast(
+                    "array<struct<leaf:int,contrib:double>>"
+                ),
+            )
+    else:
+        base = hits_df
+        if docs_needed:
+            base = base.join(ix.docs, "doc_id", "left")
+
+    comp = _Compiler(
+        F.coalesce(
+            F.col("_hits"),
+            F.array().cast("array<struct<leaf:int,contrib:double>>"),
+        )
+    )
+    matched = comp.matched(tree)
+    if posting_leaves:
+        score = comp.score(tree)
+    else:
+        score = F.lit(1.0)  # pure filter context: constant score
 
     return (
-        per_doc.orderBy(F.desc("score"), F.asc("doc_id"))
+        base.filter(matched)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

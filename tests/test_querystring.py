@@ -1,5 +1,10 @@
 """query_string parser + executor: each syntax feature must reproduce
-the corresponding engine primitive exactly (same docs, scores 1e-9)."""
+the corresponding engine primitive exactly (same docs, scores 1e-9).
+
+Round 3 extends the grammar to the dashboards' real shapes (reference
+saved_objects/each-dashboard/cloudtrail.ndjson query fields):
+field:(A OR B) grouped value lists, field:* existence, leading
+wildcards, parenthesized boolean grouping, [a TO b] ranges."""
 
 import math
 
@@ -18,6 +23,9 @@ from siem_on_amazon_opensearch_service_spark.index.boolquery import (
     multiterm_topk,
 )
 from siem_on_amazon_opensearch_service_spark.index.querystring import (
+    FieldLeaf,
+    Group,
+    TermLeaf,
     parse_query_string,
     query_string_topk,
 )
@@ -61,38 +69,117 @@ def assert_same(a, b):
         assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
 
 
+def flat(g: Group):
+    """(occur, kind-or-field, text/value) triples of a one-level tree."""
+    out = []
+    for occ, c in g.clauses:
+        if isinstance(c, TermLeaf):
+            out.append((occ, c.kind, c.text, c.boost))
+        elif isinstance(c, FieldLeaf):
+            out.append((occ, "field:" + c.op, f"{c.field}={c.value}", 1.0))
+        else:
+            out.append((occ, "group", c, 1.0))
+    return out
+
+
 # -- parser unit tests ------------------------------------------------
 
 
 def test_parse_shapes():
-    s = parse_query_string('+alpha beta^2 -gamma NOT delta lang:en '
+    g = parse_query_string('+alpha beta^2 -gamma NOT delta lang:en '
                            '-source:src1 pre* fuzz~2 "exact phrase"')
-    kinds = [(c.kind, c.text, c.occur, c.boost) for c in s.clauses]
-    assert ("term", "alpha", "must", 1.0) in kinds
-    assert ("term", "beta", "should", 2.0) in kinds
-    assert ("term", "gamma", "must_not", 1.0) in kinds
-    assert ("term", "delta", "must_not", 1.0) in kinds
-    assert ("prefix", "pre", "should", 1.0) in kinds
-    assert ("fuzzy", "fuzz", "should", 1.0) in kinds
-    assert ("phrase", "exact phrase", "should", 1.0) in kinds
-    assert [c for c in s.clauses if c.kind == "fuzzy"][0].max_edits == 2
-    assert s.filters == [("lang", "en")]
-    assert s.filter_nots == [("source", "src1")]
+    got = flat(g)
+    assert ("must", "term", "alpha", 1.0) in got
+    assert ("should", "term", "beta", 2.0) in got
+    assert ("must_not", "term", "gamma", 1.0) in got
+    assert ("must_not", "term", "delta", 1.0) in got
+    assert ("should", "field:exact", "lang=en", 1.0) in got
+    assert ("must_not", "field:exact", "source=src1", 1.0) in got
+    assert ("should", "prefix", "pre", 1.0) in got
+    assert ("should", "fuzzy", "fuzz", 1.0) in got
+    assert ("should", "phrase", "exact phrase", 1.0) in got
+    fz = [c for _, c in g.clauses
+          if isinstance(c, TermLeaf) and c.kind == "fuzzy"][0]
+    assert fz.max_edits == 2
 
 
 def test_parse_and_upgrades_to_must():
-    s = parse_query_string("alpha AND beta gamma")
-    occ = {c.text: c.occur for c in s.clauses}
+    g = parse_query_string("alpha AND beta gamma")
+    occ = {c.text: o for o, c in g.clauses}
     assert occ == {"alpha": "must", "beta": "must", "gamma": "should"}
 
 
-def test_parse_and_adjacent_to_filter_upgrades_nothing_else():
-    """'alpha AND lang:en beta': the AND binds alpha to the filter
-    (filters are conjunctive anyway); beta must stay should."""
-    s = parse_query_string("alpha AND lang:en beta")
-    occ = {c.text: c.occur for c in s.clauses}
-    assert occ == {"alpha": "must", "beta": "should"}
-    assert s.filters == [("lang", "en")]
+def test_parse_field_value_group():
+    g = parse_query_string("eventName:(CreateRoute OR DeleteRoute)")
+    assert len(g.clauses) == 1
+    occ, sub = g.clauses[0]
+    assert occ == "should" and isinstance(sub, Group)
+    vals = flat(sub)
+    assert ("should", "field:exact", "eventName=CreateRoute", 1.0) in vals
+    assert ("should", "field:exact", "eventName=DeleteRoute", 1.0) in vals
+
+
+def test_parse_existence_and_wildcards():
+    g = parse_query_string(
+        "userIdentity.type:Root AND NOT userIdentity.invokedBy:* "
+        "AND NOT eventType:AwsServiceEvent"
+    )
+    got = flat(g)
+    assert ("must", "field:exact", "userIdentity.type=Root", 1.0) in got
+    assert ("must_not", "field:exists", "userIdentity.invokedBy=", 1.0) in got
+    assert ("must_not", "field:exact", "eventType=AwsServiceEvent", 1.0) in got
+
+    g2 = parse_query_string(
+        "errorCode:*UnauthorizedOperation OR errorCode:AccessDenied*"
+    )
+    got2 = flat(g2)
+    assert ("should", "field:wildcard",
+            "errorCode=*UnauthorizedOperation", 1.0) in got2
+    assert ("should", "field:wildcard",
+            "errorCode=AccessDenied*", 1.0) in got2
+
+
+def test_parse_parenthesized_grouping():
+    g = parse_query_string(
+        "eventSource:s3.amazonaws.com AND (eventName:(PutBucketAcl OR "
+        "PutBucketPolicy))"
+    )
+    assert [o for o, _ in g.clauses] == ["must", "must"]
+    outer = g.clauses[1][1]
+    assert isinstance(outer, Group)
+    inner = outer.clauses[0][1]
+    assert isinstance(inner, Group)
+    assert {c.value for _, c in inner.clauses} == {
+        "PutBucketAcl", "PutBucketPolicy"
+    }
+
+
+def test_parse_range():
+    g = parse_query_string("doclen:[100 TO 200] ts:{a TO *}")
+    r1 = g.clauses[0][1]
+    assert (r1.op, r1.lo, r1.hi, r1.lo_incl, r1.hi_incl) == (
+        "range", "100", "200", True, True)
+    r2 = g.clauses[1][1]
+    assert (r2.op, r2.lo, r2.hi, r2.lo_incl) == ("range", "a", None, False)
+
+
+def test_parse_negated_phrase_carries_occur():
+    """ADVICE round-2: '-"exact phrase"' must stay an exclusion, not
+    flip into a positive should clause."""
+    g = parse_query_string('alpha -"exact phrase"')
+    got = flat(g)
+    assert ("should", "term", "alpha", 1.0) in got
+    assert ("must_not", "phrase", "exact phrase", 1.0) in got
+
+
+def test_parse_leading_wildcard_term():
+    g = parse_query_string("*operation te?m")
+    got = flat(g)
+    assert ("should", "wildcard", "*operation", 1.0) in got
+    assert ("should", "wildcard", "te?m", 1.0) in got
+
+
+# -- executor equivalences -------------------------------------------
 
 
 def test_duplicate_term_in_should_and_must(ix):
@@ -100,7 +187,6 @@ def test_duplicate_term_in_should_and_must(ix):
     duplicate -- docs containing the term qualify, weights add."""
     got = rows(query_string_topk(ix, "w00001 +w00001", k=K))
     assert got, "duplicate should+must term must still match"
-    # weights add (2x contribution) but membership == plain must
     want_members = {d for d, _ in rows(
         query_string_topk(ix, "+w00001", k=K)
     )}
@@ -128,14 +214,11 @@ def test_filter_only_query_returns_filtered_docs(ix):
 
 
 def test_wildcard_filter_value(ix):
-    """'lang:e*' matches lang values by prefix (the dashboards'
-    eventSource:signin* shape)."""
-    out = query_string_topk(ix, "w00001 lang:e*", k=400)
+    """'w00001 AND lang:e*' matches lang values by prefix (the
+    dashboards' eventSource:signin* shape)."""
+    out = query_string_topk(ix, "w00001 AND lang:e*", k=400)
     res = out.join(ix.docs.select("doc_id", "lang"), "doc_id").collect()
     assert res and all(r["lang"].startswith("e") for r in res)
-
-
-# -- executor equivalences -------------------------------------------
 
 
 def test_bare_terms_equal_bm25(ix):
@@ -171,6 +254,23 @@ def test_prefix_only_matches_constant_score(ix):
     assert all(s == 1.0 for _, s in got)
 
 
+def test_leading_wildcard_equals_prefix_family(ix):
+    """'*0003' matches exactly the dictionary terms ending 0003 --
+    cross-checked against an explicit LIKE over the postings."""
+    got = {d for d, _ in rows(query_string_topk(ix, "*0003", k=400))}
+    from siem_on_amazon_opensearch_service_spark.index.query import (
+        decode_blocks,
+    )
+
+    want = {
+        r["doc_id"]
+        for r in decode_blocks(
+            ix.postings.filter(F.col("term").like("%0003"))
+        ).select("doc_id").distinct().collect()
+    }
+    assert got == want and got
+
+
 def test_fuzzy_equals_fuzzy_topk(ix):
     got = rows(query_string_topk(ix, "w0001~1", k=K))
     want = rows(fuzzy_topk(ix, "w0001", k=K, max_edits=1))
@@ -188,8 +288,21 @@ def test_phrase_clause(pos_ix):
     assert_same(got, want)
 
 
+def test_negated_phrase_excludes(pos_ix):
+    base = {d for d, _ in rows(
+        query_string_topk(pos_ix, "w00001", k=400, positional_ix=pos_ix)
+    )}
+    got = {d for d, _ in rows(query_string_topk(
+        pos_ix, 'w00001 -"w00001 w00057"', k=400, positional_ix=pos_ix
+    ))}
+    phrased = {d for d, _ in rows(query_string_topk(
+        pos_ix, '"w00001 w00057"', k=400, positional_ix=pos_ix
+    ))}
+    assert got == base - phrased
+
+
 def test_field_filter(ix):
-    got = query_string_topk(ix, "w00001 lang:en", k=400)
+    got = query_string_topk(ix, "w00001 AND lang:en", k=400)
     joined = got.join(ix.docs.select("doc_id", "lang"), "doc_id").collect()
     assert joined and all(r["lang"] == "en" for r in joined)
     # and equals the unfiltered result restricted to lang=en
@@ -203,14 +316,116 @@ def test_field_filter(ix):
     ))
 
 
+def test_field_term_is_optional_under_or(ix):
+    """Faithful Lucene membership: 'w00001 lang:en' with default OR
+    matches w00001 docs PLUS all lang=en docs (filter-context score 0
+    for field-only matches)."""
+    out = query_string_topk(ix, "w00001 lang:en", k=10_000)
+    got = {d for d, _ in rows(out)}
+    terms = {d for d, _ in rows(query_string_topk(ix, "w00001", k=10_000))}
+    en = {
+        int(r["doc_id"])
+        for r in ix.docs.filter(F.col("lang") == "en")
+        .select("doc_id").collect()
+    }
+    assert got == terms | en
+
+
+def test_field_value_group_or(ix):
+    """lang:(en OR de) == lang:en OR lang:de, as a must filter."""
+    got = rows(query_string_topk(ix, "w00001 AND lang:(en OR de)", k=400))
+    en = rows(query_string_topk(ix, "w00001 AND lang:en", k=400))
+    de = rows(query_string_topk(ix, "w00001 AND lang:de", k=400))
+    merged = sorted(set(en) | set(de), key=lambda t: (-t[1], t[0]))
+    assert_same(got, merged)
+
+
+def test_field_exists_and_negated_exists(ix, spark):
+    """field:* existence over a column with NULLs; NOT field:* keeps
+    exactly the null rows (the Root-without-invokedBy dashboard
+    shape)."""
+    docs2 = ix.docs.withColumn(
+        "invoked_by",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("svc")).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    ix2 = PostingsIndex(
+        docs=docs2, postings=ix.postings, term_stats=ix.term_stats,
+        n_docs=ix.n_docs, avgdl=ix.avgdl,
+    )
+    have = {d for d, _ in rows(
+        query_string_topk(ix2, "+w00001 AND invoked_by:*", k=400)
+    )}
+    missing = {d for d, _ in rows(
+        query_string_topk(ix2, "+w00001 AND NOT invoked_by:*", k=400)
+    )}
+    base = {d for d, _ in rows(query_string_topk(ix2, "+w00001", k=400))}
+    assert have == {d for d in base if d % 3 == 0}
+    assert missing == base - have
+
+
+def test_field_leading_wildcard(ix):
+    """url:*host1* -- the errorCode:*UnauthorizedOperation shape."""
+    got = query_string_topk(ix, "w00001 AND url:*host1*", k=400)
+    res = got.join(ix.docs.select("doc_id", "url"), "doc_id").collect()
+    assert res and all("host1" in r["url"] for r in res)
+    base = query_string_topk(ix, "w00001", k=400)
+    bres = base.join(ix.docs.select("doc_id", "url"), "doc_id").collect()
+    assert {r["doc_id"] for r in res} == {
+        r["doc_id"] for r in bres if "host1" in r["url"]
+    }
+
+
+def test_field_range(ix):
+    got = {d for d, _ in rows(
+        query_string_topk(ix, "w00001 AND doclen:[100 TO 200]", k=400)
+    )}
+    want = {
+        int(r["doc_id"])
+        for r in query_string_topk(ix, "w00001", k=400)
+        .join(ix.docs.filter(
+            (F.col("doclen") >= 100) & (F.col("doclen") <= 200)
+        ).select("doc_id"), "doc_id", "left_semi").collect()
+    }
+    assert got == want and got
+
+
+def test_grouped_boolean_scoring(ix):
+    """(a AND b) as a should group: scores a+b only when BOTH match --
+    the sub-BooleanQuery scorer semantics."""
+    got = dict(rows(query_string_topk(
+        ix, "+w00001 (w00057 AND w00003)", k=400
+    )))
+    base = dict(rows(query_string_topk(ix, "+w00001", k=400)))
+    both = dict(rows(query_string_topk(ix, "+w00057 +w00003", k=400)))
+    pair = dict(rows(query_string_topk(ix, "w00057 w00003", k=400)))
+    assert set(got) == set(base)  # membership: must only
+    for d, s in got.items():
+        if d in both:  # both present: group contributes its sum
+            assert math.isclose(s, base[d] + pair[d], rel_tol=1e-9)
+        else:          # group not matched: no partial credit
+            assert math.isclose(s, base[d], rel_tol=1e-9)
+
+
+def test_pure_negative_matches_all_but_excluded(ix):
+    """OpenSearch behavior: 'NOT term' alone = match_all minus the
+    exclusions, constant-scored."""
+    out = rows(query_string_topk(ix, "NOT w00001", k=10_000))
+    excl = {d for d, _ in rows(query_string_topk(ix, "w00001", k=10_000))}
+    assert {d for d, _ in out} == set(
+        int(r["doc_id"]) for r in ix.docs.select("doc_id").collect()
+    ) - excl
+
+
 def test_combined_query(ix):
     """The kitchen sink: must + boosted should + exclusion + prefix +
-    filter composes without error and respects every gate."""
+    grouped filter composes without error and respects every gate."""
     out = query_string_topk(
-        ix, "+w00001 w00057^2 -w00003 w0009* lang:en", k=K
+        ix, "+w00001 w00057^2 -w00003 w0009* +lang:(en OR de)", k=K
     )
     res = out.join(ix.docs.select("doc_id", "lang"), "doc_id").collect()
-    assert res and all(r["lang"] == "en" for r in res)
+    assert res and all(r["lang"] in ("en", "de") for r in res)
     excluded = {
         r["doc_id"]
         for r in bm25_topk(ix, "w00003", k=400).collect()
