@@ -393,31 +393,9 @@ ORDER BY s.s DESC, s.doc_id LIMIT 20
 """
 
 
-@register("ft_filtered_search", _FILTER_SQL)
-def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OpenSearch filter context: BM25 match scored as usual, then a
-    non-scoring keyword filter (lang = en) applied as a join against
-    the docs side-table — the filter never touches scores, exactly
-    like a `bool.filter` clause."""
-    from .index.query import bm25_scores
-
-    ix = _built_index(spark, sf_dir)
-    scored = bm25_scores(ix, "spark table")  # full match set, no limit
-    en = ix.docs.filter(F.col("lang") == "en").select("doc_id")
-    return (
-        scored.join(en, "doc_id")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
-        .select("doc_id", F.round("score", 4).alias("score"))
-    )
-
-
 _HL_TERM = "spark"
 
-
-@register(
-    "ft_highlight",
-    f"""
+_HL_SQL = f"""
     WITH m AS (
       SELECT doc_id, lower(text) AS lt, text FROM documents
       WHERE strpos(lower(text), '{_HL_TERM}') > 0
@@ -425,15 +403,45 @@ _HL_TERM = "spark"
     SELECT doc_id,
       substr(text, greatest(strpos(lt, '{_HL_TERM}') - 20, 1), 60) AS snippet
     FROM m ORDER BY doc_id LIMIT 20
+"""
+
+
+@register(
+    "ft_filtered_search",
+    f"""
+    SELECT 'filtered' AS chk, doc_id, score, '' AS snippet
+    FROM ({_FILTER_SQL})
+    UNION ALL
+    SELECT 'highlight', doc_id, 0.0 AS score, snippet FROM ({_HL_SQL})
     """,
 )
-def ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Highlight/snippet extraction (OpenSearch `highlight`): a 60-char
-    window around the first hit, native string ops only."""
+def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hits-presentation family in one gated entry: (a) OpenSearch
+    filter context -- BM25 match scored as usual, then a non-scoring
+    keyword filter (lang = en) applied as a join against the docs
+    side-table, never touching scores, exactly like a `bool.filter`
+    clause; (b) highlight/snippet extraction (OpenSearch `highlight`):
+    a 60-char window around the first hit, native string ops only."""
+    from .index.query import bm25_scores
+
+    ix = _built_index(spark, sf_dir)
+    scored = bm25_scores(ix, "spark table")  # full match set, no limit
+    en = ix.docs.filter(F.col("lang") == "en").select("doc_id")
+    filtered = (
+        scored.join(en, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            F.lit("filtered").alias("chk"), "doc_id",
+            F.round("score", 4).alias("score"),
+            F.lit("").alias("snippet"),
+        )
+    )
+
     d = _t(spark, sf_dir, "documents")
     lt = F.lower(F.col("text"))
     pos = F.instr(lt, _HL_TERM)
-    return (
+    highlight = (
         d.filter(pos > 0)
         .select(
             "doc_id",
@@ -443,7 +451,85 @@ def ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
         .limit(20)
+        .select(
+            F.lit("highlight").alias("chk"), "doc_id",
+            F.lit(0.0).alias("score"), "snippet",
+        )
     )
+    return filtered.unionByName(highlight)
+
+
+_HY_QUERY = "spark table join stream"
+_HY_DEPTH = 50
+_HY_K = 20
+
+_HY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _HY_QUERY.split())}),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= {_HY_DEPTH}
+),
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vcut AS (
+  SELECT vec_id, round({{cos}}, 4) AS c4,
+         row_number() OVER (ORDER BY {{cos}} DESC, vec_id) AS cutrank
+  FROM v, qv QUALIFY cutrank <= {_HY_DEPTH}
+),
+vec AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY c4 DESC, vec_id) AS rank
+  FROM vcut
+),
+fused AS (
+  SELECT doc_id, sum(1.0 / (60.0 + rank)) AS rrf_score FROM (
+    SELECT doc_id, rank FROM lex
+    UNION ALL SELECT doc_id, rank FROM vec
+  ) GROUP BY doc_id
+)
+SELECT doc_id, round(rrf_score, 6) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_HY_K}
+""".format(cos=(
+    "list_dot_product(e, q) / (sqrt(list_dot_product(e, e))"
+    " * sqrt(list_dot_product(q, q)))"
+))
+
+
+@register("ft_hybrid", _HY_SQL)
+def ft_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch 2.x hybrid retrieval, driver-gated: a lexical BM25
+    sub-query over the inverted index and a k-NN cosine sub-query over
+    the embeddings table, each cut to depth 50, fused by Reciprocal
+    Rank Fusion (rank_const 60, the engine default) -- the oracle
+    recomputes both sub-rankings and the fusion in SQL
+    (operators/hybrid.py)."""
+    from .operators.hybrid import hybrid_topk
+
+    ix = _built_index(spark, sf_dir)
+    vecs = _t(spark, sf_dir, "embeddings")
+    row = (
+        vecs.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    )
+    top = hybrid_topk(
+        ix, vecs, _HY_QUERY, list(row["embedding"]),
+        k=_HY_K, depth=_HY_DEPTH,
+    )
+    return top.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))
 
 
 _MM_BOOSTS = {"body": 1.0, "title": 2.0}
