@@ -516,6 +516,40 @@ def _v6_oracle_parts() -> dict[str, str]:
           AS cand,
         lst
       FROM ips
+    ),
+    xr AS (
+      SELECT event_id,
+        [CASE WHEN event_id % 2 = 0
+              THEN '203.0.113.' || (event_id % 250)::VARCHAR
+              ELSE '10.0.0.1' END]
+        || list_reverse(
+             CASE WHEN user_id % 3 = 0 THEN ['10.9.9.9']
+                  ELSE ['198.51.' || (user_id % 200)::VARCHAR || '.7',
+                        '10.1.2.3',
+                        '172.16.0.' || (event_id % 200)::VARCHAR] END)
+          AS cand
+      FROM e
+    ),
+    xrf AS (
+      SELECT event_id, i.i AS pos, xr.cand[i.i] AS ip,
+        coalesce((
+          SELECT (p[1]::BIGINT * 16777216 + p[2]::BIGINT * 65536
+                  + p[3]::BIGINT * 256 + p[4]::BIGINT)
+                   BETWEEN 167772160 AND 184549375
+              OR (p[1]::BIGINT * 16777216 + p[2]::BIGINT * 65536
+                  + p[3]::BIGINT * 256 + p[4]::BIGINT)
+                   BETWEEN 2886729728 AND 2887778303
+          FROM (SELECT string_split(xr.cand[i.i], '.') AS p)
+        ), FALSE) AS trusted
+      FROM xr,
+        LATERAL (SELECT unnest(generate_series(1, len(xr.cand))) AS i) i
+    ),
+    xrp AS (
+      SELECT event_id,
+        max(CASE WHEN pos = 1 THEN trusted END) AS src_trusted,
+        max(CASE WHEN pos = 1 THEN ip END) AS src_ip,
+        min_by(ip, pos) FILTER (WHERE pos > 1 AND NOT trusted) AS fu_ip
+      FROM xrf GROUP BY event_id
     )
     SELECT 'v4' AS chk, event_id::VARCHAR AS key, ip_str AS v1,
            ip_int::VARCHAR AS v2, TRUE AS ok
@@ -531,6 +565,11 @@ def _v6_oracle_parts() -> dict[str, str]:
       CASE WHEN len(cand) > 0 THEN cand[1]
            WHEN len(lst) > 0 THEN lst[1] END, '', TRUE
     FROM c
+    UNION ALL
+    SELECT 'xff_ranged', event_id::VARCHAR,
+      CASE WHEN NOT src_trusted THEN src_ip
+           ELSE coalesce(fu_ip, '') END, '', TRUE
+    FROM xrp
     """)(_v6_oracle_parts()),
 )
 def fn_ip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,7 +618,36 @@ def fn_ip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         scalars.xff_client_ip(xffs, ["10.", "172.16."]).alias("v1"),
         F.lit("").alias("v2"), F.lit(True).alias("ok"),
     )
-    return v4.unionByName(v6).unionByName(xf)
+
+    # range-table trust (the reference's actual sqlite-range check,
+    # siem/xff.py:77-91): source-ip gate + rightmost-untrusted walk
+    # against broadcast (net_start, net_end) intervals, '' fallthrough.
+    src = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit("203.0.113."),
+                 (F.col("event_id") % 250).cast("string")),
+    ).otherwise(F.lit("10.0.0.1"))
+    xffs_r = F.when(F.col("user_id") % 3 == 0, F.lit("10.9.9.9")).otherwise(
+        F.concat(
+            F.lit("198.51."), (F.col("user_id") % 200).cast("string"),
+            F.lit(".7, 10.1.2.3, 172.16.0."),
+            (F.col("event_id") % 200).cast("string"),
+        )
+    )
+    trusted = spark.createDataFrame(
+        [(167772160, 184549375), (2886729728, 2887778303)],  # 10/8, 172.16/12
+        "net_start long, net_end long",
+    )
+    ranged = scalars.xff_client_ip_ranged(
+        ev.select("event_id", src.alias("_src"), xffs_r.alias("_xff")),
+        "event_id", "_src", "_xff", trusted,
+    ).select(
+        F.lit("xff_ranged").alias("chk"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("client_ip").alias("v1"),
+        F.lit("").alias("v2"), F.lit(True).alias("ok"),
+    )
+    return v4.unionByName(v6).unionByName(xf).unionByName(ranged)
 
 
 # ---------------------------------------------------------------------------

@@ -416,6 +416,75 @@ def xff_client_ip(xff_col: str | Column, trusted_prefixes: list[str]) -> Column:
     )
 
 
+def xff_client_ip_ranged(df, id_col: str, source_col: str, xff_col: str,
+                         trusted_ranges, out_col: str = "client_ip"):
+    """XFF client selection with RANGE-TABLE trust -- the reference's
+    full semantics (siem/xff.py:77-91 select_clientip_from_xff +
+    _query_db:174-218, which checks each candidate against a sqlite
+    *range* table, not a prefix list):
+
+    * source ip NOT inside any trusted range -> client = source ip
+      (the XFF header is untrustworthy);
+    * else walk the XFF list RIGHT-TO-LEFT, first ip not inside a
+      trusted range wins;
+    * every candidate trusted -> '' (the reference's fallthrough).
+
+    Like the reference, candidates are NOT pre-validated: an invalid
+    token can never be trusted (its int form is NULL, matching no
+    range), so it is selectable exactly as the reference's
+    check_trusted_ipaddress -> None path selects it.
+
+    ``trusted_ranges``: (net_start long, net_end long) inclusive over
+    the v4 uint32 space (the trusted_proxy.db shape) -- a
+    proxy-dimension table, broadcast by construction. Dataflow: one
+    posexplode of [source] + reverse(xff) (lists are header-sized), a
+    broadcast range join for the trust bit, one groupBy(id) to pick
+    the winner -- no driver round-trips, fact side shuffles once on
+    the id.
+    """
+    from pyspark.sql import functions as _F
+
+    cand = _F.concat(
+        _F.array(_F.col(source_col)),
+        _F.reverse(
+            _F.transform(_F.split(_F.col(xff_col), ","),
+                         lambda s: _F.trim(s))
+        ),
+    )
+    exploded = df.select(
+        id_col, _F.posexplode(cand).alias("_pos", "_ip")
+    )
+    ip_int = _F.when(
+        _F.col("_ip").rlike(_IPV4_RE), ipv4_to_long(_F.col("_ip"))
+    )
+    joined = exploded.withColumn("_int", ip_int).join(
+        F.broadcast(trusted_ranges),
+        (_F.col("_int") >= _F.col("net_start"))
+        & (_F.col("_int") <= _F.col("net_end")),
+        "left",
+    )
+    flags = joined.groupBy(id_col, "_pos", "_ip").agg(
+        _F.max(_F.col("net_start").isNotNull()).alias("_trusted")
+    )
+    picked = flags.groupBy(id_col).agg(
+        _F.max(_F.when(_F.col("_pos") == 0, _F.col("_trusted")))
+        .alias("_src_trusted"),
+        _F.max(_F.when(_F.col("_pos") == 0, _F.col("_ip"))).alias("_src"),
+        _F.min(
+            _F.when(
+                (_F.col("_pos") > 0) & ~_F.col("_trusted"),
+                _F.struct("_pos", "_ip"),
+            )
+        ).alias("_fu"),
+    )
+    client = _F.when(~_F.col("_src_trusted"), _F.col("_src")).otherwise(
+        _F.coalesce(_F.col("_fu._ip"), _F.lit(""))
+    )
+    return df.join(
+        picked.select(id_col, client.alias(out_col)), id_col, "left"
+    )
+
+
 # ---------------------------------------------------------------------------
 # protocol / outcome maps (F10, F11)
 # ---------------------------------------------------------------------------

@@ -296,3 +296,42 @@ def test_rds_identifiers(spark):
     }
     assert got[1] == ("my-aurora-cluster", "")
     assert got[2] == ("", "db-1")
+
+
+def test_xff_client_ip_ranged_reference_semantics(spark):
+    """siem/xff.py:77-91: untrusted source wins outright; trusted
+    source walks XFF right-to-left to the first ip outside every
+    trusted range; all-trusted yields ''. Invalid tokens are never
+    trusted (selectable), like the reference's None trust result."""
+    from siem_on_amazon_opensearch_service_spark.functions.scalars import (
+        xff_client_ip_ranged,
+    )
+
+    ranges = spark.createDataFrame(
+        [(167772160, 184549375), (2886729728, 2887778303)],  # 10/8, 172.16/12
+        "net_start long, net_end long",
+    )
+    df = spark.createDataFrame(
+        [
+            # source untrusted -> source wins, xff ignored
+            (1, "203.0.113.9", "198.51.100.1, 10.0.0.2"),
+            # source trusted -> rightmost untrusted in xff
+            (2, "10.0.0.1", "198.51.100.1, 10.1.2.3, 172.16.0.7"),
+            # all candidates trusted -> ''
+            (3, "10.0.0.1", "10.9.9.9, 172.16.255.255"),
+            # invalid xff token is untrusted -> selected (ref parity)
+            (4, "10.0.0.1", "not-an-ip, 10.1.2.3"),
+        ],
+        "id long, src string, xff string",
+    )
+    got = {
+        int(r["id"]): r["client_ip"]
+        for r in xff_client_ip_ranged(df, "id", "src", "xff", ranges)
+        .collect()
+    }
+    assert got == {
+        1: "203.0.113.9",
+        2: "198.51.100.1",
+        3: "",
+        4: "not-an-ip",
+    }
