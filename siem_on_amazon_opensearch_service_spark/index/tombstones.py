@@ -40,41 +40,58 @@ from .query import bm25_scores
 
 TOMBSTONE_SCHEMA = "doc_id long"
 
+#: table name inside the index root; on Iceberg this is the
+#: tombstones table next to the postings table (storage.py maps
+#: append -> INSERT INTO, the consuming mask -> MERGE INTO ... WHEN
+#: MATCHED THEN DELETE at compaction).
+TOMBSTONE_TABLE = "tombstones"
+
+
+def _store(path: str):
+    from ..storage import ParquetStore
+
+    return ParquetStore(path)
+
 
 def _tomb_dir(path: str) -> str:
-    return os.path.join(path, "tombstones")
+    return os.path.join(path, TOMBSTONE_TABLE)
 
 
 def delete_docs(spark: SparkSession, path: str, doc_ids: list[int]) -> None:
     """Append doc ids to the tombstone set (idempotent -- duplicates
     are fine, the mask is a semi-join)."""
-    spark.createDataFrame(
-        [(int(d),) for d in doc_ids], TOMBSTONE_SCHEMA
-    ).write.mode("append").parquet(_tomb_dir(path))
+    _store(path).append(
+        spark.createDataFrame([(int(d),) for d in doc_ids],
+                              TOMBSTONE_SCHEMA),
+        TOMBSTONE_TABLE,
+    )
 
 
 def delete_by_url(spark: SparkSession, path: str, urls: list[str]) -> int:
     """Tombstone every doc id whose url is in ``urls`` (the _id-by-
     content-key delete shape). Returns the number tombstoned.
 
-    The matched ids are appended to the tombstone dir as a DataFrame
-    write -- nothing is collected to the driver, so a delete-by-key
-    that matches a large doc fraction stays executor-sized."""
+    The matched ids are appended to the tombstone table as a
+    DataFrame write -- nothing is collected to the driver, so a
+    delete-by-key that matches a large doc fraction stays
+    executor-sized."""
     docs = spark.read.parquet(f"{path}/docs")
     matched = docs.filter(F.col("url").isin(urls)).select(
         F.col("doc_id").cast("long")
     )
     n = matched.count()
     if n:
-        matched.write.mode("append").parquet(_tomb_dir(path))
+        _store(path).append(matched, TOMBSTONE_TABLE)
     return n
 
 
 def load_tombstones(spark: SparkSession, path: str) -> DataFrame:
-    d = _tomb_dir(path)
-    if os.path.isdir(d):
-        return spark.read.parquet(d).select("doc_id").distinct()
-    return spark.createDataFrame([], TOMBSTONE_SCHEMA)
+    return (
+        _store(path)
+        .load_or_empty(spark, TOMBSTONE_TABLE, TOMBSTONE_SCHEMA)
+        .select("doc_id")
+        .distinct()
+    )
 
 
 def live_topk(ix: PostingsIndex, spark: SparkSession, path: str, query: str,

@@ -1,0 +1,91 @@
+"""Storage seam: the parquet implementation must behave like the
+Iceberg statements it stands in for, and the Iceberg implementation
+must plan exactly those statements (executable only with a catalog,
+plannable everywhere)."""
+
+from siem_on_amazon_opensearch_service_spark.storage import (
+    IcebergStore,
+    ParquetStore,
+)
+
+
+def test_parquet_store_roundtrip_append_merge_delete(spark, tmp_path):
+    store = ParquetStore(str(tmp_path))
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(10)],
+                               "id long, url string")
+    store.save(df, "docs")
+    assert store.exists("docs")
+    assert store.load(spark, "docs").count() == 10
+
+    store.append(
+        spark.createDataFrame([(10, "u10")], "id long, url string"), "docs"
+    )
+    assert store.load(spark, "docs").count() == 11
+
+    # MERGE INTO ... WHEN MATCHED THEN DELETE, parquet-style: the
+    # rewrite must not trip over its own lineage (temp + swap) and
+    # must drop exactly the matched keys.
+    keys = spark.createDataFrame([(2,), (5,), (10,)], "id long")
+    store.merge_delete(spark, "docs", keys, "id")
+    left = sorted(
+        r["id"] for r in store.load(spark, "docs").select("id").collect()
+    )
+    assert left == [0, 1, 3, 4, 6, 7, 8, 9]
+    assert not (tmp_path / "docs.merging").exists()
+
+    empty = store.load_or_empty(spark, "nope", "id long")
+    assert empty.count() == 0 and empty.columns == ["id"]
+
+
+def test_parquet_store_partitioned_save(spark, tmp_path):
+    store = ParquetStore(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(20)], "id long, cell int"
+    )
+    store.save(df, "vecs", partition_by=["cell"])
+    dirs = {p.name for p in (tmp_path / "vecs").iterdir() if p.is_dir()}
+    assert {"cell=0", "cell=1", "cell=2", "cell=3"} <= dirs
+
+
+def test_iceberg_store_plans_the_contract_sql():
+    s = IcebergStore("lake", "search")
+    assert s.save_sql("postings", "src", ["term"]) == (
+        "CREATE OR REPLACE TABLE lake.search.postings USING iceberg"
+        " PARTITIONED BY (term) AS SELECT * FROM src"
+    )
+    assert s.append_sql("tombstones", "src") == (
+        "INSERT INTO lake.search.tombstones SELECT * FROM src"
+    )
+    assert s.merge_delete_sql("docs", "dead", "doc_id") == (
+        "MERGE INTO lake.search.docs t USING dead k "
+        "ON t.doc_id = k.doc_id WHEN MATCHED THEN DELETE"
+    )
+    assert s.compact_sql("postings") == (
+        "CALL lake.system.rewrite_data_files"
+        "(table => 'lake.search.postings')"
+    )
+    assert s.time_travel_sql("docs", 42) == (
+        "SELECT * FROM lake.search.docs VERSION AS OF 42"
+    )
+
+
+def test_tombstones_go_through_the_store(spark, tmp_path):
+    """index/tombstones.py routes its IO through ParquetStore -- the
+    seam is load-bearing, so swapping in IcebergStore changes only the
+    adapter."""
+    from siem_on_amazon_opensearch_service_spark import corpus
+    from siem_on_amazon_opensearch_service_spark.index import build_index
+    from siem_on_amazon_opensearch_service_spark.index.tombstones import (
+        delete_docs,
+        load_tombstones,
+    )
+
+    pdf = corpus.make_pages_pdf(50, seed=5)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    path = str(tmp_path / "ix")
+    build_index(spark, spark.createDataFrame(pdf), id_col="doc_id",
+                salt_threshold=50).save(spark, path, buckets=2)
+    delete_docs(spark, path, [1, 2, 2])
+    assert load_tombstones(spark, path).count() == 2
+    store = ParquetStore(path)
+    assert store.exists("tombstones")
