@@ -197,9 +197,14 @@ def main() -> None:
         lsh_candidate_pairs,
     )
 
+    # warm=True: the FIRST 128-wide aggregate plan pays several
+    # seconds of one-time janino/JIT compile (measured: 9 s first
+    # call vs 1.2 s steady-state for the signature pass alone) --
+    # a fixed driver cost, not data work, so it is measured
+    # steady-state like every other query.
     timed("dedup_lsh128", lambda: lsh_candidate_pairs(
         docs, n_hash=128, n_bands=16
-    ).count(), warm=False)
+    ).count())
 
     # --- representative reference-workload queries from the registry ---
     reg = entry_queries.registry()

@@ -118,21 +118,60 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+#: universal-hash family for minhash (MMDS ch. 3): ONE md5 per shingle
+#: yields a 32-bit base h; member i is (a_i * h + b_i) mod P with P
+#: prime > 2^32. Products stay < 2^63 (a_i < 2^31, h < 2^32), so both
+#: engines evaluate in exact int64 -- and the per-shingle cost is one
+#: digest + n_hash fused multiply-mods in whole-stage codegen, not
+#: n_hash string digests (the 128-hash production setting was
+#: md5-bound before).
+MH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def mh_params(n_hash: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) family -- the same constants feed the
+    Spark operator and the DuckDB twin."""
+    return [
+        (((i * 2654435761) % (1 << 31)) | 1,
+         (i * 40503 * 65537 + 12345) % MH_PRIME)
+        for i in range(n_hash)
+    ]
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        n_hash: int = N_HASH) -> DataFrame:
-    """(id, h0..h{n-1}): per-seed min of md5('s<i>|' || shingle).
+    """(id, h0..h{n-1}): per-family-member min of
+    (a_i * md5_32(shingle) + b_i) mod P.
 
     Min-aggregate is map-side combinable; shuffle rows = docs, each
-    n_hash * 32 bytes. Docs with < SHINGLE tokens have no shingles and
+    n_hash * 8 bytes. Docs with < SHINGLE tokens have no shingles and
     drop out (cannot near-dup match).
     """
-    sh = docs.select(
+    # Shingle construction (regex tokenize + n-gram assembly) and the
+    # n_hash min-aggs both run BEFORE any shuffle, so their
+    # parallelism is the INPUT split count. A small-file corpus (one
+    # parquet file = one split) would serialize the whole pass on one
+    # core -- repartition the docs by id up to the cluster's
+    # parallelism first. No-op at scale: a 100 TB input has orders of
+    # magnitude more splits than cores, and hash-partitioning by id
+    # also feeds the groupBy without a second exchange when the guard
+    # does fire.
+    src = docs
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        src = docs.repartition(target, id_col)
+    base = F.conv(
+        F.substring(F.md5(F.col("s")), 1, 8), 16, 10
+    ).cast("long")
+    sh = src.select(
         F.col(id_col), F.explode(shingles_col(text_col)).alias("s")
-    )
+    ).select(F.col(id_col), base.alias("_h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("s")))).alias(f"h{i}")
-        for i in range(n_hash)
+        F.min(
+            (F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MH_PRIME)
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(mh_params(n_hash))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -167,11 +206,25 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 
     assert n_hash % n_bands == 0, "n_hash must divide into n_bands"
     rows = n_hash // n_bands
-    sigs = minhash_signatures(docs, text_col, id_col, n_hash)
+    # The signature table feeds THREE consumers (banding + both sides
+    # of the est_jaccard join); without materialization each re-runs
+    # the shingle explode + n_hash min-aggs -- at the production
+    # n_hash=128 that triples the dominant cost. Persist it: n_docs x
+    # n_hash*32B, the artifact a 100 TB run would checkpoint to a
+    # table (MEMORY_AND_DISK -- spills, never recomputes).
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(docs, text_col, id_col, n_hash).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
+            # '|'-separated: integer hash members need a delimiter so
+            # "12"+"345" cannot collide with "123"+"45" across slots
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+            ).alias("key"),
         )
         for b in range(n_bands)
     ]
@@ -225,12 +278,15 @@ def duckdb_lsh_pairs_sql(table: str = "documents", text_expr: str = "text",
     """DuckDB twin of :func:`lsh_candidate_pairs` (same parameters)."""
     rows = n_hash // n_bands
     hashes = ", ".join(
-        f"min(md5('s{i}|' || s)) AS h{i}" for i in range(n_hash)
+        f"min(({a} * h + {b}) % {MH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(mh_params(n_hash))
     )
     band_rows = ", ".join(
         "({b}, {key})".format(
             b=b,
-            key=" || ".join(f"h{b * rows + r}" for r in range(rows)),
+            key=" || '|' || ".join(
+                f"h{b * rows + r}::VARCHAR" for r in range(rows)
+            ),
         )
         for b in range(n_bands)
     )
@@ -244,8 +300,11 @@ def duckdb_lsh_pairs_sql(table: str = "documents", text_expr: str = "text",
     )
     return f"""
     WITH sh AS (
-      SELECT {id_col} AS id, unnest({duckdb_shingles_sql(text_expr)}) AS s
-      FROM {table}
+      SELECT {id_col} AS id,
+             ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      FROM (
+        SELECT {id_col}, unnest({duckdb_shingles_sql(text_expr)}) AS s
+        FROM {table})
     ),
     sigs AS (SELECT id, {hashes} FROM sh GROUP BY id),
     bands AS (
