@@ -70,15 +70,82 @@ FROM scored ORDER BY s DESC, doc_id LIMIT 20
 """
 
 
-@register("ft_phrase_topk", _PHRASE_SQL)
-def ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """match_phrase query through the positional index (Lucene
-    PhraseQuery shape: tf = phrase frequency, idf = sum of term
-    idfs)."""
-    from .index.positional import phrase_topk
+PP_EXACT = ["table"]          # exact leading slots
+PP_PREFIX = "val"             # trailing prefix slot (matches value/...)
+PHRASE_PREFIX = " ".join(PP_EXACT + [PP_PREFIX])
 
-    top = phrase_topk(_pos_index(spark, sf_dir), PHRASE, k=20)
-    return top.select("doc_id", F.round("score", 4).alias("score"))
+_PP_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOK} AS t FROM documents),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM d),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+),
+adjp AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, pos - {i} AS adj, {i} AS slot FROM tokpos "
+      f"WHERE term = '{t}'" for i, t in enumerate(PP_EXACT))}
+  UNION ALL
+  SELECT doc_id, pos - {len(PP_EXACT)} AS adj, {len(PP_EXACT)} AS slot
+  FROM tokpos WHERE term LIKE '{PP_PREFIX}%'
+),
+covp AS (
+  SELECT doc_id, adj FROM adjp WHERE adj >= 0
+  GROUP BY doc_id, adj HAVING count(DISTINCT slot) = {len(PP_EXACT) + 1}
+),
+freqp AS (SELECT doc_id, count(*)::DOUBLE AS ptf FROM covp GROUP BY doc_id),
+uniondf AS (
+  SELECT count(DISTINCT doc_id)::DOUBLE AS v FROM tokpos
+  WHERE term LIKE '{PP_PREFIX}%'
+),
+dfte AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokpos
+  WHERE term IN ({", ".join(f"'{t}'" for t in PP_EXACT)}) GROUP BY term
+),
+idfsump AS (
+  SELECT (SELECT sum(ln(1 + (stats.n - df + 0.5) / (df + 0.5)))
+          FROM dfte, stats)
+       + (SELECT ln(1 + (stats.n - uniondf.v + 0.5) / (uniondf.v + 0.5))
+          FROM uniondf, stats) AS v
+),
+scoredp AS (
+  SELECT f.doc_id,
+         idfsump.v * f.ptf
+           / (f.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
+  FROM freqp f JOIN dl ON dl.doc_id = f.doc_id, stats, idfsump
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scoredp ORDER BY s DESC, doc_id LIMIT 20
+"""
+
+
+@register(
+    "ft_phrase_topk",
+    f"""
+    SELECT 'phrase' AS chk, doc_id, score FROM ({_PHRASE_SQL})
+    UNION ALL
+    SELECT 'phrase_prefix', doc_id, score FROM ({_PP_SQL})
+    """,
+)
+def ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase (chk='phrase': Lucene PhraseQuery shape, tf =
+    phrase frequency, idf = sum of term idfs) + match_phrase_prefix
+    (chk='phrase_prefix': the search-as-you-type query -- last token
+    is a prefix expanded INSIDE the postings scan, union-df idf for
+    the prefix slot), both through the positional index."""
+    from .index.positional import phrase_prefix_topk, phrase_topk
+
+    pix = _pos_index(spark, sf_dir)
+    top = phrase_topk(pix, PHRASE, k=20).select(
+        F.lit("phrase").alias("chk"),
+        "doc_id", F.round("score", 4).alias("score"),
+    )
+    pp = phrase_prefix_topk(pix, PHRASE_PREFIX, k=20).select(
+        F.lit("phrase_prefix").alias("chk"),
+        "doc_id", F.round("score", 4).alias("score"),
+    )
+    return top.unionByName(pp)
 
 
 _BOOL_MUST = ["table", "value"]
@@ -594,8 +661,9 @@ def ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QS_QUERY = ("+table value^2 -slow st* (join AND stream) "
-             "+lang:(en OR de) AND NOT source:*1 +n_chars:[150 TO 450] "
-             "+lang:*")
+             "+lang:(en OR de) AND NOT source:*1 "
+             "+n_chars:>=150 +n_chars:<=450 +n_chars:[150 TO 450] "
+             "+_exists_:lang")
 
 _QS_SQL = f"""
 WITH tok AS (
@@ -648,8 +716,11 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms, constant-score prefix, a parenthesized scoring group
     (join AND stream) that contributes only when BOTH match, a
     grouped field value list lang:(en OR de), a leading-wildcard
-    field exclusion NOT source:*1, a numeric range filter
-    n_chars:[150 TO 450], and a field existence check lang:*. The
+    field exclusion NOT source:*1, a numeric range filter in BOTH
+    syntaxes (n_chars:[150 TO 450] and the one-sided shorthands
+    n_chars:>=150 n_chars:<=450 -- same bounds, so the oracle is
+    unchanged), and a reserved-field existence check _exists_:lang
+    (== lang:*). The
     whole string parses on the driver into a boolean tree and
     compiles into ONE DataFrame DAG with a single groupBy -- no
     broadcast of exclusion sets (index/querystring.py)."""

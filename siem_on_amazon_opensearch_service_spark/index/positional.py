@@ -286,3 +286,99 @@ def phrase_topk(ix: PostingsIndex, phrase: str, k: int = 10) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def phrase_prefix_scores(ix: PostingsIndex, phrase: str) -> DataFrame:
+    """match_phrase_prefix (the OpenSearch search-as-you-type query,
+    reference dashboards' filter bar): the LAST token of ``phrase`` is
+    a prefix; a doc matches where the leading tokens appear as an
+    exact phrase immediately followed by any dictionary term starting
+    with that prefix.
+
+    Scoring is the documented MultiPhraseQuery-shaped form: tf =
+    phrase-prefix frequency (number of alignments), idf = sum of the
+    exact slots' idfs + the prefix slot's idf computed on its UNION
+    document frequency (number of docs containing >=1 expansion) --
+    deterministic and expansion-count-independent, unlike Lucene's
+    max_expansions-truncated sum, so small-scale results are stable.
+
+    Plan notes (100 TB posture): the prefix expansion never touches
+    the driver -- the ``LIKE 'pre%'`` predicate runs inside the
+    term-sorted postings scan (same shape as querystring's
+    ``_const_leaf_rows``); only the union-df scalar is collected
+    (one count, needed as a literal in the score expression).
+    """
+    spark = ix.postings.sparkSession
+    terms = tokenize_py(phrase)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not terms:
+        return empty
+    exact, prefix = terms[:-1], terms[-1]
+    uniq = list(dict.fromkeys(exact))
+
+    srows = ix.term_stats.filter(F.col("term").isin(uniq)).collect()
+    dfs = {r["term"]: int(r["df"]) for r in srows}
+    if any(t not in dfs for t in uniq):
+        return empty
+
+    like = prefix.replace("\\", "\\\\").replace("%", "\\%") \
+                 .replace("_", "\\_") + "%"
+    pdecoded = decode_blocks_positions(
+        ix.postings.filter(F.col("term").like(like))
+    )
+    union_df = pdecoded.select("doc_id").distinct().count()
+    if union_df == 0:
+        return empty
+    idf_sum = float(sum(idf(ix.n_docs, dfs[t]) for t in exact)
+                    + idf(ix.n_docs, union_df))
+
+    n_slots = len(terms)
+    parts = [
+        pdecoded.select(
+            "doc_id", "dl",
+            (F.col("pos") - F.lit(n_slots - 1)).alias("adj"),
+            F.lit(n_slots - 1).alias("slot"),
+        )
+    ]
+    if exact:
+        slots = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(exact)], "slot int, term string"
+        )
+        decoded = decode_blocks_positions(
+            ix.postings.filter(F.col("term").isin(uniq))
+        )
+        parts.append(
+            decoded.join(F.broadcast(slots), "term").select(
+                "doc_id", "dl",
+                (F.col("pos") - F.col("slot")).alias("adj"),
+                "slot",
+            )
+        )
+    adj = parts[0]
+    for p in parts[1:]:
+        adj = adj.unionByName(p)
+
+    covered = (
+        adj.groupBy("doc_id", "dl", "adj")
+        .agg(F.countDistinct("slot").alias("n"))
+        .filter((F.col("n") == n_slots) & (F.col("adj") >= 0))
+    )
+    freq = covered.groupBy("doc_id", "dl").agg(F.count("*").alias("ptf"))
+    ptf = F.col("ptf").cast("double")
+    dl = F.col("dl").cast("double")
+    score = (
+        F.lit(idf_sum) * ptf
+        / (ptf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl)))
+    )
+    return freq.select("doc_id", score.alias("score"))
+
+
+def phrase_prefix_topk(ix: PostingsIndex, phrase: str,
+                       k: int = 10) -> DataFrame:
+    """Top-k match_phrase_prefix: TakeOrdered over
+    :func:`phrase_prefix_scores`."""
+    return (
+        phrase_prefix_scores(ix, phrase)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

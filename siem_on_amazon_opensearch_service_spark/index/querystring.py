@@ -1,4 +1,4 @@
-"""query_string parser + executor -- the DSL the reference's
+r"""query_string parser + executor -- the DSL the reference's
 dashboards actually speak.
 
 Every saved search / visualization in the reference ships a Lucene
@@ -30,9 +30,14 @@ use, plus the scoring primitives::
     field:*         existence check      (NOT field:* = missing)
     field:(A OR B)  grouped value list   -> OR of filter values
     field:[a TO b]  inclusive range      ({a TO b} exclusive)
+    field:>10       one-sided range shorthand (>= <= > <)
+    _exists_:field  reserved-field existence (== field:*)
+    \X              backslash-escape: literal special char
+                    (field\:name, val\*ue, \+term, ...)
     ( ... )         boolean grouping, arbitrarily nested
     AND / &&        upgrades adjacent items to must
-    OR / ||         explicit default (no-op)
+    OR / ||         explicit default (no-op under default OR; demotes
+                    adjacent required items under default_operator=AND)
 
 Parsing happens ON THE DRIVER at plan time (strings are metadata) and
 yields a boolean tree of Lucene-style groups: each group carries
@@ -126,13 +131,32 @@ _TOKEN_RE = re.compile(
         (?P<lpar>\()
       | (?P<rpar>\))
       | "(?P<phrase>[^"]*)"(?P<pboost>\^\d+(?:\.\d+)?)?
-      | (?P<word>[^\s"()\[\]{}]*(?:\[[^\]]*\]|\{[^}]*\})?[^\s"()]*)
+      | (?P<word>(?:\\.|[^\s"()\[\]{}])*(?:\[[^\]]*\]|\{[^}]*\})?
+                 (?:\\.|[^\s"()])*)
     )
     """,
     re.VERBOSE,
 )
 
 _RANGE_RE = re.compile(r"^(\[|\{)\s*(\S+)\s+TO\s+(\S+)\s*(\]|\})$")
+_UNESCAPED_COLON_RE = re.compile(r"(?<!\\):")
+
+
+def _unescape(s: str) -> str:
+    r"""Drop Lucene backslash escapes: ``\X`` -> literal ``X``."""
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+def _has_unescaped(s: str, chars: str) -> bool:
+    i = 0
+    while i < len(s):
+        if s[i] == "\\":
+            i += 2
+            continue
+        if s[i] in chars:
+            return True
+        i += 1
+    return False
 
 
 def _tokenize(q: str):
@@ -151,33 +175,46 @@ def _tokenize(q: str):
     return out
 
 
-def parse_query_string(q: str) -> Group:
-    """Driver-side parse into the boolean tree described above."""
+def parse_query_string(q: str, default_operator: str = "OR") -> Group:
+    """Driver-side parse into the boolean tree described above.
+
+    ``default_operator`` mirrors the OpenSearch query_string option of
+    the same name: with ``"AND"``, bare adjacent items are required
+    (must) unless an explicit ``OR`` separates them; default ``"OR"``
+    keeps them optional (should).
+    """
     tokens = _tokenize(q)
     pos = 0
+    default_occ = "must" if default_operator.upper() == "AND" else "should"
 
     def parse_group(field_ctx: str | None, depth: int) -> Group:
         nonlocal pos
         g = Group()
         pending_occur: str | None = None
         upgrade_next = False
+        downgrade_next = False
         # index of the most recent batch of items IF the most recent
         # parsed thing produced items (AND binds adjacent ITEMS).
         last_batch: tuple[int, int] | None = None
 
         def take_occur() -> str:
             nonlocal pending_occur
-            occ = pending_occur or "should"
+            occ = pending_occur or default_occ
             pending_occur = None
             return occ
 
         def added(start: int) -> None:
-            nonlocal upgrade_next, last_batch
+            nonlocal upgrade_next, downgrade_next, last_batch
             if upgrade_next:
                 for i in range(start, len(g.clauses)):
                     if g.clauses[i][0] == "should":
                         g.clauses[i] = ("must", g.clauses[i][1])
                 upgrade_next = False
+            if downgrade_next:
+                for i in range(start, len(g.clauses)):
+                    if g.clauses[i][0] == "must":
+                        g.clauses[i] = ("should", g.clauses[i][1])
+                downgrade_next = False
             last_batch = (start, len(g.clauses))
 
         def apply_and() -> None:
@@ -187,6 +224,16 @@ def parse_query_string(q: str) -> Group:
                     if g.clauses[i][0] == "should":
                         g.clauses[i] = ("must", g.clauses[i][1])
             upgrade_next = True
+
+        def apply_or() -> None:
+            # only meaningful under default_operator=AND: an explicit
+            # OR releases the adjacent items back to optional.
+            nonlocal downgrade_next
+            if last_batch is not None:
+                for i in range(*last_batch):
+                    if g.clauses[i][0] == "must":
+                        g.clauses[i] = ("should", g.clauses[i][1])
+            downgrade_next = True
 
         while pos < len(tokens):
             kind, text, pextra = tokens[pos]
@@ -220,6 +267,11 @@ def parse_query_string(q: str) -> Group:
             # --- word ---
             up = text.upper()
             if up in ("OR", "||"):
+                # Lucene classic-parser semantics: an explicit OR only
+                # changes anything under default_operator=AND, where it
+                # demotes the adjacent required (non-prohibited) items.
+                if default_occ == "must":
+                    apply_or()
                 continue
             if up in ("AND", "&&"):
                 apply_and()
@@ -246,10 +298,12 @@ def parse_query_string(q: str) -> Group:
                 continue
 
             fieldname: str | None = None
-            if field_ctx is None and ":" in text:
-                cand_field, rest = text.split(":", 1)
+            colon = (_UNESCAPED_COLON_RE.search(text)
+                     if field_ctx is None else None)
+            if colon is not None:
+                cand_field, rest = text[:colon.start()], text[colon.end():]
                 if cand_field:
-                    fieldname, text = cand_field, rest
+                    fieldname, text = _unescape(cand_field), rest
                     if text == "":
                         # 'field:' then '(' (value group) or a quoted
                         # phrase value.
@@ -278,38 +332,45 @@ def parse_query_string(q: str) -> Group:
 
             occ = take_occur()
 
-            # strip a boost suffix (valid on any leaf)
+            # strip a boost suffix (valid on any leaf; \^ is literal)
             boost = 1.0
-            bm = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", text)
+            bm = re.match(r"^(.*)(?<!\\)\^(\d+(?:\.\d+)?)$", text)
             if bm and bm.group(1):
                 text, boost = bm.group(1), float(bm.group(2))
 
             if fieldname is not None:
                 start = len(g.clauses)
-                g.clauses.append((occ, _field_leaf(fieldname, text)))
+                if fieldname == "_exists_":
+                    # reserved Lucene field: _exists_:name == name:*
+                    g.clauses.append((occ, FieldLeaf(text, "exists")))
+                else:
+                    g.clauses.append((occ, _field_leaf(fieldname, text)))
                 added(start)
                 continue
 
             start = len(g.clauses)
-            fm = re.match(r"^(.*)~(\d*)$", text)
-            if fm and fm.group(1) and "*" not in text and "?" not in text:
+            fm = re.match(r"^(.*)(?<!\\)~(\d*)$", text)
+            if fm and fm.group(1) and not _has_unescaped(text, "*?"):
                 g.clauses.append(
-                    (occ, TermLeaf("fuzzy", fm.group(1).lower(), boost,
-                                   max_edits=int(fm.group(2) or 1)))
+                    (occ, TermLeaf("fuzzy", _unescape(fm.group(1)).lower(),
+                                   boost, max_edits=int(fm.group(2) or 1)))
                 )
-            elif text.endswith("*") and len(text) > 1 and not any(
-                ch in text[:-1] for ch in "*?"
-            ):
+            elif (text.endswith("*") and not text.endswith(r"\*")
+                  and len(text) > 1
+                  and not _has_unescaped(text[:-1], "*?")):
                 g.clauses.append(
-                    (occ, TermLeaf("prefix", text[:-1].lower(), boost))
+                    (occ, TermLeaf("prefix", _unescape(text[:-1]).lower(),
+                                   boost))
                 )
-            elif "*" in text or "?" in text:
+            elif _has_unescaped(text, "*?"):
                 if text.strip("*?"):
+                    # keep escapes in the pattern: _wild_to_like treats
+                    # \X as the literal character X.
                     g.clauses.append(
                         (occ, TermLeaf("wildcard", text.lower(), boost))
                     )
             else:
-                for t in tokenize_py(text):
+                for t in tokenize_py(_unescape(text)):
                     g.clauses.append((occ, TermLeaf("term", t, boost)))
             if len(g.clauses) > start:
                 added(start)
@@ -326,11 +387,21 @@ def _field_leaf(fieldname: str, value: str) -> FieldLeaf:
         return FieldLeaf(fieldname, "range", lo=lo, hi=hi,
                          lo_incl=rm.group(1) == "[",
                          hi_incl=rm.group(4) == "]")
+    # Lucene one-sided range shorthand: field:>10 field:>=10 field:<v
+    cm = re.match(r"^(>=|<=|>|<)(.+)$", value)
+    if cm:
+        op, v = cm.group(1), _unescape(cm.group(2))
+        if op.startswith(">"):
+            return FieldLeaf(fieldname, "range", lo=v, hi=None,
+                             lo_incl=op == ">=")
+        return FieldLeaf(fieldname, "range", lo=None, hi=v,
+                         hi_incl=op == "<=")
     if value == "*":
         return FieldLeaf(fieldname, "exists")
-    if "*" in value or "?" in value:
+    if _has_unescaped(value, "*?"):
+        # keep escapes: _wild_to_like maps \X to the literal char
         return FieldLeaf(fieldname, "wildcard", value)
-    return FieldLeaf(fieldname, "exact", value)
+    return FieldLeaf(fieldname, "exact", _unescape(value))
 
 
 # ---------------------------------------------------------------------------
@@ -344,15 +415,23 @@ def _escape_like(s: str) -> str:
 
 
 def _wild_to_like(pattern: str) -> str:
-    """Lucene wildcard (* any run, ? one char) -> SQL LIKE pattern."""
+    r"""Lucene wildcard (* any run, ? one char, \X literal X) -> SQL
+    LIKE pattern."""
     out = []
-    for ch in pattern:
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(_escape_like(pattern[i + 1]))
+            i += 2
+            continue
         if ch == "*":
             out.append("%")
         elif ch == "?":
             out.append("_")
         else:
             out.append(_escape_like(ch))
+        i += 1
     return "".join(out)
 
 
@@ -555,11 +634,12 @@ def query_string_topk(
     q: str,
     k: int = 10,
     positional_ix: PostingsIndex | None = None,
+    default_operator: str = "OR",
 ) -> DataFrame:
     """Execute a query_string against the index. Phrase clauses need a
     positional index (pass the same index if it was built positional).
     Returns (doc_id, score)."""
-    tree = parse_query_string(q)
+    tree = parse_query_string(q, default_operator=default_operator)
     spark = ix.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
 

@@ -101,6 +101,56 @@ def test_phrase_topk_matches_python(data, pix):
         assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
 
 
+def _py_phrase_prefix_scores(pdf, exact, prefix, k):
+    docs = {r.doc_id: _toks(r.text) for r in pdf.itertuples()}
+    n_docs = len(docs)
+    dls = {d: len(t) for d, t in docs.items()}
+    avgdl = sum(dls.values()) / n_docs
+    dfs = {t: sum(1 for tk in docs.values() if t in tk) for t in set(exact)}
+    union_df = sum(
+        1 for tk in docs.values() if any(t.startswith(prefix) for t in tk)
+    )
+    if union_df == 0:
+        return []
+    idf_sum = sum(idf(n_docs, dfs[t]) for t in exact) + idf(n_docs, union_df)
+    n = len(exact) + 1
+    out = []
+    for d, tk in docs.items():
+        ptf = sum(
+            1 for i in range(len(tk) - n + 1)
+            if tk[i:i + n - 1] == exact and tk[i + n - 1].startswith(prefix)
+        )
+        if ptf:
+            s = idf_sum * ptf / (ptf + K1 * (1 - B + B * dls[d] / avgdl))
+            out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_phrase_prefix_matches_python(data, pix):
+    from siem_on_amazon_opensearch_service_spark.index.positional import (
+        phrase_prefix_topk,
+    )
+
+    pdf, _ = data
+    a, b = _find_phrase(pdf).split()
+    exact, prefix = [a], b[:3]  # "a bxx*": widen the last slot
+    got = [(r["doc_id"], r["score"]) for r in
+           phrase_prefix_topk(pix, f"{a} {prefix}", k=10).collect()]
+    exp = _py_phrase_prefix_scores(pdf, exact, prefix, 10)
+    assert [d for d, _ in got] == [d for d, _ in exp], (a, prefix)
+    for (_, x), (_, y) in zip(got, exp):
+        assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_phrase_prefix_no_expansion(data, pix):
+    from siem_on_amazon_opensearch_service_spark.index.positional import (
+        phrase_prefix_topk,
+    )
+
+    assert phrase_prefix_topk(pix, "w00000 zzzzz", k=5).count() == 0
+
+
 def test_phrase_absent_and_single(data, pix):
     pdf, _ = data
     assert phrase_topk(pix, "zzz yyy", k=5).count() == 0

@@ -179,6 +179,96 @@ def test_parse_leading_wildcard_term():
     assert ("should", "wildcard", "te?m", 1.0) in got
 
 
+def test_parse_exists_reserved_field():
+    """Lucene reserved field: _exists_:name == name:* (both polarity)."""
+    g = parse_query_string("_exists_:errorCode AND NOT _exists_:userAgent")
+    got = flat(g)
+    assert ("must", "field:exists", "errorCode=", 1.0) in got
+    assert ("must_not", "field:exists", "userAgent=", 1.0) in got
+
+
+def test_parse_comparison_shorthand():
+    g = parse_query_string("doclen:>=100 AND doclen:<200 ts:>a")
+    r1, r2, r3 = (c for _, c in g.clauses)
+    assert (r1.op, r1.lo, r1.hi, r1.lo_incl) == ("range", "100", None, True)
+    assert (r2.op, r2.lo, r2.hi, r2.hi_incl) == ("range", None, "200", False)
+    assert (r3.op, r3.lo, r3.lo_incl) == ("range", "a", False)
+
+
+def test_parse_backslash_escapes():
+    r"""Lucene escaping: \X is the literal character X everywhere --
+    in field names, values, and bare terms."""
+    g = parse_query_string(r"url\:port:val\*ue \+alpha path:a\:b")
+    got = flat(g)
+    # escaped colon in the FIELD name; escaped * in the value -> exact
+    assert ("should", "field:exact", "url:port=val*ue", 1.0) in got
+    # escaped + is part of the term text, not a must modifier
+    # (tokenize_py strips punctuation, so the term survives as alpha
+    # but with occur=should, not must)
+    assert ("should", "term", "alpha", 1.0) in got
+    assert ("should", "field:exact", "path=a:b", 1.0) in got
+
+    # unescaped wildcard beside an escaped one stays a wildcard leaf
+    g2 = parse_query_string(r"name:ab\*c*")
+    leaf = g2.clauses[0][1]
+    assert leaf.op == "wildcard" and leaf.value == r"ab\*c*"
+    from siem_on_amazon_opensearch_service_spark.index.querystring import (
+        _wild_to_like,
+    )
+    # escaped \* -> literal * (no LIKE escaping needed for *),
+    # trailing unescaped * -> %
+    assert _wild_to_like(leaf.value) == "ab*c%"
+
+
+def test_parse_default_operator_and():
+    """OpenSearch default_operator=AND: bare adjacency is must; an
+    explicit OR demotes the adjacent required items (Lucene classic
+    addClause behavior -- prohibited clauses are untouched)."""
+    g = parse_query_string("alpha beta", default_operator="AND")
+    occ = {c.text: o for o, c in g.clauses}
+    assert occ == {"alpha": "must", "beta": "must"}
+
+    g2 = parse_query_string("alpha OR beta gamma -delta",
+                            default_operator="AND")
+    occ2 = {c.text: o for o, c in g2.clauses}
+    assert occ2 == {"alpha": "should", "beta": "should",
+                    "gamma": "must", "delta": "must_not"}
+
+    # explicit OR is a no-op under default OR (Lucene parity)
+    g3 = parse_query_string("alpha AND beta OR gamma")
+    occ3 = {c.text: o for o, c in g3.clauses}
+    assert occ3 == {"alpha": "must", "beta": "must", "gamma": "should"}
+
+
+def test_registry_query_parses_to_expected_shape():
+    """The gated ft_query_string entry's actual query: the comparison
+    shorthands and _exists_: must land as the same leaf shapes the
+    oracle SQL encodes."""
+    from siem_on_amazon_opensearch_service_spark.entry_search import (
+        _QS_QUERY,
+    )
+
+    g = parse_query_string(_QS_QUERY)
+    leaves = []
+
+    def walk(n):
+        for occ, c in n.clauses:
+            if isinstance(c, Group):
+                walk(c)
+            else:
+                leaves.append((occ, c))
+
+    walk(g)
+    ranges = [c for _, c in leaves
+              if isinstance(c, FieldLeaf) and c.op == "range"]
+    # one-sided >=150, <=450 plus the two-sided [150 TO 450]
+    assert sorted((r.lo or "", r.hi or "") for r in ranges) == [
+        ("", "450"), ("150", ""), ("150", "450")]
+    exists = [(occ, c.field) for occ, c in leaves
+              if isinstance(c, FieldLeaf) and c.op == "exists"]
+    assert ("must", "lang") in exists
+
+
 # -- executor equivalences -------------------------------------------
 
 
