@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from .entry_queries import _t, _utc, register
 from .functions.scalars import long_to_ipv4
+from .operators.aggs import geotile_duck_sql as _geotile_duck
 
 # ---------------------------------------------------------------------------
 # P3/P4: row exclusion by pattern conditions
@@ -411,15 +412,20 @@ _HAV_DUCK = f"""
     SELECT 'geo_ring:' || (floor({_HAV_DUCK} / 2500)::BIGINT)::VARCHAR,
            count(*), 0.0
     FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'geotile:' || {_geotile_duck(_GEO_LAT, _GEO_LON, 3)}, count(*), 0.0
+    FROM events GROUP BY 1
     """,
 )
 def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two band rollups in one gated entry: the numeric interval
+    """Three geo/band rollups in one gated entry: the numeric interval
     lookup join (J1/J2 shape: fact value BETWEEN broadcast dim bounds,
     plans as BroadcastNestedLoopJoin over 3 rows -- the fact side
-    never shuffles) and the geo_point haversine ring rollup (the
+    never shuffles), the geo_point haversine ring rollup (the
     region_map aggregation, ref data.ini:127 / waf.ndjson) -- native
-    trig, map-side only."""
+    trig, map-side only -- and the `geotile_grid` agg (Web-Mercator
+    z/x/y tile buckets at zoom 3, the OpenSearch coordinate-map
+    aggregation; same native-trig map-side shape)."""
     ev = _t(spark, sf_dir, "events")
     bands = spark.createDataFrame(
         [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1e9, "high")],
@@ -457,4 +463,14 @@ def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .withColumn("sum_value", F.lit(0.0))
     )
-    return band_part.unionByName(geo_part)
+    from .operators.aggs import geotile
+
+    tile_part = (
+        ev.select(
+            F.concat(F.lit("geotile:"), geotile(lat, lon, 3)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("sum_value", F.lit(0.0))
+    )
+    return band_part.unionByName(geo_part).unionByName(tile_part)

@@ -222,39 +222,122 @@ def ft_corpus_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_terms_topn",
     """
-    SELECT event_type, count(*) AS n FROM events
-    GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
+    SELECT 'top' AS chk, event_type AS key, n, 0.0 AS score FROM (
+      SELECT event_type, count(*) AS n FROM events
+      GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3)
+    UNION ALL
+    SELECT 'significant', key, fg_count, round(score, 6) FROM (
+      WITH per AS (
+        SELECT event_type AS key,
+               count(*) FILTER (value > 150) AS fg_count,
+               count(*) AS bg_count
+        FROM events GROUP BY 1
+      ), tot AS (
+        SELECT count(*) FILTER (value > 150)::DOUBLE AS fg_total,
+               count(*)::DOUBLE AS bg_total
+        FROM events
+      )
+      SELECT key, fg_count,
+             (fg_count / fg_total - bg_count / bg_total)
+               * ((fg_count / fg_total) / (bg_count / bg_total)) AS score
+      FROM per, tot
+      WHERE fg_count >= 1 AND fg_count / fg_total > bg_count / bg_total
+      ORDER BY score DESC, key LIMIT 5)
+    UNION ALL
+    SELECT 'rare', key, n, 0.0 FROM (
+      SELECT event_type || ':' || (props->>'k') AS key, count(*) AS n
+      FROM events GROUP BY 1 HAVING n <= 12 ORDER BY n, key LIMIT 10)
+    UNION ALL
+    SELECT 'composite_p2', event_type || ':' || user_id AS key, n, 0.0 FROM (
+      WITH b AS (
+        SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
+      )
+      SELECT *, row_number() OVER (ORDER BY event_type, user_id) AS rn
+      FROM b) WHERE rn BETWEEN 6 AND 10
     """,
 )
 def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`terms` agg (A1): bucket by keyword, order by count desc, size N
-    (92 of 103 reference visualizations use this shape)."""
+    """The terms-aggregation family in one gated entry: (a) `terms`
+    agg (A1: bucket by keyword, count desc, size N — 92 of 103
+    reference visualizations use this shape); (b) `significant_terms`
+    (JLH-scored foreground-vs-background keys, foreground = high-value
+    events); (c) `rare_terms` (long-tail composite keys with <= 12
+    occurrences, ascending count); (d) `composite` agg pagination
+    (page 2 of (event_type, user_id) buckets in key order via the
+    after_key cursor from page 1 — a 5-row metadata collect)."""
+    from .operators.aggs import composite_page, rare_terms, significant_terms
+
     ev = _t(spark, sf_dir, "events")
-    return (
+    top = (
         ev.groupBy("event_type")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("event_type"))
         .limit(3)
+        .select(F.lit("top").alias("chk"), F.col("event_type").alias("key"),
+                "n", F.lit(0.0).alias("score"))
     )
+    sig = significant_terms(
+        ev, "event_type", F.col("value") > 150, size=5,
+    ).select(
+        F.lit("significant").alias("chk"), "key",
+        F.col("fg_count").alias("n"), F.round("score", 6).alias("score"),
+    )
+    kcol = F.concat_ws(
+        ":", F.col("event_type"), F.get_json_object("props", "$.k"))
+    rare = rare_terms(ev, kcol, max_doc_count=12, size=10).select(
+        F.lit("rare").alias("chk"), "key", "n", F.lit(0.0).alias("score"),
+    )
+    page1 = composite_page(ev, ["event_type", "user_id"], page_size=5)
+    after = [(r["event_type"], r["user_id"]) for r in page1.collect()][-1]
+    page2 = composite_page(
+        ev, ["event_type", "user_id"], page_size=5, after=after,
+    ).select(
+        F.lit("composite_p2").alias("chk"),
+        F.concat_ws(":", "event_type", "user_id").alias("key"),
+        "n", F.lit(0.0).alias("score"),
+    )
+    return top.unionByName(sig).unionByName(rare).unionByName(page2)
 
 
 @register(
     "agg_date_histogram",
     """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
-           count(*) AS n, round(sum(value), 4) AS sum_value
-    FROM events GROUP BY 1
+    WITH buckets AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT bucket, n, sum_value,
+           sum(n) OVER (ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n,
+           n - lag(n) OVER (ORDER BY bucket) AS deriv_n,
+           round(avg(n) OVER (ORDER BY bucket ROWS 2 PRECEDING), 4)
+             AS mov_avg3
+    FROM buckets
     """,
 )
 def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`date_histogram` + `sum` metric (A5, A3): tumbling hour buckets,
-    e.g. reference cloudtrail.ndjson:19."""
+    """`date_histogram` + `sum` metric (A5, A3: tumbling hour buckets,
+    e.g. reference cloudtrail.ndjson:19), with the pipeline
+    aggregations attached to the bucket list: `cumulative_sum`,
+    `derivative` (null first bucket, as OpenSearch emits) and a
+    3-bucket trailing `moving_avg`. The window pass runs over the
+    REDUCED buckets (one row per hour — metadata-sized at any corpus
+    scale), mirroring OpenSearch's coordinator-side pipeline phase."""
+    from .operators.aggs import with_pipeline_aggs
+
     _utc(spark)
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(
+    buckets = ev.groupBy(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket")
     ).agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    return with_pipeline_aggs(buckets, "bucket", "n", window_size=3).select(
+        "bucket", "n", "sum_value",
+        F.col("cum_sum").cast("long").alias("cum_n"),
+        F.col("deriv").alias("deriv_n"),
+        F.round("moving_avg", 4).alias("mov_avg3"),
     )
 
 

@@ -361,31 +361,90 @@ FROM scored ORDER BY s DESC, doc_id LIMIT 20
 """
 
 
+_REGEXP_PATTERN = "s[a-z]*a[a-z]*"  # scan, small, spark, stream
+
+_REGEXP_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    )
+    SELECT DISTINCT doc_id, 1.0::DOUBLE AS score FROM tok
+    WHERE regexp_matches(term, '^(?:{_REGEXP_PATTERN})$')
+    ORDER BY doc_id LIMIT 30
+"""
+
+_SUGGEST_TEXT = "spak jion"  # -> spark/scan, join
+
+_SUGGEST_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    dict AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1
+    ),
+    toks(token) AS (VALUES {", ".join(f"('{t}')" for t in _SUGGEST_TEXT.split())}),
+    cand AS (
+      SELECT token, term AS suggestion,
+             levenshtein(term, token) AS distance, df
+      FROM dict, toks
+      WHERE levenshtein(term, token) <= 2 AND term <> token
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY token ORDER BY distance, df DESC, suggestion) AS rank
+      FROM cand
+    )
+    SELECT df AS doc_id, rank::DOUBLE AS score,
+           token || '->' || suggestion AS extra
+    FROM ranked WHERE rank <= 5
+"""
+
+
 @register(
     "ft_multiterm",
     f"""
-    SELECT 'prefix' AS qtype, doc_id, score FROM ({_PREFIX_SQL})
+    SELECT 'prefix' AS qtype, doc_id, score, '' AS extra FROM ({_PREFIX_SQL})
     UNION ALL
-    SELECT 'fuzzy', doc_id, score FROM ({_FUZZY_SQL})
+    SELECT 'fuzzy', doc_id, score, '' FROM ({_FUZZY_SQL})
+    UNION ALL
+    SELECT 'regexp', doc_id, score, '' FROM ({_REGEXP_SQL})
+    UNION ALL
+    SELECT 'suggest', doc_id, score, extra FROM ({_SUGGEST_SQL})
     """,
 )
 def ft_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-term dictionary-expansion queries in one gated entry:
+    """The multi-term dictionary-expansion family in one gated entry:
     prefix st* (constant-score rewrite; the LIKE predicate pushes down
-    to the term-sorted parquet scan) and fuzzy 'tabl'~1 (edit-distance
-    expansion over term_stats, matched variants scored and summed)."""
-    from .index.boolquery import fuzzy_topk, multiterm_topk
+    to the term-sorted parquet scan), fuzzy 'tabl'~1 (edit-distance
+    expansion over term_stats, matched variants scored and summed),
+    regexp /s[a-z]*a[a-z]*/ (anchored full-term regex over the
+    dictionary, ConstantScore rewrite — OpenSearch ``regexp``), and
+    the term suggester ("did you mean": per-token dictionary
+    candidates ranked distance asc, df desc — OpenSearch
+    ``suggest.term``; suggest rows carry df as doc_id, rank as score,
+    and 'token->suggestion' as extra)."""
+    from .index.boolquery import (fuzzy_topk, multiterm_topk, regexp_topk,
+                                  term_suggest)
 
     ix = _built_index(spark, sf_dir)
     prefix = multiterm_topk(ix, "st%", k=30).select(
         F.lit("prefix").alias("qtype"), "doc_id",
-        F.round("score", 4).alias("score"),
+        F.round("score", 4).alias("score"), F.lit("").alias("extra"),
     )
     fuzzy = fuzzy_topk(ix, _FUZZY_TERM, k=20, max_edits=1).select(
         F.lit("fuzzy").alias("qtype"), "doc_id",
-        F.round("score", 4).alias("score"),
+        F.round("score", 4).alias("score"), F.lit("").alias("extra"),
     )
-    return prefix.unionByName(fuzzy)
+    rex = regexp_topk(ix, _REGEXP_PATTERN, k=30).select(
+        F.lit("regexp").alias("qtype"), "doc_id",
+        F.round("score", 4).alias("score"), F.lit("").alias("extra"),
+    )
+    sug = term_suggest(ix, _SUGGEST_TEXT, max_edits=2, size=5).select(
+        F.lit("suggest").alias("qtype"),
+        F.col("df").alias("doc_id"),
+        F.col("rank").cast("double").alias("score"),
+        F.concat_ws("->", "token", "suggestion").alias("extra"),
+    )
+    return prefix.unionByName(fuzzy).unionByName(rex).unionByName(sug)
 
 
 @register(
@@ -473,6 +532,33 @@ _HL_SQL = f"""
 """
 
 
+_PAGE2_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES ('spark'), ('table')),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT s.doc_id, s.s,
+         row_number() OVER (ORDER BY s.s DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang = 'en'
+)
+SELECT doc_id, round(s, 4) AS score FROM ranked WHERE rn BETWEEN 21 AND 30
+"""
+
+
 @register(
     "ft_filtered_search",
     f"""
@@ -480,6 +566,8 @@ _HL_SQL = f"""
     FROM ({_FILTER_SQL})
     UNION ALL
     SELECT 'highlight', doc_id, 0.0 AS score, snippet FROM ({_HL_SQL})
+    UNION ALL
+    SELECT 'page2', doc_id, score, '' FROM ({_PAGE2_SQL})
     """,
 )
 def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,14 +576,20 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword filter (lang = en) applied as a join against the docs
     side-table, never touching scores, exactly like a `bool.filter`
     clause; (b) highlight/snippet extraction (OpenSearch `highlight`):
-    a 60-char window around the first hit, native string ops only."""
-    from .index.query import bm25_scores
+    a 60-char window around the first hit, native string ops only;
+    (c) search_after deep pagination (chk='page2'): the page-1 cursor
+    (20th hit's exact score + doc_id, a 1-row collect) re-enters as a
+    filter predicate, so page 2 plans as Filter ->
+    TakeOrderedAndProject with no offset sort -- the OpenSearch
+    search_after contract."""
+    from .index.query import bm25_scores, search_after
 
     ix = _built_index(spark, sf_dir)
     scored = bm25_scores(ix, "spark table")  # full match set, no limit
     en = ix.docs.filter(F.col("lang") == "en").select("doc_id")
+    base = scored.join(en, "doc_id")
     filtered = (
-        scored.join(en, "doc_id")
+        base
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
         .select(
@@ -503,6 +597,16 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 4).alias("score"),
             F.lit("").alias("snippet"),
         )
+    )
+    # cursor = last hit of page 1 (1 row to the driver, metadata-sized)
+    cur = (
+        base.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+        .orderBy(F.asc("score"), F.desc("doc_id")).limit(1)
+        .collect()[0]
+    )
+    page2 = search_after(base, cur["score"], cur["doc_id"], size=10).select(
+        F.lit("page2").alias("chk"), "doc_id",
+        F.round("score", 4).alias("score"), F.lit("").alias("snippet"),
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -523,7 +627,7 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("score"), "snippet",
         )
     )
-    return filtered.unionByName(highlight)
+    return filtered.unionByName(highlight).unionByName(page2)
 
 
 _HY_QUERY = "spark table join stream"

@@ -151,6 +151,85 @@ def fuzzy_topk(ix: PostingsIndex, term: str, k: int = 10,
     )
 
 
+def regexp_topk(ix: PostingsIndex, pattern: str, k: int = 10,
+                max_expansions: int = 50) -> DataFrame:
+    """Regexp query (OpenSearch ``regexp``): the pattern is matched
+    against whole terms (Lucene regexps are implicitly anchored) over
+    the term DICTIONARY — term_stats, tiny relative to postings — and
+    the matched variants' postings are unioned under a constant score
+    (Lucene's ConstantScore(MultiTermQuery) rewrite, same as
+    :func:`multiterm_topk`).
+
+    Lucene compiles the regex to an automaton intersected with the
+    term-dictionary FST; the Spark-native equivalent is a dictionary
+    scan with a codegen'd ``RLIKE`` predicate. The expansion is capped
+    like Lucene's rewrite limits (``max_expansions``, highest-df terms
+    kept first, ties by term); the matched set then drives an ``In``
+    pushdown on the postings scan, so only matching dictionary rows'
+    blocks are read."""
+    matched_terms = [
+        r["term"]
+        for r in ix.term_stats
+        .filter(F.col("term").rlike(f"^(?:{pattern})$"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .select("term")
+        .collect()
+    ]
+    spark = ix.postings.sparkSession
+    if not matched_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    blocks = ix.postings.filter(F.col("term").isin(matched_terms))
+    matched = decode_blocks(blocks).select("doc_id").distinct()
+    return (
+        matched.select("doc_id", F.lit(1.0).alias("score"))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def term_suggest(ix: PostingsIndex, text: str, max_edits: int = 2,
+                 size: int = 5) -> DataFrame:
+    """Term suggester (OpenSearch ``suggest.term`` — the
+    "did you mean" correction): for each analyzed input token, propose
+    dictionary terms within ``max_edits`` Levenshtein distance, ranked
+    the way OpenSearch's default sort does — edit distance ascending,
+    then document frequency descending, then term — excluding the
+    token itself.
+
+    Pure dictionary work: the token list broadcasts against
+    term_stats (a few rows vs. the dictionary's thousands), the
+    distance predicate is native ``levenshtein``, and the per-token
+    top-``size`` is a row_number window partitioned by token — no
+    postings are touched at all, exactly like Lucene's
+    DirectSpellChecker. Returns (token, suggestion, distance, df,
+    rank)."""
+    from pyspark.sql import Window
+
+    tokens = list(dict.fromkeys(tokenize_py(text)))
+    spark = ix.postings.sparkSession
+    out_schema = ("token string, suggestion string, distance int, "
+                  "df long, rank int")
+    if not tokens:
+        return spark.createDataFrame([], out_schema)
+    tok_df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    dist = F.levenshtein(F.col("term"), F.col("token"))
+    cand = (
+        ix.term_stats.select("term", "df")
+        .join(F.broadcast(tok_df),
+              (dist <= max_edits) & (F.col("term") != F.col("token")))
+        .select("token", F.col("term").alias("suggestion"),
+                dist.alias("distance"), F.col("df").cast("long").alias("df"))
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("suggestion"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .orderBy("token", "rank")
+    )
+
+
 def search_facets(ix: PostingsIndex, query: str, facet_cols: list[str],
                   k: int = 10, facet_size: int = 10) -> dict[str, DataFrame]:
     """OpenSearch-style hits + aggregations: returns

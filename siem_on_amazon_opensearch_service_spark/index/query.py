@@ -268,3 +268,29 @@ def bm25_topk_batch(ix: PostingsIndex, queries: DataFrame, k_col: str = "k") -> 
         .filter(F.col("rank") <= F.col("k"))
         .select("qid", "rank", "doc_id", "score")
     )
+
+
+def search_after(scored: DataFrame, after_score: float, after_doc: int,
+                 size: int = 10) -> DataFrame:
+    """OpenSearch ``search_after`` deep pagination over the engine's
+    (score desc, doc_id asc) sort: ``after_*`` is the last hit of the
+    previous page (the cursor), and the next page is every hit
+    strictly after it in sort order, cut to ``size``.
+
+    The cursor is a plain filter BEFORE the top-k, so the plan stays
+    Filter -> TakeOrderedAndProject: no global sort, no offset skip,
+    and earlier pages are never re-materialized — precisely why
+    OpenSearch recommends search_after over from/size for deep pages.
+    ``scored`` is any (doc_id, score) match set (e.g.
+    :func:`bm25_scores`), pre-round: the cursor compares the exact
+    double the sort uses."""
+    cursor = (
+        (F.col("score") < F.lit(float(after_score)))
+        | ((F.col("score") == F.lit(float(after_score)))
+           & (F.col("doc_id") > F.lit(int(after_doc))))
+    )
+    return (
+        scored.filter(cursor)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(size)
+    )

@@ -1,0 +1,242 @@
+"""Round-3 breadth operators vs pure-Python brute force:
+
+- operators/aggs.py: significant_terms (JLH), rare_terms, composite
+  after-key pagination, geotile_grid keys, pipeline aggs over a
+  bucket list.
+- index/boolquery.py: regexp_topk (dictionary regex expansion),
+  term_suggest (did-you-mean).
+- index/query.py: search_after deep pagination.
+"""
+
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark import corpus
+from siem_on_amazon_opensearch_service_spark.analysis import tokenize_py
+from siem_on_amazon_opensearch_service_spark.index import build_index
+from siem_on_amazon_opensearch_service_spark.index.boolquery import (
+    regexp_topk, term_suggest,
+)
+from siem_on_amazon_opensearch_service_spark.index.query import (
+    bm25_scores, search_after,
+)
+from siem_on_amazon_opensearch_service_spark.operators.aggs import (
+    composite_page, geotile, rare_terms, significant_terms,
+    with_pipeline_aggs,
+)
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    pdf = corpus.make_pages_pdf(N, seed=17)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    sdf = spark.createDataFrame(pdf)
+    return pdf, sdf
+
+
+@pytest.fixture(scope="module")
+def fix(spark, data):
+    _, sdf = data
+    ix = build_index(spark, sdf, id_col="doc_id", salt_threshold=40)
+    ix.postings = ix.postings.persist()
+    ix.term_stats = ix.term_stats.persist()
+    ix.postings.count()
+    return ix
+
+
+# ---------------------------------------------------------------------------
+# aggs
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        (i, f"type{i % 7}", f"user{i % 11}", float((i * 37) % 200))
+        for i in range(500)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, event_type string, user_id string, value double"
+    ), rows
+
+
+def test_significant_terms_jlh(events):
+    sdf, rows = events
+    fg = [r for r in rows if r[3] > 120.0]
+    fg_total, bg_total = float(len(fg)), float(len(rows))
+    fg_c = Counter(r[1] for r in fg)
+    bg_c = Counter(r[1] for r in rows)
+    expected = {}
+    for key, bgn in bg_c.items():
+        fgn = fg_c.get(key, 0)
+        fgp, bgp = fgn / fg_total, bgn / bg_total
+        if fgn >= 1 and fgp > bgp:
+            expected[key] = (fgp - bgp) * (fgp / bgp)
+    got = significant_terms(
+        sdf, "event_type", F.col("value") > 120.0, size=10
+    ).collect()
+    assert {r["key"] for r in got} == set(expected)
+    for r in got:
+        assert r["score"] == pytest.approx(expected[r["key"]], rel=1e-12)
+        assert r["fg_count"] == fg_c[r["key"]]
+        assert r["bg_count"] == bg_c[r["key"]]
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rare_terms(events):
+    sdf, rows = events
+    key = F.concat_ws(":", "event_type", "user_id")
+    c = Counter(f"{r[1]}:{r[2]}" for r in rows)
+    expected = sorted(
+        [(k, n) for k, n in c.items() if n <= 7], key=lambda t: (t[1], t[0])
+    )[:10]
+    got = [(r["key"], r["n"])
+           for r in rare_terms(sdf, key, max_doc_count=7, size=10).collect()]
+    assert got == expected
+
+
+def test_composite_pagination_covers_all_buckets(events):
+    sdf, rows = events
+    all_buckets = sorted(Counter((r[1], r[2]) for r in rows).items())
+    seen, after = [], None
+    for _ in range(100):
+        page = composite_page(
+            sdf, ["event_type", "user_id"], page_size=7, after=after
+        ).collect()
+        if not page:
+            break
+        seen.extend(((r["event_type"], r["user_id"]), r["n"]) for r in page)
+        after = (page[-1]["event_type"], page[-1]["user_id"])
+    assert seen == all_buckets  # in order, no overlap, nothing dropped
+
+
+def _py_geotile(lat, lon, zoom):
+    n = 2 ** zoom
+    lat = max(min(lat, 85.0511), -85.0511)
+    lat_r = math.radians(lat)
+    x = min(int(math.floor((lon + 180.0) / 360.0 * n)), n - 1)
+    y = int(math.floor(
+        (1.0 - math.log(math.tan(lat_r) + 1.0 / math.cos(lat_r)) / math.pi)
+        / 2.0 * n))
+    y = max(min(y, n - 1), 0)
+    return f"{zoom}/{x}/{y}"
+
+
+def test_geotile_matches_slippy_map(spark):
+    pts = [
+        (0.0, 0.0), (51.5074, -0.1278), (-33.8688, 151.2093),
+        (85.0511, 179.999), (-85.0511, -180.0), (89.9, 180.0),
+        (-89.9, -179.999), (37.7749, -122.4194), (0.0001, -0.0001),
+    ]
+    sdf = spark.createDataFrame(pts, "lat double, lon double")
+    for zoom in (0, 3, 7):
+        got = sdf.select(
+            "lat", "lon", geotile(F.col("lat"), F.col("lon"), zoom).alias("t")
+        ).collect()
+        for r in got:
+            assert r["t"] == _py_geotile(r["lat"], r["lon"], zoom), (
+                r["lat"], r["lon"], zoom)
+
+
+def test_pipeline_aggs(spark):
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    sdf = spark.createDataFrame(
+        [(f"b{i:02d}", v) for i, v in enumerate(vals)],
+        "bucket string, n double",
+    )
+    got = with_pipeline_aggs(sdf, "bucket", "n", window_size=3) \
+        .orderBy("bucket").collect()
+    cum = 0.0
+    for i, r in enumerate(got):
+        cum += vals[i]
+        assert r["cum_sum"] == pytest.approx(cum)
+        if i == 0:
+            assert r["deriv"] is None
+        else:
+            assert r["deriv"] == pytest.approx(vals[i] - vals[i - 1])
+        lo = max(0, i - 2)
+        assert r["moving_avg"] == pytest.approx(
+            sum(vals[lo:i + 1]) / (i + 1 - lo))
+
+
+# ---------------------------------------------------------------------------
+# dictionary-expansion queries
+# ---------------------------------------------------------------------------
+
+
+def test_regexp_topk_matches_python(data, fix):
+    pdf, _ = data
+    pattern = "w0[0-9]*1[0-9]"
+    rx = re.compile(f"^(?:{pattern})$")
+    expected = sorted(
+        r.doc_id for r in pdf.itertuples()
+        if any(rx.match(t) for t in tokenize_py(r.text))
+    )[:30]
+    assert expected  # non-vacuous over the synthetic w-vocab
+    got = regexp_topk(fix, pattern, k=30).collect()
+    assert [r["doc_id"] for r in got] == expected
+    assert all(r["score"] == 1.0 for r in got)
+
+
+def test_regexp_topk_no_match(fix):
+    assert regexp_topk(fix, "zzzzqqq[0-9]+", k=5).count() == 0
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_term_suggest_matches_python(data, fix):
+    pdf, _ = data
+    df_c = Counter()
+    for r in pdf.itertuples():
+        df_c.update(set(tokenize_py(r.text)))
+    text = "w0001 wx0012"
+    got = term_suggest(fix, text, max_edits=2, size=5).collect()
+    assert got  # non-vacuous over the synthetic w-vocab
+    by_tok = {}
+    for r in got:
+        by_tok.setdefault(r["token"], []).append(r)
+    for token in text.split():
+        cand = sorted(
+            ((d, -df_c[t], t) for t in df_c
+             if (d := _lev(t, token)) <= 2 and t != token),
+        )[:5]
+        rows = by_tok.get(token, [])
+        assert [(r["distance"], -r["df"], r["suggestion"]) for r in rows] \
+            == cand
+        assert [r["rank"] for r in rows] == list(range(1, len(cand) + 1))
+
+
+# ---------------------------------------------------------------------------
+# search_after
+# ---------------------------------------------------------------------------
+
+
+def test_search_after_continues_ranking(fix):
+    scored = bm25_scores(fix, "w00010 w00025")
+    full = scored.orderBy(F.desc("score"), F.asc("doc_id")) \
+        .limit(30).collect()
+    assert len(full) == 30
+    cur = full[19]
+    page2 = search_after(scored, cur["score"], cur["doc_id"], size=10) \
+        .collect()
+    assert [(r["doc_id"], r["score"]) for r in page2] \
+        == [(r["doc_id"], r["score"]) for r in full[20:30]]
+    # no overlap with page 1
+    assert not ({r["doc_id"] for r in page2}
+                & {r["doc_id"] for r in full[:20]})
