@@ -399,6 +399,44 @@ _SUGGEST_SQL = f"""
 """
 
 
+_MLT_SEED_DOC = 0
+_MLT_K = 15
+
+_MLT_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+           FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    sel AS (
+      SELECT t.term
+      FROM tf t JOIN dft USING (term), stats
+      WHERE t.doc_id = {_MLT_SEED_DOC} AND t.tf >= 2 AND dft.df >= 2
+      ORDER BY t.tf * ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+        DESC, t.term
+      LIMIT 25
+    ),
+    msm AS (SELECT floor(0.3 * count(*))::BIGINT AS m FROM sel),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+                 / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)))
+               AS s,
+             count(DISTINCT tf.term) AS nm
+      FROM tf JOIN sel USING (term) JOIN dft USING (term)
+           JOIN dl USING (doc_id), stats
+      WHERE tf.doc_id <> {_MLT_SEED_DOC}
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(s, 4) AS score
+    FROM scored, msm WHERE nm >= msm.m
+    ORDER BY s DESC, doc_id LIMIT {_MLT_K}
+"""
+
+
 @register(
     "ft_multiterm",
     f"""
@@ -409,6 +447,8 @@ _SUGGEST_SQL = f"""
     SELECT 'regexp', doc_id, score, '' FROM ({_REGEXP_SQL})
     UNION ALL
     SELECT 'suggest', doc_id, score, extra FROM ({_SUGGEST_SQL})
+    UNION ALL
+    SELECT 'mlt', doc_id, score, '' FROM ({_MLT_SQL})
     """,
 )
 def ft_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,13 +457,16 @@ def ft_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the term-sorted parquet scan), fuzzy 'tabl'~1 (edit-distance
     expansion over term_stats, matched variants scored and summed),
     regexp /s[a-z]*a[a-z]*/ (anchored full-term regex over the
-    dictionary, ConstantScore rewrite — OpenSearch ``regexp``), and
-    the term suggester ("did you mean": per-token dictionary
-    candidates ranked distance asc, df desc — OpenSearch
-    ``suggest.term``; suggest rows carry df as doc_id, rank as score,
-    and 'token->suggestion' as extra)."""
-    from .index.boolquery import (fuzzy_topk, multiterm_topk, regexp_topk,
-                                  term_suggest)
+    dictionary, ConstantScore rewrite — OpenSearch ``regexp``), the
+    term suggester ("did you mean": per-token dictionary candidates
+    ranked distance asc, df desc — OpenSearch ``suggest.term``;
+    suggest rows carry df as doc_id, rank as score, and
+    'token->suggestion' as extra), and ``more_like_this`` seeded by
+    doc 0's text (tf-idf term selection, Lucene MLT defaults
+    min_term_freq=2/min_doc_freq=2/max_query_terms=25/msm=30%, seed
+    doc excluded from hits)."""
+    from .index.boolquery import (fuzzy_topk, more_like_this,
+                                  multiterm_topk, regexp_topk, term_suggest)
 
     ix = _built_index(spark, sf_dir)
     prefix = multiterm_topk(ix, "st%", k=30).select(
@@ -444,7 +487,19 @@ def ft_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("double").alias("score"),
         F.concat_ws("->", "token", "suggestion").alias("extra"),
     )
-    return prefix.unionByName(fuzzy).unionByName(rex).unionByName(sug)
+    seed_text = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == _MLT_SEED_DOC)
+        .select("text").collect()[0]["text"]
+    )
+    mlt = more_like_this(
+        ix, seed_text, exclude_doc_ids=[_MLT_SEED_DOC], k=_MLT_K,
+    ).select(
+        F.lit("mlt").alias("qtype"), "doc_id",
+        F.round("score", 4).alias("score"), F.lit("").alias("extra"),
+    )
+    return (prefix.unionByName(fuzzy).unionByName(rex)
+            .unionByName(sug).unionByName(mlt))
 
 
 @register(
@@ -727,30 +782,40 @@ q(term) AS (VALUES {", ".join(f"('{t}')" for t in _MM_QUERY.split())}),
 boosts(field, boost) AS (
   VALUES {", ".join(f"('{f}', {b})" for f, b in _MM_BOOSTS.items())}
 ),
-scored AS (
-  SELECT tf.doc_id,
+per_field AS (
+  SELECT tf.doc_id, tf.field,
     sum(b.boost * ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
-        / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS sc
+        / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS fs
   FROM tf JOIN q USING (term)
        JOIN dft ON dft.field = tf.field AND dft.term = tf.term
        JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
        JOIN stats s ON s.field = tf.field
        JOIN boosts b ON b.field = tf.field
-  GROUP BY tf.doc_id
+  GROUP BY tf.doc_id, tf.field
+),
+most AS (SELECT doc_id, sum(fs) AS sc FROM per_field GROUP BY doc_id),
+best AS (
+  SELECT doc_id, max(fs) + 0.3 * (sum(fs) - max(fs)) AS sc
+  FROM per_field GROUP BY doc_id
 )
-SELECT doc_id, round(sc, 4) AS score
-FROM scored ORDER BY sc DESC, doc_id LIMIT 20
+SELECT 'most' AS chk, doc_id, round(sc, 4) AS score FROM (
+  SELECT * FROM most ORDER BY sc DESC, doc_id LIMIT 20)
+UNION ALL
+SELECT 'best', doc_id, round(sc, 4) FROM (
+  SELECT * FROM best ORDER BY sc DESC, doc_id LIMIT 20)
 """
 
 
 @register("ft_multi_match", _MM_SQL)
 def ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """multi_match with per-field boosts (most_fields: score =
-    sum_field boost_f * BM25_f), the reference's multi-fields mapping
-    (deploy_es/data.ini:314). Fields here: body = full text (boost 1),
-    title = first 8 tokens (boost 2) -- independently-built scoring
-    spaces with their own df/avgdl, through the field-columned
-    postings layout (index/multifield.py)."""
+    """multi_match with per-field boosts over the reference's
+    multi-fields mapping (deploy_es/data.ini:314), BOTH types in one
+    gated entry: `most_fields` (score = sum_field boost_f * BM25_f)
+    and `best_fields` (the OpenSearch default: per-doc dis_max,
+    max_f + tie_breaker * sum(others), tie_breaker 0.3). Fields here:
+    body = full text (boost 1), title = first 8 tokens (boost 2) --
+    independently-built scoring spaces with their own df/avgdl,
+    through the field-columned postings layout (index/multifield.py)."""
     from .analysis import tokens_col
     from .index.multifield import build_multi_index, multi_match_topk
 
@@ -760,8 +825,18 @@ def ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs, {"body": "text", "title": title},
         id_col="doc_id", salt_threshold=200,
     )
-    top = multi_match_topk(mix, _MM_QUERY, _MM_BOOSTS, k=20)
-    return top.select("doc_id", F.round("score", 4).alias("score"))
+    most = multi_match_topk(mix, _MM_QUERY, _MM_BOOSTS, k=20).select(
+        F.lit("most").alias("chk"), "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+    best = multi_match_topk(
+        mix, _MM_QUERY, _MM_BOOSTS, k=20,
+        mode="best_fields", tie_breaker=0.3,
+    ).select(
+        F.lit("best").alias("chk"), "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+    return most.unionByName(best)
 
 
 _QS_QUERY = ("+table value^2 -slow st* (join AND stream) "

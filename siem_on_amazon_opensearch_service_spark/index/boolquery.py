@@ -230,6 +230,77 @@ def term_suggest(ix: PostingsIndex, text: str, max_edits: int = 2,
     )
 
 
+def more_like_this(ix: PostingsIndex, like_text: str,
+                   max_query_terms: int = 25, min_term_freq: int = 2,
+                   min_doc_freq: int = 2,
+                   minimum_should_match_pct: float = 0.3,
+                   exclude_doc_ids: list[int] | tuple = (),
+                   k: int = 10) -> DataFrame:
+    """``more_like_this`` query (OpenSearch MLT, like-text form): pick
+    the most characteristic terms of ``like_text`` and find the docs
+    most similar to it.
+
+    Term selection follows Lucene's MoreLikeThis: candidate terms need
+    ``min_term_freq`` occurrences in the input and ``min_doc_freq``
+    docs in the corpus; candidates rank by tf * idf (the engine's
+    shared BM25 idf) with ties by term, and the top
+    ``max_query_terms`` survive. The selected terms run as a bool
+    ``should`` query requiring ``int(n_selected *
+    minimum_should_match_pct)`` distinct matches (Lucene MLT's
+    default "30%"), scored by the ordinary BM25 sum. When MLT is
+    seeded by an indexed document, pass its doc_id in
+    ``exclude_doc_ids`` (OpenSearch excludes ``like`` docs from hits);
+    the exclusion is a pre-limit filter, not a post-cut.
+
+    Selection is driver-side metadata: tf comes from the like-text
+    (already on the driver) and df from a term-pruned dictionary scan
+    collecting <= |candidate| rows; the corpus-sized work is exactly
+    one bool query."""
+    import math
+
+    from collections import Counter
+
+    tf_c = Counter(tokenize_py(like_text))
+    cand = sorted(t for t, n in tf_c.items() if n >= min_term_freq)
+    spark = ix.postings.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not cand:
+        return empty
+    stats = (
+        ix.term_stats
+        .filter(F.col("term").isin(cand) & (F.col("df") >= min_doc_freq))
+        .select("term", "df")
+        .collect()
+    )
+    if not stats:
+        return empty
+    n = float(ix.n_docs)
+
+    def tfidf(r):
+        return tf_c[r["term"]] * math.log(
+            1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+
+    ranked = sorted(stats, key=lambda r: (-tfidf(r), r["term"]))
+    sel = [r["term"] for r in ranked[:max_query_terms]]
+    msm = int(len(sel) * minimum_should_match_pct)
+
+    scored = _decoded_scored(ix, sel)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("_s").alias("score"),
+        F.countDistinct("term").alias("_n_should"),
+    )
+    if msm > 0:
+        per_doc = per_doc.filter(F.col("_n_should") >= msm)
+    if exclude_doc_ids:
+        per_doc = per_doc.filter(
+            ~F.col("doc_id").isin([int(d) for d in exclude_doc_ids]))
+    return (
+        per_doc.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def search_facets(ix: PostingsIndex, query: str, facet_cols: list[str],
                   k: int = 10, facet_size: int = 10) -> dict[str, DataFrame]:
     """OpenSearch-style hits + aggregations: returns

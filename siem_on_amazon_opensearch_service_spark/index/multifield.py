@@ -197,16 +197,30 @@ def build_multi_index(
 
 
 def multi_match_scores(
-    mix: MultiFieldIndex, query: str, boosts: dict[str, float]
+    mix: MultiFieldIndex, query: str, boosts: dict[str, float],
+    mode: str = "most_fields", tie_breaker: float = 0.0,
 ) -> DataFrame:
-    """(doc_id, score) over the full match set, most_fields semantics.
+    """(doc_id, score) over the full match set.
+
+    ``mode`` selects the OpenSearch ``multi_match`` type:
+
+    * ``most_fields`` -- score = sum over fields of boost_f * BM25_f
+      (fields reinforce each other).
+    * ``best_fields`` -- the OpenSearch DEFAULT: a per-doc dis_max
+      over the per-field scores, score = max_f + tie_breaker *
+      sum(other fields) (Lucene DisjunctionMaxQuery).
 
     Join-free plan: scan postings filtered to (query terms x boosted
     fields) -- the term predicate pushes to parquet -- decode varbyte
     blocks once, then one native expression scores with two literal
     maps: (field:term) -> boost*qtf*idf_field and field -> avgdl_field.
-    Single exchange: the final groupBy(doc_id) partial+final sum.
+    most_fields is a single exchange (groupBy(doc_id) partial+final
+    sum); best_fields shuffles once on (doc_id, field) and the second
+    groupBy(doc_id) runs over the already-reduced per-field rows --
+    both map-side-combined, no joins.
     """
+    if mode not in ("most_fields", "best_fields"):
+        raise ValueError(f"unknown multi_match mode: {mode}")
     weights: dict[str, int] = {}
     for t in tokenize_py(query):
         weights[t] = weights.get(t, 0) + 1
@@ -255,16 +269,28 @@ def multi_match_scores(
         "_s",
         wmap[F.col("term")] * tf / (tf + K1 * (1.0 - B + B * dl / avgdl)),
     ).filter(F.col("_s").isNotNull())
-    return scored.groupBy("doc_id").agg(F.sum("_s").alias("score"))
+    if mode == "most_fields":
+        return scored.groupBy("doc_id").agg(F.sum("_s").alias("score"))
+    # best_fields: per-field subtotal first, then dis_max across fields
+    per_field = scored.groupBy(
+        "doc_id", F.split_part("term", F.lit(SEP), F.lit(1)).alias("_f")
+    ).agg(F.sum("_s").alias("_fs"))
+    tb = float(tie_breaker)
+    return per_field.groupBy("doc_id").agg(
+        (F.max("_fs") + F.lit(tb) * (F.sum("_fs") - F.max("_fs")))
+        .alias("score")
+    )
 
 
 def multi_match_topk(
-    mix: MultiFieldIndex, query: str, boosts: dict[str, float], k: int = 10
+    mix: MultiFieldIndex, query: str, boosts: dict[str, float], k: int = 10,
+    mode: str = "most_fields", tie_breaker: float = 0.0,
 ) -> DataFrame:
     """Top-k multi_match: TakeOrderedAndProject over the match set,
     ties broken (score desc, doc_id asc) like every other query path."""
     return (
-        multi_match_scores(mix, query, boosts)
+        multi_match_scores(mix, query, boosts, mode=mode,
+                           tie_breaker=tie_breaker)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

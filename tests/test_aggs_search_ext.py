@@ -240,3 +240,68 @@ def test_search_after_continues_ranking(fix):
     # no overlap with page 1
     assert not ({r["doc_id"] for r in page2}
                 & {r["doc_id"] for r in full[:20]})
+
+
+# ---------------------------------------------------------------------------
+# more_like_this
+# ---------------------------------------------------------------------------
+
+
+def test_more_like_this_matches_python(data, fix):
+    from siem_on_amazon_opensearch_service_spark.index.boolquery import (
+        more_like_this,
+    )
+    from siem_on_amazon_opensearch_service_spark.oracle import OracleIndex
+
+    pdf, _ = data
+    oix = OracleIndex.build(
+        {int(r.doc_id): r.text for r in pdf.itertuples()})
+    seed = 0
+    seed_text = pdf.loc[pdf.doc_id == seed, "text"].iloc[0]
+
+    # term selection: tf>=2, df>=2, top 25 by tf*idf then term
+    tf_c = Counter(tokenize_py(seed_text))
+    cand = [
+        (t, n) for t, n in tf_c.items() if n >= 2 and oix.df(t) >= 2
+    ]
+    n = float(oix.n_docs)
+    ranked = sorted(
+        cand,
+        key=lambda tn: (
+            -tn[1] * math.log(
+                1 + (n - oix.df(tn[0]) + 0.5) / (oix.df(tn[0]) + 0.5)),
+            tn[0],
+        ),
+    )
+    sel = [t for t, _ in ranked[:25]]
+    assert len(sel) >= 5  # non-vacuous selection
+    msm = int(len(sel) * 0.3)
+
+    from siem_on_amazon_opensearch_service_spark.bm25 import score_py
+    scores, nmatch = {}, Counter()
+    for t in sel:
+        plist = oix.postings.get(t, {})
+        for d, tf in plist.items():
+            if d == seed:
+                continue
+            scores[d] = scores.get(d, 0.0) + score_py(
+                tf, oix.doclen[d], oix.avgdl, oix.n_docs, len(plist))
+            nmatch[d] += 1
+    want = sorted(
+        ((d, s) for d, s in scores.items() if nmatch[d] >= msm),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:12]
+
+    got = more_like_this(
+        fix, seed_text, exclude_doc_ids=[seed], k=12).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_more_like_this_empty_input(fix):
+    from siem_on_amazon_opensearch_service_spark.index.boolquery import (
+        more_like_this,
+    )
+
+    assert more_like_this(fix, "???", k=5).count() == 0

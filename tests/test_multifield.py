@@ -92,3 +92,50 @@ def test_topk_order_and_field_column(spark, mix, tmp_path):
     assert [(r["doc_id"], round(r["score"], 9)) for r in top] == [
         (r["doc_id"], round(r["score"], 9)) for r in top2
     ]
+
+
+def test_best_fields_dis_max_decomposition(spark, pages, mix):
+    """best_fields must equal max_f + tb * sum(others) over the same
+    per-field single-engine scores most_fields decomposes into."""
+    tb = 0.3
+    got = {
+        r["doc_id"]: r["score"]
+        for r in multi_match_scores(
+            mix, QUERY, BOOSTS, mode="best_fields", tie_breaker=tb
+        ).collect()
+    }
+    body = _single_field_scores(spark, pages, "text")
+    title = _single_field_scores(spark, pages, "title")
+    want = {}
+    for d in set(body) | set(title):
+        fs = []
+        if d in body:
+            fs.append(BOOSTS["body"] * body[d])
+        if d in title:
+            fs.append(BOOSTS["title"] * title[d])
+        want[d] = max(fs) + tb * (sum(fs) - max(fs))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9), d
+
+
+def test_best_fields_zero_tiebreak_is_pure_max(spark, pages, mix):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in multi_match_scores(
+            mix, QUERY, BOOSTS, mode="best_fields"
+        ).collect()
+    }
+    body = _single_field_scores(spark, pages, "text")
+    title = _single_field_scores(spark, pages, "title")
+    for d, s in got.items():
+        want = max(
+            [BOOSTS["body"] * body.get(d, 0.0),
+             BOOSTS["title"] * title.get(d, 0.0)]
+        )
+        assert s == pytest.approx(want, abs=1e-9)
+
+
+def test_unknown_mode_raises(mix):
+    with pytest.raises(ValueError):
+        multi_match_scores(mix, QUERY, BOOSTS, mode="cross_fields")
