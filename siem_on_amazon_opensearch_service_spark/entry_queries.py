@@ -306,14 +306,41 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
              count(*) AS n, round(sum(value), 4) AS sum_value
       FROM events GROUP BY 1
+    ),
+    dense AS (
+      SELECT bucket, n, sum_value,
+             sum(n) OVER (ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n,
+             n - lag(n) OVER (ORDER BY bucket) AS deriv_n,
+             round(avg(n) OVER (ORDER BY bucket ROWS 2 PRECEDING), 4)
+               AS mov_avg3
+      FROM buckets
+    ),
+    spine AS (
+      SELECT unnest(generate_series(
+        (SELECT date_trunc('hour', min(ts)) FROM events),
+        (SELECT date_trunc('hour', max(ts)) FROM events),
+        INTERVAL 1 HOUR)) AS h
+    ),
+    sparse_counts AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events WHERE event_type = 'error' AND value > 180 GROUP BY 1
+    ),
+    filled AS (
+      SELECT 'sparse:' || strftime(spine.h, '%Y-%m-%d %H:%M:%S') AS bucket,
+             coalesce(sc.n, 0) AS n
+      FROM spine LEFT JOIN sparse_counts sc ON sc.h = spine.h
+    ),
+    sparse AS (
+      SELECT bucket, n, 0.0 AS sum_value,
+             sum(n) OVER (ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n,
+             n - lag(n) OVER (ORDER BY bucket) AS deriv_n,
+             round(avg(n) OVER (ORDER BY bucket ROWS 2 PRECEDING), 4)
+               AS mov_avg3
+      FROM filled
     )
-    SELECT bucket, n, sum_value,
-           sum(n) OVER (ORDER BY bucket
-             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n,
-           n - lag(n) OVER (ORDER BY bucket) AS deriv_n,
-           round(avg(n) OVER (ORDER BY bucket ROWS 2 PRECEDING), 4)
-             AS mov_avg3
-    FROM buckets
+    SELECT * FROM dense UNION ALL SELECT * FROM sparse
     """,
 )
 def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,7 +350,15 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     `derivative` (null first bucket, as OpenSearch emits) and a
     3-bucket trailing `moving_avg`. The window pass runs over the
     REDUCED buckets (one row per hour — metadata-sized at any corpus
-    scale), mirroring OpenSearch's coordinator-side pipeline phase."""
+    scale), mirroring OpenSearch's coordinator-side pipeline phase.
+
+    The 'sparse:' rows are the same histogram with
+    ``min_doc_count=0`` + ``extended_bounds`` semantics over a sparse
+    filtered series (error/value>180 fills ~7% of hours): a
+    driver-free dense hour spine (1-row agg -> sequence -> explode)
+    left-joined against the counts, zeros filled, pipeline aggs over
+    the zero-filled buckets — OpenSearch's empty-bucket emission that
+    derivative/moving_avg depend on."""
     from .operators.aggs import with_pipeline_aggs
 
     _utc(spark)
@@ -333,12 +368,42 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
     )
-    return with_pipeline_aggs(buckets, "bucket", "n", window_size=3).select(
+    dense = with_pipeline_aggs(buckets, "bucket", "n", window_size=3).select(
         "bucket", "n", "sum_value",
         F.col("cum_sum").cast("long").alias("cum_n"),
         F.col("deriv").alias("deriv_n"),
         F.round("moving_avg", 4).alias("mov_avg3"),
     )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"))
+    )
+    sparse_counts = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 180))
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    filled = (
+        spine.join(sparse_counts, "h", "left")
+        .select(
+            F.concat(
+                F.lit("sparse:"),
+                F.date_format("h", "yyyy-MM-dd HH:mm:ss"),
+            ).alias("bucket"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    sparse = with_pipeline_aggs(filled, "bucket", "n", window_size=3).select(
+        "bucket", "n", F.lit(0.0).alias("sum_value"),
+        F.col("cum_sum").cast("long").alias("cum_n"),
+        F.col("deriv").alias("deriv_n"),
+        F.round("moving_avg", 4).alias("mov_avg3"),
+    )
+    return dense.unionByName(sparse)
 
 
 @register(
@@ -444,21 +509,42 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_stats_percentiles",
     """
-    SELECT event_type, count(*) AS n, round(min(value), 4) AS min_v,
-           round(max(value), 4) AS max_v, round(avg(value), 4) AS avg_v,
-           round(stddev_samp(value), 4) AS std_v,
-           round(sum(value), 4) AS sum_v,
-           round(quantile_cont(value, 0.5), 4) AS p50,
-           round(quantile_cont(value, 0.9), 4) AS p90,
-           round(quantile_cont(value, 0.99), 4) AS p99
-    FROM events GROUP BY event_type
+    WITH base AS (
+      SELECT event_type, count(*) AS n, round(min(value), 4) AS min_v,
+             round(max(value), 4) AS max_v, round(avg(value), 4) AS avg_v,
+             round(stddev_samp(value), 4) AS std_v,
+             round(sum(value), 4) AS sum_v,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.9), 4) AS p90,
+             round(quantile_cont(value, 0.99), 4) AS p99,
+             count(value) AS n_vals,
+             round(100.0 * avg(CASE WHEN value <= 100.0 THEN 1.0
+                                    ELSE 0.0 END), 4) AS pr_100,
+             quantile_cont(value, 0.5) AS med_raw
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             round(quantile_cont(abs(e.value - b.med_raw), 0.5), 4) AS mad_v
+      FROM events e JOIN base b USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT event_type, n, min_v, max_v, avg_v, std_v, sum_v,
+           p50, p90, p99, n_vals, pr_100, mad_v
+    FROM base JOIN mad USING (event_type)
     """,
 )
 def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`extended_stats` + `percentiles` metric aggs in one pass per
-    bucket: min/max/avg/stddev/sum plus exact interpolated p50/90/99."""
+    bucket: min/max/avg/stddev/sum plus exact interpolated p50/90/99 —
+    plus `value_count`, `percentile_ranks` (percent of values <= 100,
+    the OpenSearch percentile_ranks response shape) and
+    `median_absolute_deviation` (median of |x - median|; OpenSearch
+    computes it on a TDigest — here the exact two-pass formulation:
+    per-bucket median broadcast back over the fact table, second
+    percentile pass; both passes map-side partial aggregates)."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    base = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.min("value"), 4).alias("min_v"),
         F.round(F.max("value"), 4).alias("max_v"),
@@ -468,7 +554,22 @@ def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("value").alias("n_vals"),
+        F.round(
+            100.0 * F.avg(F.when(F.col("value") <= 100.0, 1.0).otherwise(0.0)),
+            4,
+        ).alias("pr_100"),
+        F.expr("percentile(value, 0.5)").alias("med_raw"),
     )
+    mad = (
+        ev.join(F.broadcast(base.select("event_type", "med_raw")),
+                "event_type")
+        .groupBy("event_type")
+        .agg(F.round(
+            F.expr("percentile(abs(value - med_raw), 0.5)"), 4
+        ).alias("mad_v"))
+    )
+    return base.drop("med_raw").join(F.broadcast(mad), "event_type")
 
 
 
