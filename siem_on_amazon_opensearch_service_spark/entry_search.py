@@ -614,6 +614,66 @@ SELECT doc_id, round(s, 4) AS score FROM ranked WHERE rn BETWEEN 21 AND 30
 """
 
 
+_SCORED_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES ('spark'), ('table')),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+)
+"""
+
+_COLLAPSE_SQL = f"""
+{_SCORED_CTE},
+ranked AS (
+  SELECT s.doc_id, s.s, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+           ORDER BY s.s DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, lang AS snippet
+FROM ranked WHERE rn = 1 ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+_FSCORE_SQL = f"""
+{_SCORED_CTE}
+SELECT s.doc_id, round(s.s * ln(1 + dl.dl), 4) AS score
+FROM scored s JOIN dl USING (doc_id)
+ORDER BY s.s * ln(1 + dl.dl) DESC, s.doc_id LIMIT 15
+"""
+
+_RESCORE_SQL = f"""
+{_SCORED_CTE},
+q2(term) AS (VALUES ('join'), ('stream')),
+scored2 AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s2
+  FROM tf JOIN q2 USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+),
+win AS (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+  FROM scored QUALIFY rn <= 30
+)
+SELECT w.doc_id,
+       round(1.0 * w.s + 2.0 * coalesce(s2.s2, 0), 4) AS score
+FROM win w LEFT JOIN scored2 s2 USING (doc_id)
+ORDER BY 1.0 * w.s + 2.0 * coalesce(s2.s2, 0) DESC, w.doc_id LIMIT 10
+"""
+
+
 @register(
     "ft_filtered_search",
     f"""
@@ -623,6 +683,12 @@ SELECT doc_id, round(s, 4) AS score FROM ranked WHERE rn BETWEEN 21 AND 30
     SELECT 'highlight', doc_id, 0.0 AS score, snippet FROM ({_HL_SQL})
     UNION ALL
     SELECT 'page2', doc_id, score, '' FROM ({_PAGE2_SQL})
+    UNION ALL
+    SELECT 'collapse', doc_id, score, snippet FROM ({_COLLAPSE_SQL})
+    UNION ALL
+    SELECT 'fscore', doc_id, score, '' FROM ({_FSCORE_SQL})
+    UNION ALL
+    SELECT 'rescore', doc_id, score, '' FROM ({_RESCORE_SQL})
     """,
 )
 def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,8 +702,14 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (20th hit's exact score + doc_id, a 1-row collect) re-enters as a
     filter predicate, so page 2 plans as Filter ->
     TakeOrderedAndProject with no offset sort -- the OpenSearch
-    search_after contract."""
-    from .index.query import bm25_scores, search_after
+    search_after contract; (d) `collapse` on lang (best hit per lang,
+    field carried in snippet); (e) `function_score`
+    field_value_factor (score * log1p(doclen), multiply mode);
+    (f) `rescore`: top-30 window re-ranked by 1*primary +
+    2*BM25('join stream') -- the secondary scorer touches only the
+    window."""
+    from .index.query import (bm25_scores, collapse_topk, function_score,
+                              rescore_topk, search_after)
 
     ix = _built_index(spark, sf_dir)
     scored = bm25_scores(ix, "spark table")  # full match set, no limit
@@ -682,7 +754,30 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("score"), "snippet",
         )
     )
-    return filtered.unionByName(highlight).unionByName(page2)
+    collapse = collapse_topk(scored, ix.docs, "lang", k=10).select(
+        F.lit("collapse").alias("chk"), "doc_id",
+        F.round("score", 4).alias("score"), F.col("lang").alias("snippet"),
+    )
+    fscore = function_score(
+        scored, ix.docs, "doclen", modifier="log1p", boost_mode="multiply",
+    )
+    fscore = (
+        fscore.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
+        .select(
+            F.lit("fscore").alias("chk"), "doc_id",
+            F.round("score", 4).alias("score"), F.lit("").alias("snippet"),
+        )
+    )
+    rescored = rescore_topk(
+        scored, bm25_scores(ix, "join stream"),
+        window_size=30, query_weight=1.0, rescore_query_weight=2.0, k=10,
+    ).select(
+        F.lit("rescore").alias("chk"), "doc_id",
+        F.round("score", 4).alias("score"), F.lit("").alias("snippet"),
+    )
+    return (filtered.unionByName(highlight).unionByName(page2)
+            .unionByName(collapse).unionByName(fscore)
+            .unionByName(rescored))
 
 
 _HY_QUERY = "spark table join stream"

@@ -294,3 +294,98 @@ def search_after(scored: DataFrame, after_score: float, after_doc: int,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(size)
     )
+
+
+def collapse_topk(scored: DataFrame, keys: DataFrame, field: str,
+                  k: int = 10) -> DataFrame:
+    """OpenSearch ``collapse``: deduplicate hits on ``field``, keeping
+    only each group's best hit (score desc, doc_id asc — the engine
+    sort), then the usual top-k over the survivors.
+
+    ``keys`` maps doc_id -> field (e.g. ``ix.docs``). One shuffle on
+    the collapse field for the per-group row_number, then
+    TakeOrderedAndProject; the window input is the match set, not the
+    corpus. Returns (doc_id, score, <field>)."""
+    from pyspark.sql import Window
+
+    joined = scored.join(keys.select("doc_id", field), "doc_id")
+    w = Window.partitionBy(field).orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+_FS_MODIFIERS = ("none", "log1p", "sqrt", "square")
+_FS_BOOST_MODES = ("multiply", "sum", "replace")
+
+
+def function_score(scored: DataFrame, docs: DataFrame, factor_field: str,
+                   factor: float = 1.0, modifier: str = "log1p",
+                   boost_mode: str = "multiply") -> DataFrame:
+    """OpenSearch ``function_score`` with a ``field_value_factor``
+    function: fold a document attribute into the relevance score —
+    ``new = combine(score, modifier(factor * doc[field]))``.
+
+    The factor join is doc-keyed against ``docs`` (the doc side-table,
+    broadcast-or-shuffle per AQE) and the arithmetic is one native
+    expression — no reranking pass, the modified score flows straight
+    into whatever top-k follows. Returns (doc_id, score)."""
+    if modifier not in _FS_MODIFIERS:
+        raise ValueError(f"unknown modifier: {modifier}")
+    if boost_mode not in _FS_BOOST_MODES:
+        raise ValueError(f"unknown boost_mode: {boost_mode}")
+    fv = F.coalesce(F.col(factor_field).cast("double"), F.lit(0.0)) \
+        * F.lit(float(factor))
+    fx = {
+        "none": fv,
+        "log1p": F.log1p(fv),
+        "sqrt": F.sqrt(fv),
+        "square": fv * fv,
+    }[modifier]
+    combined = {
+        "multiply": F.col("score") * fx,
+        "sum": F.col("score") + fx,
+        "replace": fx,
+    }[boost_mode]
+    return (
+        scored.join(docs.select("doc_id", factor_field), "doc_id")
+        .select("doc_id", combined.alias("score"))
+    )
+
+
+def rescore_topk(scored: DataFrame, rescorer: DataFrame,
+                 window_size: int = 50, query_weight: float = 1.0,
+                 rescore_query_weight: float = 1.0, k: int = 10) -> DataFrame:
+    """OpenSearch ``rescore``: re-rank only the top ``window_size``
+    hits of the primary query with a (typically more expensive)
+    secondary query — combined = query_weight * primary +
+    rescore_query_weight * secondary (0 when the secondary doesn't
+    match), the default ``score_mode: total``.
+
+    The window cut is a TakeOrderedAndProject (window_size rows to one
+    partition — metadata-sized), so the secondary scoring joins
+    against a tiny broadcastable set; docs outside the window are
+    never rescored, which is the entire point of the feature at 100 TB
+    (the expensive scorer touches window_size docs, not the match
+    set). Returns top-k (doc_id, score) by combined score."""
+    win = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(window_size)
+    )
+    joined = win.join(
+        rescorer.select("doc_id", F.col("score").alias("_rs")),
+        "doc_id", "left",
+    )
+    comb = (F.lit(float(query_weight)) * F.col("score")
+            + F.lit(float(rescore_query_weight))
+            * F.coalesce(F.col("_rs"), F.lit(0.0)))
+    return (
+        joined.select("doc_id", comb.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -305,3 +305,93 @@ def test_more_like_this_empty_input(fix):
     )
 
     assert more_like_this(fix, "???", k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# search response features: collapse / function_score / rescore
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def oix(data):
+    from siem_on_amazon_opensearch_service_spark.oracle import OracleIndex
+
+    pdf, _ = data
+    return OracleIndex.build({int(r.doc_id): r.text for r in pdf.itertuples()})
+
+
+def test_collapse_topk(data, fix, oix):
+    from siem_on_amazon_opensearch_service_spark.index.query import (
+        collapse_topk,
+    )
+
+    pdf, _ = data
+    q = "w00010 w00025"
+    lang = dict(zip(pdf.doc_id.astype(int), pdf.lang))
+    full = oix.search(q, k=10**9)
+    best = {}
+    for d, s in full:  # already (score desc, doc_id asc)
+        best.setdefault(lang[d], (d, s))
+    want = sorted(best.values(), key=lambda t: (-t[1], t[0]))[:10]
+    got = collapse_topk(bm25_scores(fix, q), fix.docs, "lang", k=10).collect()
+    assert [(r["doc_id"], r["lang"]) for r in got] \
+        == [(d, lang[d]) for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_function_score_modes(data, fix, oix):
+    from siem_on_amazon_opensearch_service_spark.index.query import (
+        function_score,
+    )
+
+    q = "w00010 w00025"
+    full = dict(oix.search(q, k=10**9))
+    for modifier, fx in [("log1p", lambda v: math.log1p(v)),
+                         ("sqrt", math.sqrt),
+                         ("square", lambda v: v * v),
+                         ("none", lambda v: v)]:
+        got = function_score(
+            bm25_scores(fix, q), fix.docs, "doclen", modifier=modifier,
+        ).collect()
+        assert len(got) == len(full)
+        for r in got:
+            want = full[r["doc_id"]] * fx(oix.doclen[r["doc_id"]])
+            assert r["score"] == pytest.approx(want, rel=1e-9), modifier
+    # sum and replace boost modes
+    got = function_score(bm25_scores(fix, q), fix.docs, "doclen",
+                         modifier="none", boost_mode="sum").collect()
+    for r in got:
+        assert r["score"] == pytest.approx(
+            full[r["doc_id"]] + oix.doclen[r["doc_id"]], rel=1e-9)
+    got = function_score(bm25_scores(fix, q), fix.docs, "doclen",
+                         modifier="none", boost_mode="replace").collect()
+    for r in got:
+        assert r["score"] == pytest.approx(oix.doclen[r["doc_id"]])
+    with pytest.raises(ValueError):
+        function_score(bm25_scores(fix, q), fix.docs, "doclen",
+                       modifier="exp")
+    with pytest.raises(ValueError):
+        function_score(bm25_scores(fix, q), fix.docs, "doclen",
+                       boost_mode="max")
+
+
+def test_rescore_topk(fix, oix):
+    from siem_on_amazon_opensearch_service_spark.index.query import (
+        rescore_topk,
+    )
+
+    q1, q2, wsz = "w00010 w00025", "w00003 w00040", 25
+    prim = oix.search(q1, k=wsz)
+    sec = dict(oix.search(q2, k=10**9))
+    comb = sorted(
+        ((d, 1.5 * s + 0.5 * sec.get(d, 0.0)) for d, s in prim),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:8]
+    got = rescore_topk(
+        bm25_scores(fix, q1), bm25_scores(fix, q2), window_size=wsz,
+        query_weight=1.5, rescore_query_weight=0.5, k=8,
+    ).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in comb]
+    for r, (_, s) in zip(got, comb):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
