@@ -70,6 +70,45 @@ FROM scored ORDER BY s DESC, doc_id LIMIT 20
 """
 
 
+PROX_SLOP = 3
+
+_PROX_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOK} AS t FROM documents),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM d),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokpos
+  WHERE term IN ('{_PHRASE_TERMS[0]}', '{_PHRASE_TERMS[1]}') GROUP BY term
+),
+idfsum AS (
+  SELECT sum(ln(1 + (stats.n - df + 0.5) / (df + 0.5))) AS v
+  FROM dft, stats
+),
+pairs AS (
+  SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+  FROM tokpos a JOIN tokpos b ON a.doc_id = b.doc_id
+  WHERE a.term = '{_PHRASE_TERMS[0]}' AND b.term = '{_PHRASE_TERMS[1]}'
+    AND b.pos > a.pos AND b.pos <= a.pos + 1 + {PROX_SLOP}
+),
+freq AS (
+  SELECT doc_id, sum(1.0 / (1.0 + (pb - pa - 1))) AS ptf
+  FROM pairs GROUP BY doc_id
+),
+scored AS (
+  SELECT f.doc_id,
+         idfsum.v * f.ptf
+           / (f.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
+  FROM freq f JOIN dl ON dl.doc_id = f.doc_id, stats, idfsum
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 20
+"""
+
+
 PP_EXACT = ["table"]          # exact leading slots
 PP_PREFIX = "val"             # trailing prefix slot (matches value/...)
 PHRASE_PREFIX = " ".join(PP_EXACT + [PP_PREFIX])
@@ -126,6 +165,8 @@ FROM scoredp ORDER BY s DESC, doc_id LIMIT 20
     SELECT 'phrase' AS chk, doc_id, score FROM ({_PHRASE_SQL})
     UNION ALL
     SELECT 'phrase_prefix', doc_id, score FROM ({_PP_SQL})
+    UNION ALL
+    SELECT 'proximity', doc_id, score FROM ({_PROX_SQL})
     """,
 )
 def ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,8 +174,12 @@ def ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase frequency, idf = sum of term idfs) + match_phrase_prefix
     (chk='phrase_prefix': the search-as-you-type query -- last token
     is a prefix expanded INSIDE the postings scan, union-df idf for
-    the prefix slot), both through the positional index."""
-    from .index.positional import phrase_prefix_topk, phrase_topk
+    the prefix slot) + sloppy phrase (chk='proximity': query_string
+    ``"a b"~{PROX_SLOP}``, ordered matches with total gap <= slop
+    weighted 1/(1+gap) -- Lucene sloppyFreq shape), all through the
+    positional index."""
+    from .index.positional import (phrase_prefix_topk, phrase_topk,
+                                   proximity_topk)
 
     pix = _pos_index(spark, sf_dir)
     top = phrase_topk(pix, PHRASE, k=20).select(
@@ -145,7 +190,11 @@ def ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("phrase_prefix").alias("chk"),
         "doc_id", F.round("score", 4).alias("score"),
     )
-    return top.unionByName(pp)
+    prox = proximity_topk(pix, PHRASE, slop=PROX_SLOP, k=20).select(
+        F.lit("proximity").alias("chk"),
+        "doc_id", F.round("score", 4).alias("score"),
+    )
+    return top.unionByName(pp).unionByName(prox)
 
 
 _BOOL_MUST = ["table", "value"]

@@ -288,6 +288,87 @@ def phrase_topk(ix: PostingsIndex, phrase: str, k: int = 10) -> DataFrame:
     )
 
 
+def proximity_scores(ix: PostingsIndex, phrase: str,
+                     slop: int = 0) -> DataFrame:
+    """Sloppy (proximity) phrase: the OpenSearch ``match_phrase`` with
+    ``slop`` / query_string ``"a b"~N`` form (reference dashboards'
+    filter bar accepts the full Lucene syntax).
+
+    Documented semantics (deterministic, engine- and oracle-shared):
+    a match is an ORDERED position tuple ``p_0 < p_1 < ... < p_{n-1}``
+    -- one position per phrase slot, slot i's term at ``p_i`` -- whose
+    total gap ``(p_{n-1} - p_0) - (n - 1)`` is ``<= slop``.  Each
+    match weighs ``1 / (1 + gap)`` (Lucene SloppyPhraseScorer's
+    ``sloppyFreq = 1 / (distance + 1)`` shape); the doc's sloppy
+    frequency is the sum over all matches.  ``slop=0`` degenerates to
+    exact :func:`phrase_scores` (every match is consecutive, weight
+    1).  Scoring is the same pseudo-term BM25: tf = sloppy frequency,
+    idf = sum of slot idfs.
+
+    Plan (100 TB posture): positions decode once from the term-pruned
+    postings scan (``In(term, ...)`` reaches parquet); slots then
+    chain-join on ``doc_id`` with the window predicate
+    ``p_i > p_{i-1} AND p_i <= p_0 + (n-1) + slop`` -- every join key
+    is doc_id, so with doc-partitioned decode output all n-1 joins
+    co-locate on one shuffle; per-doc candidate tuples are bounded by
+    the window width, never all-pairs.
+    """
+    spark = ix.postings.sparkSession
+    terms = tokenize_py(phrase)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not terms:
+        return empty
+    uniq = list(dict.fromkeys(terms))
+
+    srows = ix.term_stats.filter(F.col("term").isin(uniq)).collect()
+    dfs = {r["term"]: int(r["df"]) for r in srows}
+    if any(t not in dfs for t in uniq):
+        return empty
+    idf_sum = float(sum(idf(ix.n_docs, dfs[t]) for t in terms))
+
+    decoded = decode_blocks_positions(
+        ix.postings.filter(F.col("term").isin(uniq))
+    )
+    n = len(terms)
+    window = n - 1 + slop
+    cur = (
+        decoded.filter(F.col("term") == terms[0])
+        .select("doc_id", "dl", F.col("pos").alias("p0"))
+    )
+    for i in range(1, n):
+        si = (
+            decoded.filter(F.col("term") == terms[i])
+            .select("doc_id", F.col("pos").alias(f"p{i}"))
+        )
+        cur = cur.join(si, "doc_id").filter(
+            (F.col(f"p{i}") > F.col(f"p{i-1}"))
+            & (F.col(f"p{i}") <= F.col("p0") + F.lit(window))
+        )
+    if n == 1:
+        gap = F.lit(0)
+    else:
+        gap = (F.col(f"p{n-1}") - F.col("p0")) - F.lit(n - 1)
+    weight = F.lit(1.0) / (F.lit(1.0) + gap.cast("double"))
+    freq = cur.groupBy("doc_id", "dl").agg(F.sum(weight).alias("ptf"))
+    ptf = F.col("ptf")
+    dl = F.col("dl").cast("double")
+    score = (
+        F.lit(idf_sum) * ptf
+        / (ptf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl)))
+    )
+    return freq.select("doc_id", score.alias("score"))
+
+
+def proximity_topk(ix: PostingsIndex, phrase: str, slop: int = 0,
+                   k: int = 10) -> DataFrame:
+    """Top-k sloppy phrase: TakeOrdered over :func:`proximity_scores`."""
+    return (
+        proximity_scores(ix, phrase, slop)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def phrase_prefix_scores(ix: PostingsIndex, phrase: str) -> DataFrame:
     """match_phrase_prefix (the OpenSearch search-as-you-type query,
     reference dashboards' filter bar): the LAST token of ``phrase`` is

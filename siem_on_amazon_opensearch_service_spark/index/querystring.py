@@ -99,6 +99,7 @@ class TermLeaf:
     text: str
     boost: float = 1.0
     max_edits: int = 1
+    slop: int = 0           # phrase only: "a b"~N proximity
     leaf_id: int = -1       # assigned at compile time
 
 
@@ -130,7 +131,7 @@ _TOKEN_RE = re.compile(
     \s*(
         (?P<lpar>\()
       | (?P<rpar>\))
-      | "(?P<phrase>[^"]*)"(?P<pboost>\^\d+(?:\.\d+)?)?
+      | "(?P<phrase>[^"]*)"(?P<pslop>~\d+)?(?P<pboost>\^\d+(?:\.\d+)?)?
       | (?P<word>(?:\\.|[^\s"()\[\]{}])*(?:\[[^\]]*\]|\{[^}]*\})?
                  (?:\\.|[^\s"()])*)
     )
@@ -167,9 +168,10 @@ def _tokenize(q: str):
         elif m.group("rpar"):
             out.append(("rpar", None, None))
         elif m.group("phrase") is not None:
-            b = m.group("pboost")
+            b, sl = m.group("pboost"), m.group("pslop")
             out.append(("phrase", m.group("phrase"),
-                        float(b[1:]) if b else 1.0))
+                        (float(b[1:]) if b else 1.0,
+                         int(sl[1:]) if sl else 0)))
         elif m.group("word"):
             out.append(("word", m.group("word"), None))
     return out
@@ -259,7 +261,8 @@ def parse_query_string(q: str, default_operator: str = "OR") -> Group:
                     )
                 else:
                     g.clauses.append(
-                        (occ, TermLeaf("phrase", text, boost=pextra))
+                        (occ, TermLeaf("phrase", text, boost=pextra[0],
+                                       slop=pextra[1]))
                     )
                 added(start)
                 continue
@@ -678,9 +681,12 @@ def query_string_topk(
         elif leaf.kind == "phrase":
             if positional_ix is None:
                 raise ValueError("phrase clause needs a positional index")
-            from .positional import phrase_scores
+            from .positional import phrase_scores, proximity_scores
 
-            ph = phrase_scores(positional_ix, leaf.text)
+            if leaf.slop > 0:
+                ph = proximity_scores(positional_ix, leaf.text, leaf.slop)
+            else:
+                ph = phrase_scores(positional_ix, leaf.text)
             parts.append(
                 ph.select(
                     "doc_id", F.lit(leaf.leaf_id).alias("leaf"),

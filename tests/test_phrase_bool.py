@@ -208,3 +208,105 @@ def test_facets_match_python(data, fix):
         r.lang for r in pdf.itertuples() if qt & set(_toks(r.text))
     )
     assert got == {(lang, n) for lang, n in c.most_common(10)}
+
+
+# ---------------------------------------------------------------------------
+# proximity (sloppy phrase)
+# ---------------------------------------------------------------------------
+
+
+def _brute_proximity(pdf, phrase, slop):
+    """Reference: ordered position tuples, total gap <= slop, weight
+    1/(1+gap), BM25 over the summed sloppy frequency."""
+    terms = _toks(phrase)
+    n = len(terms)
+    toks = {r.doc_id: _toks(r.text) for r in pdf.itertuples()}
+    dls = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dls.values()) / len(toks)
+    dfs = {t: sum(1 for tk in toks.values() if t in tk)
+           for t in set(terms)}
+    if any(dfs[t] == 0 for t in terms):
+        return {}
+    idf_sum = sum(idf(len(toks), dfs[t]) for t in terms)
+    out = {}
+    for d, tk in toks.items():
+        pos = {t: [i for i, x in enumerate(tk) if x == t]
+               for t in set(terms)}
+        ptf = 0.0
+
+        def rec(i, prev, p0):
+            nonlocal ptf
+            if i == n:
+                ptf += 1.0 / (1.0 + (prev - p0) - (n - 1))
+                return
+            for p in pos[terms[i]]:
+                if prev < p <= p0 + (n - 1) + slop:
+                    rec(i + 1, p, p0)
+
+        for p in pos[terms[0]]:
+            rec(1, p, p)
+        if ptf > 0:
+            dl = dls[d]
+            out[d] = idf_sum * ptf / (
+                ptf + K1 * (1 - B + B * dl / avgdl))
+    return out
+
+
+def test_proximity_matches_python(data, pix):
+    from siem_on_amazon_opensearch_service_spark.index.positional import (
+        proximity_scores,
+    )
+
+    pdf, _ = data
+    t1, t2 = _find_phrase(pdf).split()
+    for phrase, slop in [(f"{t1} {t2}", 3), (f"{t2} {t1}", 5),
+                         (f"{t1} {t2} {t1}", 6), (f"{t1} {t1}", 2)]:
+        got = {r["doc_id"]: r["score"]
+               for r in proximity_scores(pix, phrase, slop).collect()}
+        want = _brute_proximity(pdf, phrase, slop)
+        assert set(got) == set(want), (phrase, slop)
+        for d in got:
+            assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_proximity_slop0_is_exact_phrase(data, pix):
+    from siem_on_amazon_opensearch_service_spark.index.positional import (
+        phrase_scores, proximity_scores,
+    )
+
+    pdf, _ = data
+    t1, t2 = _find_phrase(pdf).split()
+    a = {r["doc_id"]: r["score"]
+         for r in proximity_scores(pix, f"{t1} {t2}", 0).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in phrase_scores(pix, f"{t1} {t2}").collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for d in a:
+        assert a[d] == pytest.approx(b[d], abs=1e-9)
+
+
+def test_querystring_phrase_slop(data, pix, fix):
+    """'"a b"~N' routes through proximity_scores with the slop (and a
+    boost suffix still applies)."""
+    from siem_on_amazon_opensearch_service_spark.index.positional import (
+        proximity_scores,
+    )
+    from siem_on_amazon_opensearch_service_spark.index.querystring import (
+        parse_query_string, query_string_topk,
+    )
+
+    pdf, _ = data
+    t1, t2 = _find_phrase(pdf).split()
+    g = parse_query_string(f'"{t1} {t2}"~4^2')
+    (occ, leaf), = g.clauses
+    assert leaf.kind == "phrase" and leaf.slop == 4 and leaf.boost == 2.0
+    got = query_string_topk(fix, f'"{t1} {t2}"~4^2', k=15,
+                            positional_ix=pix).collect()
+    want = sorted(
+        ((d, 2.0 * s)
+         for d, s in _brute_proximity(pdf, f"{t1} {t2}", 4).items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:15]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
