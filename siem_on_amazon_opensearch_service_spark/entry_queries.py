@@ -226,6 +226,19 @@ def ft_corpus_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, count(*) AS n FROM events
       GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3)
     UNION ALL
+    SELECT 'other', '__other__',
+           (SELECT count(*) FROM events) - (SELECT sum(n) FROM (
+              SELECT count(*) AS n FROM events
+              GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3)),
+           0.0
+    UNION ALL
+    SELECT 'top_hits', event_type || '#' || event_id, 1::BIGINT,
+           round(value, 4) FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id) AS rn
+      FROM events) WHERE rn = 1
+    UNION ALL
     SELECT 'significant', key, fg_count, round(score, 6) FROM (
       WITH per AS (
         SELECT event_type AS key,
@@ -264,17 +277,30 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     events); (c) `rare_terms` (long-tail composite keys with <= 12
     occurrences, ascending count); (d) `composite` agg pagination
     (page 2 of (event_type, user_id) buckets in key order via the
-    after_key cursor from page 1 — a 5-row metadata collect)."""
-    from .operators.aggs import composite_page, rare_terms, significant_terms
+    after_key cursor from page 1 — a 5-row metadata collect); (e) the
+    terms response's `sum_other_doc_count` as an explicit `__other__`
+    bucket (what the dashboards draw as the "Other" pie slice); (f)
+    `top_hits` sub-agg — best document per bucket under an explicit
+    sort, rank-limited window (WindowGroupLimit prunes map-side)."""
+    from .operators.aggs import (composite_page, rare_terms,
+                                 significant_terms, terms_with_other,
+                                 top_hits)
 
     ev = _t(spark, sf_dir, "events")
-    top = (
-        ev.groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.asc("event_type"))
-        .limit(3)
-        .select(F.lit("top").alias("chk"), F.col("event_type").alias("key"),
-                "n", F.lit(0.0).alias("score"))
+    topo = terms_with_other(ev, "event_type", size=3)
+    top = topo.select(
+        F.when(F.col("event_type") == "__other__", "other")
+        .otherwise("top").alias("chk"),
+        F.col("event_type").alias("key"),
+        F.col("doc_count").alias("n"), F.lit(0.0).alias("score"),
+    )
+    hits = top_hits(
+        ev, "event_type", [F.desc("value"), F.asc("event_id")], size=1,
+    ).select(
+        F.lit("top_hits").alias("chk"),
+        F.concat_ws("#", "event_type", "event_id").alias("key"),
+        F.lit(1).cast("long").alias("n"),
+        F.round("value", 4).alias("score"),
     )
     sig = significant_terms(
         ev, "event_type", F.col("value") > 150, size=5,
@@ -296,7 +322,8 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "event_type", "user_id").alias("key"),
         "n", F.lit(0.0).alias("score"),
     )
-    return top.unionByName(sig).unionByName(rare).unionByName(page2)
+    return (top.unionByName(hits).unionByName(sig).unionByName(rare)
+            .unionByName(page2))
 
 
 @register(

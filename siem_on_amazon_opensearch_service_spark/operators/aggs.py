@@ -188,3 +188,54 @@ def with_pipeline_aggs(buckets: DataFrame, order_col: str, value_col: str,
         .withColumn("moving_avg", F.avg(v).over(
             w.rowsBetween(-(window_size - 1), 0)))
     )
+
+
+# ---------------------------------------------------------------------------
+# terms agg "Other" bucket + top_hits sub-aggregation
+# ---------------------------------------------------------------------------
+
+def terms_with_other(df: DataFrame, key: str, size: int) -> DataFrame:
+    """``terms`` aggregation with the ``sum_other_doc_count`` row the
+    reference dashboards render as the "Other" slice (every OpenSearch
+    terms response carries it; the Kibana/OpenSearch-Dashboards pie and
+    table visualizations show it as an explicit bucket).
+
+    One wide shuffle (the groupBy on ``key``, with map-side partial
+    counts) produces a |distinct keys|-sized bucket table; the top-N
+    cut, the total, and the Other subtraction all run on that
+    metadata-sized table, so no second scan of the raw corpus happens.
+    Returns the top ``size`` buckets (count desc, key asc) plus one
+    ``__other__`` row whose doc_count is total - sum(top).
+    """
+    buckets = df.groupBy(key).agg(F.count("*").alias("doc_count"))
+    top = buckets.orderBy(F.desc("doc_count"), F.asc(key)).limit(size)
+    other = (
+        buckets.agg(F.sum("doc_count").alias("total"))
+        .crossJoin(top.agg(F.sum("doc_count").alias("in_top")))
+        .select(
+            F.lit("__other__").alias(key),
+            (F.col("total") - F.col("in_top")).alias("doc_count"),
+        )
+    )
+    return top.unionByName(other)
+
+
+def top_hits(df: DataFrame, key: str, sort_cols: list[Column],
+             size: int = 1) -> DataFrame:
+    """``top_hits`` sub-aggregation: the best ``size`` documents per
+    bucket under an explicit sort (the reference dashboards use it for
+    "latest event per host" style tables).
+
+    Implemented as a rank-limited window — the shape Spark's
+    WindowGroupLimit rule rewrites into a per-partition partial limit
+    BEFORE the shuffle (spark.sql.optimizer.windowGroupLimitThreshold,
+    default 1000), so each map task forwards at most ``size`` rows per
+    key instead of its whole partition; the post-shuffle work is
+    bucket-count-sized. Returns the input columns plus ``_rn`` (1-based
+    rank within the bucket).
+    """
+    w = Window.partitionBy(key).orderBy(*sort_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= size)
+    )

@@ -26,7 +26,7 @@ from siem_on_amazon_opensearch_service_spark.index.query import (
 )
 from siem_on_amazon_opensearch_service_spark.operators.aggs import (
     composite_page, geotile, rare_terms, significant_terms,
-    with_pipeline_aggs,
+    terms_with_other, top_hits, with_pipeline_aggs,
 )
 
 N = 300
@@ -395,3 +395,37 @@ def test_rescore_topk(fix, oix):
     assert [r["doc_id"] for r in got] == [d for d, _ in comb]
     for r, (_, s) in zip(got, comb):
         assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_terms_with_other(events):
+    sdf, rows = events
+    c = Counter(r[1] for r in rows)
+    top = sorted(c.items(), key=lambda t: (-t[1], t[0]))[:3]
+    got = terms_with_other(sdf, "event_type", size=3).collect()
+    got_top = [(r["event_type"], r["doc_count"])
+               for r in got if r["event_type"] != "__other__"]
+    assert sorted(got_top) == sorted(top)
+    other = [r["doc_count"] for r in got if r["event_type"] == "__other__"]
+    assert other == [len(rows) - sum(n for _, n in top)]
+
+
+def test_top_hits_per_bucket(events):
+    sdf, rows = events
+    expected = {}
+    for r in sorted(rows, key=lambda r: (r[1], -r[3], r[0])):
+        expected.setdefault(r[1], []).append(r[0])
+    got = top_hits(
+        sdf, "event_type", [F.desc("value"), F.asc("id")], size=2,
+    ).collect()
+    by_key = {}
+    for r in sorted(got, key=lambda r: (r["event_type"], r["_rn"])):
+        by_key.setdefault(r["event_type"], []).append(r["id"])
+    assert by_key == {k: v[:2] for k, v in expected.items()}
+
+
+def test_top_hits_plan_has_window_group_limit(events):
+    sdf, _ = events
+    plan = top_hits(
+        sdf, "event_type", [F.desc("value"), F.asc("id")], size=2,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
