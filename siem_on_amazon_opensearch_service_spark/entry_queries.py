@@ -368,6 +368,48 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM filled
     )
     SELECT * FROM dense UNION ALL SELECT * FROM sparse
+    UNION ALL
+    SELECT 'daterange:' || k, n, sum_value, NULL::BIGINT, NULL::BIGINT,
+           NULL::DOUBLE
+    FROM (
+      SELECT 'w1' AS k, count(*) FILTER (ts < TIMESTAMP '2024-01-08') AS n,
+             round(coalesce(sum(value)
+               FILTER (ts < TIMESTAMP '2024-01-08'), 0), 4) AS sum_value
+      FROM events
+      UNION ALL
+      SELECT 'mid', count(*) FILTER (ts >= TIMESTAMP '2024-01-08'
+                                     AND ts < TIMESTAMP '2024-01-22'),
+             round(coalesce(sum(value) FILTER (
+               ts >= TIMESTAMP '2024-01-08'
+               AND ts < TIMESTAMP '2024-01-22'), 0), 4)
+      FROM events
+      UNION ALL
+      SELECT 'tail', count(*) FILTER (ts >= TIMESTAMP '2024-01-22'),
+             round(coalesce(sum(value)
+               FILTER (ts >= TIMESTAMP '2024-01-22'), 0), 4)
+      FROM events)
+    UNION ALL
+    SELECT 'auto:' || lbl || ':' ||
+             strftime(to_timestamp(floor(epoch(ts) / secs) * secs),
+                      '%Y-%m-%d %H:%M:%S'),
+           count(*), 0.0, NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE
+    FROM events, (
+      SELECT CASE WHEN s < 10 THEN 1 WHEN s < 50 THEN 5
+                  WHEN s < 100 THEN 10 WHEN s < 300 THEN 30
+                  WHEN s < 600 THEN 60 WHEN s < 3000 THEN 300
+                  WHEN s < 6000 THEN 600 WHEN s < 18000 THEN 1800
+                  WHEN s < 36000 THEN 3600 WHEN s < 108000 THEN 10800
+                  WHEN s < 432000 THEN 43200 WHEN s < 864000 THEN 86400
+                  ELSE 604800 END AS secs,
+             CASE WHEN s < 10 THEN '1s' WHEN s < 50 THEN '5s'
+                  WHEN s < 100 THEN '10s' WHEN s < 300 THEN '30s'
+                  WHEN s < 600 THEN '1m' WHEN s < 3000 THEN '5m'
+                  WHEN s < 6000 THEN '10m' WHEN s < 18000 THEN '30m'
+                  WHEN s < 36000 THEN '1h' WHEN s < 108000 THEN '3h'
+                  WHEN s < 432000 THEN '12h' WHEN s < 864000 THEN '1d'
+                  ELSE '7d' END AS lbl
+      FROM (SELECT extract(epoch FROM max(ts) - min(ts)) AS s FROM events))
+    GROUP BY 1
     """,
 )
 def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,8 +427,15 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-free dense hour spine (1-row agg -> sequence -> explode)
     left-joined against the counts, zeros filled, pipeline aggs over
     the zero-filled buckets — OpenSearch's empty-bucket emission that
-    derivative/moving_avg depend on."""
-    from .operators.aggs import with_pipeline_aggs
+    derivative/moving_avg depend on.
+
+    The 'daterange:' rows are the `date_range` agg ([from, to) ISO
+    bounds, sum metric); the 'auto:' rows are `auto_date_histogram`
+    with target_buckets=10 — the 1-row span probe picks the rung
+    (here 7d over the ~30-day corpus), which both engines then floor
+    epoch seconds to."""
+    from .operators.aggs import (auto_date_histogram, date_range_buckets,
+                                 with_pipeline_aggs)
 
     _utc(spark)
     ev = _t(spark, sf_dir, "events")
@@ -430,7 +479,27 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deriv").alias("deriv_n"),
         F.round("moving_avg", 4).alias("mov_avg3"),
     )
-    return dense.unionByName(sparse)
+    nulls = [
+        F.lit(None).cast("long").alias("cum_n"),
+        F.lit(None).cast("long").alias("deriv_n"),
+        F.lit(None).cast("double").alias("mov_avg3"),
+    ]
+    dr = date_range_buckets(
+        ev, F.col("ts"),
+        [("w1", None, "2024-01-08 00:00:00"),
+         ("mid", "2024-01-08 00:00:00", "2024-01-22 00:00:00"),
+         ("tail", "2024-01-22 00:00:00", None)],
+        metric=F.col("value"),
+    ).select(
+        F.concat(F.lit("daterange:"), "key").alias("bucket"),
+        F.col("doc_count").alias("n"),
+        F.col("metric_sum").alias("sum_value"), *nulls,
+    )
+    auto = auto_date_histogram(ev, F.col("ts"), target_buckets=10).select(
+        F.concat_ws(":", F.lit("auto"), "interval", "bucket").alias("bucket"),
+        "n", F.lit(0.0).alias("sum_value"), *nulls,
+    )
+    return dense.unionByName(sparse).unionByName(dr).unionByName(auto)
 
 
 @register(
@@ -449,13 +518,106 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'hist:' || (floor(value / 25)::BIGINT)::VARCHAR AS bucket,
            count(*) AS n, round(sum(value), 4) AS sum_v
     FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'range:low', count(*) FILTER (value < 50),
+           round(coalesce(sum(value) FILTER (value < 50), 0), 4)
+    FROM events
+    UNION ALL
+    SELECT 'range:mid', count(*) FILTER (value >= 25 AND value < 150),
+           round(coalesce(sum(value) FILTER (value >= 25 AND value < 150),
+                          0), 4)
+    FROM events
+    UNION ALL
+    SELECT 'range:high', count(*) FILTER (value >= 150),
+           round(coalesce(sum(value) FILTER (value >= 150), 0), 4)
+    FROM events
+    UNION ALL
+    SELECT 'iprange:' || k,
+           count(*) FILTER (167772167 + user_id * 256 >= lo
+                            AND 167772167 + user_id * 256 < hi),
+           0.0
+    FROM events, (SELECT unnest(['head', 'mid18', 'one24']) AS k,
+                         unnest([0, 167788544, 167804928]) AS lo,
+                         unnest([167780352, 167804928, 167805184]) AS hi)
+    GROUP BY k, lo, hi
+    UNION ALL
+    SELECT 'adj:' || k,
+           count(*) FILTER (
+             (NOT instr(k, 'even') > 0 OR user_id % 2 = 0)
+             AND (NOT instr(k, 'hot') > 0 OR value >= 150)
+             AND (NOT instr(k, 'terr') > 0 OR event_type = 'error')),
+           0.0
+    FROM events, (SELECT unnest(['even', 'hot', 'terr', 'even&hot',
+                                 'even&terr', 'hot&terr']) AS k)
+    GROUP BY k
+    HAVING count(*) FILTER (
+             (NOT instr(k, 'even') > 0 OR user_id % 2 = 0)
+             AND (NOT instr(k, 'hot') > 0 OR value >= 150)
+             AND (NOT instr(k, 'terr') > 0 OR event_type = 'error')) > 0
+    UNION ALL
+    SELECT 'sampler:' || event_type, count(*), round(sum(value), 4)
+    FROM (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY value DESC, event_id) AS rn
+        FROM events) WHERE rn <= 3
+      ORDER BY value DESC, event_id LIMIT 12)
+    GROUP BY 1
     """,
 )
 def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`filters` agg (A6: named predicate buckets, single pass) UNION
     the numeric `histogram` agg (fixed 25-wide intervals) as tagged
-    bucket rows."""
+    bucket rows, plus the rest of the bucket-agg family as further
+    tagged rows: (a) `range` agg with overlapping + open-ended
+    [from, to) intervals and a sum metric; (b) `ip_range` over a
+    synthesized IPv4 column (10.0.0.0-relative user encoding) with
+    both explicit bounds and CIDR mask buckets; (c)
+    `adjacency_matrix` (singles + pairwise intersections, empty
+    buckets omitted as OpenSearch does); (d) `diversified_sampler`
+    scope (per-key cap 3, sample size 12, best-by-value) feeding a
+    per-type child terms agg. All bucket families reduce in one
+    global conditional aggregate or a metadata-sized hash agg — see
+    operators/aggs.py for the per-operator scale notes."""
+    from .functions.scalars import long_to_ipv4
+    from .operators.aggs import (adjacency_matrix,
+                                 diversified_sampler_top,
+                                 ip_range_buckets, range_buckets)
+
     ev = _t(spark, sf_dir, "events")
+    range_part = range_buckets(
+        ev, F.col("value"),
+        [("low", None, 50.0), ("mid", 25.0, 150.0), ("high", 150.0, None)],
+        metric=F.col("value"),
+    ).select(
+        F.concat(F.lit("range:"), "key").alias("bucket"),
+        F.col("doc_count").alias("n"), F.col("metric_sum").alias("sum_v"),
+    )
+    with_ip = ev.withColumn(
+        "ip", long_to_ipv4(F.lit(167772167) + F.col("user_id") * 256))
+    ip_part = ip_range_buckets(
+        with_ip, F.col("ip"),
+        ranges=[("head", None, "10.0.32.0")],
+        masks=[("mid18", "10.0.64.0/18"), ("one24", "10.0.128.0/24")],
+    ).select(
+        F.concat(F.lit("iprange:"), "key").alias("bucket"),
+        F.col("doc_count").alias("n"), F.lit(0.0).alias("sum_v"),
+    )
+    adj_part = adjacency_matrix(ev, [
+        ("even", F.col("user_id") % 2 == 0),
+        ("hot", F.col("value") >= 150),
+        ("terr", F.col("event_type") == "error"),
+    ]).select(
+        F.concat(F.lit("adj:"), "key").alias("bucket"),
+        F.col("doc_count").alias("n"), F.lit(0.0).alias("sum_v"),
+    )
+    sample = diversified_sampler_top(
+        ev, [F.desc("value"), F.asc("event_id")], "event_type",
+        max_docs_per_value=3, shard_size=12,
+    )
+    samp_part = sample.groupBy(
+        F.concat(F.lit("sampler:"), "event_type").alias("bucket")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
     filters_part = ev.agg(
         F.count(F.when(F.col("event_type") == "click", 1)).alias("click"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase"),
@@ -480,7 +642,10 @@ def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
     )
-    return filters_part.unionByName(hist_part)
+    return (
+        filters_part.unionByName(hist_part).unionByName(range_part)
+        .unionByName(ip_part).unionByName(adj_part).unionByName(samp_part)
+    )
 
 
 @register(

@@ -239,3 +239,251 @@ def top_hits(df: DataFrame, key: str, sort_cols: list[Column],
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= size)
     )
+
+# ---------------------------------------------------------------------------
+# range-family bucket aggregations (range / date_range / ip_range)
+# ---------------------------------------------------------------------------
+
+def range_buckets(df: DataFrame, value: Column,
+                  ranges: list[tuple[str, object, object]],
+                  metric: Column | None = None) -> DataFrame:
+    """OpenSearch ``range`` aggregation: one bucket per configured
+    interval ``[from, to)`` (from inclusive, to exclusive, either end
+    open with ``None``), doc count plus an optional ``sum`` metric.
+    Ranges may overlap — each is an independent predicate, exactly as
+    in OpenSearch (a doc can land in several buckets).
+
+    Scale shape: ONE full scan with a single global aggregate (every
+    bucket is a conditional count/sum in the same 1-row reduce — the
+    classic map-side-combined "filters" plan), then an explode of the
+    1-row result into bucket rows. No shuffle wider than the number
+    of configured ranges, which is query metadata.
+    """
+    conds = []
+    for key, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (value >= (lo if isinstance(lo, Column)
+                                     else F.lit(lo)))
+        if hi is not None:
+            cond = cond & (value < (hi if isinstance(hi, Column)
+                                    else F.lit(hi)))
+        conds.append((key, cond))
+    return _conditional_buckets(df, conds, metric)
+
+
+def _conditional_buckets(df: DataFrame, conds: list[tuple[str, Column]],
+                         metric: Column | None) -> DataFrame:
+    """Shared reduce for the range family: every bucket is a
+    conditional count/sum inside ONE global aggregate (1-row result),
+    exploded into (key, doc_count, metric_sum) rows."""
+    aggs = []
+    for i, (key, cond) in enumerate(conds):
+        aggs.append(F.count(F.when(cond, 1)).alias(f"__n_{i}"))
+        m = metric if metric is not None else F.lit(0.0)
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, m)), F.lit(0.0))
+            .alias(f"__m_{i}")
+        )
+    one = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(key).alias("key"),
+            F.col(f"__n_{i}").alias("doc_count"),
+            F.round(F.col(f"__m_{i}"), 4).alias("metric_sum"),
+        )
+        for i, (key, _) in enumerate(conds)
+    ])
+    return (
+        one.select(F.explode(pairs).alias("b"))
+        .select("b.key", "b.doc_count", "b.metric_sum")
+    )
+
+
+def date_range_buckets(df: DataFrame, ts: Column,
+                       ranges: list[tuple[str, str | None, str | None]],
+                       metric: Column | None = None) -> DataFrame:
+    """``date_range`` agg: :func:`range_buckets` over a timestamp
+    column with ISO-string bounds (from inclusive, to exclusive —
+    OpenSearch semantics)."""
+    typed = [
+        (k,
+         None if lo is None else F.to_timestamp(F.lit(lo)),
+         None if hi is None else F.to_timestamp(F.lit(hi)))
+        for k, lo, hi in ranges
+    ]
+    return range_buckets(df, ts, typed, metric)
+
+
+def _cidr_bounds(cidr: str) -> tuple[int, int]:
+    """IPv4 CIDR -> [lo, hi) uint32 interval (driver-side: CIDR masks
+    are query metadata)."""
+    base, _, plen = cidr.partition("/")
+    plen = int(plen) if plen else 32
+    parts = [int(p) for p in base.split(".")]
+    lo = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+    lo &= ~((1 << (32 - plen)) - 1) & 0xFFFFFFFF
+    return lo, lo + (1 << (32 - plen))
+
+
+def ip_range_buckets(df: DataFrame, ip: Column,
+                     ranges: list[tuple[str, str | None, str | None]],
+                     masks: list[tuple[str, str]] = (),
+                     metric: Column | None = None) -> DataFrame:
+    """``ip_range`` agg over IPv4 string addresses: explicit
+    ``[from, to)`` address bounds plus CIDR ``mask`` buckets (each
+    mask expands to its [network, broadcast+1) interval driver-side —
+    masks are query metadata). Comparison happens in uint32 space via
+    the shared :func:`..functions.scalars.ipv4_to_long` encoding, so
+    the scan-side predicate is pure integer arithmetic."""
+    from ..functions.scalars import ipv4_to_long
+
+    typed: list[tuple[str, object, object]] = [
+        (k,
+         None if lo is None else _cidr_bounds(lo + "/32")[0],
+         None if hi is None else _cidr_bounds(hi + "/32")[0])
+        for k, lo, hi in ranges
+    ]
+    for k, cidr in masks:
+        lo, hi = _cidr_bounds(cidr)
+        typed.append((k, lo, hi))
+    return range_buckets(df, ipv4_to_long(ip), typed, metric)
+
+
+# ---------------------------------------------------------------------------
+# auto_date_histogram
+# ---------------------------------------------------------------------------
+
+# OpenSearch's rounding ladder (AutoDateHistogramAggregationBuilder's
+# buildRoundings): seconds up to calendar years. Fixed-width rungs are
+# (label, seconds); calendar rungs handled separately.
+_AUTO_FIXED = [
+    ("1s", 1), ("5s", 5), ("10s", 10), ("30s", 30),
+    ("1m", 60), ("5m", 300), ("10m", 600), ("30m", 1800),
+    ("1h", 3600), ("3h", 10800), ("12h", 43200),
+    ("1d", 86400), ("7d", 604800),
+]
+_AUTO_CAL = [("1M", "month"), ("3M", None), ("1y", "year")]
+
+
+def choose_auto_interval(span_seconds: float, target_buckets: int) -> str:
+    """Pick the smallest rung of the ladder whose bucket count over
+    ``span_seconds`` does not exceed ``target_buckets`` (OpenSearch's
+    auto_date_histogram contract). Returns the rung label."""
+    for label, secs in _AUTO_FIXED:
+        if span_seconds / secs < target_buckets:
+            return label
+    for label, approx in (("1M", 2_592_000), ("3M", 7_776_000),
+                          ("1y", 31_536_000)):
+        if span_seconds / approx < target_buckets:
+            return label
+    return "1y"
+
+
+def auto_date_histogram(df: DataFrame, ts: Column,
+                        target_buckets: int = 10) -> DataFrame:
+    """``auto_date_histogram``: the interval is chosen from the data's
+    time span so the bucket count stays <= ``target_buckets``.
+
+    The span probe is a 1-row global aggregate (min/max — two longs to
+    the driver, metadata at any corpus size); the chosen rung is then
+    compiled into the scan-side bucket expression, so the data pass is
+    the ordinary single-shuffle date_histogram. Fixed rungs floor
+    epoch seconds; calendar rungs (1M/3M/1y) use date_trunc, with 3M
+    snapping months to the quarter — the same calendar/fixed split
+    OpenSearch's Rounding classes make.
+
+    Returns (interval, bucket, n) with ``bucket`` formatted
+    'yyyy-MM-dd HH:mm:ss'.
+    """
+    row = df.agg(F.min(ts).alias("lo"), F.max(ts).alias("hi")).collect()[0]
+    if row["lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "interval string, bucket string, n long")
+    span = (row["hi"] - row["lo"]).total_seconds()
+    label = choose_auto_interval(span, target_buckets)
+    fixed = dict(_AUTO_FIXED)
+    if label in fixed:
+        secs = fixed[label]
+        bucket = F.timestamp_seconds(
+            F.floor(F.unix_timestamp(ts) / secs) * secs)
+    elif label == "1M":
+        bucket = F.date_trunc("month", ts)
+    elif label == "3M":
+        m = F.date_trunc("month", ts)
+        bucket = F.add_months(m, -(F.month(m) - 1) % 3)
+    else:
+        bucket = F.date_trunc("year", ts)
+    return (
+        df.groupBy(
+            F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit(label).alias("interval"), "bucket", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# adjacency_matrix
+# ---------------------------------------------------------------------------
+
+def adjacency_matrix(df: DataFrame,
+                     filters: list[tuple[str, Column]]) -> DataFrame:
+    """``adjacency_matrix`` agg: doc counts for every named filter and
+    every pairwise intersection, keyed ``a`` / ``a&b`` (names sorted,
+    OpenSearch's key scheme).
+
+    One scan builds the per-row array of matched filter names (all
+    predicates evaluated in one projection — whole-stage codegen),
+    expands it to singles + ordered pairs with native array transforms
+    (no Python), and explodes into a hash aggregate on the bucket key.
+    Key cardinality is <= n + n(n-1)/2 for n configured filters —
+    query metadata — so the shuffle is trivially small no matter the
+    corpus size.
+    """
+    matched = F.array_compact(F.array(*[
+        F.when(cond, F.lit(name)) for name, cond in filters
+    ]))
+    singles = matched
+    pairs = F.flatten(F.transform(
+        matched,
+        lambda a, i: F.transform(
+            F.slice(matched, i + 2, F.size(matched)),
+            lambda b: F.concat_ws("&", a, b),
+        ),
+    ))
+    keys = F.concat(singles, pairs)
+    return (
+        df.select(F.explode(keys).alias("key"))
+        .groupBy("key").agg(F.count("*").alias("doc_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampler / diversified_sampler
+# ---------------------------------------------------------------------------
+
+def sampler_top(df: DataFrame, sort_cols: list[Column],
+                shard_size: int) -> DataFrame:
+    """``sampler`` agg scope: restrict child aggregations to the
+    ``shard_size`` best rows under ``sort_cols``. Deterministic
+    single-coordinator semantics (OpenSearch samples per shard; with
+    one logical shard the sample is the global top-N). The plan is a
+    TakeOrderedAndProject — per-partition partial top-N before the
+    single merge, never a full sort."""
+    return df.orderBy(*sort_cols).limit(shard_size)
+
+
+def diversified_sampler_top(df: DataFrame, sort_cols: list[Column],
+                            dedup_field: str, max_docs_per_value: int,
+                            shard_size: int) -> DataFrame:
+    """``diversified_sampler``: like :func:`sampler_top` but first
+    capping rows per ``dedup_field`` value at ``max_docs_per_value``
+    (de-biasing a dominant key, OpenSearch's use case). The cap is a
+    rank-limited window — WindowGroupLimit pushes the per-key limit
+    map-side — then the global top-N merge."""
+    w = Window.partitionBy(dedup_field).orderBy(*sort_cols)
+    capped = (
+        df.withColumn("_dsr", F.row_number().over(w))
+        .filter(F.col("_dsr") <= max_docs_per_value).drop("_dsr")
+    )
+    return capped.orderBy(*sort_cols).limit(shard_size)
