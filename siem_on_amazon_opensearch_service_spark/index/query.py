@@ -389,3 +389,71 @@ def rescore_topk(scored: DataFrame, rescorer: DataFrame,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bm25_explain(ix: PostingsIndex, query: str, k: int = 10) -> DataFrame:
+    """Score breakdown for the top-k docs — the ``explain=true``
+    response OpenSearch attaches per hit (Lucene's Explanation tree,
+    flattened to one row per (doc, term) contribution).
+
+    Columns: doc_id, term, tf, dl, df, idf, qtf, contribution
+    (idf * qtf * tf_norm), score (the doc's total — the bm25_topk
+    value, so ``sum(contribution) over doc == score`` holds by
+    construction and is pinned by tests).
+
+    Plan: the usual decode + native-scoring pass produces per-posting
+    contributions; doc totals reduce in the same shuffle shape as
+    bm25_topk; the top-k cut is a TakeOrderedAndProject whose k-row
+    result broadcasts back onto the per-posting rows — the expensive
+    breakdown surfaces only for the k docs a user asked to have
+    explained, never for the whole match set."""
+    from ..bm25 import idf as _idf
+
+    weights = _query_weights(query)
+    terms = list(weights)
+    spark = ix.postings.sparkSession
+    empty_schema = ("doc_id long, term string, tf int, dl int, df long, "
+                    "idf double, qtf int, contribution double, score double")
+    if not terms:
+        return spark.createDataFrame([], empty_schema)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in ix.term_stats.filter(F.col("term").isin(terms))
+        .select("term", "df").collect()
+    }
+    present = [t for t in terms if t in dfs]
+    if not present:
+        return spark.createDataFrame([], empty_schema)
+
+    df_map = F.create_map(
+        *[F.lit(x) for t in present for x in (t, dfs[t])])
+    idf_map = F.create_map(
+        *[F.lit(x) for t in present for x in (t, _idf(ix.n_docs, dfs[t]))])
+    qtf_map = F.create_map(
+        *[F.lit(x) for t in present for x in (t, weights[t])])
+
+    decoded = decode_blocks(ix.postings.filter(F.col("term").isin(present)))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    tf_norm = tf / (tf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl)))
+    per = decoded.withColumn(
+        "contribution",
+        idf_map[F.col("term")] * qtf_map[F.col("term")].cast("double")
+        * tf_norm,
+    )
+    totals = (
+        per.groupBy("doc_id").agg(F.sum("contribution").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return (
+        per.join(F.broadcast(totals), "doc_id")
+        .select(
+            "doc_id", "term", "tf", "dl",
+            df_map[F.col("term")].cast("long").alias("df"),
+            idf_map[F.col("term")].alias("idf"),
+            qtf_map[F.col("term")].alias("qtf"),
+            "contribution", "score",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
+    )

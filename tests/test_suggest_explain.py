@@ -1,0 +1,180 @@
+"""Phrase suggester (bigram Stupid-Backoff LM) and BM25 explain vs
+pure-Python recomputation."""
+
+import math
+from collections import Counter
+from itertools import product
+
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark import corpus
+from siem_on_amazon_opensearch_service_spark.analysis import tokenize_py
+from siem_on_amazon_opensearch_service_spark.bm25 import B, K1, idf
+from siem_on_amazon_opensearch_service_spark.index import build_index
+from siem_on_amazon_opensearch_service_spark.index.query import (
+    bm25_explain, bm25_topk,
+)
+from siem_on_amazon_opensearch_service_spark.index.suggest import (
+    build_bigram_model, phrase_suggest,
+)
+
+SENTS = (
+    ["the quick brown fox jumps over the lazy dog"] * 8
+    + ["the quick brown bear sleeps"] * 4
+    + ["a slow brown fox naps under the lazy dog"] * 3
+    + ["quack brawn fix"] * 1
+)
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    sdf = spark.createDataFrame([(s,) for s in SENTS], "text string")
+    return build_bigram_model(sdf, "text")
+
+
+def py_lm():
+    uni, bi = Counter(), Counter()
+    for s in SENTS:
+        ts = tokenize_py(s)
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    return uni, bi, sum(uni.values())
+
+
+def test_bigram_model_counts(model):
+    uni, bi, total = py_lm()
+    got_u = {r["w"]: r["n"] for r in model.unigrams.collect()}
+    got_b = {(r["w1"], r["w2"]): r["n"] for r in model.bigrams.collect()}
+    assert got_u == dict(uni)
+    assert got_b == dict(bi)
+    assert model.total == total
+
+
+def sb_score(cand, uni, bi, total, discount=0.4):
+    s = 0.0
+    for i, w in enumerate(cand):
+        if i == 0:
+            s += math.log((uni.get(w, 0) + 1e-9) / total)
+        elif (cand[i - 1], w) in bi and cand[i - 1] in uni:
+            s += math.log(bi[(cand[i - 1], w)] / uni[cand[i - 1]])
+        else:
+            s += math.log(discount * (uni.get(w, 0) + 1e-9) / total)
+    return s
+
+
+def py_suggest(text, uni, bi, total, size=3, max_edits=1, per_token=4,
+               max_errors=2):
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    tokens = tokenize_py(text)
+    slots = []
+    for t in tokens:
+        cand = sorted(
+            ((lev(w, t), -n, w) for w, n in uni.items() if lev(w, t) <= max_edits),
+        )[:per_token]
+        slots.append(list(dict.fromkeys([t] + [c[2] for c in cand])))
+    phrases = [
+        c for c in product(*slots)
+        if sum(a != b for a, b in zip(c, tokens)) <= max_errors
+    ]
+    scored = sorted(
+        ((" ".join(c), sb_score(c, uni, bi, total)) for c in phrases),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return scored[:size]
+
+
+def test_phrase_suggest_matches_python(model):
+    uni, bi, total = py_lm()
+    for text in ("the quikc brown fxo", "quack brown fox", "lazy dog"):
+        got = phrase_suggest(model, text, size=3).collect()
+        exp = py_suggest(text, uni, bi, total, size=3)
+        assert [r["suggestion"] for r in got] == [p for p, _ in exp], text
+        for r, (_, s) in zip(got, exp):
+            assert r["score"] == pytest.approx(round(s, 6), abs=1e-5)
+
+
+def test_phrase_suggest_corrects_misspelling(model):
+    # transposed letters are distance 2 in plain Levenshtein
+    got = phrase_suggest(
+        model, "the quikc brown fxo", size=1, max_edits=2).collect()
+    assert got[0]["suggestion"] == "the quick brown fox"
+    uni, bi, total = py_lm()
+    exp = py_suggest("the quikc brown fxo", uni, bi, total, size=1,
+                     max_edits=2)
+    assert got[0]["suggestion"] == exp[0][0]
+    assert got[0]["score"] == pytest.approx(round(exp[0][1], 6), abs=1e-5)
+
+
+def test_phrase_suggest_empty(model):
+    assert phrase_suggest(model, "...").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bm25_explain
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ixdata(spark):
+    pdf = corpus.make_pages_pdf(250, seed=23)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    sdf = spark.createDataFrame(pdf)
+    ix = build_index(spark, sdf, id_col="doc_id", salt_threshold=40)
+    ix.postings = ix.postings.persist()
+    ix.term_stats = ix.term_stats.persist()
+    ix.postings.count()
+    return ix, pdf
+
+
+def test_explain_sums_to_topk_scores(ixdata):
+    ix, _ = ixdata
+    q = "w00001 w00057 w00003"
+    top = bm25_topk(ix, q, k=5).collect()
+    exp = bm25_explain(ix, q, k=5).collect()
+    by_doc = {}
+    for r in exp:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {r["doc_id"] for r in top}
+    for t in top:
+        rows = by_doc[t["doc_id"]]
+        assert sum(r["contribution"] for r in rows) == pytest.approx(
+            t["score"], abs=1e-9)
+        for r in rows:
+            assert r["score"] == pytest.approx(t["score"], abs=1e-9)
+
+
+def test_explain_components(ixdata):
+    ix, pdf = ixdata
+    q = "w00001 w00001 w00057"  # repeated term -> qtf 2
+    rows = bm25_explain(ix, q, k=3).collect()
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+    dfs = Counter()
+    for t in texts.values():
+        dfs.update(set(tokenize_py(t)))
+    dls = {d: len(tokenize_py(t)) for d, t in texts.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    for r in rows:
+        toks = tokenize_py(texts[r["doc_id"]])
+        assert r["tf"] == toks.count(r["term"])
+        assert r["dl"] == len(toks)
+        assert r["df"] == dfs[r["term"]]
+        assert r["idf"] == pytest.approx(
+            idf(len(texts), dfs[r["term"]]), abs=1e-12)
+        assert r["qtf"] == (2 if r["term"] == "w00001" else 1)
+        tfn = r["tf"] / (r["tf"] + K1 * (1 - B + B * r["dl"] / avgdl))
+        assert r["contribution"] == pytest.approx(
+            r["idf"] * r["qtf"] * tfn, abs=1e-9)
+
+
+def test_explain_absent_term_only(ixdata):
+    ix, _ = ixdata
+    assert bm25_explain(ix, "zzznotaterm", k=5).count() == 0
