@@ -221,7 +221,7 @@ def ft_corpus_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_terms_topn",
-    """
+    f"""
     SELECT 'top' AS chk, event_type AS key, n, 0.0 AS score FROM (
       SELECT event_type, count(*) AS n FROM events
       GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3)
@@ -267,6 +267,52 @@ def ft_corpus_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT *, row_number() OVER (ORDER BY event_type, user_id) AS rn
       FROM b) WHERE rn BETWEEN 6 AND 10
+    UNION ALL
+    SELECT 'sig_text', term, fg_count, round(score, 6) FROM (
+      WITH dx AS (
+        SELECT (source = 'src18') AS fg,
+               list_distinct({duckdb_tokens_sql('text')}) AS ts
+        FROM documents
+      ), tot AS (
+        SELECT count(*) FILTER (fg)::DOUBLE AS fgt, count(*)::DOUBLE AS bgt
+        FROM dx
+      ), per AS (
+        SELECT term, count(*) FILTER (fg) AS fg_count, count(*) AS bg_count
+        FROM (SELECT fg, unnest(ts) AS term FROM dx) GROUP BY term
+      )
+      SELECT term, fg_count,
+             (fg_count / fgt - bg_count / bgt)
+               * ((fg_count / fgt) / (bg_count / bgt)) AS score
+      FROM per, tot
+      WHERE fg_count >= 1 AND fg_count / fgt > bg_count / bgt
+      ORDER BY score DESC, term LIMIT 8)
+    UNION ALL
+    SELECT 'percolate', doc_id::VARCHAR || '#' || query_id,
+           n_matched, n_terms::DOUBLE FROM (
+      WITH rules(query_id, query, op, msm) AS (VALUES
+        ('r_and4', 'spark vector hash merge', 'and', 0),
+        ('r_or3', 'customer stream sort', 'or', 3),
+        ('r_none', 'kubernetes pod evicted', 'and', 0),
+        ('r_or4of5', 'scan filter group window batch', 'or', 4)
+      ), rt AS (
+        SELECT query_id, op, msm,
+               unnest(list_distinct({duckdb_tokens_sql('query')})) AS term
+        FROM rules
+      ), sizes AS (
+        SELECT query_id, op, msm, count(*) AS n_terms
+        FROM rt GROUP BY 1, 2, 3
+      ), dt AS (
+        SELECT doc_id, unnest(list_distinct({duckdb_tokens_sql('text')}))
+                 AS term
+        FROM documents
+      ), m AS (
+        SELECT doc_id, query_id, count(*) AS n_matched
+        FROM dt JOIN rt USING (term) GROUP BY 1, 2
+      )
+      SELECT doc_id, query_id, n_matched, n_terms
+      FROM m JOIN sizes USING (query_id)
+      WHERE (op = 'and' AND n_matched = n_terms)
+         OR (op = 'or' AND n_matched >= msm))
     """,
 )
 def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,12 +327,39 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms response's `sum_other_doc_count` as an explicit `__other__`
     bucket (what the dashboards draw as the "Other" pie slice); (f)
     `top_hits` sub-agg — best document per bucket under an explicit
-    sort, rank-limited window (WindowGroupLimit prunes map-side)."""
+    sort, rank-limited window (WindowGroupLimit prunes map-side); (g)
+    `significant_text` (JLH over ANALYZED tokens of the documents
+    table, doc-frequency semantics, foreground = one source); (h) the
+    percolator — four stored match rules (and / or+minimum_should_
+    match / no-match vocab) reverse-matched against every document in
+    one broadcast term join (operators/percolate.py)."""
     from .operators.aggs import (composite_page, rare_terms,
-                                 significant_terms, terms_with_other,
-                                 top_hits)
+                                 significant_terms, significant_text,
+                                 terms_with_other, top_hits)
+    from .operators.percolate import percolate
 
     ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    sig_text = significant_text(
+        docs, "text", F.col("source") == "src18", size=8,
+    ).select(
+        F.lit("sig_text").alias("chk"), F.col("term").alias("key"),
+        F.col("fg_count").alias("n"), F.round("score", 6).alias("score"),
+    )
+    rules = spark.createDataFrame(
+        [("r_and4", "spark vector hash merge", "and", 0),
+         ("r_or3", "customer stream sort", "or", 3),
+         ("r_none", "kubernetes pod evicted", "and", 0),
+         ("r_or4of5", "scan filter group window batch", "or", 4)],
+        "query_id string, query string, operator string, msm int",
+    )
+    perc = percolate(docs, rules, text_col="text", id_col="doc_id").select(
+        F.lit("percolate").alias("chk"),
+        F.concat_ws("#", F.col("doc_id").cast("string"), "query_id")
+        .alias("key"),
+        F.col("n_matched").alias("n"),
+        F.col("n_terms").cast("double").alias("score"),
+    )
     topo = terms_with_other(ev, "event_type", size=3)
     top = topo.select(
         F.when(F.col("event_type") == "__other__", "other")
@@ -323,7 +396,7 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", F.lit(0.0).alias("score"),
     )
     return (top.unionByName(hits).unionByName(sig).unionByName(rare)
-            .unionByName(page2))
+            .unionByName(page2).unionByName(sig_text).unionByName(perc))
 
 
 @register(

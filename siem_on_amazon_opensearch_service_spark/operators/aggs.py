@@ -487,3 +487,54 @@ def diversified_sampler_top(df: DataFrame, sort_cols: list[Column],
         .filter(F.col("_dsr") <= max_docs_per_value).drop("_dsr")
     )
     return capped.orderBy(*sort_cols).limit(shard_size)
+
+
+# ---------------------------------------------------------------------------
+# significant_text
+# ---------------------------------------------------------------------------
+
+def significant_text(df: DataFrame, text_col: str, foreground: Column,
+                     size: int = 10, min_doc_count: int = 1) -> DataFrame:
+    """``significant_text`` agg: JLH-ranked over-represented TERMS of
+    an analyzed text field (vs significant_terms' keyword keys) — the
+    "what words characterize the matching docs" panel.
+
+    Doc-frequency semantics, as in OpenSearch: a term counts once per
+    document (``array_distinct`` before the explode), and the JLH
+    percentages divide by DOC totals, not token totals. One tokenize
+    scan: the per-term conditional aggregate computes fg/bg doc
+    frequency together; the two doc totals come from a 1-row
+    aggregate of the same pass's input (metadata crossJoin). Shuffle
+    is vocabulary-keyed with map-side partials — the same scale shape
+    as the index build's tf pass. Returns (term, fg_count, bg_count,
+    score) ordered score desc, term asc.
+    """
+    from ..analysis import tokens_col
+
+    base = df.select(foreground.alias("_fg"),
+                     F.array_distinct(tokens_col(text_col)).alias("_ts"))
+    totals = base.agg(
+        F.count(F.when(F.col("_fg"), 1)).cast("double").alias("_fg_total"),
+        F.count("*").cast("double").alias("_bg_total"),
+    )
+    per_term = (
+        base.select("_fg", F.explode("_ts").alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.when(F.col("_fg"), 1)).alias("fg_count"),
+            F.count("*").alias("bg_count"),
+        )
+    )
+    fg_pct = F.col("fg_count") / F.col("_fg_total")
+    bg_pct = F.col("bg_count") / F.col("_bg_total")
+    jlh = F.when(
+        (F.col("fg_count") >= min_doc_count) & (fg_pct > bg_pct),
+        (fg_pct - bg_pct) * (fg_pct / bg_pct),
+    ).otherwise(0.0)
+    return (
+        per_term.crossJoin(F.broadcast(totals))
+        .select("term", "fg_count", "bg_count", jlh.alias("score"))
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(size)
+    )

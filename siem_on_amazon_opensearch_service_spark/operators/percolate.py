@@ -1,0 +1,78 @@
+"""Percolator: match a batch of documents against a TABLE of stored
+queries (reverse search) — OpenSearch's ``percolate`` query, the
+primitive behind saved-search alerting (the reference ships scheduled
+monitors under ``opensearch_alert_config/``; a percolator evaluates
+the same rule set per incoming document instead of per schedule).
+
+Stored-query model: each rule is an analyzed ``match`` query —
+(query_id, query_text, operator, minimum_should_match). ``operator``
+is ``and`` (every term must appear — OpenSearch
+``match.operator: and``) or ``or`` with ``minimum_should_match``
+(at least m distinct query terms appear).
+
+Spark restatement (one DAG, no per-rule loop):
+
+* Rules tokenize Spark-side into (query_id, term) pairs plus a
+  per-rule term count — rule sets are thousands of rows, metadata
+  next to the corpus, so the pair table BROADCASTS.
+* Documents tokenize once (native expressions), explode to DISTINCT
+  (doc_id, term) pairs, and join the broadcast rule-term table on
+  ``term`` — the same "only terms the queries mention survive the
+  scan" pruning Lucene's percolator gets from its query-term index;
+  docs sharing no vocabulary with any rule are dropped at the join.
+* One hash aggregate on (doc_id, query_id) counts matched distinct
+  terms; the rule's threshold (all / >= m) filters the result.
+
+The shuffle is keyed on actual (doc, rule) candidate matches — not
+|docs| x |rules| — so selective rule vocabularies stay cheap at
+100 TB; a rule matching everything costs what its match set costs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import tokens_col
+
+
+def percolate(docs: DataFrame, rules: DataFrame,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Match every document in ``docs`` against every stored rule.
+
+    ``rules`` columns: query_id (any type), query (string),
+    operator ('and' | 'or'), msm (int, minimum_should_match — used
+    when operator='or'; an 'and' rule ignores it).
+
+    Returns (doc_id, query_id, n_matched, n_terms) for each
+    (document, rule) pair whose threshold is met, i.e. the rules that
+    would fire for each document.
+    """
+    rule_terms = (
+        rules.select(
+            "query_id", "operator", "msm",
+            F.explode(F.array_distinct(tokens_col("query"))).alias("term"),
+        )
+    )
+    rule_sizes = rule_terms.groupBy("query_id", "operator", "msm").agg(
+        F.count("*").alias("n_terms"))
+
+    doc_terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("term"),
+    )
+    matched = (
+        doc_terms.join(F.broadcast(rule_terms.select("query_id", "term")),
+                       "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    fired = (
+        matched.join(F.broadcast(rule_sizes), "query_id")
+        .filter(
+            F.when(F.col("operator") == "and",
+                   F.col("n_matched") == F.col("n_terms"))
+            .otherwise(F.col("n_matched") >= F.col("msm"))
+        )
+    )
+    return fired.select("doc_id", "query_id", "n_matched", "n_terms")
