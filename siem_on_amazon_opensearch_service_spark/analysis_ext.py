@@ -1,0 +1,193 @@
+"""Analyzer-chain extensions: stopword filter, synonym filter, and a
+minimal English stemmer — the commonly-configured OpenSearch analysis
+filters beyond the standard tokenizer (``stop``, ``synonym``,
+``stemmer: minimal_english``).
+
+The shared core analyzer (analysis.py) stays THE one definition used
+by the index and every oracle; these filters compose AFTER it, as in
+Lucene's token-filter chain. All three are native Column expressions
+(filter / transform / regexp chains — whole-stage codegen, no
+Python), each with a pure-Python twin for oracles and a DuckDB twin
+for the driver gate.
+
+Composition with the index: an analyzed field is materialized by
+re-joining the filtered token stream with spaces
+(:func:`analyzed_text`) and feeding it to the standard build —
+because tokens contain no separator characters, re-tokenizing the
+joined string reproduces the filtered stream exactly, so BM25 over
+the analyzed field needs no index-side changes (pinned by tests).
+
+Stemmer scope: the Harman "S-stemmer" (suffix rules sses→ss, ies→y
+(len>4), trailing s dropped unless the word ends in ss/us/is or is
+too short) — the ``minimal_english`` family, deliberately NOT a full
+Porter (whose measure conditions don't codegen as a regexp chain);
+the point is parity of the FILTER-CHAIN mechanics with a
+deterministic cross-engine rule set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .analysis import tokens_col
+
+
+# ---------------------------------------------------------------------------
+# stopword filter
+# ---------------------------------------------------------------------------
+
+#: Lucene's classic English stopword set (StandardAnalyzer/
+#: EnglishAnalyzer default, public constant).
+ENGLISH_STOPWORDS = (
+    "a an and are as at be but by for if in into is it no not of on "
+    "or such that the their then there these they this to was will with"
+).split()
+
+
+def stop_filter(tokens: Column, stopwords: list[str] | None = None) -> Column:
+    """Drop stopwords from a token array (native ``filter``; the
+    stopword set folds into the expression as a literal array —
+    query/config metadata, never a join)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or ENGLISH_STOPWORDS)])
+    return F.filter(tokens, lambda t: ~F.array_contains(sw, t))
+
+
+def py_stop_filter(tokens: list[str],
+                   stopwords: list[str] | None = None) -> list[str]:
+    sw = set(stopwords or ENGLISH_STOPWORDS)
+    return [t for t in tokens if t not in sw]
+
+
+def duckdb_stop_sql(arr_expr: str,
+                    stopwords: list[str] | None = None) -> str:
+    sw = ", ".join(f"'{w}'" for w in (stopwords or ENGLISH_STOPWORDS))
+    return f"list_filter({arr_expr}, t -> NOT list_contains([{sw}], t))"
+
+
+# ---------------------------------------------------------------------------
+# synonym filter
+# ---------------------------------------------------------------------------
+
+def synonym_filter(tokens: Column, mapping: dict[str, str]) -> Column:
+    """Map each token through a synonym table (the ``synonym`` filter
+    in its contraction form: variants rewrite to one canonical term —
+    how search-time synonym normalization is usually configured).
+    The mapping folds into a literal map expression."""
+    if not mapping:
+        return tokens
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    return F.transform(tokens, lambda t: F.coalesce(m[t], t))
+
+
+def py_synonym_filter(tokens: list[str], mapping: dict[str, str]) -> list[str]:
+    return [mapping.get(t, t) for t in tokens]
+
+
+def duckdb_synonym_sql(arr_expr: str, mapping: dict[str, str]) -> str:
+    if not mapping:
+        return arr_expr
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items())
+    return (
+        f"list_transform({arr_expr}, t -> CASE t {whens} ELSE t END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# minimal English stemmer (S-stemmer)
+# ---------------------------------------------------------------------------
+
+def s_stem(token: Column) -> Column:
+    """Harman S-stemmer as a native conditional chain:
+
+    1. ``...sses`` -> ``...ss``
+    2. ``...ies``  -> ``...y``   (only when length > 4)
+    3. ``...s``    -> drop, unless the word ends in ``ss``/``us``/
+       ``is`` or has length <= 2.
+    """
+    t = token
+    return (
+        F.when(t.endswith("sses"),
+               F.concat(F.substring(t, 1, F.length(t) - 4), F.lit("ss")))
+        .when(t.endswith("ies") & (F.length(t) > 4),
+              F.concat(F.substring(t, 1, F.length(t) - 3), F.lit("y")))
+        .when(
+            t.endswith("s") & ~t.endswith("ss") & ~t.endswith("us")
+            & ~t.endswith("is") & (F.length(t) > 2),
+            F.substring(t, 1, F.length(t) - 1),
+        )
+        .otherwise(t)
+    )
+
+
+def py_s_stem(token: str) -> str:
+    if token.endswith("sses"):
+        return token[:-4] + "ss"
+    if token.endswith("ies") and len(token) > 4:
+        return token[:-3] + "y"
+    if (token.endswith("s") and not token.endswith(("ss", "us", "is"))
+            and len(token) > 2):
+        return token[:-1]
+    return token
+
+
+def duckdb_s_stem_sql(t: str) -> str:
+    return (
+        f"CASE WHEN {t} LIKE '%sses' THEN substr({t}, 1, len({t})-4) || 'ss' "
+        f"WHEN {t} LIKE '%ies' AND len({t}) > 4 "
+        f"THEN substr({t}, 1, len({t})-3) || 'y' "
+        f"WHEN {t} LIKE '%s' AND {t} NOT LIKE '%ss' AND {t} NOT LIKE '%us' "
+        f"AND {t} NOT LIKE '%is' AND len({t}) > 2 "
+        f"THEN substr({t}, 1, len({t})-1) "
+        f"ELSE {t} END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# chain + analyzed-field materialization
+# ---------------------------------------------------------------------------
+
+def analyzed_tokens(text: Column | str,
+                    stopwords: list[str] | None = None,
+                    synonyms: dict[str, str] | None = None,
+                    stem: bool = False) -> Column:
+    """Full chain: standard tokenize -> stop -> synonym -> stem.
+    Filter order matches the Lucene convention (stop before synonym
+    before stemmer when all are configured)."""
+    toks = tokens_col(text)
+    if stopwords is not None:
+        toks = stop_filter(toks, stopwords)
+    if synonyms:
+        toks = synonym_filter(toks, synonyms)
+    if stem:
+        toks = F.transform(toks, s_stem)
+    return toks
+
+
+def py_analyzed_tokens(text: str,
+                       stopwords: list[str] | None = None,
+                       synonyms: dict[str, str] | None = None,
+                       stem: bool = False) -> list[str]:
+    from .analysis import tokenize_py
+
+    toks = tokenize_py(text)
+    if stopwords is not None:
+        toks = py_stop_filter(toks, stopwords)
+    if synonyms:
+        toks = py_synonym_filter(toks, synonyms)
+    if stem:
+        toks = [py_s_stem(t) for t in toks]
+    return toks
+
+
+def analyzed_text(text: Column | str,
+                  stopwords: list[str] | None = None,
+                  synonyms: dict[str, str] | None = None,
+                  stem: bool = False) -> Column:
+    """Space-joined analyzed token stream — feed this to the standard
+    index build to get an analyzed FIELD without index-side changes
+    (re-tokenizing reproduces the stream exactly: tokens contain no
+    separators)."""
+    return F.array_join(
+        analyzed_tokens(text, stopwords, synonyms, stem), " ")

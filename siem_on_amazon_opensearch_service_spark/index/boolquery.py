@@ -330,3 +330,46 @@ def search_facets(ix: PostingsIndex, query: str, facet_cols: list[str],
                 .limit(facet_size)
             )
     return out
+
+
+def completion_suggest(ix: PostingsIndex, prefix: str,
+                       size: int = 5) -> DataFrame:
+    """Completion suggester (OpenSearch ``suggest.completion`` —
+    search-box autocomplete): dictionary terms extending ``prefix``,
+    highest document frequency first (df is the weight — OpenSearch
+    lets the indexer attach weights; the natural corpus-derived
+    weight is popularity).
+
+    Lucene serves this from an in-memory FST; the Spark restatement
+    is a dictionary scan with a leading-prefix predicate (sargable —
+    term_stats parquet is term-sorted, so row-group pruning applies)
+    and a TakeOrdered top-``size``. No postings are touched. The
+    analyzed prefix is matched against single terms; multi-token
+    input keeps only the LAST token as the live prefix with the
+    earlier tokens untouched (the search-as-you-type convention).
+    Returns (suggestion, weight, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize_py(prefix)
+    spark = ix.postings.sparkSession
+    out_schema = "suggestion string, weight long, rank int"
+    if not toks:
+        return spark.createDataFrame([], out_schema)
+    live = toks[-1]
+    head = " ".join(toks[:-1])
+    cand = (
+        ix.term_stats.filter(F.col("term").startswith(live))
+        .select(
+            (F.concat_ws(" ", F.lit(head), F.col("term")) if head
+             else F.col("term")).alias("suggestion"),
+            F.col("df").cast("long").alias("weight"),
+        )
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(size)
+    )
+    w = Window.orderBy(F.desc("weight"), F.asc("suggestion"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .orderBy("rank")
+    )
