@@ -206,3 +206,94 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.concat_ws(" ", toks)).alias("fp_exact"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fp_bag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition features (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def repetition_features(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Table A1 filters): fraction of
+    duplicate lines, fraction of characters in duplicate lines, and
+    the fraction of characters inside the most frequent 2-gram /
+    3-gram. High values mark boilerplate/spam for corpus filtering.
+
+    All-native per-doc computation: lines via split, dedup via
+    array_distinct, n-gram tops via a groupBy over exploded n-grams
+    (vocabulary-keyed shuffle with map-side partials — the same scale
+    shape as the index's tf pass). Returns (id, n_lines,
+    dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+    top_3gram_char_frac).
+    """
+    from ..analysis import tokens_col
+
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda s: F.trim(s) != "")
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, s: acc + F.length(s))
+    dist_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda acc, s: acc + F.length(s))
+    base = docs.select(
+        F.col(id_col),
+        F.when(n_lines > 0,
+               (n_lines - n_dist).cast("double") / n_lines)
+        .otherwise(0.0).alias("dup_line_frac"),
+        F.when(line_chars > 0,
+               (line_chars - dist_chars).cast("double") / line_chars)
+        .otherwise(0.0).alias("dup_line_char_frac"),
+        n_lines.alias("n_lines"),
+        tokens_col(text_col).alias("_ts"),
+    )
+
+    def top_ngram_frac(n: int) -> DataFrame:
+        idx = F.when(
+            F.size(F.col("_ts")) >= n,
+            F.sequence(F.lit(0), F.size(F.col("_ts")) - n),
+        ).otherwise(F.array().cast("array<int>"))
+        gram = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_ts"), i + j + 1)
+                       for j in range(n)]),
+        )
+        toks_chars = F.aggregate(
+            F.col("_ts"), F.lit(0), lambda a, t: a + F.length(t))
+        grams = base.select(
+            id_col, toks_chars.alias("_tc"), F.explode(gram).alias("g"))
+        per = grams.groupBy(id_col, "_tc", "g").agg(
+            F.count("*").alias("c"))
+        # chars covered by the most frequent n-gram = count * len(gram
+        # tokens' chars); Gopher counts characters, token chars here
+        top = per.groupBy(id_col, "_tc").agg(
+            F.max(F.struct(
+                F.col("c"),
+                (F.length(F.col("g")) - (n - 1)).alias("glen"),
+                F.col("g"),
+            )).alias("m"))
+        return top.select(
+            id_col,
+            F.when(
+                F.col("_tc") > 0,
+                (F.col("m.c") * F.col("m.glen")).cast("double")
+                / F.col("_tc"),
+            ).otherwise(0.0).alias(f"top_{n}gram_char_frac"),
+        )
+
+    g2, g3 = top_ngram_frac(2), top_ngram_frac(3)
+    return (
+        base.drop("_ts")
+        .join(g2, id_col, "left").join(g3, id_col, "left")
+        .select(
+            id_col, "n_lines",
+            F.round("dup_line_frac", 6).alias("dup_line_frac"),
+            F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+            F.round(F.coalesce("top_2gram_char_frac", F.lit(0.0)), 6)
+            .alias("top_2gram_char_frac"),
+            F.round(F.coalesce("top_3gram_char_frac", F.lit(0.0)), 6)
+            .alias("top_3gram_char_frac"),
+        )
+    )
