@@ -398,13 +398,69 @@ _TOKEXPR = f"len({duckdb_tokens_sql('text')})"
     SELECT 'shard', ({packing.duckdb_shard_sql('doc_id', 16)})::VARCHAR,
            count(*), ''
     FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'contam', tot.doc_id::VARCHAR, coalesce(hit.nc, 0),
+           tot.n_grams::VARCHAR
+    FROM (
+      SELECT doc_id, len({dedup.duckdb_shingles_sql('text', 4)}) AS n_grams
+      FROM documents
+      WHERE len({dedup.duckdb_shingles_sql('text', 4)}) > 0
+    ) tot
+    LEFT JOIN (
+      SELECT dg.doc_id, count(*) AS nc
+      FROM (SELECT doc_id,
+                   unnest({dedup.duckdb_shingles_sql('text', 4)}) AS g
+            FROM documents) dg
+      JOIN (SELECT DISTINCT
+                   unnest({dedup.duckdb_shingles_sql('text', 4)}) AS g
+            FROM documents WHERE doc_id < 5) bg
+        USING (g)
+      GROUP BY dg.doc_id
+    ) hit ON tot.doc_id = hit.doc_id
+    UNION ALL
+    SELECT 'repetition', ls.doc_id::VARCHAR, ls.n_lines,
+           (round(ls.dlf * 1e6)::BIGINT)::VARCHAR || '|' ||
+           (round(ls.dlcf * 1e6)::BIGINT)::VARCHAR || '|' ||
+           (round(coalesce(t2.frac, 0) * 1e6)::BIGINT)::VARCHAR || '|' ||
+           (round(coalesce(t3.frac, 0) * 1e6)::BIGINT)::VARCHAR
+    FROM (
+      WITH lx AS (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10)),
+                           s -> trim(s) <> '') AS ls
+        FROM documents)
+      SELECT doc_id, len(ls) AS n_lines,
+             CASE WHEN len(ls) > 0 THEN
+               round((len(ls) - len(list_distinct(ls)))
+                     / len(ls)::DOUBLE, 6) ELSE 0 END AS dlf,
+             CASE WHEN len(array_to_string(ls, '')) > 0 THEN
+               round((len(array_to_string(ls, ''))
+                      - len(array_to_string(list_distinct(ls), '')))
+                     / len(array_to_string(ls, ''))::DOUBLE, 6)
+             ELSE 0 END AS dlcf
+      FROM lx
+    ) ls
+    LEFT JOIN ({textstats.duckdb_top_ngram_sql(2)}) t2
+      ON t2.doc_id = ls.doc_id
+    LEFT JOIN ({textstats.duckdb_top_ngram_sql(3)}) t3
+      ON t3.doc_id = ls.doc_id
     """,
 )
 def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch assembly in one gated entry: ~512-token sequence
     packing per language shard (window cumsum), deterministic
     stratified sampling (md5-threshold, head language downsampled),
-    and the 16-way training-shard assignment histogram."""
+    and the 16-way training-shard assignment histogram.
+
+    Plus the corpus-hygiene passes: 'contam' rows are per-doc 4-gram
+    benchmark decontamination (operators/contamination.py; the "eval
+    set" is docs 0-4 of the same corpus so overlap is guaranteed at
+    any SF — those docs show fully contaminated, the rest measure
+    incidental n-gram collision); 'repetition' rows are the
+    Gopher-style repetition signals (dup-line fractions + top-2/3-gram
+    char coverage, operators/textstats.py), fractions carried as
+    micro-unit integers in `detail` to dodge cross-engine float
+    formatting."""
     from .analysis import tokens_sql
 
     d = _t(spark, sf_dir, "documents")
@@ -435,7 +491,29 @@ def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("").alias("detail"),
         )
     )
-    return pack.unionByName(sample).unionByName(shard)
+    from .operators.contamination import ngram_contamination
+    from .operators.textstats import repetition_features
+
+    contam = ngram_contamination(
+        d, d.filter(F.col("doc_id") < 5), n=4,
+    ).select(
+        F.lit("contam").alias("chk"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_contaminated").alias("n"),
+        F.col("n_grams").cast("string").alias("detail"),
+    )
+    micro = lambda c: F.round(F.col(c) * 1e6).cast("long").cast("string")  # noqa: E731
+    rep = repetition_features(d).select(
+        F.lit("repetition").alias("chk"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_lines").cast("long").alias("n"),
+        F.concat_ws(
+            "|", micro("dup_line_frac"), micro("dup_line_char_frac"),
+            micro("top_2gram_char_frac"), micro("top_3gram_char_frac"),
+        ).alias("detail"),
+    )
+    return (pack.unionByName(sample).unionByName(shard)
+            .unionByName(contam).unionByName(rep))
 
 
 _Q_SQL = textstats.duckdb_quality_sql()

@@ -297,3 +297,43 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
             .alias("top_3gram_char_frac"),
         )
     )
+
+
+def duckdb_top_ngram_sql(n: int, table: str = "documents",
+                         text_expr: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB twin of the top-n-gram char fraction inside
+    :func:`repetition_features`: per doc, the (count, token-chars,
+    gram)-max n-gram's covered chars over total token chars. The
+    tie-break (count desc, gram char length desc, gram desc) mirrors
+    the Spark struct-max exactly. Yields (doc_id, frac) rows."""
+    from ..analysis import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql(text_expr)
+    parts = " || ' ' || ".join(f"ts[i + {j}]" for j in range(n))
+    return f"""
+      WITH tok_{n} AS (
+        SELECT {id_col} AS doc_id, {toks} AS ts FROM {table}
+      ),
+      grams_{n} AS (
+        SELECT doc_id, len(array_to_string(ts, '')) AS tc,
+               unnest(list_transform(
+                 range(1, greatest(len(ts) - {n - 1}, 0) + 1),
+                 i -> {parts})) AS g
+        FROM tok_{n}
+      ),
+      cnt_{n} AS (
+        SELECT doc_id, tc, g, count(*) AS c
+        FROM grams_{n} GROUP BY 1, 2, 3
+      ),
+      rk_{n} AS (
+        SELECT doc_id, tc, c * (len(g) - {n - 1}) AS cover,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, len(g) - {n - 1} DESC, g DESC) AS rn
+        FROM cnt_{n}
+      )
+      SELECT doc_id,
+             round(CASE WHEN tc > 0 THEN cover / tc::DOUBLE ELSE 0 END, 6)
+               AS frac
+      FROM rk_{n} WHERE rn = 1
+    """
