@@ -145,14 +145,27 @@ def phrase_suggest(model: BigramModel, text: str, size: int = 3,
         F.col("n").alias("n_bi"))
     total = float(model.total) if model.total else 1.0
 
-    # join order: the (prev, w) pair table is query metadata (tens of
-    # rows) — it is the broadcast build side against the corpus-sized
-    # bigram table, and the pair-sized RESULT then joins the unigram
-    # table (AQE broadcasts the small side; no hint on the big tables).
+    # The (prev, w) pair table is query metadata (tens of rows). A
+    # pairs-preserving outer join can't broadcast its small preserved
+    # side (Spark must build on the non-preserved side), which would
+    # sort-merge the corpus-sized LM tables — so instead SEMI-filter
+    # each LM table down to the probe keys first (broadcast left-semi:
+    # the big table streams, nothing shuffles or sorts), leaving
+    # pair-count-sized slices that then broadcast into the
+    # pairs-preserving left joins. Plan-pinned: BroadcastHashJoin
+    # only, no SortMergeJoin (tests/test_plan_shapes.py).
+    bi_s = bi.join(
+        F.broadcast(pairs.select("prev", "w").distinct().na.drop()),
+        ["prev", "w"], "leftsemi")
+    uni_p_s = uni_p.join(
+        F.broadcast(pairs.select("prev").distinct().na.drop()),
+        "prev", "leftsemi")
+    uni_w_s = uni_w.join(
+        F.broadcast(pairs.select("w").distinct()), "w", "leftsemi")
     j = (
-        bi.join(F.broadcast(pairs), ["prev", "w"], "right")
-        .join(uni_p, "prev", "left")
-        .join(uni_w, "w", "left")
+        pairs.join(F.broadcast(bi_s), ["prev", "w"], "left")
+        .join(F.broadcast(uni_p_s), "prev", "left")
+        .join(F.broadcast(uni_w_s), "w", "left")
     )
     backoff = F.log(
         F.lit(discount) * (F.coalesce(F.col("n_w"), F.lit(0.0)) + 1e-9)

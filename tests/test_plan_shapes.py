@@ -130,3 +130,81 @@ def test_multi_match_plan_single_exchange_pushed(spark, tmp_path):
     assert "TakeOrderedAndProject" in plan
     assert plan.count(") Exchange") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-3 continuation operators
+# ---------------------------------------------------------------------------
+
+
+def test_percolate_plan_broadcasts_rules(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.percolate import (
+        percolate,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "error timeout db"), (1, "login ok")], "doc_id long, text string")
+    rules = spark.createDataFrame(
+        [("r1", "error db", "and", 0)],
+        "query_id string, query string, operator string, msm int")
+    plan = _plan(percolate(docs, rules))
+    # the rule side must be the broadcast build side; the corpus side
+    # must never sort-merge against it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.contamination \
+        import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(10)], "doc_id long, text string")
+    plan = _plan(ngram_contamination(docs, docs.limit(2), n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_buckets_single_global_agg(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.aggs import (
+        range_buckets,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    plan = _plan(range_buckets(
+        df, F.col("v"), [("a", None, 10.0), ("b", 10.0, None)]))
+    # one partial+final global aggregate: a single-row exchange, no
+    # join, no per-range scans
+    assert plan.count(") Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_sampler_plan_is_take_ordered(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.aggs import (
+        diversified_sampler_top, sampler_top,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"),
+        (F.col("id") * 37 % 100).alias("v"))
+    assert "TakeOrderedAndProject" in _plan(
+        sampler_top(df, [F.desc("v"), F.asc("id")], 10))
+    dplan = _plan(diversified_sampler_top(
+        df, [F.desc("v"), F.asc("id")], "k", 2, 10))
+    assert "TakeOrderedAndProject" in dplan
+    assert "WindowGroupLimit" in dplan
+
+
+def test_suggest_scoring_broadcasts_pairs(spark):
+    from siem_on_amazon_opensearch_service_spark.index.suggest import (
+        build_bigram_model, phrase_suggest,
+    )
+
+    sdf = spark.createDataFrame(
+        [("the quick brown fox",)] * 5, "text string")
+    model = build_bigram_model(sdf)
+    plan = _plan(phrase_suggest(model, "the quikc", size=2))
+    # candidate-pair table broadcasts against the corpus LM tables —
+    # never a shuffle keyed on the corpus-sized bigram table
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
