@@ -913,16 +913,25 @@ def agg_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     .../ALL_User_ConsoleLogin_failure.json:2-10: bucket the failure
     events per user, trigger when the count crosses the threshold,
     grade severity) -- the query a scheduled monitor would run; the
-    trigger condition is a plain HAVING over the bucket agg."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
-    buckets = ev.groupBy("user_id").agg(
-        F.count("*").alias("n_failures"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
-    )
-    return buckets.filter(F.col("n_failures") >= 5).select(
-        "user_id", "n_failures", "sum_value",
-        F.when(F.col("n_failures") >= 10, "high").otherwise("medium")
-        .alias("severity"),
+    trigger condition is a plain HAVING over the bucket agg.
+
+    The monitor is expressed in PPL (the OpenSearch piped query
+    language an analyst would type) and COMPILED to the DataFrame
+    plan by ppl.py — so this entry's value-hash gate checks the PPL
+    compiler end-to-end against the hand-written SQL oracle."""
+    from .ppl import ppl_query
+
+    ev = _t(spark, sf_dir, "events")
+    return ppl_query(
+        spark,
+        "search source=events "
+        "| where event_type = 'error' "
+        "| stats count() as n_failures, sum(value) as sv by user_id "
+        "| where n_failures >= 5 "
+        "| eval sum_value = round(sv, 4) "
+        "| eval severity = if(n_failures >= 10, 'high', 'medium') "
+        "| fields user_id, n_failures, sum_value, severity",
+        {"events": ev},
     )
 
 

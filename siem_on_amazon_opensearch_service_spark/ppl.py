@@ -1,0 +1,435 @@
+"""Mini-PPL: the OpenSearch Piped Processing Language subset the
+SIEM dashboards' ad-hoc analysis uses, compiled to a DataFrame
+pipeline (PPL is the query language the OpenSearch SQL plugin ships
+for log exploration: ``search source=t | where ... | stats ... by ...
+| sort ... | head N``).
+
+Supported commands (each a pipe stage):
+
+    search source=<table>            first stage (``search`` optional)
+    where <expr>                     boolean filter; =, !=, >, >=, <,
+                                     <=, and, or, not, in (...),
+                                     like '<pat>' (% / _ wildcards)
+    fields [+|-] f1, f2              projection (``-`` drops)
+    eval name = <arith expr>         computed column (+ - * /, parens,
+                                     if(cond, a, b), round(x, <int>))
+    rename a as b [, c as d]
+    dedup f1 [, f2]                  first row per key, input order is
+                                     undefined -> deterministic
+                                     tie-break on all key cols only
+    stats <agg> [as x] [, ...] [by f1, f2]
+        aggs: count(), count(f), sum(f), avg(f), min(f), max(f),
+              distinct_count(f)
+    sort [+|-]f1 [, [+|-]f2]
+    head N
+
+Compilation is purely structural: each stage maps 1:1 onto the
+DataFrame API (filter/select/withColumn/groupBy/orderBy/limit), so
+the whole pipeline stays inside Catalyst — predicate pushdown,
+column pruning and partial aggregation all apply exactly as if the
+user had written the DataFrame code by hand. A parallel
+:func:`ppl_to_sql` emits the equivalent ANSI SQL for the DuckDB
+oracle, built from the SAME parsed stages (one parser, two
+backends), which is how the driver gate checks the compiler.
+
+Grammar reference: the public OpenSearch PPL documentation
+(https://opensearch.org/docs/latest/search-plugins/sql/ppl/) — the
+subset here covers the commands used in the reference's runbooks.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NUM = re.compile(r"^-?\d+(\.\d+)?$")
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
+class PPLError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# expression mini-parser (precedence: or < and < not < cmp < add < mul)
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"\s*(>=|<=|!=|=|>|<|\(|\)|,|\+|-|\*|/|'(?:[^'\\]|\\.)*'|"
+    r"[A-Za-z_][A-Za-z0-9_.]*|\d+\.\d+|\d+)"
+)
+
+
+def _tokenize(s: str) -> list[str]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN.match(s, i)
+        if not m:
+            if s[i:].strip() == "":
+                break
+            raise PPLError(f"bad token at: {s[i:]!r}")
+        out.append(m.group(1))
+        i = m.end()
+    return out
+
+
+@dataclass
+class _Parser:
+    toks: list[str]
+    pos: int = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def take(self, expect: str | None = None) -> str:
+        t = self.peek()
+        if t is None or (expect is not None and t.lower() != expect):
+            raise PPLError(f"expected {expect!r}, got {t!r}")
+        self.pos += 1
+        return t
+
+    # ast nodes: ('num', v) ('str', v) ('col', name)
+    #            ('bin', op, l, r) ('not', x) ('in', col, [..])
+    #            ('like', col, pat)
+    def expr(self):
+        return self._or()
+
+    def _or(self):
+        n = self._and()
+        while (self.peek() or "").lower() == "or":
+            self.take()
+            n = ("bin", "or", n, self._and())
+        return n
+
+    def _and(self):
+        n = self._not()
+        while (self.peek() or "").lower() == "and":
+            self.take()
+            n = ("bin", "and", n, self._not())
+        return n
+
+    def _not(self):
+        if (self.peek() or "").lower() == "not":
+            self.take()
+            return ("not", self._not())
+        return self._cmp()
+
+    def _cmp(self):
+        n = self._add()
+        t = (self.peek() or "").lower()
+        if t in (">=", "<=", "!=", "=", ">", "<"):
+            op = self.take()
+            return ("bin", op, n, self._add())
+        if t == "in":
+            self.take()
+            self.take("(")
+            items = [self._atom()]
+            while self.peek() == ",":
+                self.take()
+                items.append(self._atom())
+            self.take(")")
+            return ("in", n, items)
+        if t == "like":
+            self.take()
+            pat = self._atom()
+            if pat[0] != "str":
+                raise PPLError("like needs a string pattern")
+            return ("like", n, pat[1])
+        return n
+
+    def _add(self):
+        n = self._mul()
+        while self.peek() in ("+", "-"):
+            op = self.take()
+            n = ("bin", op, n, self._mul())
+        return n
+
+    def _mul(self):
+        n = self._atom()
+        while self.peek() in ("*", "/"):
+            op = self.take()
+            n = ("bin", op, n, self._atom())
+        return n
+
+    def _atom(self):
+        t = self.peek()
+        if t is None:
+            raise PPLError("unexpected end of expression")
+        if t == "(":
+            self.take()
+            n = self.expr()
+            self.take(")")
+            return n
+        self.take()
+        if t.startswith("'"):
+            return ("str", t[1:-1].replace("\\'", "'"))
+        if _NUM.match(t):
+            return ("num", float(t) if "." in t else int(t))
+        if _IDENT.match(t):
+            if self.peek() == "(":
+                # scalar function call: if(cond, a, b) / round(x, n)
+                self.take("(")
+                args = [self.expr()]
+                while self.peek() == ",":
+                    self.take()
+                    args.append(self.expr())
+                self.take(")")
+                fn = t.lower()
+                if fn not in ("if", "round"):
+                    raise PPLError(f"unknown function {t!r}")
+                return ("fn", fn, args)
+            return ("col", t)
+        raise PPLError(f"bad atom {t!r}")
+
+
+def parse_expr(s: str):
+    p = _Parser(_tokenize(s))
+    n = p.expr()
+    if p.peek() is not None:
+        raise PPLError(f"trailing input: {p.toks[p.pos:]}")
+    return n
+
+
+# ---------------------------------------------------------------------------
+# expression backends
+# ---------------------------------------------------------------------------
+
+def _to_col(n):
+    kind = n[0]
+    if kind == "num":
+        return F.lit(n[1])
+    if kind == "str":
+        return F.lit(n[1])
+    if kind == "col":
+        return F.col(n[1])
+    if kind == "not":
+        return ~_to_col(n[1])
+    if kind == "in":
+        return _to_col(n[1]).isin([x[1] for x in n[2]])
+    if kind == "like":
+        return _to_col(n[1]).like(n[2])
+    if kind == "fn":
+        args = [_to_col(a) for a in n[2]]
+        if n[1] == "if":
+            return F.when(args[0], args[1]).otherwise(args[2])
+        if n[1] == "round":
+            return F.round(args[0], n[2][1][1])
+    op, l, r = n[1], _to_col(n[2]), _to_col(n[3])
+    return {
+        "or": l | r, "and": l & r, "=": l == r, "!=": l != r,
+        ">": l > r, ">=": l >= r, "<": l < r, "<=": l <= r,
+        "+": l + r, "-": l - r, "*": l * r, "/": l / r,
+    }[op]
+
+
+def _to_sql(n) -> str:
+    kind = n[0]
+    if kind == "num":
+        return repr(n[1])
+    if kind == "str":
+        return "'" + n[1].replace("'", "''") + "'"
+    if kind == "col":
+        return n[1]
+    if kind == "not":
+        return f"(NOT {_to_sql(n[1])})"
+    if kind == "in":
+        return (f"({_to_sql(n[1])} IN ("
+                + ", ".join(_to_sql(x) for x in n[2]) + "))")
+    if kind == "like":
+        return f"({_to_sql(n[1])} LIKE '" + n[2].replace("'", "''") + "')"
+    if kind == "fn":
+        if n[1] == "if":
+            a, b, c = (_to_sql(x) for x in n[2])
+            return f"(CASE WHEN {a} THEN {b} ELSE {c} END)"
+        if n[1] == "round":
+            return f"round({_to_sql(n[2][0])}, {n[2][1][1]})"
+    op = {"=": "=", "and": "AND", "or": "OR"}.get(n[1], n[1].upper())
+    return f"({_to_sql(n[2])} {op} {_to_sql(n[3])})"
+
+
+# ---------------------------------------------------------------------------
+# pipeline parsing
+# ---------------------------------------------------------------------------
+
+_AGG_RE = re.compile(
+    r"^(count|sum|avg|min|max|distinct_count)\s*\(\s*([A-Za-z0-9_.]*)\s*\)"
+    r"(?:\s+as\s+([A-Za-z_][A-Za-z0-9_]*))?$", re.I)
+
+
+@dataclass
+class PPLQuery:
+    source: str
+    stages: list[tuple] = field(default_factory=list)
+
+
+def parse_ppl(text: str) -> PPLQuery:
+    parts = [p.strip() for p in text.split("|")]
+    head = parts[0]
+    m = re.match(r"^(?:search\s+)?source\s*=\s*([A-Za-z_][A-Za-z0-9_]*)$",
+                 head, re.I)
+    if not m:
+        raise PPLError(f"first stage must be 'search source=<t>': {head!r}")
+    q = PPLQuery(source=m.group(1))
+    for part in parts[1:]:
+        if not part:
+            raise PPLError("empty pipe stage")
+        cmd, _, rest = part.partition(" ")
+        cmd = cmd.lower()
+        rest = rest.strip()
+        if cmd == "where":
+            q.stages.append(("where", parse_expr(rest)))
+        elif cmd == "fields":
+            drop = rest.startswith("-")
+            body = rest[1:] if rest[:1] in "+-" else rest
+            cols = [c.strip() for c in body.split(",") if c.strip()]
+            q.stages.append(("fields", drop, cols))
+        elif cmd == "eval":
+            name, _, ex = rest.partition("=")
+            if not _IDENT.match(name.strip()):
+                raise PPLError(f"bad eval target {name!r}")
+            q.stages.append(("eval", name.strip(), parse_expr(ex)))
+        elif cmd == "rename":
+            pairs = []
+            for item in rest.split(","):
+                mm = re.match(
+                    r"^\s*([A-Za-z0-9_.]+)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)"
+                    r"\s*$", item, re.I)
+                if not mm:
+                    raise PPLError(f"bad rename {item!r}")
+                pairs.append((mm.group(1), mm.group(2)))
+            q.stages.append(("rename", pairs))
+        elif cmd == "dedup":
+            cols = [c.strip() for c in rest.split(",") if c.strip()]
+            q.stages.append(("dedup", cols))
+        elif cmd == "stats":
+            byi = re.search(r"\bby\b", rest, re.I)
+            aggpart = rest[: byi.start()] if byi else rest
+            bycols = ([c.strip() for c in rest[byi.end():].split(",")]
+                      if byi else [])
+            aggs = []
+            for item in aggpart.split(","):
+                mm = _AGG_RE.match(item.strip())
+                if not mm:
+                    raise PPLError(f"bad agg {item!r}")
+                fn, col, alias = (mm.group(1).lower(), mm.group(2),
+                                  mm.group(3))
+                if fn != "count" and not col:
+                    raise PPLError(f"{fn} needs a column")
+                aggs.append((fn, col, alias or
+                             (f"{fn}({col})" if col else "count()")))
+            q.stages.append(("stats", aggs, bycols))
+        elif cmd == "sort":
+            keys = []
+            for item in rest.split(","):
+                item = item.strip()
+                desc = item.startswith("-")
+                keys.append((item.lstrip("+-").strip(), desc))
+            q.stages.append(("sort", keys))
+        elif cmd == "head":
+            q.stages.append(("head", int(rest)))
+        else:
+            raise PPLError(f"unknown command {cmd!r}")
+    return q
+
+
+# ---------------------------------------------------------------------------
+# backends
+# ---------------------------------------------------------------------------
+
+_AGG_FN = {
+    "count": lambda c: F.count(F.col(c)) if c else F.count("*"),
+    "sum": lambda c: F.sum(c),
+    "avg": lambda c: F.avg(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "distinct_count": lambda c: F.countDistinct(c),
+}
+
+
+def ppl_query(spark: SparkSession, text: str,
+              tables: dict[str, DataFrame]) -> DataFrame:
+    """Compile and run a PPL pipeline over the given source tables."""
+    q = parse_ppl(text)
+    if q.source not in tables:
+        raise PPLError(f"unknown source {q.source!r}")
+    df = tables[q.source]
+    for st in q.stages:
+        kind = st[0]
+        if kind == "where":
+            df = df.filter(_to_col(st[1]))
+        elif kind == "fields":
+            _, drop, cols = st
+            df = df.drop(*cols) if drop else df.select(*cols)
+        elif kind == "eval":
+            df = df.withColumn(st[1], _to_col(st[2]))
+        elif kind == "rename":
+            for old, new in st[1]:
+                df = df.withColumnRenamed(old, new)
+        elif kind == "dedup":
+            # deterministic: min over non-key cols per key would be
+            # column-type dependent; PPL dedup keeps "a" row per key —
+            # we keep the key columns only, which IS deterministic
+            df = df.select(*st[1]).distinct()
+        elif kind == "stats":
+            _, aggs, by = st
+            exprs = [_AGG_FN[fn](col).alias(alias)
+                     for fn, col, alias in aggs]
+            df = (df.groupBy(*by).agg(*exprs) if by
+                  else df.agg(*exprs))
+        elif kind == "sort":
+            df = df.orderBy(*[
+                F.desc(c) if d else F.asc(c) for c, d in st[1]])
+        elif kind == "head":
+            df = df.limit(st[1])
+    return df
+
+
+def ppl_to_sql(text: str) -> str:
+    """The same parsed pipeline rendered as nested ANSI SQL (oracle
+    backend; also a readable 'explain' of what the pipeline does)."""
+    q = parse_ppl(text)
+    sql = f"SELECT * FROM {q.source}"
+    for st in q.stages:
+        kind = st[0]
+        if kind == "where":
+            sql = f"SELECT * FROM ({sql}) WHERE {_to_sql(st[1])}"
+        elif kind == "fields":
+            _, drop, cols = st
+            if drop:
+                cl = ", ".join(cols)
+                sql = f"SELECT * EXCLUDE ({cl}) FROM ({sql})"
+            else:
+                sql = f"SELECT {', '.join(cols)} FROM ({sql})"
+        elif kind == "eval":
+            sql = f"SELECT *, {_to_sql(st[2])} AS {st[1]} FROM ({sql})"
+        elif kind == "rename":
+            ren = ", ".join(f"{o} AS {n}" for o, n in st[1])
+            excl = ", ".join(o for o, _ in st[1])
+            sql = f"SELECT * EXCLUDE ({excl}), {ren} FROM ({sql})"
+        elif kind == "dedup":
+            sql = f"SELECT DISTINCT {', '.join(st[1])} FROM ({sql})"
+        elif kind == "stats":
+            _, aggs, by = st
+            sel = []
+            for fn, col, alias in aggs:
+                if fn == "distinct_count":
+                    sel.append(f'count(DISTINCT {col}) AS "{alias}"')
+                elif fn == "count" and not col:
+                    sel.append(f'count(*) AS "{alias}"')
+                else:
+                    sel.append(f'{fn}({col}) AS "{alias}"')
+            if by:
+                sql = (f"SELECT {', '.join(by)}, {', '.join(sel)} "
+                       f"FROM ({sql}) GROUP BY {', '.join(by)}")
+            else:
+                sql = f"SELECT {', '.join(sel)} FROM ({sql})"
+        elif kind == "sort":
+            keys = ", ".join(
+                f"{c} {'DESC' if d else 'ASC'}" for c, d in st[1])
+            sql = f"SELECT * FROM ({sql}) ORDER BY {keys}"
+        elif kind == "head":
+            sql = f"SELECT * FROM ({sql}) LIMIT {st[1]}"
+    return sql

@@ -1,0 +1,107 @@
+"""Mini-PPL compiler: Spark pipeline vs DuckDB oracle built from the
+same parsed stages."""
+
+import duckdb
+import pytest
+
+from siem_on_amazon_opensearch_service_spark.ppl import (
+    PPLError, parse_expr, parse_ppl, ppl_query, ppl_to_sql,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+PIPELINES = [
+    "search source=events | where event_type = 'error' and value > 100 "
+    "| stats count() as n, sum(value) as sv by user_id "
+    "| sort -n, user_id | head 10",
+
+    "source=events | where event_type in ('click', 'purchase') "
+    "| eval v2 = value * 2 + 1 | fields user_id, event_type, v2 "
+    "| stats avg(v2) as a, max(v2) as m by event_type | sort event_type",
+
+    "search source=events | where not (value < 50) "
+    "| stats count(), distinct_count(user_id) as users",
+
+    "source=events | dedup event_type | sort event_type",
+
+    "source=events | where event_type like 'err%' "
+    "| rename event_type as kind | stats count() as n by kind | sort kind",
+
+    "source=events | eval bucket = value / 25 "
+    "| stats count() as n by event_type | sort -n, event_type | head 3",
+
+    "source=events | stats count() as n, sum(value) as sv by user_id "
+    "| where n >= 5 | eval sum_value = round(sv, 4) "
+    "| eval grade = if(n >= 10, 'high', 'medium') "
+    "| fields user_id, n, sum_value, grade | sort user_id",
+]
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return {"events": spark.read.parquet(EVENTS)}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{EVENTS}'")
+    return con
+
+
+@pytest.mark.parametrize("text", PIPELINES)
+def test_ppl_matches_duckdb(spark, tables, duck, text):
+    got = ppl_query(spark, text, tables)
+    cols = got.columns
+    grows = [tuple(r[c] for c in cols) for r in got.collect()]
+    orows = duck.execute(ppl_to_sql(text)).fetchall()
+
+    def canon(rows):
+        return sorted(
+            tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+            for r in rows
+        )
+
+    assert canon(grows) == canon(orows), text
+
+
+def test_ppl_head_after_sort_is_topk(spark, tables):
+    got = ppl_query(
+        spark,
+        "source=events | stats count() as n by user_id "
+        "| sort -n, user_id | head 5",
+        tables,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ppl_where_pushdown_reaches_scan(spark, tables):
+    got = ppl_query(
+        spark,
+        "source=events | where value > 150 | fields event_id, value",
+        tables,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(value,150" in plan
+    # column pruning: only the two projected columns are read
+    assert "ReadSchema" in plan and "props" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_ppl_errors():
+    for bad in ("from events", "source=events | frobnicate x",
+                "source=events | stats sum() by a",
+                "source=events | where value >",
+                "source=events | eval 1bad = 2"):
+        with pytest.raises((PPLError, ValueError)):
+            q = parse_ppl(bad)
+            # expression errors may only surface at parse of the stage
+            _ = q
+
+
+def test_parse_expr_precedence():
+    n = parse_expr("a = 1 or b = 2 and c = 3")
+    assert n[1] == "or"
+    assert parse_expr("not a = 1")[0] == "not"
+    assert parse_expr("(a + b) * 2")[1] == "*"
