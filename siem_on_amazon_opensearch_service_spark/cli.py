@@ -107,6 +107,22 @@ def cmd_query(args: argparse.Namespace) -> None:
         print(json.dumps(r.asDict()))
 
 
+def cmd_ppl(args: argparse.Namespace) -> None:
+    """Run a PPL pipeline over parquet tables: each --table name=path
+    registers a source; rows print as JSON lines."""
+    spark = _spark()
+    from siem_on_amazon_opensearch_service_spark.ppl import ppl_query
+
+    tables = {}
+    for spec in args.table:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--table needs name=path, got {spec!r}")
+        tables[name] = spark.read.parquet(path)
+    for r in ppl_query(spark, args.pipeline, tables).collect():
+        print(json.dumps(r.asDict(), default=str))
+
+
 def cmd_metrics(args: argparse.Namespace) -> None:
     spark = _spark()
     from siem_on_amazon_opensearch_service_spark.plans import checkpoint
@@ -192,6 +208,13 @@ def main(argv: list[str] | None = None) -> None:
                    help="exact-phrase match (needs a --positional index)")
     q.add_argument("--with-url", action="store_true")
     q.set_defaults(fn=cmd_query)
+
+    pp = sub.add_parser("ppl", help="run a PPL pipeline over parquet")
+    pp.add_argument("--table", action="append", required=True,
+                    help="repeatable: name=path source registration")
+    pp.add_argument("pipeline", help="PPL text, e.g. "
+                    "\"source=events | stats count() by event_type\"")
+    pp.set_defaults(fn=cmd_ppl)
 
     m = sub.add_parser("metrics", help="per-partition build lineage")
     m.add_argument("--index-checkpoint", required=True)

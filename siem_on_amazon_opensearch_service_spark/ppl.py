@@ -20,6 +20,15 @@ Supported commands (each a pipe stage):
     stats <agg> [as x] [, ...] [by f1, f2]
         aggs: count(), count(f), sum(f), avg(f), min(f), max(f),
               distinct_count(f)
+        a by-item may be span(ts_col, Nu) with u in s/m/h/d — the
+        PPL date_histogram: epoch-floored fixed buckets, emitted as
+        'yyyy-MM-dd HH:mm:ss' strings under the name <ts_col>_span
+    top [N] f1 [, f2] [by g]         most frequent value combos
+                                     (default N=10), count desc
+    rare [N] f1 [, f2]               least frequent, count asc
+    parse <field> '<regex>' as f1 [, f2]
+                                     regex extract: capture group i
+                                     binds to the i-th name
     sort [+|-]f1 [, [+|-]f2]
     head N
 
@@ -307,8 +316,20 @@ def parse_ppl(text: str) -> PPLQuery:
         elif cmd == "stats":
             byi = re.search(r"\bby\b", rest, re.I)
             aggpart = rest[: byi.start()] if byi else rest
-            bycols = ([c.strip() for c in rest[byi.end():].split(",")]
+            # split by-items on commas OUTSIDE parens (span(ts, 12h))
+            bycols = ([c.strip() for c in
+                       re.split(r",(?![^(]*\))", rest[byi.end():])]
                       if byi else [])
+            for i, b in enumerate(bycols):
+                mm = re.match(
+                    r"^span\(\s*([A-Za-z_][A-Za-z0-9_.]*)\s*,\s*"
+                    r"(\d+)([smhd])\s*\)$", b, re.I)
+                if mm:
+                    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+                    secs = int(mm.group(2)) * mult[mm.group(3).lower()]
+                    bycols[i] = ("span", mm.group(1), secs)
+                elif not _IDENT.match(b):
+                    raise PPLError(f"bad by-item {b!r}")
             aggs = []
             for item in aggpart.split(","):
                 mm = _AGG_RE.match(item.strip())
@@ -321,6 +342,31 @@ def parse_ppl(text: str) -> PPLQuery:
                 aggs.append((fn, col, alias or
                              (f"{fn}({col})" if col else "count()")))
             q.stages.append(("stats", aggs, bycols))
+        elif cmd in ("top", "rare"):
+            mm = re.match(r"^(\d+)\s+(.*)$", rest)
+            n = int(mm.group(1)) if mm else 10
+            body = mm.group(2) if mm else rest
+            byi = re.search(r"\bby\b", body, re.I)
+            grp = ([c.strip() for c in body[byi.end():].split(",")]
+                   if byi else [])
+            flds = [c.strip()
+                    for c in (body[: byi.start()] if byi else body)
+                    .split(",") if c.strip()]
+            if not flds:
+                raise PPLError(f"{cmd} needs at least one field")
+            q.stages.append((cmd, n, flds, grp))
+        elif cmd == "parse":
+            mm = re.match(
+                r"^([A-Za-z_][A-Za-z0-9_.]*)\s+'((?:[^'\\]|\\.)*)'\s+as\s+"
+                r"(.+)$", rest, re.I | re.S)
+            if not mm:
+                raise PPLError(f"bad parse stage {rest!r}")
+            names = [c.strip() for c in mm.group(3).split(",")]
+            if not all(_IDENT.match(c) for c in names):
+                raise PPLError(f"bad parse targets {names}")
+            q.stages.append(
+                ("parse", mm.group(1), mm.group(2).replace("\\'", "'"),
+                 names))
         elif cmd == "sort":
             keys = []
             for item in rest.split(","):
@@ -377,8 +423,41 @@ def ppl_query(spark: SparkSession, text: str,
             _, aggs, by = st
             exprs = [_AGG_FN[fn](col).alias(alias)
                      for fn, col, alias in aggs]
-            df = (df.groupBy(*by).agg(*exprs) if by
+            keys = []
+            for b in by:
+                if isinstance(b, tuple) and b[0] == "span":
+                    _, c, secs = b
+                    keys.append(
+                        F.date_format(
+                            F.timestamp_seconds(
+                                F.floor(F.unix_timestamp(F.col(c)) / secs)
+                                * secs),
+                            "yyyy-MM-dd HH:mm:ss",
+                        ).alias(f"{c}_span"))
+                else:
+                    keys.append(F.col(b))
+            df = (df.groupBy(*keys).agg(*exprs) if keys
                   else df.agg(*exprs))
+        elif kind in ("top", "rare"):
+            _, n, flds, grp = st
+            cnt = df.groupBy(*(grp + flds)).agg(F.count("*").alias("count"))
+            if grp:
+                from pyspark.sql import Window
+
+                order = ([F.desc("count")] if kind == "top"
+                         else [F.asc("count")]) + [F.asc(c) for c in flds]
+                w = Window.partitionBy(*grp).orderBy(*order)
+                df = (cnt.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") <= n).drop("_rn"))
+            else:
+                order = ([F.desc("count")] if kind == "top"
+                         else [F.asc("count")]) + [F.asc(c) for c in flds]
+                df = cnt.orderBy(*order).limit(n)
+        elif kind == "parse":
+            _, src, pat, names = st
+            for i, name in enumerate(names, start=1):
+                df = df.withColumn(
+                    name, F.regexp_extract(F.col(src), pat, i))
         elif kind == "sort":
             df = df.orderBy(*[
                 F.desc(c) if d else F.asc(c) for c, d in st[1]])
@@ -421,11 +500,44 @@ def ppl_to_sql(text: str) -> str:
                     sel.append(f'count(*) AS "{alias}"')
                 else:
                     sel.append(f'{fn}({col}) AS "{alias}"')
-            if by:
-                sql = (f"SELECT {', '.join(by)}, {', '.join(sel)} "
-                       f"FROM ({sql}) GROUP BY {', '.join(by)}")
+            keys = []
+            for b in by:
+                if isinstance(b, tuple) and b[0] == "span":
+                    _, c, secs = b
+                    keys.append(
+                        f"strftime(to_timestamp(floor(epoch({c}) / {secs})"
+                        f" * {secs}), '%Y-%m-%d %H:%M:%S') AS {c}_span")
+                else:
+                    keys.append(b)
+            if keys:
+                names = [k.rsplit(" AS ", 1)[-1] for k in keys]
+                sql = (f"SELECT {', '.join(keys)}, {', '.join(sel)} "
+                       f"FROM ({sql}) GROUP BY {', '.join(names)}")
             else:
                 sql = f"SELECT {', '.join(sel)} FROM ({sql})"
+        elif kind in ("top", "rare"):
+            _, n, flds, grp = st
+            dir_ = "DESC" if kind == "top" else "ASC"
+            tie = ", ".join(f"{c} ASC" for c in flds)
+            allc = ", ".join(grp + flds)
+            base = (f"SELECT {allc}, count(*) AS count FROM ({sql}) "
+                    f"GROUP BY {allc}")
+            if grp:
+                part = ", ".join(grp)
+                sql = (f"SELECT {allc}, count FROM ("
+                       f"SELECT *, row_number() OVER (PARTITION BY {part} "
+                       f"ORDER BY count {dir_}, {tie}) AS _rn FROM ({base})"
+                       f") WHERE _rn <= {n}")
+            else:
+                sql = (f"SELECT * FROM ({base}) "
+                       f"ORDER BY count {dir_}, {tie} LIMIT {n}")
+        elif kind == "parse":
+            _, src, pat, names = st
+            p = pat.replace("'", "''")
+            ext = ", ".join(
+                f"regexp_extract({src}, '{p}', {i}) AS {name}"
+                for i, name in enumerate(names, start=1))
+            sql = f"SELECT *, {ext} FROM ({sql})"
         elif kind == "sort":
             keys = ", ".join(
                 f"{c} {'DESC' if d else 'ASC'}" for c, d in st[1])

@@ -34,6 +34,21 @@ PIPELINES = [
     "| where n >= 5 | eval sum_value = round(sv, 4) "
     "| eval grade = if(n >= 10, 'high', 'medium') "
     "| fields user_id, n, sum_value, grade | sort user_id",
+
+    # date_histogram via span(): 12h epoch-floored buckets
+    "source=events | stats count() as n by span(ts, 12h) "
+    "| sort ts_span",
+
+    "source=events | top 3 event_type",
+
+    "source=events | top 2 user_id by event_type "
+    "| sort event_type, -count, user_id",
+
+    "source=events | rare 4 event_type",
+
+    # regex field extraction then rollup on the extracted value
+    "source=events | parse props 'k.:.(\\w+)' as pk "
+    "| stats count() as n by pk | sort pk",
 ]
 
 
