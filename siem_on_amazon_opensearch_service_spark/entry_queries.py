@@ -1016,11 +1016,42 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'nested_match', 'users', count(*) FROM (
+      SELECT user_id FROM events GROUP BY user_id
+      HAVING count(*) FILTER (event_type = 'error' AND value > 180) > 0)
+    UNION ALL
+    SELECT 'object_match', 'users', count(*) FROM (
+      SELECT user_id FROM events GROUP BY user_id
+      HAVING count(*) FILTER (event_type = 'error') > 0
+         AND count(*) FILTER (value > 180) > 0)
+    UNION ALL
+    SELECT 'nested_children', 'total',
+           count(*) FILTER (event_type = 'error' AND value > 180)
+    FROM events
+    UNION ALL
+    SELECT 'inner_hit', user_id::VARCHAR, event_id FROM (
+      SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+        ORDER BY value DESC, event_id) AS rn
+      FROM events WHERE event_type = 'error' AND value > 180) WHERE rn = 1
     """,
 )
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Existence joins both ways: left_semi (customers WITH orders) and
-    left_anti (WITHOUT), tagged and unioned into one gated entry."""
+    """Existence joins both ways — left_semi (customers WITH orders)
+    and left_anti (WITHOUT) — plus the OpenSearch `nested` field
+    semantics (operators/nested_docs.py; ref data.ini:280 declares
+    `threat.enrichments` nested): chk 'nested_match' counts parents
+    where ONE child element satisfies the whole conjunction, chk
+    'object_match' the flattened-object contrast (clauses may match
+    across different elements — strictly more parents), chk
+    'nested_children' the nested-agg child-doc count, and 'inner_hit'
+    the best matching child per parent (value desc, event_id asc) via
+    native array_sort — the Lucene block-join family with zero joins
+    at query time."""
+    from .operators.nested_docs import (inner_hits, nest_children,
+                                        nested_count, nested_match,
+                                        object_match)
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
 
@@ -1032,7 +1063,40 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(tag).alias("mode"), "c_mktsegment", "n_customers")
         )
 
-    return side("left_semi", "semi").unionByName(side("left_anti", "anti"))
+    ev = _t(spark, sf_dir, "events")
+    nested = nest_children(
+        ev, ["user_id"], ["event_id", "event_type", "value"], name="children"
+    ).persist()
+    pred = lambda e: (e.event_type == "error") & (e.value > 180)  # noqa: E731
+
+    def one(tag: str, key: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("mode"), F.lit(key).alias("c_mktsegment"),
+            F.col("n").alias("n_customers"),
+        )
+
+    strict = one("nested_match", "users",
+                 nested_match(nested, "children", pred)
+                 .agg(F.count("*").alias("n")))
+    loose = one("object_match", "users", object_match(
+        nested, "children",
+        [lambda e: e.event_type == "error", lambda e: e.value > 180],
+    ).agg(F.count("*").alias("n")))
+    children = one("nested_children", "total",
+                   nested_count(nested, "children", pred)
+                   .agg(F.sum("n_matched_children").cast("long").alias("n")))
+    cmp = lambda a, b: F.when(a.value > b.value, -1).when(  # noqa: E731
+        a.value < b.value, 1).otherwise(
+        F.when(a.event_id < b.event_id, -1).when(
+            a.event_id > b.event_id, 1).otherwise(0))
+    inner = inner_hits(nested, "children", pred, cmp, size=1).select(
+        F.lit("inner_hit").alias("mode"),
+        F.col("user_id").cast("string").alias("c_mktsegment"),
+        F.col("hits")[0]["event_id"].alias("n_customers"),
+    )
+    return (side("left_semi", "semi").unionByName(side("left_anti", "anti"))
+            .unionByName(strict).unionByName(loose).unionByName(children)
+            .unionByName(inner))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,127 @@
+"""Geo query/agg family over ``geo_point`` columns (lat/lon doubles).
+
+The reference maps 10 fields as ``geo_point`` (e.g.
+``destination.geo.location``, deploy_es/data.ini:127) and its
+dashboards draw ``region_map`` / coordinate-map rollups
+(saved_objects/each-dashboard/waf.ndjson).  The OpenSearch surface
+this module reproduces natively:
+
+* ``geohash_grid`` aggregation — the base32 geohash cell of a point at
+  a fixed precision (:func:`geohash_sql`);
+* ``geo_bounding_box`` filter — pure comparisons;
+* ``geo_distance`` filter / sort — haversine distance
+  (:func:`haversine_km`), already used by the ring rollup in
+  ``entry_etl.join_range_geo_bands``;
+* ``geo_bounds`` / ``geo_centroid`` metric aggregations — min/max and
+  arithmetic-mean of coordinates per bucket.
+
+Everything is closed-form native column arithmetic — map-side,
+codegen, no UDF, no shuffle beyond the final aggregation — so each
+construct costs the same as a ``count(*)`` at 100 TB.
+
+Dialect note: :func:`geohash_sql` emits ONE SQL text that parses
+identically in Spark SQL and DuckDB (floor/cast/% arithmetic instead
+of shift operators; ``substring`` is 1-based in both), so the engine
+expression and the correctness oracle are literally the same code —
+the same trick ``analysis.tokens_sql`` uses for the tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: the geohash base32 alphabet (public spec: no a/i/l/o).
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _bit_sql(idx_sql: str, bit: int) -> str:
+    """SQL for bit ``bit`` of the small non-negative integer expression
+    ``idx_sql`` (values < 2^26, exact in doubles), shift-free so the
+    text parses in both Spark SQL and DuckDB."""
+    if bit == 0:
+        return f"(({idx_sql}) % 2)"
+    return f"(cast(floor(({idx_sql}) / {1 << bit}) as bigint) % 2)"
+
+
+def geohash_sql(lat_sql: str, lon_sql: str, precision: int = 4) -> str:
+    """SQL expression (Spark SQL == DuckDB dialect subset) computing
+    the geohash string of (lat, lon) at ``precision`` characters.
+
+    Closed form instead of the textbook bisection loop: the cell
+    indices are ``floor((lat+90)/180 * 2^latbits)`` (resp. lon/360),
+    interleaved MSB-first with longitude taking the even positions —
+    bit-identical to the iterative algorithm."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lat_idx = (f"least(cast(floor((({lat_sql}) + 90.0) / 180.0 * "
+               f"{1 << lat_bits}) as bigint), {(1 << lat_bits) - 1})")
+    lon_idx = (f"least(cast(floor((({lon_sql}) + 180.0) / 360.0 * "
+               f"{1 << lon_bits}) as bigint), {(1 << lon_bits) - 1})")
+    terms: list[str] = []
+    for i in range(lon_bits):  # even interleave positions (0-based MSB)
+        weight = 1 << (total - 1 - 2 * i)
+        terms.append(f"{_bit_sql(lon_idx, lon_bits - 1 - i)} * {weight}")
+    for i in range(lat_bits):  # odd positions
+        weight = 1 << (total - 2 - 2 * i)
+        terms.append(f"{_bit_sql(lat_idx, lat_bits - 1 - i)} * {weight}")
+    gh_int = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substring('{_B32}', "
+        f"cast(cast(floor({gh_int} / {1 << (5 * (precision - 1 - c))}) "
+        f"as bigint) % 32 + 1 as int), 1)"
+        for c in range(precision)
+    ]
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def geohash(lat_sql: str, lon_sql: str, precision: int = 4) -> Column:
+    """``geohash_grid`` bucket key as a native Spark column. Takes the
+    coordinate expressions as SQL text (the same text the DuckDB
+    oracle uses) so both engines evaluate one definition."""
+    return F.expr(geohash_sql(lat_sql, lon_sql, precision))
+
+
+def haversine_km(lat: Column, lon: Column,
+                 center_lat: float, center_lon: float) -> Column:
+    """Great-circle distance in km to a fixed center (the
+    ``geo_distance`` filter/sort metric), R = 6371 km."""
+    clat = F.lit(float(center_lat))
+    return (
+        2 * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(lat - clat) / 2), 2)
+                + F.cos(F.radians(clat)) * F.cos(F.radians(lat))
+                * F.pow(
+                    F.sin(F.radians(lon - F.lit(float(center_lon))) / 2), 2
+                )
+            )
+        )
+    )
+
+
+def in_bounding_box(lat: Column, lon: Column, top: float, left: float,
+                    bottom: float, right: float) -> Column:
+    """``geo_bounding_box`` filter predicate (non-dateline-crossing
+    box: left < right). Pure comparisons — pushes down to the scan."""
+    return (
+        (lat <= F.lit(top)) & (lat >= F.lit(bottom))
+        & (lon >= F.lit(left)) & (lon <= F.lit(right))
+    )
+
+
+def geo_bounds_centroid(df: DataFrame, lat: Column, lon: Column,
+                        by: list[str] | None = None) -> DataFrame:
+    """``geo_bounds`` + ``geo_centroid`` metric aggs in one pass:
+    (top, bottom, left, right, centroid_lat, centroid_lon, n) per
+    bucket (or globally). Partial+final hash agg — map-side combine."""
+    base = df.select(lat.alias("_lat"), lon.alias("_lon"), *(by or []))
+    la, lo = F.col("_lat"), F.col("_lon")
+    return base.groupBy(*(by or [])).agg(
+        F.max(la).alias("top"), F.min(la).alias("bottom"),
+        F.min(lo).alias("left"), F.max(lo).alias("right"),
+        F.avg(la).alias("centroid_lat"), F.avg(lo).alias("centroid_lon"),
+        F.count("*").alias("n"),
+    )
