@@ -397,6 +397,14 @@ _HAV_DUCK = f"""
 """
 
 
+def _geohash_duck() -> str:
+    """The geohash_grid bucket key — literally the same SQL text the
+    Spark side evaluates (operators/geo.geohash_sql is dual-dialect)."""
+    from .operators.geo import geohash_sql
+
+    return geohash_sql(_GEO_LAT, _GEO_LON, 3)
+
+
 @register(
     "join_range_geo_bands",
     f"""
@@ -415,6 +423,17 @@ _HAV_DUCK = f"""
     UNION ALL
     SELECT 'geotile:' || {_geotile_duck(_GEO_LAT, _GEO_LON, 3)}, count(*), 0.0
     FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'geohash:' || {_geohash_duck()}, count(*), 0.0
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'geo_bounds:' || (count(*))::VARCHAR,
+           count(*),
+           round(max({_GEO_LAT}) + min({_GEO_LAT})
+                 + avg({_GEO_LAT}) + avg({_GEO_LON}), 4)
+    FROM events
+    WHERE ({_GEO_LAT}) BETWEEN 20.0 AND 60.0
+      AND ({_GEO_LON}) BETWEEN -120.0 AND -60.0
     """,
 )
 def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,9 +442,13 @@ def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans as BroadcastNestedLoopJoin over 3 rows -- the fact side
     never shuffles), the geo_point haversine ring rollup (the
     region_map aggregation, ref data.ini:127 / waf.ndjson) -- native
-    trig, map-side only -- and the `geotile_grid` agg (Web-Mercator
+    trig, map-side only -- the `geotile_grid` agg (Web-Mercator
     z/x/y tile buckets at zoom 3, the OpenSearch coordinate-map
-    aggregation; same native-trig map-side shape)."""
+    aggregation; same native-trig map-side shape), the `geohash_grid`
+    agg (operators/geo.geohash_sql: one dual-dialect closed form
+    evaluated by BOTH engines), and a `geo_bounding_box` filter
+    feeding `geo_bounds`+`geo_centroid` metrics folded into one chk
+    row. Everything map-side arithmetic + one hash agg."""
     ev = _t(spark, sf_dir, "events")
     bands = spark.createDataFrame(
         [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1e9, "high")],
@@ -473,4 +496,28 @@ def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .withColumn("sum_value", F.lit(0.0))
     )
-    return band_part.unionByName(geo_part).unionByName(tile_part)
+    from .operators.geo import (geo_bounds_centroid, geohash,
+                                in_bounding_box)
+
+    hash_part = (
+        ev.select(
+            F.concat(F.lit("geohash:"),
+                     geohash(_GEO_LAT, _GEO_LON, 3)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("sum_value", F.lit(0.0))
+    )
+    boxed = ev.filter(in_bounding_box(lat, lon, top=60.0, left=-120.0,
+                                      bottom=20.0, right=-60.0))
+    bounds_part = geo_bounds_centroid(boxed, lat, lon).select(
+        F.concat(F.lit("geo_bounds:"), F.col("n").cast("string"))
+        .alias("bucket"),
+        F.col("n"),
+        F.round(
+            F.col("top") + F.col("bottom")
+            + F.col("centroid_lat") + F.col("centroid_lon"), 4
+        ).alias("sum_value"),
+    )
+    return (band_part.unionByName(geo_part).unionByName(tile_part)
+            .unionByName(hash_part).unionByName(bounds_part))

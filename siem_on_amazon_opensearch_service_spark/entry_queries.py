@@ -756,19 +756,183 @@ def agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_user AS (
       SELECT event_type, user_id, count(*) AS n
       FROM events GROUP BY 1, 2
+    ),
+    hourly AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+             count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1
     )
-    SELECT event_type, sum(n)::BIGINT AS total, round(avg(n), 4) AS avg_per_user
+    SELECT 'sum_bucket' AS chk, event_type AS k, sum(n)::DOUBLE AS v
     FROM per_user GROUP BY event_type
+    UNION ALL
+    SELECT 'avg_bucket', event_type, round(avg(n), 4) FROM per_user
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'stats_bucket', s, CASE s WHEN 'count' THEN count(n)::DOUBLE
+        WHEN 'min' THEN min(n) WHEN 'max' THEN max(n)
+        WHEN 'avg' THEN round(avg(n), 4) ELSE sum(n)::DOUBLE END
+    FROM hourly, (SELECT unnest(['count','min','max','avg','sum']) AS s)
+    GROUP BY s
+    UNION ALL
+    SELECT 'serial_diff24', h, (n - lag(n, 24) OVER (ORDER BY h))::DOUBLE
+    FROM hourly
+    UNION ALL
+    SELECT 'moving_max3', h,
+           max(n) OVER (ORDER BY h ROWS 2 PRECEDING)::DOUBLE
+    FROM hourly
+    UNION ALL
+    SELECT 'bucket_script', h, round(sum_value / n, 4) FROM hourly
+    UNION ALL
+    SELECT 'bucket_selector', h, n::DOUBLE FROM hourly WHERE n > 100
+    UNION ALL
+    SELECT 'bucket_sort', h, n::DOUBLE
+    FROM (SELECT h, n FROM hourly ORDER BY n DESC, h LIMIT 5)
+    UNION ALL
+    SELECT 'matrix', k, round(v, 6) FROM (
+      SELECT unnest(['l_quantity|mean', 'l_quantity|var',
+                     'l_discount|mean', 'l_discount|var',
+                     'l_tax|mean', 'l_tax|var',
+                     'l_quantity|l_discount|cov',
+                     'l_quantity|l_discount|corr',
+                     'l_quantity|l_tax|cov', 'l_quantity|l_tax|corr',
+                     'l_discount|l_tax|cov', 'l_discount|l_tax|corr']) AS k,
+             unnest([avg(l_quantity), var_samp(l_quantity),
+                     avg(l_discount), var_samp(l_discount),
+                     avg(l_tax), var_samp(l_tax),
+                     covar_samp(l_quantity, l_discount),
+                     corr(l_quantity, l_discount),
+                     covar_samp(l_quantity, l_tax),
+                     corr(l_quantity, l_tax),
+                     covar_samp(l_discount, l_tax),
+                     corr(l_discount, l_tax)]) AS v
+      FROM lineitem)
+    UNION ALL
+    SELECT 'rollup_' || m, k,
+           round(CASE m WHEN 'count' THEN n_v WHEN 'sum' THEN sum_v
+                 WHEN 'avg' THEN avg_v WHEN 'min' THEN min_v
+                 ELSE max_v END, 4)
+    FROM (
+      SELECT event_type || '|' ||
+               ((floor(epoch(ts) / 86400) * 86400)::BIGINT)::VARCHAR AS k,
+             count(*)::DOUBLE AS n_v, sum(value) AS sum_v,
+             avg(value) AS avg_v, min(value) AS min_v,
+             max(value) AS max_v
+      FROM events GROUP BY 1
+    ), (SELECT unnest(['count','sum','avg','min','max']) AS m)
     """,
 )
 def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`sum_bucket` pipeline agg (A7): second-level aggregate over
-    sibling buckets (reference vpcflowlogs.ndjson:4-5)."""
+    """The COMPLETE pipeline-agg family (A7 + the rest of the
+    OpenSearch pipeline surface), every pass running over the REDUCED
+    bucket list exactly as OpenSearch's coordinator phase does:
+    `sum_bucket`/`avg_bucket` over per-user sibling buckets
+    (reference vpcflowlogs.ndjson:4-5), `stats_bucket`
+    (count/min/max/avg/sum response shape), `serial_diff` with lag=24
+    (day-over-day on hourly buckets), `moving_fn` (trailing 3-bucket
+    max), `bucket_script` (per-bucket computed metric, native
+    expression instead of Painless), `bucket_selector` (HAVING) and
+    `bucket_sort` (top-5 buckets, TakeOrderedAndProject). One fact
+    pass per parent agg; every pipeline op is window/filter work on
+    metadata-sized bucket lists."""
+    from .operators.aggs import (bucket_script, bucket_selector,
+                                 bucket_sort, moving_fn, serial_diff,
+                                 stats_bucket)
+
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
-    return per_user.groupBy("event_type").agg(
-        F.sum("n").alias("total"), F.round(F.avg("n"), 4).alias("avg_per_user")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH:mm:ss").alias("h")
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    ).persist()
+
+    def row(chk: str, k, v) -> list:
+        return [F.lit(chk).alias("chk"), k.alias("k"),
+                v.cast("double").alias("v")]
+
+    sum_avg = per_user.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.round(F.avg("n"), 4).alias("avg_n"))
+    parts = [
+        sum_avg.select(*row("sum_bucket", F.col("event_type"),
+                            F.col("total"))),
+        sum_avg.select(*row("avg_bucket", F.col("event_type"),
+                            F.col("avg_n"))),
+        stats_bucket(hourly, "n").select(
+            F.explode(F.create_map(
+                F.lit("count"), F.col("count").cast("double"),
+                F.lit("min"), F.col("min_bucket").cast("double"),
+                F.lit("max"), F.col("max_bucket").cast("double"),
+                F.lit("avg"), F.round("avg_bucket", 4),
+                F.lit("sum"), F.col("sum_bucket").cast("double"),
+            )).alias("k", "v")
+        ).select(F.lit("stats_bucket").alias("chk"), "k", "v"),
+        serial_diff(hourly, "h", "n", lag=24).select(
+            *row("serial_diff24", F.col("h"), F.col("serial_diff"))),
+        moving_fn(hourly, "h", "n", "max", 3).select(
+            *row("moving_max3", F.col("h"), F.col("moving_fn"))),
+        bucket_script(
+            hourly, "ratio", F.round(F.col("sum_value") / F.col("n"), 4)
+        ).select(*row("bucket_script", F.col("h"), F.col("ratio"))),
+        bucket_selector(hourly, F.col("n") > 100).select(
+            *row("bucket_selector", F.col("h"), F.col("n"))),
+        bucket_sort(hourly, [F.desc("n"), F.asc("h")], 5).select(
+            *row("bucket_sort", F.col("h"), F.col("n"))),
+    ]
+
+    # matrix_stats agg (pairwise covariance/correlation matrix) over
+    # three lineitem measures — one partial+final hash agg.
+    from .operators.aggs import matrix_stats
+    from .operators.rollup import RollupSpec, rollup_answer, rollup_build
+
+    li = _t(spark, sf_dir, "lineitem")
+    mx = matrix_stats(li, ["l_quantity", "l_discount", "l_tax"])
+    parts.append(mx.filter(F.col("field_a") != F.col("field_b")).select(
+        F.lit("matrix").alias("chk"),
+        F.concat_ws("|", "field_a", "field_b", F.lit("cov")).alias("k"),
+        F.round("cov", 6).alias("v"),
+    ))
+    parts.append(mx.filter(F.col("field_a") != F.col("field_b")).select(
+        F.lit("matrix").alias("chk"),
+        F.concat_ws("|", "field_a", "field_b", F.lit("corr")).alias("k"),
+        F.round("corr", 6).alias("v"),
+    ))
+    diag = mx.filter(F.col("field_a") == F.col("field_b"))
+    parts.append(diag.select(
+        F.lit("matrix").alias("chk"),
+        F.concat_ws("|", "field_a", F.lit("mean")).alias("k"),
+        F.round("mean_a", 6).alias("v"),
+    ))
+    parts.append(diag.select(
+        F.lit("matrix").alias("chk"),
+        F.concat_ws("|", "field_a", F.lit("var")).alias("k"),
+        F.round("var_a", 6).alias("v"),
+    ))
+
+    # index-rollup job: hourly × event_type rollup built ONCE (the
+    # only raw-data pass), then a day-granularity dashboard query
+    # answered entirely from the rollup — count/sum/min/max re-agg,
+    # avg recombined from sum + value_count (operators/rollup.py).
+    spec = RollupSpec("ts", 3600, ("event_type",), ("value",))
+    rolled = rollup_build(ev, spec)
+    day = rollup_answer(
+        rolled, spec, 86400, ["event_type"],
+        [("", "count"), ("value", "sum"), ("value", "avg"),
+         ("value", "min"), ("value", "max")],
     )
+    rk = F.concat_ws("|", F.col("event_type"),
+                     F.col("bucket_ts").cast("string"))
+    for m, col in [("count", "_count"), ("sum", "value_sum"),
+                   ("avg", "value_avg"), ("min", "value_min"),
+                   ("max", "value_max")]:
+        parts.append(day.select(*row(f"rollup_{m}", rk,
+                                     F.round(F.col(col), 4))))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @register(

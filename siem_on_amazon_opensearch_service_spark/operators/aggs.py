@@ -190,6 +190,101 @@ def with_pipeline_aggs(buckets: DataFrame, order_col: str, value_col: str,
     )
 
 
+def serial_diff(buckets: DataFrame, order_col: str, value_col: str,
+                lag: int = 1, out: str = "serial_diff") -> DataFrame:
+    """``serial_diff`` pipeline agg: ``value - lag(value, lag)`` over
+    the ordered bucket list (null for the first ``lag`` buckets, as
+    OpenSearch emits). ``lag=1`` is the derivative; larger lags remove
+    a seasonal period (e.g. lag=24 on hourly buckets = day-over-day).
+    Coordinator-phase work on the reduced bucket list."""
+    w = Window.orderBy(F.asc(order_col))
+    v = F.col(value_col)
+    return buckets.withColumn(out, v - F.lag(v, lag).over(w))
+
+
+def moving_fn(buckets: DataFrame, order_col: str, value_col: str,
+              fn: str, window_size: int,
+              out: str = "moving_fn") -> DataFrame:
+    """``moving_fn`` pipeline agg: any of the built-in window
+    reducers (``min|max|sum|avg|stddev``) over a trailing
+    ``window_size``-bucket frame, matching the shipped
+    ``MovingFunctions.*`` script helpers."""
+    reducer = {"min": F.min, "max": F.max, "sum": F.sum,
+               "avg": F.avg, "stddev": F.stddev_samp}[fn]
+    w = (Window.orderBy(F.asc(order_col))
+         .rowsBetween(-(window_size - 1), 0))
+    return buckets.withColumn(out, reducer(F.col(value_col)).over(w))
+
+
+def bucket_script(buckets: DataFrame, out: str,
+                  expr: Column) -> DataFrame:
+    """``bucket_script`` pipeline agg: a per-bucket computed metric
+    from the bucket's own aggregate values (OpenSearch runs a Painless
+    script per reduced bucket; here it's a native column expression —
+    codegen instead of a script engine)."""
+    return buckets.withColumn(out, expr)
+
+
+def bucket_selector(buckets: DataFrame, cond: Column) -> DataFrame:
+    """``bucket_selector`` pipeline agg: drop reduced buckets whose
+    aggregate values fail the predicate (the HAVING of the DSL)."""
+    return buckets.filter(cond)
+
+
+def bucket_sort(buckets: DataFrame, sort_cols: list[Column],
+                size: int) -> DataFrame:
+    """``bucket_sort`` pipeline agg: truncate the reduced bucket list
+    to the top ``size`` under an explicit sort. Plans as
+    TakeOrderedAndProject — no global sort materialization."""
+    return buckets.orderBy(*sort_cols).limit(size)
+
+
+def stats_bucket(buckets: DataFrame, value_col: str,
+                 by: list[str] | None = None) -> DataFrame:
+    """The sibling-bucket metric family in one pass: ``min_bucket``,
+    ``max_bucket``, ``avg_bucket``, ``sum_bucket`` and ``count``
+    (``stats_bucket`` response shape) over a parent aggregation's
+    bucket values."""
+    v = F.col(value_col)
+    return buckets.groupBy(*(by or [])).agg(
+        F.count(v).alias("count"),
+        F.min(v).alias("min_bucket"), F.max(v).alias("max_bucket"),
+        F.avg(v).alias("avg_bucket"), F.sum(v).alias("sum_bucket"),
+    )
+
+
+def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
+    """``matrix_stats`` agg: per-field mean/variance plus pairwise
+    covariance and Pearson correlation across numeric fields, exactly
+    the OpenSearch response matrix — computed as ONE partial+final
+    hash aggregate (every moment is an algebraic aggregate, so the
+    map-side combine carries k + k^2 accumulators, constant-size at
+    any corpus scale). Returns one row per (field_a, field_b) pair
+    with (mean_a, var_a, cov, corr)."""
+    aggs = [F.count(F.col(fields[0])).alias("doc_count")]
+    for f_ in fields:
+        aggs.append(F.avg(f_).alias(f"mean__{f_}"))
+        aggs.append(F.var_samp(f_).alias(f"var__{f_}"))
+    for i, a in enumerate(fields):
+        for b in fields[i:]:
+            aggs.append(F.covar_samp(a, b).alias(f"cov__{a}__{b}"))
+            aggs.append(F.corr(a, b).alias(f"corr__{a}__{b}"))
+    wide = df.agg(*aggs)
+    pairs = [
+        F.struct(
+            F.lit(a).alias("field_a"), F.lit(b).alias("field_b"),
+            F.col(f"mean__{a}").alias("mean_a"),
+            F.col(f"var__{a}").alias("var_a"),
+            F.col(f"cov__{a}__{b}").alias("cov"),
+            F.col(f"corr__{a}__{b}").alias("corr"),
+        )
+        for i, a in enumerate(fields) for b in fields[i:]
+    ]
+    return wide.select(
+        F.explode(F.array(*pairs)).alias("p")
+    ).select("p.*")
+
+
 # ---------------------------------------------------------------------------
 # terms agg "Other" bucket + top_hits sub-aggregation
 # ---------------------------------------------------------------------------

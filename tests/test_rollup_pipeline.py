@@ -1,0 +1,118 @@
+"""Index-rollup job (build + query rewriting) and the long tail of
+pipeline aggs (serial_diff / moving_fn / bucket_* / stats_bucket /
+matrix_stats)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark.operators.aggs import (
+    bucket_script, bucket_selector, bucket_sort, matrix_stats, moving_fn,
+    serial_diff, stats_bucket)
+from siem_on_amazon_opensearch_service_spark.operators.rollup import (
+    RollupSpec, rollup_answer, rollup_build, rollup_supports)
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(200):
+        rows.append((base + dt.timedelta(minutes=17 * i),
+                     "a" if i % 3 else "b",
+                     float(i % 50) if i % 7 else None))
+    return spark.createDataFrame(rows, "ts timestamp, site string, v double")
+
+
+SPEC = RollupSpec("ts", 3600, ("site",), ("v",))
+
+
+def test_rollup_supports_metadata_only():
+    assert rollup_supports(SPEC, 86400, ["site"], [("v", "avg")])
+    assert rollup_supports(SPEC, 7200, [], [("", "count")])
+    # finer than stored / non-multiple interval
+    assert not rollup_supports(SPEC, 1800, [], [("", "count")])
+    assert not rollup_supports(SPEC, 5400, [], [("", "count")])
+    # dim not stored
+    assert not rollup_supports(SPEC, 86400, ["other"], [("", "count")])
+    # metric column not stored
+    assert not rollup_supports(SPEC, 86400, [], [("w", "sum")])
+
+
+def test_rollup_answer_matches_direct(spark, raw):
+    rolled = rollup_build(raw, SPEC)
+    got = rollup_answer(
+        rolled, SPEC, 86400, ["site"],
+        [("", "count"), ("v", "sum"), ("v", "avg"), ("v", "min"),
+         ("v", "max")],
+    )
+    direct = raw.groupBy(
+        (F.floor(F.col("ts").cast("long") / 86400) * 86400)
+        .alias("bucket_ts"), "site",
+    ).agg(
+        F.count("*").alias("_count"), F.sum("v").alias("v_sum"),
+        F.avg("v").alias("v_avg"), F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    )
+    key = lambda r: (r.bucket_ts, r.site)  # noqa: E731
+    g = {key(r): r for r in got.collect()}
+    d = {key(r): r for r in direct.collect()}
+    assert g.keys() == d.keys() and len(g) > 2
+    for k in g:
+        assert g[k]._count == d[k]._count
+        # avg recombined from sum + value_count must be null-aware
+        assert g[k].v_avg == pytest.approx(d[k].v_avg, rel=1e-12)
+        assert g[k].v_min == d[k].v_min and g[k].v_max == d[k].v_max
+
+
+def test_rollup_answer_rejects_unanswerable(spark, raw):
+    rolled = rollup_build(raw, SPEC)
+    with pytest.raises(ValueError):
+        rollup_answer(rolled, SPEC, 1800, [], [("", "count")])
+
+
+@pytest.fixture(scope="module")
+def buckets(spark):
+    return spark.createDataFrame(
+        [(f"b{i:02d}", float(x)) for i, x in
+         enumerate([5, 3, 8, 8, 1, 9, 2, 7])],
+        "h string, n double",
+    )
+
+
+def test_pipeline_agg_tail(buckets):
+    sd = {r.h: r.serial_diff
+          for r in serial_diff(buckets, "h", "n", lag=2).collect()}
+    assert sd["b00"] is None and sd["b01"] is None
+    assert sd["b02"] == 3.0 and sd["b07"] == -2.0
+    mf = {r.h: r.moving_fn
+          for r in moving_fn(buckets, "h", "n", "max", 3).collect()}
+    assert mf["b00"] == 5.0 and mf["b02"] == 8.0 and mf["b05"] == 9.0
+    kept = {r.h for r in bucket_selector(
+        buckets, F.col("n") >= 7).collect()}
+    assert kept == {"b02", "b03", "b05", "b07"}
+    top = [r.h for r in bucket_sort(
+        buckets, [F.desc("n"), F.asc("h")], 3).collect()]
+    assert top == ["b05", "b02", "b03"]
+    scripted = {r.h: r.double
+                for r in bucket_script(
+                    buckets, "double", F.col("n") * 2).collect()}
+    assert scripted["b04"] == 2.0
+    st = stats_bucket(buckets, "n").collect()[0]
+    assert (st["count"], st.min_bucket, st.max_bucket,
+            st.sum_bucket) == (8, 1.0, 9.0, 43.0)
+
+
+def test_matrix_stats_exact(spark):
+    import statistics
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 4.0, 5.0, 4.0, 5.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    out = {(r.field_a, r.field_b): r for r in
+           matrix_stats(df, ["x", "y"]).collect()}
+    assert out[("x", "x")].mean_a == pytest.approx(3.0)
+    assert out[("x", "x")].var_a == pytest.approx(statistics.variance(xs))
+    r = out[("x", "y")]
+    assert r.cov == pytest.approx(statistics.covariance(xs, ys))
+    assert r.corr == pytest.approx(statistics.correlation(xs, ys))
