@@ -442,6 +442,40 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM dense UNION ALL SELECT * FROM sparse
     UNION ALL
+    SELECT 'anomaly:' || event_type || ':' || h, n,
+           round(1.0 - 3.0 / score, 4), NULL::BIGINT, NULL::BIGINT,
+           NULL::DOUBLE
+    FROM (
+      SELECT hb.event_type, hb.h, hb.n,
+             abs(hb.n - md.med) / (1.4826 * md.mad + 1e-9) AS score
+      FROM (
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+               strftime(ts, '%H') AS hod, count(*) AS n
+        FROM events GROUP BY 1, 2, 3
+      ) hb JOIN (
+        SELECT hb2.event_type, hb2.hod,
+               any_value(m.med) AS med,
+               quantile_cont(abs(hb2.n - m.med), 0.5) AS mad
+        FROM (
+          SELECT event_type,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+                 strftime(ts, '%H') AS hod, count(*) AS n
+          FROM events GROUP BY 1, 2, 3
+        ) hb2 JOIN (
+          SELECT event_type, hod, quantile_cont(n, 0.5) AS med
+          FROM (
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS h,
+                   strftime(ts, '%H') AS hod, count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+          ) GROUP BY 1, 2
+        ) m USING (event_type, hod)
+        GROUP BY 1, 2
+      ) md USING (event_type, hod)
+    ) WHERE score > 3.0
+    UNION ALL
     SELECT 'daterange:' || k, n, sum_value, NULL::BIGINT, NULL::BIGINT,
            NULL::DOUBLE
     FROM (
@@ -572,7 +606,28 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", F.lit("auto"), "interval", "bucket").alias("bucket"),
         "n", F.lit(0.0).alias("sum_value"), *nulls,
     )
-    return dense.unionByName(sparse).unionByName(dr).unionByName(auto)
+
+    # anomaly-detection monitor (operators/anomaly.py): per-entity
+    # (event_type) hourly buckets, hour-of-day seasonal median/MAD
+    # baseline, alertable rows = grade > 0. All passes run over the
+    # reduced bucket list; the baseline broadcasts.
+    from .operators.anomaly import detect
+
+    per_type = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH:mm:ss").alias("h"),
+    ).agg(F.count("*").alias("n")).withColumn(
+        "hod", F.substring("h", 12, 2))
+    anomalies = detect(per_type, ["event_type"], "hod", "n",
+                       threshold=3.0).select(
+        F.concat_ws(":", F.lit("anomaly"), "event_type", "h")
+        .alias("bucket"),
+        F.col("n"), F.round("grade", 4).alias("sum_value"), *nulls,
+    )
+
+    return (dense.unionByName(sparse).unionByName(anomalies)
+            .unionByName(dr).unionByName(auto))
 
 
 @register(
