@@ -24,15 +24,23 @@ from .operators import dedup, multimodal, packing, similarity, textstats
       SELECT md5(array_to_string({duckdb_tokens_sql('text')}, ' ')) AS k
       FROM documents
     ), g AS (SELECT k, count(*) AS n FROM k GROUP BY k)
-    SELECT sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct,
-           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
-           sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::BIGINT AS n_removable
-    FROM g
+    SELECT * FROM (
+      SELECT sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct,
+             sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+             sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::BIGINT
+               AS n_removable
+      FROM g
+    ), ({dedup.duckdb_substring_stats_sql(window=20)})
     """,
 )
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup (hash-groupBy on normalized text): corpus stats."""
-    return dedup.exact_dup_stats(_t(spark, sf_dir, "documents"))
+    """Exact dedup (hash-groupBy on normalized text): corpus stats —
+    plus the exact-substring pass (duplicated 20-token spans via
+    window hashing, the shuffle-friendly restatement of the Lee et
+    al. suffix-array dedup) folded in as a 1x1 stats cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dup_stats(docs).crossJoin(
+        dedup.substring_dup_stats(docs, window=20))
 
 
 @register("dedup_minhash_lsh_pairs", dedup.duckdb_lsh_pairs_sql())

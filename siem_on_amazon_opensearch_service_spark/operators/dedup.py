@@ -104,6 +104,92 @@ def exact_dup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def substring_windows(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", window: int = 20,
+                      stride: int = 1) -> DataFrame:
+    """One row per ``window``-token span: (id, p, wh) where ``wh`` is
+    the md5 of the span's tokens — the window-hash approximation of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022 §4: the suffix-array pass
+    finds duplicated spans ≥ L tokens; hashing every L-token window at
+    ``stride`` finds the same spans with a shuffle-friendly plan).
+
+    Scale: the explode is narrow (each doc expands in place, no
+    shuffle); the downstream groupBy shuffles 16-byte digests, never
+    text. ``stride`` trades shuffle volume for recall: strided
+    windows are only guaranteed to hit a duplicated span when joined
+    against an EXHAUSTIVE (stride=1) window set on the other side —
+    a shared span of ≥ L+stride-1 tokens then always contains an
+    aligned pair — so stride>1 belongs on the bulky side of an
+    asymmetric join (e.g. decontamination: strided corpus windows vs
+    exhaustive benchmark windows). Corpus self-dedup (the
+    groupBy-on-hash path) must use stride=1: two strided docs can
+    sample the same span at incompatible phases."""
+    toks = F.expr(tokens_sql(text_col))
+    t = docs.select(
+        F.col(id_col).alias("id"), toks.alias("_tk")
+    ).withColumn("_npos", F.size("_tk") - window + 1)
+    pos = (
+        t.filter(F.col("_npos") >= 1)
+        .select("id", "_tk",
+                F.explode(F.sequence(F.lit(1), F.col("_npos"),
+                                     F.lit(stride))).alias("p"))
+    )
+    return pos.select(
+        "id", "p",
+        F.md5(F.concat_ws(" ", F.slice("_tk", F.col("p"), window)))
+        .alias("wh"),
+    )
+
+
+def substring_dup_stats(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        window: int = 20) -> DataFrame:
+    """Corpus-level duplicated-span stats: total windows, distinct
+    window hashes, duplicated span groups (hash seen ≥2 times), and
+    docs containing at least one duplicated span. Two digest-only
+    shuffles."""
+    win = substring_windows(docs, text_col, id_col, window)
+    per_hash = win.groupBy("wh").agg(F.count("*").alias("n"))
+    tot = per_hash.agg(
+        F.sum("n").cast("long").alias("n_windows"),
+        F.count("*").cast("long").alias("n_span_hashes"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_dup_span_groups"),
+    )
+    dup_docs = (
+        win.join(per_hash.filter(F.col("n") > 1).select("wh"), "wh",
+                 "left_semi")
+        .agg(F.countDistinct("id").cast("long")
+             .alias("n_docs_with_dup_span"))
+    )
+    return tot.crossJoin(dup_docs)  # 1x1 stats fold
+
+
+def duckdb_substring_stats_sql(window: int = 20,
+                               table: str = "documents") -> str:
+    """DuckDB twin of :func:`substring_dup_stats` (same tokenizer,
+    same md5-of-joined-span keys)."""
+    return f"""
+    WITH tk AS (
+      SELECT doc_id AS id, {duckdb_tokens_sql('text')} AS toks
+      FROM {table}
+    ), w AS (
+      SELECT id, md5(array_to_string(list_slice(toks, p, p + {window} - 1),
+                                     ' ')) AS wh
+      FROM tk, unnest(generate_series(1, len(toks) - {window} + 1)) AS u(p)
+      WHERE len(toks) >= {window}
+    ), g AS (SELECT wh, count(*) AS n FROM w GROUP BY wh)
+    SELECT (SELECT sum(n) FROM g)::BIGINT AS n_windows,
+           (SELECT count(*) FROM g)::BIGINT AS n_span_hashes,
+           (SELECT sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)
+            FROM g)::BIGINT AS n_dup_span_groups,
+           (SELECT count(DISTINCT w.id) FROM w
+            JOIN g ON w.wh = g.wh AND g.n > 1)::BIGINT
+             AS n_docs_with_dup_span
+    """
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id doc per normalized-text group (the canonical
