@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from .analysis import duckdb_tokens_sql
 from .entry_queries import _t, register
-from .operators import dedup, multimodal, packing, similarity, textstats
+from .operators import dedup, multimodal, packing, scrub, similarity, textstats
 
 # ---------------------------------------------------------------------------
 # deduplication
@@ -333,11 +333,90 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LANG_PRED, _LANG_SCORE = textstats.duckdb_lang_sql()
 
+# deterministic scrub-input synthesis (identical in Spark + DuckDB):
+# append PII to the text, build a messy URL, and a multi-line body
+# with two corpus-wide boilerplate lines (df 50% / ~33%, both above
+# the 30% threshold) plus a per-doc unique line.
+_SYN_PII = (
+    "text || ' contact user' || doc_id || '@Example.COM at 10.' || "
+    "(doc_id % 200) || '.' || ((doc_id * 7) % 250) || "
+    "'.8 or 555-210-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+_SYN_URL = (
+    "'HTTPS://WWW.Site' || (doc_id % 7) || '.Example.com:443/p/' || "
+    "doc_id || '/?utm_source=t&q=' || (doc_id % 13) || '&b=2&a=1#x'"
+)
+_SYN_ML = (
+    "text || chr(10) || (CASE WHEN doc_id % 2 = 0 THEN 'subscribe now' "
+    "ELSE 'body ' || doc_id END) || (CASE WHEN doc_id % 3 = 0 THEN "
+    "chr(10) || 'all rights reserved' ELSE '' END)"
+)
+_RED_EXPR, _RED_COUNTS = scrub.duckdb_redact_sql("pii_raw")
+_SCRUB_SQL = f"""
+    SELECT s.doc_id,
+      {scrub.duckdb_canonical_url_sql('s.url_raw')} AS canon_url,
+      ({_RED_COUNTS[0]} + {_RED_COUNTS[1]} + {_RED_COUNTS[2]}) AS n_pii,
+      md5({_RED_EXPR}) AS fp_redacted,
+      b.n_kept AS n_clean_lines, md5(b.text_clean) AS fp_clean
+    FROM (
+      SELECT doc_id, {_SYN_PII} AS pii_raw, {_SYN_URL} AS url_raw
+      FROM documents
+    ) s JOIN (
+      {scrub.duckdb_strip_boilerplate_sql(
+          f"SELECT doc_id, {_SYN_ML} AS text FROM documents")}
+    ) b ON b.doc_id = s.doc_id
+"""
+
+
+def _scrub_metrics(d: DataFrame) -> DataFrame:
+    """(doc_id, canon_url, n_pii, fp_redacted, n_clean_lines,
+    fp_clean) — Spark twin of _SCRUB_SQL over the same synthesis."""
+    did = F.col("doc_id").cast("string")
+    pii_raw = F.concat(
+        F.col("text"), F.lit(" contact user"), did,
+        F.lit("@Example.COM at 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 250).cast("string"),
+        F.lit(".8 or 555-210-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    url_raw = F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.com:443/p/"), did,
+        F.lit("/?utm_source=t&q="), (F.col("doc_id") % 13).cast("string"),
+        F.lit("&b=2&a=1#x"),
+    )
+    ml_text = F.concat(
+        F.col("text"), F.lit("\n"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("subscribe now"))
+        .otherwise(F.concat(F.lit("body "), did)),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\nall rights reserved")).otherwise(F.lit("")),
+    )
+    red = scrub.redact_pii(
+        d.select("doc_id", pii_raw.alias("text"))
+    ).select(
+        "doc_id",
+        (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias("n_pii"),
+        F.md5("text_redacted").alias("fp_redacted"),
+    )
+    boiler = scrub.strip_boilerplate(
+        d.select("doc_id", ml_text.alias("text")), max_df_ratio=0.3
+    ).select(
+        "doc_id", F.col("n_kept").alias("n_clean_lines"),
+        F.md5("text_clean").alias("fp_clean"),
+    )
+    return (
+        d.select("doc_id", scrub.canonical_url(url_raw).alias("canon_url"))
+        .join(red, "doc_id").join(boiler, "doc_id")
+    )
+
 
 @register(
     "text_doc_metrics",
     f"""
-    WITH q AS ({textstats.duckdb_quality_sql()})
+    WITH q AS ({textstats.duckdb_quality_sql()}),
+    sc AS ({_SCRUB_SQL})
     SELECT d.doc_id, {_LANG_PRED} AS lang_pred,
       q.n_tokens, q.mean_token_len, q.distinct_ratio, q.stopword_ratio,
       q.symbol_ratio, q.quality_score,
@@ -349,15 +428,21 @@ _LANG_PRED, _LANG_SCORE = textstats.duckdb_lang_sql()
       md5(array_to_string({duckdb_tokens_sql('d.text')}, ' ')) AS fp_exact,
       md5(array_to_string(
         list_sort(list_distinct({duckdb_tokens_sql('d.text')})), ' '))
-        AS fp_bag
+        AS fp_bag,
+      sc.canon_url, sc.n_pii, sc.fp_redacted, sc.n_clean_lines, sc.fp_clean
     FROM documents d JOIN q ON q.doc_id = d.doc_id
+    JOIN sc ON sc.doc_id = d.doc_id
     """,
 )
 def text_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole text-analysis family as ONE wide per-doc row:
     language id (stopword-ratio argmax), quality features + composite
     score, the three token budgets (whitespace / BPE-ish / analyzer),
-    and both deterministic fingerprints (exact + bag-of-tokens)."""
+    both deterministic fingerprints (exact + bag-of-tokens), and the
+    scrub family (operators/scrub.py) over deterministically
+    synthesized inputs: canonical URL, PII redaction hit count +
+    redacted-text md5, and CCNet-style boilerplate-line removal
+    (kept-line count + cleaned-text md5)."""
     d = _t(spark, sf_dir, "documents")
     q = textstats.quality_features(d).select(
         "doc_id", "n_tokens", "mean_token_len", "distinct_ratio",
@@ -368,13 +453,16 @@ def text_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "ws_tokens", "bpe_tokens", "analyzer_tokens"
     )
     fp = textstats.fingerprint(d).select("doc_id", "fp_exact", "fp_bag")
+    sc = _scrub_metrics(d)
     return (
         li.join(q, "doc_id").join(tc, "doc_id").join(fp, "doc_id")
+        .join(sc, "doc_id")
         .select(
             "doc_id", "lang_pred", "n_tokens", "mean_token_len",
             "distinct_ratio", "stopword_ratio", "symbol_ratio",
             "quality_score", "ws_tokens", "bpe_tokens", "analyzer_tokens",
-            "fp_exact", "fp_bag",
+            "fp_exact", "fp_bag", "canon_url", "n_pii", "fp_redacted",
+            "n_clean_lines", "fp_clean",
         )
     )
 
