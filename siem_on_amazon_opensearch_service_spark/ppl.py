@@ -29,6 +29,28 @@ Supported commands (each a pipe stage):
     parse <field> '<regex>' as f1 [, f2]
                                      regex extract: capture group i
                                      binds to the i-th name
+    eventstats <agg> [as x] [, ...] [by f1, f2]
+                                     window aggregates APPENDED as
+                                     columns (no row reduction) —
+                                     partitioned by the by-keys, or
+                                     the whole input when absent
+                                     (whole-input eventstats is a
+                                     single-partition window: fine
+                                     for post-stats result sets, not
+                                     for raw fact tables at scale)
+    fillnull with <value> in f1 [, f2]
+                                     null -> constant, in place
+    trendline sort [+|-]f sma(N, field) [as alias]
+                                     simple moving average over the
+                                     N-row trailing window in sort
+                                     order; null until the window is
+                                     full (OpenSearch semantics).
+                                     default alias <field>_trendline
+    lookup <table> <key> [as <localkey>]
+                                     enrich by left-joining the
+                                     lookup table (broadcast — dim
+                                     semantics), appending its
+                                     non-key columns
     sort [+|-]f1 [, [+|-]f2]
     head N
 
@@ -274,6 +296,21 @@ class PPLQuery:
     stages: list[tuple] = field(default_factory=list)
 
 
+def _parse_aggs(aggpart: str) -> list[tuple[str, str, str]]:
+    """Parse 'fn(col) [as alias], ...' into (fn, col, alias) triples."""
+    aggs = []
+    for item in aggpart.split(","):
+        mm = _AGG_RE.match(item.strip())
+        if not mm:
+            raise PPLError(f"bad agg {item!r}")
+        fn, col, alias = mm.group(1).lower(), mm.group(2), mm.group(3)
+        if fn != "count" and not col:
+            raise PPLError(f"{fn} needs a column")
+        aggs.append((fn, col, alias or
+                     (f"{fn}({col})" if col else "count()")))
+    return aggs
+
+
 def parse_ppl(text: str) -> PPLQuery:
     parts = [p.strip() for p in text.split("|")]
     head = parts[0]
@@ -330,18 +367,49 @@ def parse_ppl(text: str) -> PPLQuery:
                     bycols[i] = ("span", mm.group(1), secs)
                 elif not _IDENT.match(b):
                     raise PPLError(f"bad by-item {b!r}")
-            aggs = []
-            for item in aggpart.split(","):
-                mm = _AGG_RE.match(item.strip())
-                if not mm:
-                    raise PPLError(f"bad agg {item!r}")
-                fn, col, alias = (mm.group(1).lower(), mm.group(2),
-                                  mm.group(3))
-                if fn != "count" and not col:
-                    raise PPLError(f"{fn} needs a column")
-                aggs.append((fn, col, alias or
-                             (f"{fn}({col})" if col else "count()")))
-            q.stages.append(("stats", aggs, bycols))
+            q.stages.append(("stats", _parse_aggs(aggpart), bycols))
+        elif cmd == "eventstats":
+            byi = re.search(r"\bby\b", rest, re.I)
+            aggpart = rest[: byi.start()] if byi else rest
+            bycols = ([c.strip() for c in rest[byi.end():].split(",")]
+                      if byi else [])
+            if not all(_IDENT.match(b) for b in bycols):
+                raise PPLError(f"bad eventstats by-items {bycols}")
+            q.stages.append(("eventstats", _parse_aggs(aggpart), bycols))
+        elif cmd == "fillnull":
+            mm = re.match(r"^with\s+(.+?)\s+in\s+(.+)$", rest, re.I)
+            if not mm:
+                raise PPLError(f"bad fillnull stage {rest!r}")
+            raw = mm.group(1).strip()
+            if _NUM.match(raw):
+                val = ("num", float(raw) if "." in raw else int(raw))
+            elif raw.startswith("'") and raw.endswith("'") and len(raw) >= 2:
+                val = ("str", raw[1:-1].replace("\\'", "'"))
+            else:
+                raise PPLError("fillnull value must be a literal")
+            cols = [c.strip() for c in mm.group(2).split(",") if c.strip()]
+            if not cols or not all(_IDENT.match(c) for c in cols):
+                raise PPLError(f"bad fillnull fields {cols}")
+            q.stages.append(("fillnull", val, cols))
+        elif cmd == "trendline":
+            mm = re.match(
+                r"^sort\s+([+-]?)([A-Za-z_][A-Za-z0-9_.]*)\s+"
+                r"sma\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_.]*)\s*\)"
+                r"(?:\s+as\s+([A-Za-z_][A-Za-z0-9_]*))?$", rest, re.I)
+            if not mm:
+                raise PPLError(f"bad trendline stage {rest!r}")
+            sign, skey, n, col, alias = mm.groups()
+            q.stages.append(("trendline", skey, sign == "-", int(n), col,
+                             alias or f"{col}_trendline"))
+        elif cmd == "lookup":
+            mm = re.match(
+                r"^([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z_][A-Za-z0-9_.]*)"
+                r"(?:\s+as\s+([A-Za-z_][A-Za-z0-9_.]*))?$", rest, re.I)
+            if not mm:
+                raise PPLError(f"bad lookup stage {rest!r}")
+            q.stages.append(
+                ("lookup", mm.group(1), mm.group(2),
+                 mm.group(3) or mm.group(2)))
         elif cmd in ("top", "rare"):
             mm = re.match(r"^(\d+)\s+(.*)$", rest)
             n = int(mm.group(1)) if mm else 10
@@ -458,6 +526,41 @@ def ppl_query(spark: SparkSession, text: str,
             for i, name in enumerate(names, start=1):
                 df = df.withColumn(
                     name, F.regexp_extract(F.col(src), pat, i))
+        elif kind == "eventstats":
+            from pyspark.sql import Window
+
+            _, aggs, by = st
+            w = Window.partitionBy(*by) if by else Window.partitionBy()
+            for fn, col, alias in aggs:
+                if fn == "distinct_count":
+                    e = F.size(F.collect_set(col).over(w))
+                else:
+                    e = _AGG_FN[fn](col).over(w)
+                df = df.withColumn(alias, e)
+        elif kind == "fillnull":
+            _, val, cols = st
+            for c in cols:
+                df = df.withColumn(c, F.coalesce(F.col(c), F.lit(val[1])))
+        elif kind == "trendline":
+            from pyspark.sql import Window
+
+            _, skey, desc, n, col, alias = st
+            order = F.desc(skey) if desc else F.asc(skey)
+            w = Window.orderBy(order).rowsBetween(-(n - 1), 0)
+            df = df.withColumn(
+                alias,
+                F.when(F.count(col).over(w) == n, F.avg(col).over(w)),
+            )
+        elif kind == "lookup":
+            _, tname, key, local = st
+            if tname not in tables:
+                raise PPLError(f"unknown lookup table {tname!r}")
+            lkp = tables[tname].withColumnRenamed(key, "__lookup_key")
+            df = (
+                df.join(F.broadcast(lkp),
+                        F.col(local) == F.col("__lookup_key"), "left")
+                .drop("__lookup_key")
+            )
         elif kind == "sort":
             df = df.orderBy(*[
                 F.desc(c) if d else F.asc(c) for c, d in st[1]])
@@ -538,6 +641,35 @@ def ppl_to_sql(text: str) -> str:
                 f"regexp_extract({src}, '{p}', {i}) AS {name}"
                 for i, name in enumerate(names, start=1))
             sql = f"SELECT *, {ext} FROM ({sql})"
+        elif kind == "eventstats":
+            _, aggs, by = st
+            over = f"OVER (PARTITION BY {', '.join(by)})" if by else "OVER ()"
+            sel = []
+            for fn, col, alias in aggs:
+                if fn == "distinct_count":
+                    sel.append(
+                        f'len(list_distinct(list({col}) {over}))'
+                        f' AS "{alias}"')
+                elif fn == "count" and not col:
+                    sel.append(f'count(*) {over} AS "{alias}"')
+                else:
+                    sel.append(f'{fn}({col}) {over} AS "{alias}"')
+            sql = f"SELECT *, {', '.join(sel)} FROM ({sql})"
+        elif kind == "fillnull":
+            _, val, cols = st
+            v = _to_sql(val)
+            rep = ", ".join(f"coalesce({c}, {v}) AS {c}" for c in cols)
+            sql = f"SELECT * REPLACE ({rep}) FROM ({sql})"
+        elif kind == "trendline":
+            _, skey, desc, n, col, alias = st
+            over = (f"OVER (ORDER BY {skey} {'DESC' if desc else 'ASC'} "
+                    f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)")
+            sql = (f"SELECT *, (CASE WHEN count({col}) {over} = {n} "
+                   f"THEN avg({col}) {over} END) AS {alias} FROM ({sql})")
+        elif kind == "lookup":
+            _, tname, key, local = st
+            sql = (f"SELECT l.*, r.* EXCLUDE ({key}) FROM ({sql}) l "
+                   f"LEFT JOIN {tname} r ON l.{local} = r.{key}")
         elif kind == "sort":
             keys = ", ".join(
                 f"{c} {'DESC' if d else 'ASC'}" for c, d in st[1])

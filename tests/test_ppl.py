@@ -49,12 +49,37 @@ PIPELINES = [
     # regex field extraction then rollup on the extracted value
     "source=events | parse props 'k.:.(\\w+)' as pk "
     "| stats count() as n by pk | sort pk",
+
+    # eventstats: window aggregates appended, no row reduction
+    "source=events | stats count() as n by user_id "
+    "| eventstats sum(n) as tot, avg(n) as m "
+    "| eval share = round(n / tot, 6) | sort user_id | head 20",
+
+    "source=events | eventstats max(value) as mx, "
+    "distinct_count(user_id) as du by event_type "
+    "| where value = mx | fields event_type, value, du | sort event_type",
+
+    # lookup enrichment with misses, then fillnull on the gap
+    "source=events | lookup users user_id | fillnull with -1 in tier "
+    "| stats count() as n by tier | sort tier",
+
+    # trendline: trailing simple moving average in sort order
+    "source=events | stats sum(value) as sv by span(ts, 12h) "
+    "| eval svr = round(sv, 4) | fields ts_span, svr "
+    "| trendline sort ts_span sma(3, svr) as sv_sma | sort ts_span",
 ]
 
 
 @pytest.fixture(scope="module")
 def tables(spark):
-    return {"events": spark.read.parquet(EVENTS)}
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(EVENTS)
+    users = (
+        ev.select("user_id").distinct().filter(F.col("user_id") < 20)
+        .withColumn("tier", (F.col("user_id") % 3).cast("long"))
+    )
+    return {"events": ev, "users": users}
 
 
 @pytest.fixture(scope="module")
@@ -62,6 +87,9 @@ def duck():
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{EVENTS}'")
+    con.execute(
+        "CREATE VIEW users AS SELECT user_id, (user_id % 3)::BIGINT AS tier"
+        " FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20)")
     return con
 
 
