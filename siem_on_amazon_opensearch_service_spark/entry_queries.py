@@ -691,6 +691,49 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events) WHERE rn <= 3
       ORDER BY value DESC, event_id LIMIT 12)
     GROUP BY 1
+    UNION ALL
+    SELECT 'wavg:' || event_type, count(*),
+           round(sum(value * (user_id % 7 + 1))
+                 / sum(user_id % 7 + 1), 4)
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'missing:opt', count(*) FILTER (user_id % 5 = 0), 0.0
+    FROM events
+    UNION ALL
+    SELECT 'global:all', count(*), round(sum(value), 4) FROM events
+    UNION ALL
+    SELECT 'global:query', count(*) FILTER (event_type = 'error'),
+           round(sum(value) FILTER (event_type = 'error'), 4)
+    FROM events
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'mterms:' || event_type || '|' || (user_id % 3)::VARCHAR AS b,
+             count(*) AS c, 0.0
+      FROM events GROUP BY event_type, user_id % 3
+      ORDER BY c DESC, b ASC LIMIT 3)
+    UNION ALL
+    SELECT 'boxplot:' || q || ':' || event_type, count(*),
+           round(CASE q WHEN 'q1' THEN quantile_cont(value, 0.25)
+                        WHEN 'q2' THEN quantile_cont(value, 0.5)
+                        ELSE quantile_cont(value, 0.75) END, 4)
+    FROM events, (SELECT unnest(['q1', 'q2', 'q3']) AS q)
+    GROUP BY event_type, q
+    UNION ALL
+    SELECT 'rate:' || event_type, count(*),
+           round(count(*) / ((SELECT (epoch(max(ts)) - epoch(min(ts)))
+                              / 86400.0 FROM events)), 4)
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ttest:error_vs_click',
+           count(*) FILTER (event_type IN ('error', 'click')),
+           round(
+             (avg(value) FILTER (event_type = 'error')
+              - avg(value) FILTER (event_type = 'click'))
+             / sqrt(var_samp(value) FILTER (event_type = 'error')
+                      / count(*) FILTER (event_type = 'error')
+                    + var_samp(value) FILTER (event_type = 'click')
+                      / count(*) FILTER (event_type = 'click')), 4)
+    FROM events
     """,
 )
 def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,9 +751,12 @@ def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     global conditional aggregate or a metadata-sized hash agg — see
     operators/aggs.py for the per-operator scale notes."""
     from .functions.scalars import long_to_ipv4
-    from .operators.aggs import (adjacency_matrix,
+    from .operators.aggs import (adjacency_matrix, boxplot,
                                  diversified_sampler_top,
-                                 ip_range_buckets, range_buckets)
+                                 global_and_query, ip_range_buckets,
+                                 missing_count, multi_terms,
+                                 range_buckets, rate_per_day,
+                                 weighted_avg, welch_t_test)
 
     ev = _t(spark, sf_dir, "events")
     range_part = range_buckets(
@@ -770,9 +816,58 @@ def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
     )
+    wavg_part = weighted_avg(
+        ev, F.col("value"), (F.col("user_id") % 7 + 1).cast("double"),
+        ["event_type"],
+    ).select(
+        F.concat(F.lit("wavg:"), "event_type").alias("bucket"),
+        F.col("doc_count").alias("n"),
+        F.round("weighted_avg", 4).alias("sum_v"),
+    )
+    miss_part = missing_count(
+        ev.withColumn(
+            "opt", F.when(F.col("user_id") % 5 != 0, F.col("event_type"))),
+        F.col("opt"),
+    ).select(F.lit("missing:opt").alias("bucket"),
+             F.col("missing_count").alias("n"), F.lit(0.0).alias("sum_v"))
+    glob_part = global_and_query(
+        ev, F.col("event_type") == "error", F.col("value")
+    ).select(
+        F.concat(F.lit("global:"), "scope").alias("bucket"),
+        F.col("doc_count").alias("n"),
+        F.round("metric_sum", 4).alias("sum_v"),
+    )
+    mt = ev.withColumn("mod3", (F.col("user_id") % 3).cast("string"))
+    mterms_part = multi_terms(mt, ["event_type", "mod3"], size=3).select(
+        F.concat(F.lit("mterms:"), "event_type", F.lit("|"), "mod3")
+        .alias("bucket"),
+        F.col("doc_count").alias("n"), F.lit(0.0).alias("sum_v"),
+    )
+    bp = boxplot(ev, F.col("value"), ["event_type"])
+    bp_part = None
+    for qn in ("q1", "q2", "q3"):
+        p = bp.select(
+            F.concat(F.lit(f"boxplot:{qn}:"), "event_type").alias("bucket"),
+            F.col("doc_count").alias("n"), F.round(qn, 4).alias("sum_v"),
+        )
+        bp_part = p if bp_part is None else bp_part.unionByName(p)
+    rate_part = rate_per_day(ev, F.col("ts"), ["event_type"]).select(
+        F.concat(F.lit("rate:"), "event_type").alias("bucket"),
+        F.col("doc_count").alias("n"),
+        F.round("rate_per_day", 4).alias("sum_v"),
+    )
+    tt_part = welch_t_test(
+        ev, F.col("value"),
+        F.col("event_type") == "error", F.col("event_type") == "click",
+    ).select(F.lit("ttest:error_vs_click").alias("bucket"),
+             F.col("doc_count").alias("n"),
+             F.round("t_stat", 4).alias("sum_v"))
     return (
         filters_part.unionByName(hist_part).unionByName(range_part)
         .unionByName(ip_part).unionByName(adj_part).unionByName(samp_part)
+        .unionByName(wavg_part).unionByName(miss_part)
+        .unionByName(glob_part).unionByName(mterms_part)
+        .unionByName(bp_part).unionByName(rate_part).unionByName(tt_part)
     )
 
 

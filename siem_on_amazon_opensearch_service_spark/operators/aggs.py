@@ -633,3 +633,113 @@ def significant_text(df: DataFrame, text_col: str, foreground: Column,
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(size)
     )
+
+
+# ---------------------------------------------------------------------------
+# remaining metric/bucket aggs: weighted_avg, missing, global,
+# multi_terms, boxplot, rate, t_test
+# ---------------------------------------------------------------------------
+
+def weighted_avg(df: DataFrame, value: Column, weight: Column,
+                 by: list[str]) -> DataFrame:
+    """``weighted_avg`` metric agg: sum(v*w)/sum(w) per bucket, docs
+    with a NULL value excluded entirely (OpenSearch skips them — their
+    weight must not dilute the denominator). One map-side-combinable
+    hash aggregate (two partial sums)."""
+    return df.groupBy(*by).agg(
+        F.count("*").alias("doc_count"),
+        (F.sum(value * weight)
+         / F.sum(F.when(value.isNotNull(), weight))).alias("weighted_avg"),
+    )
+
+
+def missing_count(df: DataFrame, col: Column,
+                  by: list[str] | None = None) -> DataFrame:
+    """``missing`` bucket agg: how many docs lack the field (NULL).
+    A conditional count — same single pass as any sibling agg."""
+    agg = F.count(F.when(col.isNull(), 1)).alias("missing_count")
+    return df.groupBy(*by).agg(agg) if by else df.agg(agg)
+
+
+def global_and_query(df: DataFrame, query: Column,
+                     metric: Column) -> DataFrame:
+    """``global`` agg: metrics over ALL docs alongside the filtered
+    query context, WITHOUT a second scan — the classic "show my
+    selection vs the whole corpus" dashboard panel. One conditional
+    aggregate; returns two tagged rows (scope, doc_count, metric_sum)."""
+    row = df.agg(
+        F.count("*").alias("n_all"),
+        F.sum(metric).alias("s_all"),
+        F.count(F.when(query, 1)).alias("n_q"),
+        F.sum(F.when(query, metric)).alias("s_q"),
+    )
+    allr = row.select(F.lit("all").alias("scope"),
+                      F.col("n_all").alias("doc_count"),
+                      F.col("s_all").alias("metric_sum"))
+    qr = row.select(F.lit("query").alias("scope"),
+                    F.col("n_q").alias("doc_count"),
+                    F.col("s_q").alias("metric_sum"))
+    return allr.unionByName(qr)
+
+
+def multi_terms(df: DataFrame, cols: list[str], size: int = 10) -> DataFrame:
+    """``multi_terms`` bucket agg: top-``size`` composite keys by doc
+    count (count desc, then key asc — OpenSearch tie order). Hash agg
+    on the composite key + TakeOrderedAndProject."""
+    return (
+        df.groupBy(*cols).agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), *[F.asc(c) for c in cols])
+        .limit(size)
+    )
+
+
+def boxplot(df: DataFrame, value: Column, by: list[str]) -> DataFrame:
+    """``boxplot`` metric agg: min / q1 / q2 / q3 / max per bucket
+    (exact interpolated percentiles here; OpenSearch uses TDigest —
+    same contract, sketch-free at test scale). Single hash agg."""
+    return df.groupBy(*by).agg(
+        F.count("*").alias("doc_count"),
+        F.min(value).alias("bp_min"),
+        F.percentile(value, F.lit(0.25)).alias("q1"),
+        F.percentile(value, F.lit(0.5)).alias("q2"),
+        F.percentile(value, F.lit(0.75)).alias("q3"),
+        F.max(value).alias("bp_max"),
+    )
+
+
+def rate_per_day(df: DataFrame, ts: Column, by: list[str]) -> DataFrame:
+    """``rate`` agg (unit=day): bucket doc count normalized by the
+    corpus time span in days. The span is a 1-row aggregate broadcast
+    back — one fact pass + metadata crossJoin, no second scan."""
+    span = df.agg(
+        ((F.unix_timestamp(F.max(ts)) - F.unix_timestamp(F.min(ts)))
+         / 86400.0).alias("_days")
+    )
+    return (
+        df.groupBy(*by).agg(F.count("*").alias("doc_count"))
+        .crossJoin(F.broadcast(span))
+        .select(*by, "doc_count",
+                (F.col("doc_count") / F.col("_days")).alias("rate_per_day"))
+    )
+
+
+def welch_t_test(df: DataFrame, value: Column, pop_a: Column,
+                 pop_b: Column) -> DataFrame:
+    """``t_test`` metric agg (heteroscedastic / Welch): t statistic
+    between two filtered populations of the same scan. One conditional
+    aggregate — counts, means and variances of both groups in a single
+    pass; t = (m_a - m_b) / sqrt(s2_a/n_a + s2_b/n_b)."""
+    row = df.agg(
+        F.count(F.when(pop_a, 1)).alias("n_a"),
+        F.avg(F.when(pop_a, value)).alias("m_a"),
+        F.var_samp(F.when(pop_a, value)).alias("v_a"),
+        F.count(F.when(pop_b, 1)).alias("n_b"),
+        F.avg(F.when(pop_b, value)).alias("m_b"),
+        F.var_samp(F.when(pop_b, value)).alias("v_b"),
+    )
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    return row.select(
+        (F.col("n_a") + F.col("n_b")).alias("doc_count"), t.alias("t_stat")
+    )

@@ -99,3 +99,25 @@ def inner_hits(nested: DataFrame, name: str, pred: ElementPred,
         nested.withColumn("hits", hits)
         .filter(F.size("hits") > 0)
     )
+
+
+def reverse_nested_terms(nested: DataFrame, name: str, child_field: str,
+                         parent_keys: list[str]) -> DataFrame:
+    """``reverse_nested`` aggregation: inside a nested (child) bucket
+    context, jump back to counting PARENT documents — "top child
+    values, and how many parents contain each" (e.g. top IOC
+    indicator values by number of affected events; the nested agg
+    alone would overcount parents with several matching children).
+
+    Returns (child value, nested doc_count = child elements,
+    reverse doc_count = distinct parents). One explode (narrow — the
+    array column is already parent-co-located) + one hash agg on the
+    child value; the distinct-parent count is an agg-side
+    countDistinct over the bounded per-bucket parent set."""
+    elems = nested.select(
+        *parent_keys, F.explode(F.col(name)).alias("_e")
+    ).select(*parent_keys, F.col(f"_e.{child_field}").alias("child_value"))
+    return elems.groupBy("child_value").agg(
+        F.count("*").alias("doc_count"),
+        F.countDistinct(*parent_keys).alias("reverse_doc_count"),
+    )

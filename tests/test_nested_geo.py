@@ -117,3 +117,50 @@ def test_haversine_known_distance(spark):
         F.col("lat"), F.col("lon"), 37.7749, -122.4194).alias("d")
     ).collect()[0].d
     assert 550 < d < 570
+
+
+def test_reverse_nested_terms(flat):
+    from siem_on_amazon_opensearch_service_spark.operators.nested_docs import (
+        reverse_nested_terms)
+
+    nested = nest_children(flat, ["user_id"],
+                           ["event_id", "event_type", "value"])
+    got = {
+        r["child_value"]: (r["doc_count"], r["reverse_doc_count"])
+        for r in reverse_nested_terms(
+            nested, "children", "event_type", ["user_id"]).collect()
+    }
+    # 'error': 3 child elements but only 2 distinct parents (user 1
+    # has two error children) — the overcount reverse_nested fixes
+    assert got["error"] == (3, 2)
+    assert got["view"] == (3, 3)
+
+
+def test_new_agg_operators_small(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.aggs import (
+        boxplot, global_and_query, missing_count, multi_terms,
+        weighted_avg, welch_t_test)
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 3.0, 3.0), ("b", 10.0, 1.0),
+         ("b", None, 1.0)],
+        "k string, v double, w double")
+    wa = {r["k"]: r["weighted_avg"]
+          for r in weighted_avg(df, F.col("v"), F.col("w"), ["k"]).collect()}
+    assert wa["a"] == (1.0 * 1 + 3.0 * 3) / 4.0 and wa["b"] == 10.0
+    assert missing_count(df, F.col("v")).first()["missing_count"] == 1
+    g = {r["scope"]: r["doc_count"]
+         for r in global_and_query(df, F.col("k") == "a",
+                                   F.col("v")).collect()}
+    assert g == {"all": 4, "query": 2}
+    mt = multi_terms(df, ["k"], size=1).first()
+    assert mt["k"] in ("a", "b") and mt["doc_count"] == 2
+    bp = {r["k"]: r for r in boxplot(df, F.col("v"), ["k"]).collect()}
+    assert bp["a"]["q2"] == 2.0  # exact interpolated median of {1,3}
+    t = welch_t_test(
+        spark.createDataFrame(
+            [("x", 1.0), ("x", 2.0), ("x", 3.0),
+             ("y", 11.0), ("y", 12.0), ("y", 13.0)], "k string, v double"),
+        F.col("v"), F.col("k") == "x", F.col("k") == "y").first()
+    # means 2 vs 12, var 1 each, n 3 each -> t = -10 / sqrt(2/3)
+    assert abs(t["t_stat"] - (-10.0 / (2.0 / 3.0) ** 0.5)) < 1e-9
