@@ -95,7 +95,8 @@ from .query import decode_blocks
 class TermLeaf:
     """A posting-backed scoring leaf."""
 
-    kind: str               # term | phrase | prefix | wildcard | fuzzy
+    kind: str               # term | phrase | phrase_prefix | prefix
+    #                       # | wildcard | regexp | fuzzy
     text: str
     boost: float = 1.0
     max_edits: int = 1
@@ -107,7 +108,7 @@ class TermLeaf:
 class FieldLeaf:
     """A docs-column predicate leaf (non-scoring filter context).
 
-    op: exact | wildcard | exists | range
+    op: exact | wildcard | exists | range | in
     """
 
     field: str
@@ -117,13 +118,52 @@ class FieldLeaf:
     hi: str | None = None
     lo_incl: bool = True
     hi_incl: bool = True
+    values: tuple = ()       # op == "in" only
 
 
 @dataclass
 class Group:
-    """One Lucene BooleanQuery level: (occur, child) clauses."""
+    """One Lucene BooleanQuery level: (occur, child) clauses.
+
+    occur: must | should | must_not | filter ("filter" is the
+    search-body bool.filter context: required for a match, excluded
+    from the score -- the query_string parser itself never emits it).
+
+    ``minimum_should_match``: None keeps the Lucene default (>=1
+    should required iff there is no must/filter clause); an int n
+    requires at least n should clauses to match regardless.
+    """
 
     clauses: list[tuple[str, object]] = dc_field(default_factory=list)
+    minimum_should_match: int | None = None
+    boost: float = 1.0
+
+
+@dataclass
+class DisMax:
+    """Lucene DisjunctionMaxQuery: matches when any child matches;
+    scores max(child) + tie_breaker * (sum(child) - max(child))."""
+
+    children: list = dc_field(default_factory=list)
+    tie_breaker: float = 0.0
+
+
+@dataclass
+class ConstScore:
+    """constant_score wrapper: child gates, score is the boost."""
+
+    child: object = None
+    boost: float = 1.0
+
+
+@dataclass
+class Boosting:
+    """boosting query: positive scores normally; a matching negative
+    multiplies the score by negative_boost (never excludes)."""
+
+    positive: object = None
+    negative: object = None
+    negative_boost: float = 0.5
 
 
 _TOKEN_RE = re.compile(
@@ -442,8 +482,36 @@ def _walk(node, out: list) -> None:
     if isinstance(node, Group):
         for _, child in node.clauses:
             _walk(child, out)
+    elif isinstance(node, DisMax):
+        for child in node.children:
+            _walk(child, out)
+    elif isinstance(node, ConstScore):
+        _walk(node.child, out)
+    elif isinstance(node, Boosting):
+        _walk(node.positive, out)
+        _walk(node.negative, out)
     else:
         out.append(node)
+
+
+def _has_scoring(node) -> bool:
+    """Can this node produce a non-trivial score?  Pure filter-context
+    trees (field leaves only) fall back to constant-score 1.0; a
+    ConstScore wrapper scores its boost even over field leaves."""
+    if isinstance(node, TermLeaf):
+        return True
+    if isinstance(node, FieldLeaf):
+        return False
+    if isinstance(node, ConstScore):
+        return True
+    if isinstance(node, Boosting):
+        return _has_scoring(node.positive)
+    if isinstance(node, DisMax):
+        return any(_has_scoring(c) for c in node.children)
+    return any(
+        _has_scoring(c) for occ, c in node.clauses
+        if occ in ("must", "should")
+    )
 
 
 def _maybe_matches_without_postings(node) -> bool:
@@ -454,11 +522,18 @@ def _maybe_matches_without_postings(node) -> bool:
         return False
     if isinstance(node, FieldLeaf):
         return True
-    musts = [c for occ, c in node.clauses if occ == "must"]
+    if isinstance(node, DisMax):
+        return any(_maybe_matches_without_postings(c)
+                   for c in node.children) or not node.children
+    if isinstance(node, ConstScore):
+        return _maybe_matches_without_postings(node.child)
+    if isinstance(node, Boosting):
+        return _maybe_matches_without_postings(node.positive)
+    musts = [c for occ, c in node.clauses if occ in ("must", "filter")]
     shoulds = [c for occ, c in node.clauses if occ == "should"]
     if any(not _maybe_matches_without_postings(c) for c in musts):
         return False
-    if not musts and shoulds:
+    if shoulds and (not musts or (node.minimum_should_match or 0) > 0):
         return any(_maybe_matches_without_postings(c) for c in shoulds)
     return True  # must-only (all maybe) or pure-negative match_all
 
@@ -488,6 +563,8 @@ class _Compiler:
             pred = col.cast("string") == leaf.value
         elif leaf.op == "wildcard":
             pred = col.cast("string").like(_wild_to_like(leaf.value))
+        elif leaf.op == "in":
+            pred = col.cast("string").isin([str(v) for v in leaf.values])
         elif leaf.op == "range":
             def bound(v: str) -> Column:
                 try:
@@ -519,14 +596,33 @@ class _Compiler:
             return self.leaf_matched(node)
         if isinstance(node, FieldLeaf):
             return self.field_matched(node)
-        musts = [c for occ, c in node.clauses if occ == "must"]
+        if isinstance(node, DisMax):
+            if not node.children:
+                return F.lit(True)
+            return reduce(Column.__or__,
+                          [self.matched(c) for c in node.children])
+        if isinstance(node, ConstScore):
+            return self.matched(node.child)
+        if isinstance(node, Boosting):
+            return self.matched(node.positive)
+        musts = [c for occ, c in node.clauses
+                 if occ in ("must", "filter")]
         shoulds = [c for occ, c in node.clauses if occ == "should"]
         nots = [c for occ, c in node.clauses if occ == "must_not"]
         conds = [self.matched(c) for c in musts]
-        if not musts and shoulds:
+        msm = node.minimum_should_match
+        if msm is None:
+            msm = 0 if musts else 1
+        if shoulds and msm == 1:
             conds.append(
                 reduce(Column.__or__, [self.matched(c) for c in shoulds])
             )
+        elif shoulds and msm > 1:
+            n_match = reduce(
+                Column.__add__,
+                [self.matched(c).cast("int") for c in shoulds],
+            )
+            conds.append(n_match >= msm)
         # no must and no should: match_all minus exclusions (the
         # OpenSearch pure-negative query behavior)
         conds.extend(~self.matched(c) for c in nots)
@@ -539,13 +635,37 @@ class _Compiler:
             return self.leaf_contrib(node)
         if isinstance(node, FieldLeaf):
             return F.lit(0.0)  # filter context never scores
+        if isinstance(node, DisMax):
+            gated = [
+                F.when(self.matched(c), self.score(c)).otherwise(F.lit(0.0))
+                for c in node.children
+            ]
+            if not gated:
+                return F.lit(0.0)
+            best = gated[0] if len(gated) == 1 else F.greatest(*gated)
+            if node.tie_breaker:
+                total = reduce(Column.__add__, gated)
+                return best + F.lit(float(node.tie_breaker)) * (total - best)
+            return best
+        if isinstance(node, ConstScore):
+            return F.lit(float(node.boost))
+        if isinstance(node, Boosting):
+            pos = F.when(
+                self.matched(node.positive), self.score(node.positive)
+            ).otherwise(F.lit(0.0))
+            return pos * F.when(
+                self.matched(node.negative),
+                F.lit(float(node.negative_boost)),
+            ).otherwise(F.lit(1.0))
         total = F.lit(0.0)
         for occ, child in node.clauses:
-            if occ == "must_not":
+            if occ in ("must_not", "filter"):
                 continue
             total = total + F.when(
                 self.matched(child), self.score(child)
             ).otherwise(F.lit(0.0))
+        if node.boost != 1.0:
+            total = total * F.lit(float(node.boost))
         return total
 
 
@@ -604,13 +724,20 @@ def _term_leaf_rows(ix: PostingsIndex,
 
 
 def _const_leaf_rows(ix: PostingsIndex, leaf: TermLeaf,
-                     like_pattern: str) -> DataFrame:
-    """Constant-score multi-term leaf (prefix / wildcard): every doc
-    containing ANY dictionary term matching the pattern scores
-    boost * 1.0. No driver-side expansion, no clause-count cap: the
-    LIKE predicate runs inside the term-sorted postings scan."""
+                     like_pattern: str | None,
+                     rlike_pattern: str | None = None) -> DataFrame:
+    """Constant-score multi-term leaf (prefix / wildcard / regexp):
+    every doc containing ANY dictionary term matching the pattern
+    scores boost * 1.0. No driver-side expansion, no clause-count
+    cap: the LIKE / RLIKE predicate runs inside the term-sorted
+    postings scan."""
+    if rlike_pattern is not None:
+        # Lucene regexp queries are anchored (whole-term match).
+        pred = F.col("term").rlike(f"^(?:{rlike_pattern})$")
+    else:
+        pred = F.col("term").like(like_pattern)
     matched = decode_blocks(
-        ix.postings.filter(F.col("term").like(like_pattern))
+        ix.postings.filter(pred)
     ).select("doc_id").distinct()
     return matched.select(
         "doc_id", F.lit(leaf.leaf_id).alias("leaf"),
@@ -632,20 +759,17 @@ def _fuzzy_variants(ix: PostingsIndex, text: str, max_edits: int) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
-def query_string_topk(
+def tree_scores(
     ix: PostingsIndex,
-    q: str,
-    k: int = 10,
+    tree,
     positional_ix: PostingsIndex | None = None,
-    default_operator: str = "OR",
-) -> DataFrame:
-    """Execute a query_string against the index. Phrase clauses need a
-    positional index (pass the same index if it was built positional).
-    Returns (doc_id, score)."""
-    tree = parse_query_string(q, default_operator=default_operator)
-    spark = ix.postings.sparkSession
-    empty = spark.createDataFrame([], "doc_id long, score double")
-
+    with_docs: bool = False,
+) -> DataFrame | None:
+    """Execute a parsed/compiled boolean tree: ONE DataFrame DAG over
+    the shared decode pass, returning every matched doc as
+    (doc_id, score) -- plus the docs-table columns when ``with_docs``
+    (the search-body aggregations path needs them). Returns None for
+    an empty tree (caller decides match_all vs match_none)."""
     leaves: list = []
     _walk(tree, leaves)
     posting_leaves = [l for l in leaves if isinstance(l, TermLeaf)]
@@ -653,7 +777,7 @@ def query_string_topk(
     for i, leaf in enumerate(posting_leaves):
         leaf.leaf_id = i
     if not leaves:
-        return empty
+        return None
 
     parts: list[DataFrame] = []
     term_leaves = [l for l in posting_leaves if l.kind == "term"]
@@ -668,6 +792,9 @@ def query_string_topk(
             )
         elif leaf.kind == "wildcard":
             parts.append(_const_leaf_rows(ix, leaf, _wild_to_like(leaf.text)))
+        elif leaf.kind == "regexp":
+            parts.append(_const_leaf_rows(ix, leaf, None,
+                                          rlike_pattern=leaf.text))
         elif leaf.kind == "fuzzy":
             variants = _fuzzy_variants(ix, leaf.text, leaf.max_edits)
             if variants:
@@ -678,12 +805,15 @@ def query_string_topk(
                 rows = _term_leaf_rows(ix, proxy)
                 if rows is not None:
                     parts.append(rows)
-        elif leaf.kind == "phrase":
+        elif leaf.kind in ("phrase", "phrase_prefix"):
             if positional_ix is None:
                 raise ValueError("phrase clause needs a positional index")
-            from .positional import phrase_scores, proximity_scores
+            from .positional import (phrase_prefix_scores, phrase_scores,
+                                     proximity_scores)
 
-            if leaf.slop > 0:
+            if leaf.kind == "phrase_prefix":
+                ph = phrase_prefix_scores(positional_ix, leaf.text)
+            elif leaf.slop > 0:
                 ph = proximity_scores(positional_ix, leaf.text, leaf.slop)
             else:
                 ph = phrase_scores(positional_ix, leaf.text)
@@ -706,7 +836,7 @@ def query_string_topk(
             F.collect_list(F.struct("leaf", "contrib")).alias("_hits")
         )
 
-    docs_needed = bool(field_leaves)
+    docs_needed = bool(field_leaves) or with_docs
     docs_anchored = _maybe_matches_without_postings(tree) or hits_df is None
 
     if docs_anchored:
@@ -732,14 +862,31 @@ def query_string_topk(
         )
     )
     matched = comp.matched(tree)
-    if posting_leaves:
+    if _has_scoring(tree):
         score = comp.score(tree)
     else:
         score = F.lit(1.0)  # pure filter context: constant score
 
-    return (
-        base.filter(matched)
-        .select("doc_id", score.alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    out = base.filter(matched)
+    if with_docs:
+        keep = [c for c in out.columns if c != "_hits"]
+        return out.select(*keep, score.alias("score"))
+    return out.select("doc_id", score.alias("score"))
+
+
+def query_string_topk(
+    ix: PostingsIndex,
+    q: str,
+    k: int = 10,
+    positional_ix: PostingsIndex | None = None,
+    default_operator: str = "OR",
+) -> DataFrame:
+    """Execute a query_string against the index. Phrase clauses need a
+    positional index (pass the same index if it was built positional).
+    Returns (doc_id, score)."""
+    tree = parse_query_string(q, default_operator=default_operator)
+    scored = tree_scores(ix, tree, positional_ix=positional_ix)
+    if scored is None:
+        spark = ix.postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double")
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

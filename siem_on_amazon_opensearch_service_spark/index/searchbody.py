@@ -1,0 +1,506 @@
+r"""OpenSearch ``_search`` request-body compiler.
+
+The reference's dashboards and alerting monitors ultimately speak ONE
+wire shape: a JSON search body POSTed to ``{index}/_search`` --
+``query`` (a recursive DSL tree), ``aggs`` (a recursive bucket/metric
+tree), plus ``from``/``size``/``sort``/``_source``.  The loader side
+of the reference never builds these itself (OpenSearch does), so this
+module is the engine-side half a user of the reference actually
+queries through: it compiles the documented public DSL
+(match / match_phrase / term / terms / range / exists / prefix /
+wildcard / regexp / fuzzy / ids / bool / constant_score / dis_max /
+boosting / match_all / query_string / simple_query_string) onto the
+same boolean-tree AST the query_string executor runs
+(``querystring.tree_scores``), so every body -- however nested --
+becomes ONE DataFrame DAG: one shared posting decode, one
+groupBy(doc_id), native boolean/arith gating, TakeOrderedAndProject.
+
+Aggregations compile to ONE groupBy over the flattened bucket-key
+path per chain (terms -> date_histogram -> metric is a single
+shuffle), with per-level terms-size pruning done by windows OVER THE
+SAME partitioning (no extra exchange).  Sibling aggs fork into
+separate DataFrames (OpenSearch returns them as separate response
+sections anyway).
+
+Scale notes (100 TB posture): query compilation is driver-side string
+work; execution inherits tree_scores' corpus-size-independent plan
+shape (no broadcast of match sets, no join per clause).  The aggs
+path is scan -> filter -> partial agg -> final agg; terms-size
+pruning happens AFTER the aggregation so the shuffle carries bucket
+rows, not documents.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analysis import tokenize_py
+from .build import PostingsIndex
+from .querystring import (
+    Boosting,
+    ConstScore,
+    DisMax,
+    FieldLeaf,
+    Group,
+    TermLeaf,
+    parse_query_string,
+    tree_scores,
+)
+
+#: docs-table column that holds the indexed full text's name -- the
+#: corpus schema (url, warc_ts, html, text, lang) indexes ``text``.
+DEFAULT_TEXT_FIELD = "text"
+
+
+# ---------------------------------------------------------------------------
+# query compiler: JSON DSL -> querystring AST
+# ---------------------------------------------------------------------------
+
+
+def _one(spec: dict) -> tuple[str, object]:
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise ValueError(f"expected single-key query node, got {spec!r}")
+    return next(iter(spec.items()))
+
+
+def _field_params(body, value_key: str = "value") -> tuple[str, dict]:
+    """``{"field": X}`` or ``{"field": {value_key: X, ...opts}}``."""
+    field, params = _one(body)
+    if not isinstance(params, dict):
+        params = {value_key: params}
+    return field, params
+
+
+def compile_query(spec: dict,
+                  text_field: str = DEFAULT_TEXT_FIELD) -> object:
+    """Compile one OpenSearch query-DSL node into the boolean-tree
+    AST.  Full-text node types (match, match_phrase, ...) only apply
+    to the indexed ``text_field``; term-level node types on any other
+    field become docs-column predicates (FieldLeaf), mirroring
+    keyword-field semantics."""
+    kind, body = _one(spec)
+
+    if kind == "match_all":
+        return Group(boost=float(body.get("boost", 1.0)))
+    if kind == "match_none":
+        # a should-group with no matchable clause: never matches
+        return Group(clauses=[("must", FieldLeaf("doc_id", "in"))])
+
+    if kind == "bool":
+        g = Group()
+        for occ_json, occ in (("must", "must"), ("filter", "filter"),
+                              ("should", "should"),
+                              ("must_not", "must_not")):
+            items = body.get(occ_json, [])
+            if isinstance(items, dict):
+                items = [items]
+            for item in items:
+                g.clauses.append((occ, compile_query(item, text_field)))
+        if "minimum_should_match" in body:
+            g.minimum_should_match = int(body["minimum_should_match"])
+        g.boost = float(body.get("boost", 1.0))
+        return g
+
+    if kind == "constant_score":
+        return ConstScore(compile_query(body["filter"], text_field),
+                          float(body.get("boost", 1.0)))
+    if kind == "dis_max":
+        return DisMax([compile_query(q, text_field)
+                       for q in body.get("queries", [])],
+                      float(body.get("tie_breaker", 0.0)))
+    if kind == "boosting":
+        return Boosting(compile_query(body["positive"], text_field),
+                        compile_query(body["negative"], text_field),
+                        float(body.get("negative_boost", 0.5)))
+
+    if kind in ("query_string", "simple_query_string"):
+        # simple_query_string's operator subset (+ - " * |) parses
+        # identically under the classic grammar we implement.
+        q = body["query"] if isinstance(body, dict) else str(body)
+        dop = (body.get("default_operator", "OR")
+               if isinstance(body, dict) else "OR")
+        return parse_query_string(q, default_operator=dop)
+
+    if kind == "ids":
+        vals = tuple(str(v) for v in body.get("values", []))
+        return FieldLeaf("doc_id", "in", values=vals)
+
+    if kind == "match":
+        field, params = _field_params(body, "query")
+        _require_text(kind, field, text_field)
+        terms = tokenize_py(str(params["query"]))
+        boost = float(params.get("boost", 1.0))
+        occ = ("must" if str(params.get("operator", "or")).lower() == "and"
+               else "should")
+        g = Group(boost=boost)
+        for t in terms:
+            if params.get("fuzziness"):
+                g.clauses.append((occ, TermLeaf(
+                    "fuzzy", t, max_edits=int(params["fuzziness"]))))
+            else:
+                g.clauses.append((occ, TermLeaf("term", t)))
+        if "minimum_should_match" in params:
+            g.minimum_should_match = int(params["minimum_should_match"])
+        return g
+
+    if kind in ("match_phrase", "match_phrase_prefix"):
+        field, params = _field_params(body, "query")
+        _require_text(kind, field, text_field)
+        leaf_kind = "phrase" if kind == "match_phrase" else "phrase_prefix"
+        return TermLeaf(leaf_kind, str(params["query"]),
+                        boost=float(params.get("boost", 1.0)),
+                        slop=int(params.get("slop", 0)))
+
+    if kind == "term":
+        field, params = _field_params(body)
+        v = params["value"]
+        if field == text_field:
+            return TermLeaf("term", str(v).lower(),
+                            boost=float(params.get("boost", 1.0)))
+        return FieldLeaf(field, "exact", str(v))
+
+    if kind == "terms":
+        field, vals = _one(body)
+        if field == text_field:
+            return Group(clauses=[
+                ("should", TermLeaf("term", str(v).lower())) for v in vals
+            ])
+        return FieldLeaf(field, "in", values=tuple(str(v) for v in vals))
+
+    if kind == "range":
+        field, params = _one(body)
+        lo = params.get("gte", params.get("gt"))
+        hi = params.get("lte", params.get("lt"))
+        return FieldLeaf(
+            field, "range",
+            lo=None if lo is None else str(lo),
+            hi=None if hi is None else str(hi),
+            lo_incl="gte" in params or "gt" not in params,
+            hi_incl="lte" in params or "lt" not in params,
+        )
+
+    if kind == "exists":
+        return FieldLeaf(body["field"], "exists")
+
+    if kind in ("prefix", "wildcard", "regexp"):
+        field, params = _field_params(body)
+        v = str(params["value"])
+        boost = float(params.get("boost", 1.0))
+        if field == text_field:
+            return TermLeaf(kind, v.lower(), boost=boost)
+        if kind == "prefix":
+            return FieldLeaf(field, "wildcard", v + "*")
+        if kind == "wildcard":
+            return FieldLeaf(field, "wildcard", v)
+        raise ValueError("regexp on non-text fields is not supported")
+
+    if kind == "fuzzy":
+        field, params = _field_params(body)
+        _require_text(kind, field, text_field)
+        fz = params.get("fuzziness", 1)
+        return TermLeaf("fuzzy", str(params["value"]).lower(),
+                        boost=float(params.get("boost", 1.0)),
+                        max_edits=2 if fz == "AUTO" else int(fz))
+
+    raise ValueError(f"unsupported query DSL node: {kind!r}")
+
+
+def _require_text(kind: str, field: str, text_field: str) -> None:
+    if field != text_field:
+        raise ValueError(
+            f"{kind} targets the indexed text field "
+            f"({text_field!r}); got {field!r}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# hits
+# ---------------------------------------------------------------------------
+
+
+def search_hits(
+    ix: PostingsIndex,
+    body: dict,
+    positional_ix: PostingsIndex | None = None,
+    text_field: str = DEFAULT_TEXT_FIELD,
+) -> DataFrame:
+    """Execute the body's query + sort/from/size/_source, returning
+    the hits page.  Default sort is (_score desc, doc_id asc); a
+    ``sort`` list of ``{"field": {"order": "asc"|"desc"}}`` /
+    ``"field"`` entries (``"_score"`` allowed) overrides it, always
+    with the doc_id tiebreak appended (OpenSearch uses _id/_shard_doc
+    the same way)."""
+    tree = compile_query(body.get("query", {"match_all": {}}), text_field)
+    scored = tree_scores(ix, tree, positional_ix=positional_ix,
+                         with_docs=True)
+    if scored is None:  # empty tree == match_all
+        scored = ix.docs.withColumn("score", F.lit(1.0))
+
+    order = []
+    for s in body.get("sort", []):
+        if isinstance(s, str):
+            fname, direction = s, "asc"
+        else:
+            fname, opts = _one(s)
+            direction = (opts.get("order", "asc")
+                         if isinstance(opts, dict) else str(opts))
+        col = F.col("score" if fname == "_score" else fname)
+        order.append(col.desc() if direction == "desc" else col.asc())
+    if not order:
+        order = [F.desc("score")]
+    order.append(F.asc("doc_id"))
+
+    frm = int(body.get("from", 0))
+    size = int(body.get("size", 10))
+    out = scored.orderBy(*order).limit(frm + size)
+    if frm:
+        # page offset within the already-bounded top (from+size) rows:
+        # the window runs over <=frm+size rows, never the corpus.
+        w = Window.orderBy(*order)
+        out = (out.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") > frm).drop("_rn"))
+
+    src = body.get("_source")
+    if src is not None:
+        keep = ["doc_id"] + [c for c in src if c in out.columns]
+        if "score" not in keep:
+            keep.append("score")
+        out = out.select(*keep)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+# ---------------------------------------------------------------------------
+
+_BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range",
+                 "filters")
+_METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
+                 "cardinality", "stats", "percentiles")
+
+_CAL_TRUNC = {"second": "second", "minute": "minute", "hour": "hour",
+              "day": "day", "week": "week", "month": "month",
+              "quarter": "quarter", "year": "year",
+              "1s": "second", "1m": "minute", "1h": "hour", "1d": "day",
+              "1w": "week", "1M": "month", "1q": "quarter", "1y": "year"}
+
+
+def _bucket_expr(kind: str, params: dict,
+                 text_field: str) -> tuple[Column, bool, int | None]:
+    """-> (key expr, needs_explode, terms_size)."""
+    if kind == "terms":
+        return (F.col(params["field"]).cast("string"), False,
+                int(params.get("size", 10)))
+    if kind == "date_histogram":
+        interval = params.get("calendar_interval",
+                              params.get("fixed_interval", "day"))
+        col = F.col(params["field"])
+        if interval in _CAL_TRUNC:
+            key = F.date_trunc(_CAL_TRUNC[interval], col)
+        else:  # fixed_interval like "30m" / "6h" / "90s"
+            n, unit = int(interval[:-1]), interval[-1]
+            secs = n * {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+            epoch = col.cast("timestamp").cast("long")
+            key = F.timestamp_seconds((epoch / secs).cast("long") * secs)
+        return key, False, None
+    if kind == "histogram":
+        step = float(params["interval"])
+        v = F.col(params["field"]).cast("double")
+        return F.floor(v / step) * step, False, None
+    if kind == "range":
+        v = F.col(params["field"]).cast("double")
+        arms = []
+        for r in params["ranges"]:
+            frm, to = r.get("from"), r.get("to")
+            label = r.get("key", f"{frm if frm is not None else '*'}-"
+                                 f"{to if to is not None else '*'}")
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (v >= float(frm))
+            if to is not None:
+                cond = cond & (v < float(to))
+            arms.append(F.when(cond, F.lit(label)))
+        # overlapping ranges are legal: emit an ARRAY of matched arm
+        # labels and explode (a doc lands in every matching bucket)
+        arr = F.array_compact(F.array(*arms))
+        return arr, True, None
+    if kind == "filters":
+        arms = []
+        for label, q in params["filters"].items():
+            pred = _filter_pred(q, text_field)
+            arms.append(F.when(pred, F.lit(label)))
+        return F.array_compact(F.array(*arms)), True, None
+    raise ValueError(f"unsupported bucket agg {kind!r}")
+
+
+def _filter_pred(q: dict, text_field: str) -> Column:
+    """Docs-column predicate for a filters-agg arm.  Term-level nodes
+    only (the agg input already passed the top-level query)."""
+    from .querystring import _Compiler
+
+    node = compile_query(q, text_field)
+    leaves: list = []
+    from .querystring import _walk
+    _walk(node, leaves)
+    if any(isinstance(l, TermLeaf) for l in leaves):
+        raise ValueError(
+            "filters-agg arms must be term-level (docs-column) queries"
+        )
+    comp = _Compiler(F.array().cast(
+        "array<struct<leaf:int,contrib:double>>"))
+    return comp.matched(node)
+
+
+def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
+    v = F.col(params["field"])
+    num = v.cast("double")
+    if kind == "avg":
+        return [F.avg(num).alias(name)]
+    if kind == "sum":
+        return [F.sum(num).alias(name)]
+    if kind == "min":
+        return [F.min(num).alias(name)]
+    if kind == "max":
+        return [F.max(num).alias(name)]
+    if kind == "value_count":
+        return [F.count(v).alias(name)]
+    if kind == "cardinality":
+        return [F.countDistinct(v).alias(name)]
+    if kind == "stats":
+        return [F.count(v).alias(f"{name}_count"),
+                F.min(num).alias(f"{name}_min"),
+                F.max(num).alias(f"{name}_max"),
+                F.avg(num).alias(f"{name}_avg"),
+                F.sum(num).alias(f"{name}_sum")]
+    if kind == "percentiles":
+        pcts = [float(p) for p in params.get("percents", (50.0,))]
+        return [F.expr(
+            f"percentile({params['field']}, {p / 100.0})"
+        ).alias(f"{name}_p{p:g}".replace(".", "_")) for p in pcts]
+    raise ValueError(f"unsupported metric agg {kind!r}")
+
+
+def _split_agg_node(node: dict) -> tuple[tuple | None, list, dict]:
+    """One named agg entry -> (bucket, metrics, sub_aggs)."""
+    bucket = None
+    metrics = []
+    for kind, params in node.items():
+        if kind == "aggs" or kind == "aggregations":
+            continue
+        if kind in _BUCKET_KINDS:
+            bucket = (kind, params)
+        elif kind in _METRIC_KINDS:
+            metrics.append((kind, params))
+        else:
+            raise ValueError(f"unsupported agg {kind!r}")
+    subs = node.get("aggs", node.get("aggregations", {}))
+    return bucket, metrics, subs
+
+
+def run_aggs(docs: DataFrame, aggs_spec: dict,
+             text_field: str = DEFAULT_TEXT_FIELD) -> dict[str, DataFrame]:
+    """Recursive aggregations over the (query-matched) docs set.
+
+    Each bucket CHAIN (terms > date_histogram > ... > metrics)
+    flattens into ONE groupBy over the full key path; terms-size
+    pruning runs as windows over the aggregated bucket rows (shuffle
+    carries buckets, not docs).  Sibling aggs fork: the result dict
+    maps 'a' / 'a>b' path names to bucket DataFrames whose columns are
+    the path's key columns + doc_count + metric columns.
+    """
+    out: dict[str, DataFrame] = {}
+
+    def walk(path: list[str], levels: list[tuple], spec: dict) -> None:
+        # all sibling PURE-METRIC entries at one path share ONE
+        # groupBy (one shuffle); sibling bucket entries fork.
+        metric_cols: list[tuple] = []
+        for name, node in spec.items():
+            bucket, metrics, subs = _split_agg_node(node)
+            if bucket is None:
+                if len(metrics) != 1 or subs:
+                    raise ValueError(
+                        f"agg {name!r}: a metric agg holds exactly one "
+                        "metric and no sub-aggs"
+                    )
+                mk, mp = metrics[0]
+                metric_cols.append((name, mk, mp))
+                continue
+            if metrics:
+                raise ValueError(
+                    f"agg {name!r}: metrics must be named sub-aggs, "
+                    "not attached to a bucket node"
+                )
+            kind, params = bucket
+            key, needs_explode, size = _bucket_expr(kind, params,
+                                                    text_field)
+            lv = levels + [(name, key, needs_explode, size)]
+            if subs:
+                walk(path + [name], lv, subs)
+            else:
+                out[">".join(path + [name])] = _materialize(lv, [])
+        if metric_cols:
+            out[">".join(path) if path else "_metrics"] = _materialize(
+                levels, metric_cols)
+
+    def _materialize(levels: list[tuple],
+                     metrics: list[tuple]) -> DataFrame:
+        df = docs
+        keys = []
+        for name, key, needs_explode, _ in levels:
+            if needs_explode:
+                df = df.withColumn(name, F.explode(key))
+            else:
+                df = df.withColumn(name, key)
+            keys.append(name)
+        mexprs = [e for mn, mk, mp in metrics
+                  for e in _metric_exprs(mn, mk, mp)]
+        if not keys:
+            return df.agg(F.count(F.lit(1)).alias("doc_count"), *mexprs)
+        g = (df.filter(reduce(Column.__and__,
+                              [F.col(k).isNotNull() for k in keys]))
+             .groupBy(*keys)
+             .agg(F.count(F.lit(1)).alias("doc_count"), *mexprs))
+        # per-level terms-size pruning: top-N keys by summed doc_count
+        # within the parent key prefix, ties by key asc -- windows over
+        # the ALREADY-AGGREGATED bucket rows
+        for i, (name, _k, _e, size) in enumerate(levels):
+            if size is None:
+                continue
+            parents = keys[:i]
+            wsum = Window.partitionBy(*parents, name)
+            total = F.sum("doc_count").over(wsum)
+            g = g.withColumn("_lvl_total", total)
+            wrank = Window.partitionBy(*parents).orderBy(
+                F.desc("_lvl_total"), F.asc(name))
+            g = (g.withColumn("_rk", F.dense_rank().over(wrank))
+                 .filter(F.col("_rk") <= size)
+                 .drop("_lvl_total", "_rk"))
+        return g
+
+    walk([], [], aggs_spec)
+    return out
+
+
+def search_body(
+    ix: PostingsIndex,
+    body: dict,
+    positional_ix: PostingsIndex | None = None,
+    text_field: str = DEFAULT_TEXT_FIELD,
+) -> dict:
+    """Full ``_search`` execution: returns ``{"hits": DataFrame,
+    "aggs": {path: DataFrame}}``.  Aggregations run over the complete
+    matched doc set (not the hits page), exactly like OpenSearch."""
+    res: dict = {"hits": search_hits(ix, body, positional_ix, text_field)}
+    aggs_spec = body.get("aggs", body.get("aggregations"))
+    if aggs_spec:
+        tree = compile_query(body.get("query", {"match_all": {}}),
+                             text_field)
+        matched = tree_scores(ix, tree, positional_ix=positional_ix,
+                              with_docs=True)
+        if matched is None:
+            matched = ix.docs
+        res["aggs"] = run_aggs(matched, aggs_spec, text_field)
+    return res

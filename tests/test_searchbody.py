@@ -1,0 +1,373 @@
+"""OpenSearch _search body compiler: every DSL node type must
+reproduce the corresponding engine primitive / pure-Python oracle
+exactly (same docs, scores to 1e-9), and the aggregations dispatcher
+must match pandas-computed buckets."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from siem_on_amazon_opensearch_service_spark import corpus
+from siem_on_amazon_opensearch_service_spark.analysis import tokenize_py
+from siem_on_amazon_opensearch_service_spark.bm25 import score_py
+from siem_on_amazon_opensearch_service_spark.index import (
+    PostingsIndex,
+    bm25_topk,
+    build_index,
+)
+from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+    compile_query,
+    run_aggs,
+    search_body,
+    search_hits,
+)
+from siem_on_amazon_opensearch_service_spark.oracle import OracleIndex
+
+K = 15
+N = 400
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return corpus.make_pages_pdf(N, seed=17)
+
+
+@pytest.fixture(scope="module")
+def ix(spark, pages_pdf, tmp_path_factory):
+    pdf = pages_pdf.copy()
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    built = build_index(spark, spark.createDataFrame(pdf),
+                        id_col="doc_id", salt_threshold=60)
+    path = str(tmp_path_factory.mktemp("sb_ix"))
+    built.save(spark, path, buckets=4)
+    return PostingsIndex.load(spark, path)
+
+
+@pytest.fixture(scope="module")
+def pos_ix(spark, pages_pdf):
+    from siem_on_amazon_opensearch_service_spark.index.positional import (
+        build_positional_index,
+    )
+
+    pdf = pages_pdf.copy()
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    pix = build_positional_index(spark, spark.createDataFrame(pdf),
+                                 id_col="doc_id", salt_threshold=60)
+    pix.postings = pix.postings.persist()
+    pix.term_stats = pix.term_stats.persist()
+    return pix
+
+
+@pytest.fixture(scope="module")
+def oracle(pages_pdf):
+    return OracleIndex.build(
+        {i: t for i, t in enumerate(pages_pdf["text"])})
+
+
+@pytest.fixture(scope="module")
+def meta(pages_pdf, oracle):
+    """doc_id -> (lang, doclen) metadata for oracle-side filtering."""
+    return {
+        i: (pages_pdf["lang"][i], oracle.doclen[i]) for i in range(N)
+    }
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _assert_rank_identical(got, expected):
+    assert len(got) == len(expected), (got, expected)
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gd == ed, (got, expected)
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def _clause_scores(oracle, query):
+    """oracle per-doc OR-sum BM25 for a match clause."""
+    scores = {}
+    for term in tokenize_py(query):
+        plist = oracle.postings.get(term, {})
+        dfv = len(plist)
+        for d, tf in plist.items():
+            scores[d] = scores.get(d, 0.0) + score_py(
+                tf, oracle.doclen[d], oracle.avgdl, oracle.n_docs, dfv)
+    return scores
+
+
+def _topk(scores, k=K):
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+QUERY = "shard replica"
+
+
+def test_match_equals_bm25(ix, oracle):
+    body = {"query": {"match": {"text": QUERY}}, "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    _assert_rank_identical(got, oracle.search(QUERY, k=K))
+    # and the engine's own top-k path agrees
+    eng = _rows(bm25_topk(ix, QUERY, k=K))
+    _assert_rank_identical(got, eng)
+
+
+def test_match_operator_and(ix, oracle):
+    body = {"query": {"match": {
+        "text": {"query": QUERY, "operator": "and"}}}, "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    scores = _clause_scores(oracle, QUERY)
+    terms = tokenize_py(QUERY)
+    both = {d: s for d, s in scores.items()
+            if all(d in oracle.postings.get(t, {}) for t in terms)}
+    _assert_rank_identical(got, _topk(both))
+
+
+def test_bool_must_filter_must_not(ix, oracle, meta):
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": QUERY}}],
+            "filter": [{"range": {"doclen": {"gte": 40}}}],
+            "must_not": [{"term": {"lang": "de"}}],
+        }},
+        "size": K,
+    }
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    scores = {
+        d: s for d, s in _clause_scores(oracle, QUERY).items()
+        if meta[d][1] >= 40 and meta[d][0] != "de"
+    }
+    _assert_rank_identical(got, _topk(scores))
+
+
+def test_minimum_should_match(ix, oracle):
+    q3 = "shard replica cluster"
+    body = {"query": {"bool": {
+        "should": [{"term": {"text": t}} for t in tokenize_py(q3)],
+        "minimum_should_match": 2,
+    }}, "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    scores = _clause_scores(oracle, q3)
+    keep = {
+        d: s for d, s in scores.items()
+        if sum(d in oracle.postings.get(t, {})
+               for t in tokenize_py(q3)) >= 2
+    }
+    _assert_rank_identical(got, _topk(keep))
+
+
+def test_dis_max_tie_breaker(ix, oracle):
+    qa, qb = "shard", "replica"
+    body = {"query": {"dis_max": {
+        "queries": [{"match": {"text": qa}}, {"match": {"text": qb}}],
+        "tie_breaker": 0.3,
+    }}, "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    sa, sb = _clause_scores(oracle, qa), _clause_scores(oracle, qb)
+    exp = {}
+    for d in set(sa) | set(sb):
+        xs = [sa.get(d, 0.0), sb.get(d, 0.0)]
+        exp[d] = max(xs) + 0.3 * (sum(xs) - max(xs))
+    _assert_rank_identical(got, _topk(exp))
+
+
+def test_constant_score_terms(ix, meta):
+    body = {"query": {"constant_score": {
+        "filter": {"terms": {"lang": ["de", "ja"]}},
+        "boost": 2.5,
+    }}, "size": N}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    exp_ids = sorted(d for d, (lang, _) in meta.items()
+                     if lang in ("de", "ja"))
+    assert [d for d, _ in got] == exp_ids
+    assert all(math.isclose(s, 2.5) for _, s in got)
+
+
+def test_boosting_query(ix, oracle, meta):
+    body = {"query": {"boosting": {
+        "positive": {"match": {"text": QUERY}},
+        "negative": {"term": {"lang": "de"}},
+        "negative_boost": 0.2,
+    }}, "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    scores = {
+        d: s * (0.2 if meta[d][0] == "de" else 1.0)
+        for d, s in _clause_scores(oracle, QUERY).items()
+    }
+    _assert_rank_identical(got, _topk(scores))
+
+
+def test_ids_and_match_none(ix):
+    got = _rows(search_hits(
+        ix, {"query": {"ids": {"values": [3, 7, 11]}}, "size": 10}
+    ).select("doc_id", "score"))
+    assert [d for d, _ in got] == [3, 7, 11]
+    assert search_hits(ix, {"query": {"match_none": {}}}).count() == 0
+
+
+def test_match_phrase_body(ix, pos_ix, oracle, pages_pdf):
+    from siem_on_amazon_opensearch_service_spark.index.positional import (
+        phrase_topk,
+    )
+
+    phrase = "shard replica"
+    body = {"query": {"match_phrase": {"text": phrase}}, "size": K}
+    got = _rows(search_hits(ix, body, positional_ix=pos_ix)
+                .select("doc_id", "score"))
+    exp = [(r["doc_id"], r["score"])
+           for r in phrase_topk(pos_ix, phrase, k=K).collect()]
+    _assert_rank_identical(got, exp)
+
+
+def test_from_size_paging(ix, oracle):
+    full = oracle.search(QUERY, k=20)
+    body = {"query": {"match": {"text": QUERY}}, "from": 5, "size": 5}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    _assert_rank_identical(got, full[5:10])
+
+
+def test_sort_and_source(ix, pages_pdf):
+    body = {
+        "query": {"term": {"lang": "en"}},
+        "sort": [{"doclen": {"order": "desc"}}],
+        "size": 8,
+        "_source": ["url", "doclen"],
+    }
+    out = search_hits(ix, body)
+    assert set(out.columns) == {"doc_id", "url", "doclen", "score"}
+    rows = out.collect()
+    lens = [r["doclen"] for r in rows]
+    assert lens == sorted(lens, reverse=True)
+    en = pages_pdf[pages_pdf["lang"] == "en"]
+    assert len(rows) == min(8, len(en))
+
+
+def test_query_string_inside_body(ix, oracle, meta):
+    body = {"query": {"query_string": {
+        "query": "shard AND lang:en"}}, "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    scores = {d: s for d, s in _clause_scores(oracle, "shard").items()
+              if meta[d][0] == "en"}
+    _assert_rank_identical(got, _topk(scores))
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+# ---------------------------------------------------------------------------
+
+
+def _docs_pdf(ix):
+    return ix.docs.toPandas()
+
+
+def test_terms_agg_with_metrics(ix):
+    res = run_aggs(ix.docs, {
+        "by_lang": {"terms": {"field": "lang", "size": 3},
+                    "aggs": {"avg_len": {"avg": {"field": "doclen"}},
+                             "max_len": {"max": {"field": "doclen"}}}},
+    })
+    got = res["by_lang"].toPandas().set_index("by_lang").sort_index()
+    pdf = _docs_pdf(ix)
+    grp = pdf.groupby("lang").agg(
+        doc_count=("doclen", "size"), avg_len=("doclen", "mean"),
+        max_len=("doclen", "max"))
+    exp = grp.sort_values(
+        ["doc_count"], ascending=False,
+        kind="mergesort").head(3).sort_index()
+    assert list(got.index) == list(exp.index)
+    assert (got["doc_count"] == exp["doc_count"]).all()
+    assert (abs(got["avg_len"] - exp["avg_len"]) < 1e-9).all()
+
+
+def test_nested_terms_date_histogram(ix):
+    res = run_aggs(ix.docs, {
+        "by_lang": {"terms": {"field": "lang", "size": 2}, "aggs": {
+            "monthly": {"date_histogram": {"field": "warc_ts",
+                                           "calendar_interval": "month"},
+                        "aggs": {"sum_len": {"sum": {"field": "doclen"}}}},
+        }},
+    })
+    got = res["by_lang>monthly"].toPandas()
+    assert set(got.columns) == {"by_lang", "monthly", "doc_count",
+                                "sum_len"}
+    pdf = _docs_pdf(ix)
+    top2 = pdf.groupby("lang").size().sort_values(
+        ascending=False, kind="mergesort")
+    top2 = sorted(top2.index[:2])
+    # terms pruning keeps exactly the two biggest langs
+    assert sorted(got["by_lang"].unique()) == top2
+    sub = pdf[pdf["lang"].isin(top2)].copy()
+    sub["monthly"] = pd.to_datetime(
+        sub["warc_ts"]).dt.to_period("M").dt.start_time
+    exp = (sub.groupby(["lang", "monthly"])
+           .agg(doc_count=("doclen", "size"), sum_len=("doclen", "sum"))
+           .reset_index())
+    merged = got.merge(exp, left_on=["by_lang", "monthly"],
+                       right_on=["lang", "monthly"], how="outer")
+    assert not merged.isna().any().any()
+    assert (merged["doc_count_x"] == merged["doc_count_y"]).all()
+    assert (abs(merged["sum_len_x"] - merged["sum_len_y"]) < 1e-9).all()
+
+
+def test_range_and_filters_aggs(ix):
+    res = run_aggs(ix.docs, {
+        "len_bands": {"range": {"field": "doclen", "ranges": [
+            {"key": "short", "to": 50},
+            {"key": "mid", "from": 30, "to": 80},   # overlaps 'short'
+            {"key": "long", "from": 80},
+        ]}},
+        "kinds": {"filters": {"filters": {
+            "english": {"term": {"lang": "en"}},
+            "big": {"range": {"doclen": {"gte": 60}}},
+        }}},
+    })
+    pdf = _docs_pdf(ix)
+    bands = dict(res["len_bands"].toPandas()[
+        ["len_bands", "doc_count"]].values)
+    assert bands["short"] == int((pdf["doclen"] < 50).sum())
+    assert bands["mid"] == int(
+        ((pdf["doclen"] >= 30) & (pdf["doclen"] < 80)).sum())
+    assert bands["long"] == int((pdf["doclen"] >= 80).sum())
+    kinds = dict(res["kinds"].toPandas()[["kinds", "doc_count"]].values)
+    assert kinds["english"] == int((pdf["lang"] == "en").sum())
+    assert kinds["big"] == int((pdf["doclen"] >= 60).sum())
+
+
+def test_root_metrics_and_cardinality(ix):
+    res = run_aggs(ix.docs, {
+        "n_langs": {"cardinality": {"field": "lang"}},
+        "len_stats": {"stats": {"field": "doclen"}},
+        "p50": {"percentiles": {"field": "doclen", "percents": [50]}},
+    })
+    row = res["_metrics"].collect()[0]
+    pdf = _docs_pdf(ix)
+    assert row["n_langs"] == pdf["lang"].nunique()
+    assert row["len_stats_count"] == len(pdf)
+    assert math.isclose(row["len_stats_avg"], pdf["doclen"].mean())
+    assert math.isclose(row["p50_p50"],
+                        pdf["doclen"].quantile(0.5, "linear"))
+    assert row["doc_count"] == len(pdf)
+
+
+def test_search_body_query_scoped_aggs(ix, oracle, meta):
+    """aggs run over the matched set, not the hits page."""
+    body = {
+        "query": {"bool": {"filter": [
+            {"range": {"doclen": {"gte": 40}}}]}},
+        "size": 3,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 100}}},
+    }
+    res = search_body(ix, body)
+    assert res["hits"].count() == 3
+    got = dict(res["aggs"]["by_lang"].toPandas()[
+        ["by_lang", "doc_count"]].values)
+    pdf = _docs_pdf(ix)
+    exp = pdf[pdf["doclen"] >= 40]["lang"].value_counts().to_dict()
+    assert got == exp
+
+
+def test_compile_rejects_unknown():
+    with pytest.raises(ValueError):
+        compile_query({"knn": {"field": "emb"}})
+    with pytest.raises(ValueError):
+        run_aggs(None, {"x": {"nope": {}}})
