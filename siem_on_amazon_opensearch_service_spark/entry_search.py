@@ -1020,15 +1020,57 @@ scored AS (
              THEN a.c_join + a.c_stream ELSE 0 END AS s
   FROM agg a LEFT JOIN pre p USING (doc_id)
   WHERE a.c_table IS NOT NULL
+),
+qs_top AS (
+  SELECT s.doc_id, round(s.s, 4) AS score
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang IN ('en', 'de') AND d.lang IS NOT NULL
+    AND NOT (d.source LIKE '%1')
+    AND d.n_chars::DOUBLE >= 150 AND d.n_chars::DOUBLE <= 450
+    AND s.doc_id NOT IN (
+      SELECT DISTINCT doc_id FROM tok WHERE term = 'slow')
+  ORDER BY s.s DESC, s.doc_id LIMIT 20
+),
+-- the _search body twin: bool with must: match(table stream, AND);
+-- should: join, value; filter: range(n_chars); must_not: lang:fr
+body_scored AS (
+  SELECT a.doc_id,
+    a.c_table + a.c_stream
+      + coalesce(a.c_join, 0) + coalesce(a.c_value, 0) AS s
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+  WHERE a.c_table IS NOT NULL AND a.c_stream IS NOT NULL
+    AND d.n_chars::DOUBLE >= 150 AND d.n_chars::DOUBLE <= 450
+    AND (d.lang IS NULL OR d.lang <> 'fr')
+),
+body_top AS (
+  SELECT doc_id, round(s, 4) AS score FROM body_scored
+  ORDER BY s DESC, doc_id LIMIT 20
+),
+agg_buckets AS (
+  SELECT d.lang AS k, count(*)::BIGINT AS doc_id,
+         round(avg(d.n_chars::DOUBLE), 4) AS score
+  FROM body_scored m JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL
+  GROUP BY d.lang ORDER BY count(*) DESC, d.lang LIMIT 3
 )
-SELECT s.doc_id, round(s.s, 4) AS score
-FROM scored s JOIN documents d ON d.doc_id = s.doc_id
-WHERE d.lang IN ('en', 'de') AND d.lang IS NOT NULL
-  AND NOT (d.source LIKE '%1')
-  AND d.n_chars::DOUBLE >= 150 AND d.n_chars::DOUBLE <= 450
-  AND s.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow')
-ORDER BY s.s DESC, s.doc_id LIMIT 20
+SELECT 'qs' AS chk, '' AS k, doc_id, score FROM qs_top
+UNION ALL SELECT 'body', '', doc_id, score FROM body_top
+UNION ALL SELECT 'agg', k, doc_id, score FROM agg_buckets
 """
+
+_SB_BODY = {
+    "query": {"bool": {
+        "must": [{"match": {
+            "text": {"query": "table stream", "operator": "and"}}}],
+        "should": [{"term": {"text": "join"}},
+                   {"term": {"text": "value"}}],
+        "filter": [{"range": {"n_chars": {"gte": 150, "lte": 450}}}],
+        "must_not": [{"term": {"lang": "fr"}}],
+    }},
+    "size": 20,
+    "aggs": {"by_lang": {"terms": {"field": "lang", "size": 3},
+             "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+}
 
 
 @register("ft_query_string", _QS_SQL)
@@ -1046,9 +1088,18 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     (== lang:*). The
     whole string parses on the driver into a boolean tree and
     compiles into ONE DataFrame DAG with a single groupBy -- no
-    broadcast of exclusion sets (index/querystring.py)."""
+    broadcast of exclusion sets (index/querystring.py).
+
+    chk='body'/'agg' drive the OpenSearch ``_search`` REQUEST-BODY
+    compiler (index/searchbody.py) over the same index: a bool query
+    with must (operator=and match) + should + filter-context range +
+    must_not clauses (chk='body': top-20 hits), and a terms(lang)
+    aggregation with a nested avg(n_chars) metric over the full
+    matched set (chk='agg': k=lang, doc_id=doc_count,
+    score=avg) -- the dashboards' actual wire shape end-to-end."""
     from .index.build import PostingsIndex
     from .index.querystring import query_string_topk
+    from .index.searchbody import search_body
 
     ix = _built_index(spark, sf_dir)
     wide_docs = ix.docs.join(
@@ -1059,8 +1110,21 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs=wide_docs, postings=ix.postings, term_stats=ix.term_stats,
         n_docs=ix.n_docs, avgdl=ix.avgdl,
     )
-    top = query_string_topk(ix2, _QS_QUERY, k=20)
-    return top.select("doc_id", F.round("score", 4).alias("score"))
+    qs = query_string_topk(ix2, _QS_QUERY, k=20).select(
+        F.lit("qs").alias("chk"), F.lit("").alias("k"),
+        "doc_id", F.round("score", 4).alias("score"),
+    )
+    res = search_body(ix2, _SB_BODY)
+    body = res["hits"].select(
+        F.lit("body").alias("chk"), F.lit("").alias("k"),
+        "doc_id", F.round("score", 4).alias("score"),
+    )
+    agg = res["aggs"]["by_lang"].select(
+        F.lit("agg").alias("chk"), F.col("by_lang").alias("k"),
+        F.col("doc_count").cast("long").alias("doc_id"),
+        F.round("avg_chars", 4).alias("score"),
+    )
+    return qs.unionByName(body).unionByName(agg)
 
 
 _FACET_QUERY = "spark table join stream"
