@@ -226,18 +226,34 @@ def search_hits(
     body: dict,
     positional_ix: PostingsIndex | None = None,
     text_field: str = DEFAULT_TEXT_FIELD,
+    vecs: DataFrame | None = None,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Execute the body's query + sort/from/size/_source, returning
     the hits page.  Default sort is (_score desc, doc_id asc); a
     ``sort`` list of ``{"field": {"order": "asc"|"desc"}}`` /
     ``"field"`` entries (``"_score"`` allowed) overrides it, always
     with the doc_id tiebreak appended (OpenSearch uses _id/_shard_doc
-    the same way)."""
-    tree = compile_query(body.get("query", {"match_all": {}}), text_field)
-    scored = tree_scores(ix, tree, positional_ix=positional_ix,
-                         with_docs=True)
-    if scored is None:  # empty tree == match_all
-        scored = ix.docs.withColumn("score", F.lit(1.0))
+    the same way).
+
+    Vector search: a top-level ``knn`` query (optionally with a
+    term-level ``filter``) scores by cosine over the ``vecs`` table
+    (pass the embeddings DataFrame; ids share the doc_id space), and
+    a top-level ``hybrid`` query executes each sub-query to
+    ``pagination_depth`` and fuses by RRF (the 2.x
+    score-ranker-processor default)."""
+    qnode = body.get("query", {"match_all": {}})
+    qkind, _ = _one(qnode)
+    if qkind in ("knn", "hybrid"):
+        scored = _vector_scored(ix, qnode, positional_ix, text_field,
+                                vecs, vec_id_col, vec_col)
+    else:
+        tree = compile_query(qnode, text_field)
+        scored = tree_scores(ix, tree, positional_ix=positional_ix,
+                             with_docs=True)
+        if scored is None:  # empty tree == match_all
+            scored = ix.docs.withColumn("score", F.lit(1.0))
 
     order = []
     for s in body.get("sort", []):
@@ -270,6 +286,85 @@ def search_hits(
             keep.append("score")
         out = out.select(*keep)
     return out
+
+
+def _vector_scored(
+    ix: PostingsIndex,
+    qnode: dict,
+    positional_ix: PostingsIndex | None,
+    text_field: str,
+    vecs: DataFrame | None,
+    vec_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """knn / hybrid top-level queries -> (docs cols..., score).
+
+    knn: brute-force cosine over the embeddings table (the exact
+    baseline; swap in ivf_topk_materialized for the nprobe-pruned
+    scale path), with the optional ``filter`` applied BEFORE the
+    top-k cut (OpenSearch post-filter-free pre-filtering semantics).
+    hybrid: each sub-query ranked to pagination_depth, RRF-fused --
+    fusion inputs are depth-bounded, so it is metadata-sized work.
+    """
+    from ..operators.hybrid import _ranked, rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    kind, params = _one(qnode)
+    if vecs is None:
+        raise ValueError(f"{kind} query needs the embeddings table "
+                         "(vecs=...)")
+    if kind == "knn":
+        field, spec = _one(params)
+        if field != vec_col:
+            raise ValueError(
+                f"knn targets the embeddings column {vec_col!r}; "
+                f"got {field!r}"
+            )
+        k = int(spec.get("k", 10))
+        cand = vecs
+        if "filter" in spec:
+            pred = _filter_pred(spec["filter"], text_field)
+            keep = ix.docs.filter(pred).select(
+                F.col("doc_id").alias(vec_id_col))
+            cand = vecs.join(keep, vec_id_col, "left_semi")
+        top = cosine_topk(cand, spec["vector"], k=k,
+                          id_col=vec_id_col, vec_col=vec_col)
+        scored = top.select(
+            F.col(vec_id_col).alias("doc_id"),
+            F.col("cosine").cast("double").alias("score"),
+        )
+        return scored.join(ix.docs, "doc_id", "left").select(
+            *[c for c in ix.docs.columns], "score")
+
+    # hybrid
+    depth = int(params.get("pagination_depth", 50))
+    rank_const = int(params.get("rank_constant", 60))
+    ranked = []
+    for sub in params.get("queries", []):
+        skind, _ = _one(sub)
+        if skind == "knn":
+            sub_scored = _vector_scored(ix, sub, positional_ix,
+                                        text_field, vecs, vec_id_col,
+                                        vec_col)
+            cut = (sub_scored.select("doc_id", "score")
+                   .orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(depth))
+        else:
+            tree = compile_query(sub, text_field)
+            sub_scored = tree_scores(ix, tree,
+                                     positional_ix=positional_ix)
+            if sub_scored is None:
+                continue
+            cut = (sub_scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(depth))
+        ranked.append(_ranked(cut, "doc_id", "score"))
+    if not ranked:
+        raise ValueError("hybrid query needs at least one sub-query")
+    fused = rrf_fuse(ranked, k=depth, rank_const=rank_const)
+    return fused.select(
+        "doc_id", F.col("rrf_score").alias("score")
+    ).join(ix.docs, "doc_id", "left").select(
+        *[c for c in ix.docs.columns], "score")
 
 
 # ---------------------------------------------------------------------------
@@ -489,18 +584,28 @@ def search_body(
     body: dict,
     positional_ix: PostingsIndex | None = None,
     text_field: str = DEFAULT_TEXT_FIELD,
+    vecs: DataFrame | None = None,
 ) -> dict:
     """Full ``_search`` execution: returns ``{"hits": DataFrame,
     "aggs": {path: DataFrame}}``.  Aggregations run over the complete
-    matched doc set (not the hits page), exactly like OpenSearch."""
-    res: dict = {"hits": search_hits(ix, body, positional_ix, text_field)}
+    matched doc set (not the hits page), exactly like OpenSearch --
+    except knn/hybrid queries, whose matched set IS the top-k/fused
+    cut."""
+    res: dict = {"hits": search_hits(ix, body, positional_ix, text_field,
+                                     vecs=vecs)}
     aggs_spec = body.get("aggs", body.get("aggregations"))
     if aggs_spec:
-        tree = compile_query(body.get("query", {"match_all": {}}),
-                             text_field)
-        matched = tree_scores(ix, tree, positional_ix=positional_ix,
-                              with_docs=True)
-        if matched is None:
-            matched = ix.docs
+        qnode = body.get("query", {"match_all": {}})
+        qkind, _ = _one(qnode)
+        if qkind in ("knn", "hybrid"):
+            matched = _vector_scored(ix, qnode, positional_ix,
+                                     text_field, vecs, "vec_id",
+                                     "embedding")
+        else:
+            tree = compile_query(qnode, text_field)
+            matched = tree_scores(ix, tree, positional_ix=positional_ix,
+                                  with_docs=True)
+            if matched is None:
+                matched = ix.docs
         res["aggs"] = run_aggs(matched, aggs_spec, text_field)
     return res

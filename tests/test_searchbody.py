@@ -366,6 +366,84 @@ def test_search_body_query_scoped_aggs(ix, oracle, meta):
     assert got == exp
 
 
+# ---------------------------------------------------------------------------
+# knn / hybrid bodies
+# ---------------------------------------------------------------------------
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def vecs_pdf():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(N, DIM)).astype("float32")
+    return pd.DataFrame({
+        "vec_id": range(N),
+        "embedding": [row.tolist() for row in m],
+    })
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, vecs_pdf):
+    return spark.createDataFrame(vecs_pdf).persist()
+
+
+def _np_cosine(vecs_pdf, q):
+    import numpy as np
+
+    m = pd.DataFrame(vecs_pdf["embedding"].tolist()).values
+    q = np.asarray(q)
+    sims = (m @ q) / (
+        (m * m).sum(axis=1) ** 0.5 * (q @ q) ** 0.5)
+    return {i: float(s) for i, s in zip(vecs_pdf["vec_id"], sims)}
+
+
+def test_knn_body(ix, vecs, vecs_pdf):
+    q = vecs_pdf["embedding"][0]
+    body = {"query": {"knn": {"embedding": {"vector": q, "k": 7}}}}
+    got = [r["doc_id"] for r in
+           search_hits(ix, body, vecs=vecs).collect()]
+    sims = _np_cosine(vecs_pdf, q)
+    exp = [d for d, _ in sorted(
+        sims.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))][:7]
+    assert got == exp
+
+
+def test_knn_body_prefiltered(ix, vecs, vecs_pdf, meta):
+    q = vecs_pdf["embedding"][1]
+    body = {"query": {"knn": {"embedding": {
+        "vector": q, "k": 5, "filter": {"term": {"lang": "en"}}}}}}
+    got = [r["doc_id"] for r in
+           search_hits(ix, body, vecs=vecs).collect()]
+    sims = {d: s for d, s in _np_cosine(vecs_pdf, q).items()
+            if meta[d][0] == "en"}
+    exp = [d for d, _ in sorted(
+        sims.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))][:5]
+    assert got == exp
+
+
+def test_hybrid_body_matches_hybrid_topk(ix, vecs, vecs_pdf):
+    from siem_on_amazon_opensearch_service_spark.operators.hybrid import (
+        hybrid_topk,
+    )
+
+    q = vecs_pdf["embedding"][2]
+    body = {"query": {"hybrid": {
+        "queries": [{"match": {"text": QUERY}},
+                    {"knn": {"embedding": {"vector": q, "k": 50}}}],
+        "pagination_depth": 50,
+    }}, "size": 10}
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           search_hits(ix, body, vecs=vecs)
+           .select("doc_id", "score").collect()]
+    exp = [(r["doc_id"], round(r["rrf_score"], 9)) for r in
+           hybrid_topk(ix, vecs, QUERY, list(q), k=10,
+                       depth=50).collect()]
+    assert got == exp
+
+
 def test_compile_rejects_unknown():
     with pytest.raises(ValueError):
         compile_query({"knn": {"field": "emb"}})
