@@ -180,6 +180,30 @@ def main() -> None:
         ix, "+table value^2 -slow st* +lang:(en OR de)", k=20
     ).collect())
 
+    # --- _search body: query DSL + nested aggregations in one pass ---
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_body,
+    )
+
+    sb_body = {
+        "query": {"bool": {
+            "must": [{"match": {
+                "text": {"query": "table stream", "operator": "and"}}}],
+            "should": [{"term": {"text": "join"}}],
+            "must_not": [{"term": {"lang": "fr"}}],
+        }},
+        "size": 20,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
+                 "aggs": {"avg_len": {"avg": {"field": "doclen"}}}}},
+    }
+
+    def run_search_body():
+        res = search_body(ix, sb_body)
+        res["hits"].collect()
+        res["aggs"]["by_lang"].collect()
+
+    timed("search_body", run_search_body)
+
     # --- hybrid BM25 + vector RRF over the embeddings table ---
     emb_path = f"{SF_DIR}/embeddings.parquet"
     if os.path.exists(emb_path):

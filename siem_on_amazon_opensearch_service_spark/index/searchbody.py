@@ -229,6 +229,7 @@ def search_hits(
     vecs: DataFrame | None = None,
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    source_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Execute the body's query + sort/from/size/_source, returning
     the hits page.  Default sort is (_score desc, doc_id asc); a
@@ -255,6 +256,13 @@ def search_hits(
         if scored is None:  # empty tree == match_all
             scored = ix.docs.withColumn("score", F.lit(1.0))
 
+    # post_filter: term-level predicate applied to the HITS only --
+    # aggregations still see the full query-matched set (the classic
+    # dashboards faceted-navigation contract).
+    if "post_filter" in body:
+        scored = scored.filter(
+            _filter_pred(body["post_filter"], text_field))
+
     order = []
     for s in body.get("sort", []):
         if isinstance(s, str):
@@ -279,13 +287,69 @@ def search_hits(
         out = (out.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") > frm).drop("_rn"))
 
+    if "highlight" in body:
+        out = _with_highlight(out, body, text_field, source_docs)
+
     src = body.get("_source")
     if src is not None:
         keep = ["doc_id"] + [c for c in src if c in out.columns]
         if "score" not in keep:
             keep.append("score")
+        if "highlight" in body:
+            keep.append("highlight")
         out = out.select(*keep)
     return out
+
+
+def _with_highlight(page: DataFrame, body: dict, text_field: str,
+                    source_docs: DataFrame | None) -> DataFrame:
+    """Unified-highlighter subset over the (bounded) hits page: one
+    fragment around the first query-term occurrence, every term
+    occurrence inside it wrapped in pre/post tags.  Pure native
+    expressions (regexp_instr/substring/regexp_replace) over
+    page-size rows -- never the corpus."""
+    import re as _re
+
+    hl = body["highlight"]
+    fspec = hl.get("fields", {}).get(text_field, {})
+    frag_size = int(fspec.get("fragment_size", 100))
+    pre = (hl.get("pre_tags") or fspec.get("pre_tags") or ["<em>"])[0]
+    post = (hl.get("post_tags") or fspec.get("post_tags") or ["</em>"])[0]
+
+    from .querystring import _walk
+    leaves: list = []
+    _walk(compile_query(body.get("query", {"match_all": {}}),
+                        text_field), leaves)
+    terms = sorted({l.text for l in leaves
+                    if isinstance(l, TermLeaf) and l.kind == "term"})
+    if not terms:
+        return page.withColumn("highlight", F.lit(None).cast("string"))
+
+    if source_docs is not None:
+        cols = page.columns
+        page = page.join(
+            source_docs.select("doc_id", F.col(text_field).alias("_txt")),
+            "doc_id", "left")
+    elif text_field in page.columns:
+        cols = [c for c in page.columns]
+        page = page.withColumn("_txt", F.col(text_field))
+    else:
+        raise ValueError(
+            "highlight needs the document text: pass source_docs= "
+            f"(the docs table does not carry {text_field!r})"
+        )
+
+    pat = "(?i)\\b(" + "|".join(_re.escape(t) for t in terms) + ")\\b"
+    pos = F.regexp_instr(F.col("_txt"), F.lit(pat))
+    frag = F.substring(
+        F.col("_txt"),
+        F.greatest(pos - frag_size // 4, F.lit(1)).cast("int"),
+        frag_size,
+    )
+    snippet = F.when(
+        pos > 0, F.regexp_replace(frag, pat, f"{pre}$1{post}")
+    ).otherwise(F.lit(None).cast("string"))
+    return page.select(*cols, snippet.alias("highlight"))
 
 
 def _vector_scored(
@@ -559,12 +623,26 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
              .groupBy(*keys)
              .agg(F.count(F.lit(1)).alias("doc_count"), *mexprs))
         # per-level terms-size pruning: top-N keys by summed doc_count
-        # within the parent key prefix, ties by key asc -- windows over
-        # the ALREADY-AGGREGATED bucket rows
+        # within the parent key prefix, ties by key asc
         for i, (name, _k, _e, size) in enumerate(levels):
             if size is None:
                 continue
             parents = keys[:i]
+            if not parents:
+                # top level: an unpartitioned window would single-task
+                # ALL bucket rows (terms on a high-cardinality field at
+                # 100 TB). TakeOrderedAndProject the winning keys and
+                # broadcast-semi-join back instead: the driver holds
+                # `size` keys, never the bucket set.
+                winners = (g.groupBy(name)
+                           .agg(F.sum("doc_count").alias("_t"))
+                           .orderBy(F.desc("_t"), F.asc(name))
+                           .limit(size)
+                           .select(name))
+                g = g.join(F.broadcast(winners), name, "left_semi")
+                continue
+            # nested level: windows over the ALREADY-AGGREGATED bucket
+            # rows, partitioned by the parent prefix (no global sort)
             wsum = Window.partitionBy(*parents, name)
             total = F.sum("doc_count").over(wsum)
             g = g.withColumn("_lvl_total", total)
@@ -585,6 +663,7 @@ def search_body(
     positional_ix: PostingsIndex | None = None,
     text_field: str = DEFAULT_TEXT_FIELD,
     vecs: DataFrame | None = None,
+    source_docs: DataFrame | None = None,
 ) -> dict:
     """Full ``_search`` execution: returns ``{"hits": DataFrame,
     "aggs": {path: DataFrame}}``.  Aggregations run over the complete
@@ -592,7 +671,7 @@ def search_body(
     except knn/hybrid queries, whose matched set IS the top-k/fused
     cut."""
     res: dict = {"hits": search_hits(ix, body, positional_ix, text_field,
-                                     vecs=vecs)}
+                                     vecs=vecs, source_docs=source_docs)}
     aggs_spec = body.get("aggs", body.get("aggregations"))
     if aggs_spec:
         qnode = body.get("query", {"match_all": {}})

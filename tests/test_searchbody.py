@@ -78,6 +78,9 @@ def _rows(df):
 
 
 def _assert_rank_identical(got, expected):
+    # guard against vacuous green: every comparison in this suite is
+    # built over terms that DO occur in the corpus
+    assert expected, "oracle expectation is empty -- bad test query"
     assert len(got) == len(expected), (got, expected)
     for (gd, gs), (ed, es) in zip(got, expected):
         assert gd == ed, (got, expected)
@@ -100,7 +103,7 @@ def _topk(scores, k=K):
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
 
-QUERY = "shard replica"
+QUERY = "w00034 w00077"
 
 
 def test_match_equals_bm25(ix, oracle):
@@ -141,7 +144,7 @@ def test_bool_must_filter_must_not(ix, oracle, meta):
 
 
 def test_minimum_should_match(ix, oracle):
-    q3 = "shard replica cluster"
+    q3 = "w00034 w00077 w00150"
     body = {"query": {"bool": {
         "should": [{"term": {"text": t}} for t in tokenize_py(q3)],
         "minimum_should_match": 2,
@@ -157,7 +160,7 @@ def test_minimum_should_match(ix, oracle):
 
 
 def test_dis_max_tie_breaker(ix, oracle):
-    qa, qb = "shard", "replica"
+    qa, qb = "w00034", "w00077"
     body = {"query": {"dis_max": {
         "queries": [{"match": {"text": qa}}, {"match": {"text": qb}}],
         "tie_breaker": 0.3,
@@ -210,7 +213,7 @@ def test_match_phrase_body(ix, pos_ix, oracle, pages_pdf):
         phrase_topk,
     )
 
-    phrase = "shard replica"
+    phrase = "w00000 w00001"
     body = {"query": {"match_phrase": {"text": phrase}}, "size": K}
     got = _rows(search_hits(ix, body, positional_ix=pos_ix)
                 .select("doc_id", "score"))
@@ -244,9 +247,9 @@ def test_sort_and_source(ix, pages_pdf):
 
 def test_query_string_inside_body(ix, oracle, meta):
     body = {"query": {"query_string": {
-        "query": "shard AND lang:en"}}, "size": K}
+        "query": "w00034 AND lang:en"}}, "size": K}
     got = _rows(search_hits(ix, body).select("doc_id", "score"))
-    scores = {d: s for d, s in _clause_scores(oracle, "shard").items()
+    scores = {d: s for d, s in _clause_scores(oracle, "w00034").items()
               if meta[d][0] == "en"}
     _assert_rank_identical(got, _topk(scores))
 
@@ -442,6 +445,42 @@ def test_hybrid_body_matches_hybrid_topk(ix, vecs, vecs_pdf):
            hybrid_topk(ix, vecs, QUERY, list(q), k=10,
                        depth=50).collect()]
     assert got == exp
+
+
+def test_post_filter_hits_only(ix):
+    body = {
+        "query": {"bool": {"filter": [
+            {"range": {"doclen": {"gte": 40}}}]}},
+        "post_filter": {"term": {"lang": "de"}},
+        "size": 500,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 100}}},
+    }
+    res = search_body(ix, body)
+    hits = res["hits"].collect()
+    pdf = _docs_pdf(ix)
+    exp_hits = int(((pdf["doclen"] >= 40) & (pdf["lang"] == "de")).sum())
+    assert len(hits) == exp_hits
+    assert all(r["lang"] == "de" for r in hits)
+    # aggs are NOT post-filtered: every lang still present
+    langs = set(res["aggs"]["by_lang"].toPandas()["by_lang"])
+    assert langs == set(pdf[pdf["doclen"] >= 40]["lang"].unique())
+
+
+def test_highlight_fragment(ix, spark, pages_pdf):
+    src = spark.createDataFrame(
+        pages_pdf.assign(doc_id=range(N))[["doc_id", "text"]])
+    body = {
+        "query": {"match": {"text": QUERY}},
+        "size": 5,
+        "highlight": {"fields": {"text": {"fragment_size": 80}}},
+    }
+    rows = search_hits(ix, body, source_docs=src).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["highlight"] is not None
+        assert "<em>" in r["highlight"] and "</em>" in r["highlight"]
+        inner = r["highlight"].split("<em>")[1].split("</em>")[0].lower()
+        assert inner in tokenize_py(QUERY)
 
 
 def test_compile_rejects_unknown():
