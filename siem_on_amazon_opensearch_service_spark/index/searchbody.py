@@ -263,18 +263,7 @@ def search_hits(
         scored = scored.filter(
             _filter_pred(body["post_filter"], text_field))
 
-    order = []
-    for s in body.get("sort", []):
-        if isinstance(s, str):
-            fname, direction = s, "asc"
-        else:
-            fname, opts = _one(s)
-            direction = (opts.get("order", "asc")
-                         if isinstance(opts, dict) else str(opts))
-        col = F.col("score" if fname == "_score" else fname)
-        order.append(col.desc() if direction == "desc" else col.asc())
-    if not order:
-        order = [F.desc("score")]
+    order = _order_cols(body.get("sort", []))
     order.append(F.asc("doc_id"))
 
     frm = int(body.get("from", 0))
@@ -350,6 +339,24 @@ def _with_highlight(page: DataFrame, body: dict, text_field: str,
         pos > 0, F.regexp_replace(frag, pat, f"{pre}$1{post}")
     ).otherwise(F.lit(None).cast("string"))
     return page.select(*cols, snippet.alias("highlight"))
+
+
+def _order_cols(sort_list: list) -> list[Column]:
+    """OpenSearch ``sort`` entries -> Column orderings (``_score``
+    maps to the score column; default is score desc)."""
+    order = []
+    for s in sort_list:
+        if isinstance(s, str):
+            fname, direction = s, "asc"
+        else:
+            fname, opts = _one(s)
+            direction = (opts.get("order", "asc")
+                         if isinstance(opts, dict) else str(opts))
+        col = F.col("score" if fname == "_score" else fname)
+        order.append(col.desc() if direction == "desc" else col.asc())
+    if not order:
+        order = [F.desc("score")]
+    return order
 
 
 def _vector_scored(
@@ -560,7 +567,8 @@ def _split_agg_node(node: dict) -> tuple[tuple | None, list, dict]:
 
 
 def run_aggs(docs: DataFrame, aggs_spec: dict,
-             text_field: str = DEFAULT_TEXT_FIELD) -> dict[str, DataFrame]:
+             text_field: str = DEFAULT_TEXT_FIELD,
+             background: DataFrame | None = None) -> dict[str, DataFrame]:
     """Recursive aggregations over the (query-matched) docs set.
 
     Each bucket CHAIN (terms > date_histogram > ... > metrics)
@@ -569,6 +577,13 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
     carries buckets, not docs).  Sibling aggs fork: the result dict
     maps 'a' / 'a>b' path names to bucket DataFrames whose columns are
     the path's key columns + doc_count + metric columns.
+
+    ``top_hits`` sub-aggs return DOC rows (bucket keys + doc columns +
+    ``_rn`` rank) via a WindowGroupLimit-shaped ranked window over the
+    surviving buckets.  ``significant_terms`` (top level only) ranks
+    keys by JLH against ``background`` (pass the full docs table;
+    defaults to the foreground itself, which degenerates to zero
+    scores, so pass it).
     """
     out: dict[str, DataFrame] = {}
 
@@ -577,6 +592,30 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
         # groupBy (one shuffle); sibling bucket entries fork.
         metric_cols: list[tuple] = []
         for name, node in spec.items():
+            if "top_hits" in node:
+                out[">".join(path + [name])] = _materialize_hits(
+                    levels, node["top_hits"])
+                continue
+            if "significant_terms" in node:
+                if levels:
+                    raise ValueError(
+                        "significant_terms is supported at the top "
+                        "level of the aggs tree"
+                    )
+                p = node["significant_terms"]
+                from ..operators.aggs import significant_terms
+
+                bg = background if background is not None else docs
+                fg_ids = docs.select("doc_id").withColumn(
+                    "_fg", F.lit(True))
+                flagged = bg.join(fg_ids, "doc_id", "left")
+                out[">".join(path + [name])] = significant_terms(
+                    flagged, p["field"],
+                    F.col("_fg").isNotNull(),
+                    size=int(p.get("size", 10)),
+                    min_doc_count=int(p.get("min_doc_count", 1)),
+                )
+                continue
             bucket, metrics, subs = _split_agg_node(node)
             if bucket is None:
                 if len(metrics) != 1 or subs:
@@ -653,6 +692,33 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                  .drop("_lvl_total", "_rk"))
         return g
 
+    def _materialize_hits(levels: list[tuple], spec: dict) -> DataFrame:
+        """top_hits leaf: per-bucket best docs under the spec's sort.
+        Bucket survival (terms size) must match the sibling bucket
+        rows, so the pruned bucket keys come from the same
+        _materialize plan and semi-join the doc rows."""
+        if not levels:
+            raise ValueError("top_hits needs an enclosing bucket agg")
+        size = int(spec.get("size", 1))
+        order = _order_cols(spec.get("sort", []))
+        order.append(F.asc("doc_id"))
+        df = docs
+        keys = []
+        for name, key, needs_explode, _ in levels:
+            if needs_explode:
+                df = df.withColumn(name, F.explode(key))
+            else:
+                df = df.withColumn(name, key)
+            keys.append(name)
+        df = df.filter(reduce(Column.__and__,
+                              [F.col(k).isNotNull() for k in keys]))
+        if any(size_ is not None for *_x, size_ in levels):
+            survivors = _materialize(levels, []).select(*keys)
+            df = df.join(F.broadcast(survivors), keys, "left_semi")
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= size))
+
     walk([], [], aggs_spec)
     return out
 
@@ -686,5 +752,6 @@ def search_body(
                                   with_docs=True)
             if matched is None:
                 matched = ix.docs
-        res["aggs"] = run_aggs(matched, aggs_spec, text_field)
+        res["aggs"] = run_aggs(matched, aggs_spec, text_field,
+                               background=ix.docs)
     return res

@@ -483,6 +483,65 @@ def test_highlight_fragment(ix, spark, pages_pdf):
         assert inner in tokenize_py(QUERY)
 
 
+def test_top_hits_subagg(ix):
+    res = run_aggs(ix.docs.withColumn("score", F_lit0()), {
+        "by_lang": {"terms": {"field": "lang", "size": 2}, "aggs": {
+            "longest": {"top_hits": {
+                "size": 2, "sort": [{"doclen": {"order": "desc"}}]}},
+        }},
+    })
+    got = res["by_lang>longest"].toPandas()
+    pdf = _docs_pdf(ix)
+    top2 = pdf.groupby("lang").size().sort_values(
+        ascending=False, kind="mergesort")
+    top2 = sorted(top2.index[:2])
+    assert sorted(got["by_lang"].unique()) == top2
+    for lang in top2:
+        sub = pdf[pdf["lang"] == lang].sort_values(
+            ["doclen", "doc_id"], ascending=[False, True])
+        exp_ids = list(sub["doc_id"][:2])
+        got_ids = list(got[got["by_lang"] == lang]
+                       .sort_values("_rn")["doc_id"])
+        assert got_ids == exp_ids, (lang, got_ids, exp_ids)
+
+
+def F_lit0():
+    from pyspark.sql import functions as F
+
+    return F.lit(0.0)
+
+
+def test_significant_terms_body(ix):
+    body = {
+        "query": {"match": {"text": "w00077"}},
+        "size": 1,
+        "aggs": {"sig_lang": {"significant_terms": {
+            "field": "lang", "size": 5}}},
+    }
+    res = search_body(ix, body)
+    got = res["aggs"]["sig_lang"].toPandas()
+    pdf = _docs_pdf(ix)
+    # recompute JLH in pandas
+    import numpy as np
+
+    matched = set(
+        r["doc_id"] for r in search_hits(
+            ix, {"query": {"match": {"text": "w00077"}}, "size": N}
+        ).collect())
+    fg = pdf[pdf["doc_id"].isin(matched)]
+    fg_total, bg_total = len(fg), len(pdf)
+    rows = []
+    for lang, bg_count in pdf["lang"].value_counts().items():
+        fg_count = int((fg["lang"] == lang).sum())
+        fgp, bgp = fg_count / fg_total, bg_count / bg_total
+        if fg_count >= 1 and fgp > bgp:
+            rows.append((lang, (fgp - bgp) * (fgp / bgp)))
+    rows.sort(key=lambda kv: (-kv[1], kv[0]))
+    assert list(got["key"]) == [k for k, _ in rows[:5]]
+    for (k, s), gs in zip(rows[:5], got["score"]):
+        assert math.isclose(s, gs, rel_tol=1e-9)
+
+
 def test_compile_rejects_unknown():
     with pytest.raises(ValueError):
         compile_query({"knn": {"field": "emb"}})
