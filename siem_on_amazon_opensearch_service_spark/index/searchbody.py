@@ -263,8 +263,14 @@ def search_hits(
         scored = scored.filter(
             _filter_pred(body["post_filter"], text_field))
 
-    order = _order_cols(body.get("sort", []))
-    order.append(F.asc("doc_id"))
+    spec = _sort_spec(body.get("sort", [])) + [(F.col("doc_id"), False)]
+    order = [c.desc() if d else c.asc() for c, d in spec]
+
+    if "search_after" in body:
+        # deep-pagination cursor: a filter, not an offset -- page N
+        # costs the same as page 1 (the from/size path re-sorts
+        # from+size rows; this one never does)
+        scored = scored.filter(_after_pred(spec, body["search_after"]))
 
     frm = int(body.get("from", 0))
     size = int(body.get("size", 10))
@@ -341,10 +347,10 @@ def _with_highlight(page: DataFrame, body: dict, text_field: str,
     return page.select(*cols, snippet.alias("highlight"))
 
 
-def _order_cols(sort_list: list) -> list[Column]:
-    """OpenSearch ``sort`` entries -> Column orderings (``_score``
+def _sort_spec(sort_list: list) -> list[tuple[Column, bool]]:
+    """OpenSearch ``sort`` entries -> [(column, is_desc)] (``_score``
     maps to the score column; default is score desc)."""
-    order = []
+    spec = []
     for s in sort_list:
         if isinstance(s, str):
             fname, direction = s, "asc"
@@ -353,10 +359,33 @@ def _order_cols(sort_list: list) -> list[Column]:
             direction = (opts.get("order", "asc")
                          if isinstance(opts, dict) else str(opts))
         col = F.col("score" if fname == "_score" else fname)
-        order.append(col.desc() if direction == "desc" else col.asc())
-    if not order:
-        order = [F.desc("score")]
-    return order
+        spec.append((col, direction == "desc"))
+    if not spec:
+        spec = [(F.col("score"), True)]
+    return spec
+
+
+def _order_cols(sort_list: list) -> list[Column]:
+    return [c.desc() if d else c.asc() for c, d in _sort_spec(sort_list)]
+
+
+def _after_pred(spec: list[tuple[Column, bool]],
+                after: list) -> Column:
+    """search_after cursor: rows strictly AFTER the cursor tuple in
+    the sort order, as one lexicographic predicate (pushable into the
+    scan when the leading sort column is the partition/sort key)."""
+    if len(after) != len(spec):
+        raise ValueError(
+            f"search_after needs {len(spec)} values (one per sort "
+            f"key incl. the doc_id tiebreak); got {len(after)}"
+        )
+    pred = F.lit(False)
+    for i in range(len(spec) - 1, -1, -1):
+        col, is_desc = spec[i]
+        v = F.lit(after[i])
+        strict = (col < v) if is_desc else (col > v)
+        pred = strict | ((col == v) & pred)
+    return pred
 
 
 def _vector_scored(

@@ -542,6 +542,29 @@ def test_significant_terms_body(ix):
         assert math.isclose(s, gs, rel_tol=1e-9)
 
 
+def test_search_after_cursor(ix, oracle):
+    full = oracle.search(QUERY, k=12)
+    page1 = {"query": {"match": {"text": QUERY}}, "size": 4}
+    r1 = _rows(search_hits(ix, page1).select("doc_id", "score"))
+    _assert_rank_identical(r1, full[:4])
+    cursor = [r1[-1][1], r1[-1][0]]  # (_score, doc_id)
+    page2 = dict(page1, search_after=cursor)
+    r2 = _rows(search_hits(ix, page2).select("doc_id", "score"))
+    _assert_rank_identical(r2, full[4:8])
+    # field-sorted cursor too
+    body = {"query": {"term": {"lang": "en"}},
+            "sort": [{"doclen": {"order": "desc"}}], "size": 5}
+    p1 = search_hits(ix, body).collect()
+    cur = [p1[-1]["doclen"], p1[-1]["doc_id"]]
+    p2 = search_hits(ix, dict(body, search_after=cur)).collect()
+    seen = {r["doc_id"] for r in p1}
+    assert all(r["doc_id"] not in seen for r in p2)
+    assert all(
+        (r2_["doclen"], -r2_["doc_id"]) <= (p1[-1]["doclen"], -p1[-1]["doc_id"])
+        for r2_ in p2
+    )
+
+
 def test_compile_rejects_unknown():
     with pytest.raises(ValueError):
         compile_query({"knn": {"field": "emb"}})
