@@ -208,3 +208,68 @@ def test_suggest_scoring_broadcasts_pairs(spark):
     # never a shuffle keyed on the corpus-sized bigram table
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_searchbody_terms_prune_never_global_window(saved_ix):
+    """Top-level terms-size pruning must plan as TakeOrdered winner
+    keys + broadcast LEFT-SEMI back onto the bucket rows -- an
+    unpartitioned Window over every bucket would single-task a
+    high-cardinality terms field at scale."""
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        run_aggs,
+    )
+
+    res = run_aggs(saved_ix.docs, {
+        "by_lang": {"terms": {"field": "lang", "size": 3},
+                    "aggs": {"avg_len": {"avg": {"field": "doclen"}}}},
+    })
+    plan = _plan(res["by_lang"])
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_searchbody_nested_prune_window_partitioned(saved_ix):
+    """Nested-level pruning windows stay partitioned by the parent
+    prefix -- never a global (unpartitioned) sort of the bucket set."""
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        run_aggs,
+    )
+
+    res = run_aggs(saved_ix.docs, {
+        "by_lang": {"terms": {"field": "lang", "size": 2}, "aggs": {
+            "monthly": {"date_histogram": {
+                "field": "warc_ts", "calendar_interval": "month"}},
+        }},
+    })
+    plan = _plan(res["by_lang>monthly"])
+    import re as _re
+    # every Window operator lists a partition spec (no empty
+    # "Window [...], []" global window)
+    wins = _re.findall(r"Window \[[^\]]*\], \[(?P<p>[^\]]*)\]", plan)
+    assert wins, plan  # the pruning windows are present...
+    for p in wins:
+        assert p.strip(), plan  # ...and all partitioned
+
+
+def test_searchbody_query_plan_single_groupby_no_joins(saved_ix):
+    """A multi-clause bool body compiles to the query_string plan
+    shape: one posting-decode groupBy, term IN pushdown, TakeOrdered
+    top-k, no per-clause joins."""
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_hits,
+    )
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "w00001 w00057"}}],
+        "should": [{"term": {"text": "w00003"}}],
+        "must_not": [{"term": {"text": "w00099"}}],
+    }}, "size": 10}
+    plan = _plan(search_hits(ix=saved_ix, body=body)
+                 .select("doc_id", "score"))
+    assert "TakeOrderedAndProject" in plan
+    assert "In(term" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # must_not is rows through the same groupBy, never an anti-join
+    assert "LeftAnti" not in plan
