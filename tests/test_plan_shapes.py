@@ -237,19 +237,20 @@ def test_searchbody_nested_prune_window_partitioned(saved_ix):
     )
 
     res = run_aggs(saved_ix.docs, {
-        "by_lang": {"terms": {"field": "lang", "size": 2}, "aggs": {
-            "monthly": {"date_histogram": {
-                "field": "warc_ts", "calendar_interval": "month"}},
+        "monthly": {"date_histogram": {
+            "field": "warc_ts", "calendar_interval": "month"}, "aggs": {
+            "by_lang": {"terms": {"field": "lang", "size": 2}},
         }},
     })
-    plan = _plan(res["by_lang>monthly"])
+    plan = _plan(res["monthly>by_lang"])
     import re as _re
-    # every Window operator lists a partition spec (no empty
-    # "Window [...], []" global window)
-    wins = _re.findall(r"Window \[[^\]]*\], \[(?P<p>[^\]]*)\]", plan)
-    assert wins, plan  # the pruning windows are present...
-    for p in wins:
-        assert p.strip(), plan  # ...and all partitioned
+    # the dense_rank prune must plan as WindowGroupLimit (per-parent
+    # partial limit BEFORE the shuffle), partitioned by the parent key
+    limits = _re.findall(
+        r"WindowGroupLimit\nInput[^\n]*\nArguments: \[([^\]]*)\]", plan)
+    assert limits, plan
+    for part in limits:
+        assert "monthly" in part, plan
 
 
 def test_searchbody_query_plan_single_groupby_no_joins(saved_ix):
