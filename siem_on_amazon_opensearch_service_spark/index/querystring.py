@@ -566,21 +566,26 @@ class _Compiler:
         elif leaf.op == "in":
             pred = col.cast("string").isin([str(v) for v in leaf.values])
         elif leaf.op == "range":
-            def bound(v: str) -> Column:
-                try:
-                    return F.lit(float(v))
-                except ValueError:
-                    return F.lit(v)
+            iso_re = re.compile(
+                r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?)?$")
 
             def side(v, incl, cmp_i, cmp_e):
                 if v is None:
                     return F.lit(True)
                 try:
                     float(v)
-                    c = col.cast("double")
+                    c, b = col.cast("double"), F.lit(float(v))
                 except ValueError:
-                    c = col.cast("string")
-                return (cmp_i if incl else cmp_e)(c, bound(v))
+                    if iso_re.match(v):
+                        # date bounds compare as timestamps, so
+                        # '2020-12-01' bounds a timestamp column at
+                        # midnight instead of string-ordering against
+                        # '2020-12-01 00:00:00'
+                        c = col.cast("timestamp")
+                        b = F.to_timestamp(F.lit(v))
+                    else:
+                        c, b = col.cast("string"), F.lit(v)
+                return (cmp_i if incl else cmp_e)(c, b)
 
             pred = side(leaf.lo, leaf.lo_incl,
                         Column.__ge__, Column.__gt__) & side(

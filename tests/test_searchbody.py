@@ -565,6 +565,18 @@ def test_search_after_cursor(ix, oracle):
     )
 
 
+def test_range_on_timestamp_field(ix, pages_pdf):
+    lo, hi = "2024-01-01 01:00", "2024-01-01 03:00"
+    body = {"query": {"bool": {"filter": [
+        {"range": {"warc_ts": {"gte": lo, "lt": hi}}}]}}, "size": N}
+    got = sorted(r["doc_id"] for r in search_hits(ix, body).collect())
+    ts = pd.to_datetime(pages_pdf["warc_ts"], utc=True)
+    mask = ((ts >= pd.Timestamp(lo, tz="UTC"))
+            & (ts < pd.Timestamp(hi, tz="UTC")))
+    exp = sorted(i for i in range(N) if mask[i])
+    assert got == exp and got, (len(got), len(exp))
+
+
 def test_compile_rejects_unknown():
     with pytest.raises(ValueError):
         compile_query({"knn": {"field": "emb"}})
