@@ -28,6 +28,15 @@ shape (no broadcast of match sets, no join per clause).  The aggs
 path is scan -> filter -> partial agg -> final agg; terms-size
 pruning happens AFTER the aggregation so the shuffle carries bucket
 rows, not documents.
+
+Parity anchors (reference saved_objects/each-dashboard/*.ndjson
+visState payloads): guardduty.ndjson stacks cardinality metrics under
+terms (size 5, ordered by count) under date_histogram (calendar
+intervals) with filters aggs whose arms are stored query_string
+strings; cloudtrail.ndjson queries are the grouped/wildcard
+query_string shapes the `query_string` node executes.  The alerting
+side (reference source/saved_objects monitors) POSTs exactly this
+body shape to `_search`.
 """
 
 from __future__ import annotations
@@ -531,12 +540,17 @@ def _bucket_expr(kind: str, params: dict,
     raise ValueError(f"unsupported bucket agg {kind!r}")
 
 
-def _filter_pred(q: dict, text_field: str) -> Column:
+def _filter_pred(q: dict | str, text_field: str) -> Column:
     """Docs-column predicate for a filters-agg arm.  Term-level nodes
-    only (the agg input already passed the top-level query)."""
+    only (the agg input already passed the top-level query).  A plain
+    string arm is a query_string -- the shape the reference dashboards
+    actually store (saved_objects/each-dashboard/guardduty.ndjson
+    visState filters: {"input": {"query": "severitylabel:high",
+    "language": "kuery"}})."""
     from .querystring import _Compiler
 
-    node = compile_query(q, text_field)
+    node = (parse_query_string(q) if isinstance(q, str)
+            else compile_query(q, text_field))
     leaves: list = []
     from .querystring import _walk
     _walk(node, leaves)

@@ -323,6 +323,12 @@ def test_range_and_filters_aggs(ix):
             "english": {"term": {"lang": "en"}},
             "big": {"range": {"doclen": {"gte": 60}}},
         }}},
+        # string arms: the dashboards' stored-query form
+        # (guardduty.ndjson visState filters)
+        "kinds_qs": {"filters": {"filters": {
+            "english": "lang:en",
+            "big": "doclen:>=60",
+        }}},
     })
     pdf = _docs_pdf(ix)
     bands = dict(res["len_bands"].toPandas()[
@@ -334,6 +340,8 @@ def test_range_and_filters_aggs(ix):
     kinds = dict(res["kinds"].toPandas()[["kinds", "doc_count"]].values)
     assert kinds["english"] == int((pdf["lang"] == "en").sum())
     assert kinds["big"] == int((pdf["doclen"] >= 60).sum())
+    qs = dict(res["kinds_qs"].toPandas()[["kinds_qs", "doc_count"]].values)
+    assert qs == kinds
 
 
 def test_root_metrics_and_cardinality(ix):
