@@ -493,11 +493,23 @@ _CAL_TRUNC = {"second": "second", "minute": "minute", "hour": "hour",
 
 
 def _bucket_expr(kind: str, params: dict,
-                 text_field: str) -> tuple[Column, bool, int | None]:
-    """-> (key expr, needs_explode, terms_size)."""
+                 text_field: str) -> tuple[Column, bool, dict | None]:
+    """-> (key expr, needs_explode, terms prune spec or None).
+
+    terms supports the dashboards' stored params: ``size``,
+    ``missing`` (null-key replacement bucket), and ``order`` by
+    ``_count`` (default) / ``_key`` / a sibling metric name (the
+    visState ``orderBy: "<metric id>"`` shape)."""
     if kind == "terms":
-        return (F.col(params["field"]).cast("string"), False,
-                int(params.get("size", 10)))
+        key = F.col(params["field"]).cast("string")
+        if "missing" in params:
+            key = F.coalesce(key, F.lit(str(params["missing"])))
+        order = params.get("order", {"_count": "desc"})
+        if isinstance(order, list):
+            order = order[0]
+        by, dirn = next(iter(order.items()))
+        return key, False, {"size": int(params.get("size", 10)),
+                            "by": by, "dir": str(dirn).lower()}
     if kind == "date_histogram":
         interval = params.get("calendar_interval",
                               params.get("fixed_interval", "day"))
@@ -675,9 +687,9 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                     "not attached to a bucket node"
                 )
             kind, params = bucket
-            key, needs_explode, size = _bucket_expr(kind, params,
-                                                    text_field)
-            lv = levels + [(name, key, needs_explode, size)]
+            key, needs_explode, prune = _bucket_expr(kind, params,
+                                                     text_field)
+            lv = levels + [(name, key, needs_explode, prune)]
             if subs:
                 walk(path + [name], lv, subs)
             else:
@@ -704,35 +716,68 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                               [F.col(k).isNotNull() for k in keys]))
              .groupBy(*keys)
              .agg(F.count(F.lit(1)).alias("doc_count"), *mexprs))
-        # per-level terms-size pruning: top-N keys by summed doc_count
-        # within the parent key prefix, ties by key asc
-        for i, (name, _k, _e, size) in enumerate(levels):
-            if size is None:
+        # per-level terms-size pruning: top-N keys by the level's
+        # order spec (_count default, _key, or a metric -- metric
+        # ordering needs the metric in THIS groupBy, i.e. the terms
+        # level must be the deepest bucket level) within the parent
+        # key prefix, ties by key asc
+        metric_names = {mn for mn, _mk, _mp in metrics}
+        for i, (name, _k, _e, prune) in enumerate(levels):
+            if prune is None:
                 continue
+            size, by, dirn = prune["size"], prune["by"], prune["dir"]
+            is_last = i == len(levels) - 1
+            if by not in ("_count", "_key"):
+                if not (is_last and by in metric_names):
+                    raise ValueError(
+                        f"terms order by metric {by!r} needs the "
+                        "metric computed at this level (deepest "
+                        "bucket only)"
+                    )
             parents = keys[:i]
+
+            def _dir(c: Column) -> Column:
+                return c.desc() if dirn == "desc" else c.asc()
+
             if not parents:
                 # top level: an unpartitioned window would single-task
                 # ALL bucket rows (terms on a high-cardinality field at
                 # 100 TB). TakeOrderedAndProject the winning keys and
                 # broadcast-semi-join back instead: the driver holds
                 # `size` keys, never the bucket set.
-                winners = (g.groupBy(name)
-                           .agg(F.sum("doc_count").alias("_t"))
-                           .orderBy(F.desc("_t"), F.asc(name))
-                           .limit(size)
-                           .select(name))
+                if by == "_key":
+                    winners = (g.select(name).distinct()
+                               .orderBy(_dir(F.col(name))).limit(size))
+                elif by == "_count":
+                    winners = (g.groupBy(name)
+                               .agg(F.sum("doc_count").alias("_t"))
+                               .orderBy(_dir(F.col("_t")), F.asc(name))
+                               .limit(size).select(name))
+                else:  # metric order, single-level: rows ARE buckets
+                    winners = (g.orderBy(_dir(F.col(by)), F.asc(name))
+                               .limit(size).select(name))
                 g = g.join(F.broadcast(winners), name, "left_semi")
                 continue
             # nested level: windows over the ALREADY-AGGREGATED bucket
             # rows, partitioned by the parent prefix (no global sort)
-            wsum = Window.partitionBy(*parents, name)
-            total = F.sum("doc_count").over(wsum)
-            g = g.withColumn("_lvl_total", total)
+            if by == "_key":
+                wrank = Window.partitionBy(*parents).orderBy(
+                    _dir(F.col(name)))
+                g = (g.withColumn("_rk", F.dense_rank().over(wrank))
+                     .filter(F.col("_rk") <= size).drop("_rk"))
+                continue
+            if by == "_count":
+                wsum = Window.partitionBy(*parents, name)
+                g = g.withColumn(
+                    "_lvl_total", F.sum("doc_count").over(wsum))
+                val = F.col("_lvl_total")
+            else:  # metric at the deepest level: one row per key
+                val = F.col(by)
             wrank = Window.partitionBy(*parents).orderBy(
-                F.desc("_lvl_total"), F.asc(name))
+                _dir(val), F.asc(name))
             g = (g.withColumn("_rk", F.dense_rank().over(wrank))
                  .filter(F.col("_rk") <= size)
-                 .drop("_lvl_total", "_rk"))
+                 .drop("_rk", *( ["_lvl_total"] if by == "_count" else [])))
         return g
 
     def _materialize_hits(levels: list[tuple], spec: dict) -> DataFrame:

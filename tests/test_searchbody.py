@@ -550,6 +550,42 @@ def test_significant_terms_body(ix):
         assert math.isclose(s, gs, rel_tol=1e-9)
 
 
+def test_terms_order_and_missing(ix, spark):
+    pdf = _docs_pdf(ix)
+    docs = ix.docs
+    # order by _key desc
+    res = run_aggs(docs, {
+        "by_lang": {"terms": {"field": "lang", "size": 2,
+                              "order": {"_key": "desc"}}},
+    })
+    got = sorted(res["by_lang"].toPandas()["by_lang"])
+    exp = sorted(sorted(pdf["lang"].unique(), reverse=True)[:2])
+    assert got == exp
+    # order by a metric at the deepest level (visState orderBy shape)
+    res = run_aggs(docs, {
+        "by_lang": {"terms": {"field": "lang", "size": 2,
+                              "order": {"avg_len": "desc"}},
+                    "aggs": {"avg_len": {"avg": {"field": "doclen"}}}},
+    })
+    got = set(res["by_lang"].toPandas()["by_lang"])
+    exp = set(pdf.groupby("lang")["doclen"].mean()
+              .sort_values(ascending=False, kind="mergesort").index[:2])
+    assert got == exp
+    # missing: null keys land in a named bucket
+    import pandas as _pd
+
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[:25], "lang"] = None
+    docs2 = spark.createDataFrame(pdf2)
+    res = run_aggs(docs2, {
+        "by_lang": {"terms": {"field": "lang", "size": 10,
+                              "missing": "N/A"}},
+    })
+    counts = dict(res["by_lang"].toPandas()[
+        ["by_lang", "doc_count"]].values)
+    assert counts["N/A"] == 25
+
+
 def test_search_after_cursor(ix, oracle):
     full = oracle.search(QUERY, k=12)
     page1 = {"query": {"match": {"text": QUERY}}, "size": 4}
