@@ -480,8 +480,8 @@ def _vector_scored(
 # aggregations
 # ---------------------------------------------------------------------------
 
-_BUCKET_KINDS = ("terms", "date_histogram", "histogram", "range",
-                 "filters")
+_BUCKET_KINDS = ("terms", "date_histogram", "auto_date_histogram",
+                 "histogram", "range", "filters")
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
                  "cardinality", "stats", "percentiles")
 
@@ -492,8 +492,9 @@ _CAL_TRUNC = {"second": "second", "minute": "minute", "hour": "hour",
               "1w": "week", "1M": "month", "1q": "quarter", "1y": "year"}
 
 
-def _bucket_expr(kind: str, params: dict,
-                 text_field: str) -> tuple[Column, bool, dict | None]:
+def _bucket_expr(kind: str, params: dict, text_field: str,
+                 df: DataFrame | None = None
+                 ) -> tuple[Column, bool, dict | None]:
     """-> (key expr, needs_explode, terms prune spec or None).
 
     terms supports the dashboards' stored params: ``size``,
@@ -521,6 +522,33 @@ def _bucket_expr(kind: str, params: dict,
             secs = n * {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
             epoch = col.cast("timestamp").cast("long")
             key = F.timestamp_seconds((epoch / secs).cast("long") * secs)
+        return key, False, None
+    if kind == "auto_date_histogram":
+        # interval rung chosen from the data span: a 1-row min/max
+        # probe (two longs to the driver at any corpus size), then the
+        # rung compiles into the ordinary scan-side bucket expression
+        # (operators/aggs.py auto_date_histogram, same rounding ladder)
+        from ..operators.aggs import _AUTO_FIXED, choose_auto_interval
+
+        ts = F.col(params["field"])
+        row = df.agg(F.min(ts).alias("lo"),
+                     F.max(ts).alias("hi")).collect()[0]
+        if row["lo"] is None:
+            return F.lit(None).cast("timestamp"), False, None
+        span = (row["hi"] - row["lo"]).total_seconds()
+        label = choose_auto_interval(span, int(params.get("buckets", 10)))
+        fixed = dict(_AUTO_FIXED)
+        if label in fixed:
+            secs = fixed[label]
+            key = F.timestamp_seconds(
+                F.floor(F.unix_timestamp(ts) / secs) * secs)
+        elif label == "1M":
+            key = F.date_trunc("month", ts)
+        elif label == "3M":
+            m = F.date_trunc("month", ts)
+            key = F.add_months(m, -(F.month(m) - 1) % 3)
+        else:
+            key = F.date_trunc("year", ts)
         return key, False, None
     if kind == "histogram":
         step = float(params["interval"])
@@ -651,6 +679,11 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                 out[">".join(path + [name])] = _materialize_hits(
                     levels, node["top_hits"])
                 continue
+            if "composite" in node:
+                if levels:
+                    raise ValueError("composite must be top-level")
+                out[">".join(path + [name])] = _composite(node)
+                continue
             if "significant_terms" in node:
                 if levels:
                     raise ValueError(
@@ -688,7 +721,7 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                 )
             kind, params = bucket
             key, needs_explode, prune = _bucket_expr(kind, params,
-                                                     text_field)
+                                                     text_field, docs)
             lv = levels + [(name, key, needs_explode, prune)]
             if subs:
                 walk(path + [name], lv, subs)
@@ -779,6 +812,45 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                  .filter(F.col("_rk") <= size)
                  .drop("_rk", *( ["_lvl_total"] if by == "_count" else [])))
         return g
+
+    def _composite(node: dict) -> DataFrame:
+        """composite agg: deterministic key-tuple bucket pagination.
+        The after-cursor is a native struct comparison BEFORE the
+        aggregation, so deep pages never recompute earlier pages'
+        buckets (operators/aggs.py composite_page semantics, plus
+        metric sub-aggs)."""
+        p = node["composite"]
+        names, df = [], docs
+        for src in p["sources"]:
+            sname, sspec = _one(src)
+            skind, sparams = _one(sspec)
+            key, needs_explode, _pr = _bucket_expr(skind, sparams,
+                                                   text_field, docs)
+            if needs_explode:
+                raise ValueError(
+                    "composite sources must be single-valued buckets")
+            df = df.withColumn(sname, key)
+            names.append(sname)
+        df = df.filter(reduce(Column.__and__,
+                              [F.col(n).isNotNull() for n in names]))
+        after = p.get("after")
+        if after:
+            key_struct = F.struct(*[F.col(n) for n in names])
+            df = df.filter(key_struct > F.struct(*[
+                F.lit(after[n]).cast(df.schema[n].dataType).alias(n)
+                for n in names
+            ]))
+        mexprs = []
+        for mn, mnode in (node.get("aggs") or {}).items():
+            mb, mm, msubs = _split_agg_node(mnode)
+            if mb is not None or msubs or len(mm) != 1:
+                raise ValueError(
+                    "composite sub-aggs must be single metrics")
+            mexprs.extend(_metric_exprs(mn, *mm[0]))
+        return (df.groupBy(*names)
+                .agg(F.count(F.lit(1)).alias("doc_count"), *mexprs)
+                .orderBy(*[F.asc(n) for n in names])
+                .limit(int(p.get("size", 10))))
 
     def _materialize_hits(levels: list[tuple], spec: dict) -> DataFrame:
         """top_hits leaf: per-bucket best docs under the spec's sort.

@@ -586,6 +586,55 @@ def test_terms_order_and_missing(ix, spark):
     assert counts["N/A"] == 25
 
 
+def test_composite_pagination_with_metrics(ix):
+    pdf = _docs_pdf(ix)
+    spec = {"comp": {"composite": {
+        "size": 4,
+        "sources": [{"lang": {"terms": {"field": "lang"}}},
+                    {"day": {"date_histogram": {
+                        "field": "warc_ts",
+                        "calendar_interval": "hour"}}}],
+    }, "aggs": {"max_len": {"max": {"field": "doclen"}}}}}
+    page1 = run_aggs(ix.docs, spec)["comp"].toPandas()
+    assert len(page1) == 4
+    # exact expectation from pandas
+    grp = (pdf.assign(day=pd.to_datetime(pdf["warc_ts"], utc=True)
+                      .dt.floor("h"))
+           .groupby(["lang", "day"])
+           .agg(doc_count=("doclen", "size"), max_len=("doclen", "max"))
+           .reset_index().sort_values(["lang", "day"]))
+    exp1 = grp.head(4).reset_index(drop=True)
+    assert list(page1.sort_values(["lang", "day"])["lang"]) == \
+        list(exp1["lang"])
+    assert list(page1.sort_values(["lang", "day"])["max_len"]) == \
+        list(exp1["max_len"])
+    # page 2 via after cursor
+    last = page1.sort_values(["lang", "day"]).iloc[-1]
+    spec2 = {"comp": {"composite": {
+        "size": 4, "after": {"lang": last["lang"],
+                             "day": str(last["day"])},
+        "sources": [{"lang": {"terms": {"field": "lang"}}},
+                    {"day": {"date_histogram": {
+                        "field": "warc_ts",
+                        "calendar_interval": "hour"}}}],
+    }, "aggs": {"max_len": {"max": {"field": "doclen"}}}}}
+    page2 = run_aggs(ix.docs, spec2)["comp"].toPandas()
+    exp2 = grp.iloc[4:8].reset_index(drop=True)
+    assert list(page2.sort_values(["lang", "day"])["doc_count"]) == \
+        list(exp2["doc_count"])
+
+
+def test_auto_date_histogram_body(ix):
+    res = run_aggs(ix.docs, {
+        "auto": {"auto_date_histogram": {"field": "warc_ts",
+                                         "buckets": 8}},
+    })
+    got = res["auto"].toPandas()
+    # the corpus spans ~4h => the rung keeping <=8 buckets is 1h
+    assert 2 <= len(got) <= 8
+    assert int(got["doc_count"].sum()) == N
+
+
 def test_search_after_cursor(ix, oracle):
     full = oracle.search(QUERY, k=12)
     page1 = {"query": {"match": {"text": QUERY}}, "size": 4}
