@@ -204,6 +204,43 @@ def main() -> None:
 
     timed("search_body", run_search_body)
 
+    # --- _msearch: a 6-panel dashboard batch vs the same panels
+    # sequentially -- the batch shares ONE postings scan + shuffle ---
+    from siem_on_amazon_opensearch_service_spark.index.msearch import (
+        msearch,
+    )
+
+    panels = [
+        sb_body,
+        {"query": {"match": {"text": "query filter fast"}}, "size": 10},
+        {"query": {"match": {"text": "hash merge sort"}}, "size": 10},
+        {"query": {"query_string": {"query": "column AND scan"}},
+         "size": 10},
+        {"query": {"term": {"lang": "en"}}, "size": 10,
+         "aggs": {"langs": {"terms": {"field": "lang", "size": 5}}}},
+        {"query": {"match": {"text": "customer value part"}}, "size": 10},
+    ]
+
+    def run_msearch():
+        resp = msearch(ix, panels)
+        try:
+            for r in resp:
+                r["hits"].collect()
+                for adf in r.get("aggs", {}).values():
+                    adf.collect()
+        finally:
+            resp.release()
+
+    def run_sequential():
+        for body in panels:
+            res = search_body(ix, body)
+            res["hits"].collect()
+            for adf in res.get("aggs", {}).values():
+                adf.collect()
+
+    timed("msearch_6panel", run_msearch)
+    timed("sequential_6panel", run_sequential)
+
     # --- hybrid BM25 + vector RRF over the embeddings table ---
     emb_path = f"{SF_DIR}/embeddings.parquet"
     if os.path.exists(emb_path):

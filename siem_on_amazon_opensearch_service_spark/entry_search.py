@@ -1052,10 +1052,20 @@ agg_buckets AS (
   FROM body_scored m JOIN documents d USING (doc_id)
   WHERE d.lang IS NOT NULL
   GROUP BY d.lang ORDER BY count(*) DESC, d.lang LIMIT 3
+),
+-- the second _msearch panel: match(table value) -- plain BM25 sum
+ms_top AS (
+  SELECT doc_id, round(coalesce(c_table, 0) + coalesce(c_value, 0), 4)
+         AS score
+  FROM agg
+  WHERE c_table IS NOT NULL OR c_value IS NOT NULL
+  ORDER BY coalesce(c_table, 0) + coalesce(c_value, 0) DESC, doc_id
+  LIMIT 10
 )
 SELECT 'qs' AS chk, '' AS k, doc_id, score FROM qs_top
 UNION ALL SELECT 'body', '', doc_id, score FROM body_top
 UNION ALL SELECT 'agg', k, doc_id, score FROM agg_buckets
+UNION ALL SELECT 'msearch', '', doc_id, score FROM ms_top
 """
 
 _SB_BODY = {
@@ -1096,10 +1106,17 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     must_not clauses (chk='body': top-20 hits), and a terms(lang)
     aggregation with a nested avg(n_chars) metric over the full
     matched set (chk='agg': k=lang, doc_id=doc_count,
-    score=avg) -- the dashboards' actual wire shape end-to-end."""
+    score=avg) -- the dashboards' actual wire shape end-to-end.
+
+    Both body chks now execute through ``_msearch``
+    (index/msearch.py): the batch compiles BOTH panels' trees into
+    one forest, one postings scan + one shuffle, and chk='msearch'
+    gates the second panel (match: "table value", plain BM25 top-10)
+    -- the multi-panel-dashboard execution shape, value-hash-checked
+    against the per-panel SQL oracle."""
     from .index.build import PostingsIndex
+    from .index.msearch import msearch
     from .index.querystring import query_string_topk
-    from .index.searchbody import search_body
 
     ix = _built_index(spark, sf_dir)
     wide_docs = ix.docs.join(
@@ -1114,7 +1131,10 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("qs").alias("chk"), F.lit("").alias("k"),
         "doc_id", F.round("score", 4).alias("score"),
     )
-    res = search_body(ix2, _SB_BODY)
+    panel2 = {"query": {"match": {"text": "table value"}}, "size": 10}
+    # persist=False: the driver collects these lazily after the entry
+    # returns, so the entry must not leave a cached frame behind.
+    res, res2 = msearch(ix2, [_SB_BODY, panel2], persist=False)
     body = res["hits"].select(
         F.lit("body").alias("chk"), F.lit("").alias("k"),
         "doc_id", F.round("score", 4).alias("score"),
@@ -1124,7 +1144,11 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_count").cast("long").alias("doc_id"),
         F.round("avg_chars", 4).alias("score"),
     )
-    return qs.unionByName(body).unionByName(agg)
+    ms = res2["hits"].select(
+        F.lit("msearch").alias("chk"), F.lit("").alias("k"),
+        "doc_id", F.round("score", 4).alias("score"),
+    )
+    return qs.unionByName(body).unionByName(agg).unionByName(ms)
 
 
 _FACET_QUERY = "spark table join stream"

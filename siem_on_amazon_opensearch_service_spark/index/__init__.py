@@ -5,4 +5,5 @@ from .multifield import (  # noqa: F401
     build_multi_index,
     multi_match_topk,
 )
+from .msearch import MSearchResponse, msearch  # noqa: F401
 from .query import bm25_topk, bm25_topk_batch  # noqa: F401

@@ -764,26 +764,15 @@ def _fuzzy_variants(ix: PostingsIndex, text: str, max_edits: int) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
-def tree_scores(
+def _forest_hits(
     ix: PostingsIndex,
-    tree,
-    positional_ix: PostingsIndex | None = None,
-    with_docs: bool = False,
+    posting_leaves: list,
+    positional_ix: PostingsIndex | None,
 ) -> DataFrame | None:
-    """Execute a parsed/compiled boolean tree: ONE DataFrame DAG over
-    the shared decode pass, returning every matched doc as
-    (doc_id, score) -- plus the docs-table columns when ``with_docs``
-    (the search-body aggregations path needs them). Returns None for
-    an empty tree (caller decides match_all vs match_none)."""
-    leaves: list = []
-    _walk(tree, leaves)
-    posting_leaves = [l for l in leaves if isinstance(l, TermLeaf)]
-    field_leaves = [l for l in leaves if isinstance(l, FieldLeaf)]
-    for i, leaf in enumerate(posting_leaves):
-        leaf.leaf_id = i
-    if not leaves:
-        return None
-
+    """Leaf rows for EVERY posting leaf (already carrying forest-wide
+    leaf ids), unioned and collapsed to one per-doc hit array in a
+    single shuffle.  Shared by tree_scores (one tree) and
+    forest_scores (a whole msearch batch)."""
     parts: list[DataFrame] = []
     term_leaves = [l for l in posting_leaves if l.kind == "term"]
     if term_leaves:
@@ -832,39 +821,48 @@ def tree_scores(
     # one shuffle: per-doc hit array over ALL scoring leaves
     # (must_not leaves included -- their rows gate, never score; no
     # broadcast anti-join anywhere).
-    hits_df = None
-    if parts:
-        allparts = parts[0]
-        for p in parts[1:]:
-            allparts = allparts.unionByName(p)
-        hits_df = allparts.groupBy("doc_id").agg(
-            F.collect_list(F.struct("leaf", "contrib")).alias("_hits")
-        )
+    if not parts:
+        return None
+    allparts = parts[0]
+    for p in parts[1:]:
+        allparts = allparts.unionByName(p)
+    return allparts.groupBy("doc_id").agg(
+        F.collect_list(F.struct("leaf", "contrib")).alias("_hits")
+    )
 
+
+_EMPTY_HITS = "array<struct<leaf:int,contrib:double>>"
+
+
+def _tree_result(ix: PostingsIndex, tree, hits_df: DataFrame | None,
+                 field_leaves: list, with_docs: bool,
+                 anchored: DataFrame | None = None) -> DataFrame:
+    """Gate + score one tree over a (possibly forest-shared) hit
+    frame.  ``anchored`` lets forest callers share ONE docs-left-join
+    frame across every tree of the batch."""
     docs_needed = bool(field_leaves) or with_docs
     docs_anchored = _maybe_matches_without_postings(tree) or hits_df is None
 
     if docs_anchored:
-        base = ix.docs
-        if hits_df is not None:
-            base = base.join(hits_df, "doc_id", "left")
+        if anchored is not None:
+            base = anchored
+        elif hits_df is not None:
+            base = ix.docs.join(hits_df, "doc_id", "left")
         else:
-            base = base.withColumn(
-                "_hits",
-                F.lit(None).cast(
-                    "array<struct<leaf:int,contrib:double>>"
-                ),
-            )
+            base = ix.docs.withColumn(
+                "_hits", F.lit(None).cast(_EMPTY_HITS))
     else:
-        base = hits_df
-        if docs_needed:
-            base = base.join(ix.docs, "doc_id", "left")
+        # hits-anchored: every candidate doc carries >=1 posting hit
+        # (possibly from ANOTHER tree of the forest -- comp.matched
+        # still requires one of THIS tree's leaves, so the superset
+        # is filtered back to identical semantics).
+        base = anchored if (anchored is not None and docs_needed) \
+            else hits_df
+        if base is hits_df and docs_needed:
+            base = hits_df.join(ix.docs, "doc_id", "left")
 
     comp = _Compiler(
-        F.coalesce(
-            F.col("_hits"),
-            F.array().cast("array<struct<leaf:int,contrib:double>>"),
-        )
+        F.coalesce(F.col("_hits"), F.array().cast(_EMPTY_HITS))
     )
     matched = comp.matched(tree)
     if _has_scoring(tree):
@@ -877,6 +875,87 @@ def tree_scores(
         keep = [c for c in out.columns if c != "_hits"]
         return out.select(*keep, score.alias("score"))
     return out.select("doc_id", score.alias("score"))
+
+
+def forest_scores(
+    ix: PostingsIndex,
+    trees: list,
+    positional_ix: PostingsIndex | None = None,
+    with_docs: bool = False,
+    persist: bool = False,
+) -> tuple[list[DataFrame | None], DataFrame | None]:
+    """Execute a FOREST of boolean trees over ONE shared decode pass:
+    leaf ids are assigned forest-wide, every tree's posting leaves go
+    through a single ``term IN (...)``-pushed scan and ONE
+    groupBy(doc_id) shuffle, and each tree then gates/scores natively
+    over the shared per-doc hit array.  This is the ``_msearch``
+    execution shape: a 10-panel dashboard costs one postings scan,
+    not ten.
+
+    Returns (per-tree results, shared hit frame).  When ``persist``
+    the shared frame (hit arrays joined to docs) is persisted so the
+    N downstream per-tree actions reuse the decode+shuffle instead of
+    re-running it; the caller owns ``.unpersist()`` via the returned
+    handle."""
+    per_tree: list[tuple[list, list]] = []
+    all_posting: list[TermLeaf] = []
+    for tree in trees:
+        leaves: list = []
+        _walk(tree, leaves)
+        pls = [l for l in leaves if isinstance(l, TermLeaf)]
+        fls = [l for l in leaves if isinstance(l, FieldLeaf)]
+        per_tree.append((leaves, fls))
+        all_posting.extend(pls)
+    for i, leaf in enumerate(all_posting):
+        leaf.leaf_id = i
+
+    hits_df = _forest_hits(ix, all_posting, positional_ix)
+
+    # ONE docs-anchored frame shared by every tree of the batch --
+    # persisted, it holds the decode + shuffle output exactly once.
+    anchored: DataFrame | None = None
+    if any(lv for lv, _ in per_tree):
+        if hits_df is not None:
+            anchored = ix.docs.join(hits_df, "doc_id", "left")
+        else:
+            anchored = ix.docs.withColumn(
+                "_hits", F.lit(None).cast(_EMPTY_HITS))
+        if persist:
+            anchored = anchored.persist()
+
+    results: list[DataFrame | None] = []
+    for tree, (leaves, fls) in zip(trees, per_tree):
+        if not leaves:
+            results.append(None)
+            continue
+        results.append(
+            _tree_result(ix, tree, hits_df, fls, with_docs,
+                         anchored=anchored)
+        )
+    return results, anchored
+
+
+def tree_scores(
+    ix: PostingsIndex,
+    tree,
+    positional_ix: PostingsIndex | None = None,
+    with_docs: bool = False,
+) -> DataFrame | None:
+    """Execute a parsed/compiled boolean tree: ONE DataFrame DAG over
+    the shared decode pass, returning every matched doc as
+    (doc_id, score) -- plus the docs-table columns when ``with_docs``
+    (the search-body aggregations path needs them). Returns None for
+    an empty tree (caller decides match_all vs match_none)."""
+    leaves: list = []
+    _walk(tree, leaves)
+    posting_leaves = [l for l in leaves if isinstance(l, TermLeaf)]
+    field_leaves = [l for l in leaves if isinstance(l, FieldLeaf)]
+    for i, leaf in enumerate(posting_leaves):
+        leaf.leaf_id = i
+    if not leaves:
+        return None
+    hits_df = _forest_hits(ix, posting_leaves, positional_ix)
+    return _tree_result(ix, tree, hits_df, field_leaves, with_docs)
 
 
 def query_string_topk(

@@ -264,7 +264,19 @@ def search_hits(
                              with_docs=True)
         if scored is None:  # empty tree == match_all
             scored = ix.docs.withColumn("score", F.lit(1.0))
+    return hits_page(scored, body, text_field, source_docs)
 
+
+def hits_page(
+    scored: DataFrame,
+    body: dict,
+    text_field: str = DEFAULT_TEXT_FIELD,
+    source_docs: DataFrame | None = None,
+) -> DataFrame:
+    """post_filter / sort / search_after / from+size / highlight /
+    _source over an already-scored matched set -- the response-page
+    half of ``search_hits``, shared with the ``_msearch`` batch
+    executor (which computes all bodies' scored sets in one DAG)."""
     # post_filter: term-level predicate applied to the HITS only --
     # aggregations still see the full query-matched set (the classic
     # dashboards faceted-navigation contract).

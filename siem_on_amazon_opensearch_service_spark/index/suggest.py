@@ -192,3 +192,81 @@ def phrase_suggest(model: BigramModel, text: str, size: int = 3,
                 F.round("score", 6).alias("score"), "rank")
         .orderBy("rank")
     )
+
+
+def term_suggest(model: BigramModel, text: str, size: int = 5,
+                 max_edits: int = 2,
+                 suggest_mode: str = "missing") -> DataFrame:
+    """The OpenSearch ``suggest.term`` feature: per input token,
+    candidate corrections from the corpus vocabulary.
+
+    Scoring follows Lucene's DirectSpellChecker rank: similarity
+    ``1 - distance / len(token)`` descending, then corpus frequency
+    descending, then word (deterministic). ``suggest_mode``:
+
+    - ``missing`` (default): suggest only for tokens absent from the
+      vocabulary;
+    - ``popular``: only candidates MORE frequent than the input token;
+    - ``always``: all tokens.
+
+    Plan: the token list is query metadata, broadcast against the
+    vocabulary-sized unigram table (one scan, no shuffle of anything
+    corpus-sized); per-token ranking is a window partitioned by token
+    over candidate-shortlist rows."""
+    from pyspark.sql import Window
+
+    spark = model.unigrams.sparkSession
+    out_schema = ("token string, suggestion string, score double, "
+                  "freq long, rank int")
+    tokens = list(dict.fromkeys(tokenize_py(text)))
+    if not tokens:
+        return spark.createDataFrame([], out_schema)
+    if suggest_mode not in ("missing", "popular", "always"):
+        raise ValueError(f"bad suggest_mode {suggest_mode!r}")
+
+    tok_df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    vocab = model.unigrams  # (w, n)
+
+    if suggest_mode == "missing":
+        # which probe tokens exist is a literal-IN lookup bounded by
+        # the query length -- no anti-join against the vocabulary
+        present = {
+            r["w"] for r in
+            vocab.filter(F.col("w").isin(tokens)).select("w").collect()
+        }
+        tokens = [t for t in tokens if t not in present]
+        if not tokens:
+            return spark.createDataFrame([], out_schema)
+        tok_df = spark.createDataFrame(
+            [(t,) for t in tokens], "token string")
+
+    dist = F.levenshtein(F.col("w"), F.col("token"))
+    cand = (
+        vocab.join(F.broadcast(tok_df),
+                   (dist <= max_edits) & (F.col("w") != F.col("token")))
+        .select(
+            "token", F.col("w").alias("suggestion"),
+            (1.0 - dist.cast("double")
+             / F.length("token").cast("double")).alias("score"),
+            F.col("n").alias("freq"),
+        )
+    )
+    if suggest_mode == "popular":
+        # probe-token frequencies only (literal IN over query
+        # metadata) -- never broadcast the whole vocabulary
+        in_freq = vocab.filter(F.col("w").isin(tokens)).select(
+            F.col("w").alias("token"), F.col("n").alias("_tok_n"))
+        cand = (
+            cand.join(F.broadcast(in_freq), "token", "left")
+            .filter(F.col("freq") > F.coalesce(F.col("_tok_n"), F.lit(0)))
+            .drop("_tok_n")
+        )
+    w = Window.partitionBy("token").orderBy(
+        F.desc("score"), F.desc("freq"), F.asc("suggestion"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .select("token", "suggestion", F.round("score", 6).alias("score"),
+                "freq", "rank")
+        .orderBy("token", "rank")
+    )

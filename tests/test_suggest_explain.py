@@ -178,3 +178,69 @@ def test_explain_components(ixdata):
 def test_explain_absent_term_only(ixdata):
     ix, _ = ixdata
     assert bm25_explain(ix, "zzznotaterm", k=5).count() == 0
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        ndp = [i]
+        for j, cb in enumerate(b, 1):
+            ndp.append(min(dp[j] + 1, ndp[-1] + 1,
+                           dp[j - 1] + (ca != cb)))
+        dp = ndp
+    return dp[-1]
+
+
+def py_term_suggest(text, uni, size=5, max_edits=2, mode="missing"):
+    out = {}
+    for t in dict.fromkeys(tokenize_py(text)):
+        if mode == "missing" and t in uni:
+            continue
+        cands = []
+        for w, n in uni.items():
+            if w == t:
+                continue
+            d = _lev(w, t)
+            if d > max_edits:
+                continue
+            if mode == "popular" and n <= uni.get(t, 0):
+                continue
+            cands.append((round(1.0 - d / len(t), 6), n, w))
+        cands.sort(key=lambda c: (-c[0], -c[1], c[2]))
+        out[t] = [(w, s, n) for s, n, w in cands[:size]]
+    return out
+
+
+@pytest.mark.parametrize("mode", ["missing", "popular", "always"])
+def test_term_suggest_matches_python(model, mode):
+    from siem_on_amazon_opensearch_service_spark.index.suggest import (
+        term_suggest,
+    )
+
+    uni, _, _ = py_lm()
+    text = "quick brawn fux dog"
+    got = term_suggest(model, text, size=5, max_edits=2,
+                       suggest_mode=mode).collect()
+    by_tok = {}
+    for r in got:
+        by_tok.setdefault(r["token"], []).append(
+            (r["suggestion"], r["score"], r["freq"]))
+        assert r["rank"] == len(by_tok[r["token"]])
+    exp = {t: v for t, v in
+           py_term_suggest(text, uni, mode=mode).items() if v}
+    assert by_tok == exp
+    if mode == "missing":
+        # in-vocabulary tokens produce no suggestions
+        assert "quick" not in by_tok and "dog" not in by_tok
+
+
+def test_term_suggest_empty_and_bad_mode(model):
+    from siem_on_amazon_opensearch_service_spark.index.suggest import (
+        term_suggest,
+    )
+
+    assert term_suggest(model, "").count() == 0
+    # every token well-spelled in missing mode -> empty
+    assert term_suggest(model, "quick brown fox").count() == 0
+    with pytest.raises(ValueError):
+        term_suggest(model, "x", suggest_mode="sometimes")
