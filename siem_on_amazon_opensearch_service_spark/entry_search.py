@@ -696,9 +696,9 @@ FROM ranked WHERE rn = 1 ORDER BY s DESC, doc_id LIMIT 10
 
 _FSCORE_SQL = f"""
 {_SCORED_CTE}
-SELECT s.doc_id, round(s.s * ln(1 + dl.dl), 4) AS score
+SELECT s.doc_id, round(s.s * log10(1 + dl.dl), 4) AS score
 FROM scored s JOIN dl USING (doc_id)
-ORDER BY s.s * ln(1 + dl.dl) DESC, s.doc_id LIMIT 15
+ORDER BY s.s * log10(1 + dl.dl) DESC, s.doc_id LIMIT 15
 """
 
 _RESCORE_SQL = f"""
@@ -753,7 +753,8 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with no offset sort -- the OpenSearch
     search_after contract; (d) `collapse` on lang (best hit per lang,
     field carried in snippet); (e) `function_score`
-    field_value_factor (score * log1p(doclen), multiply mode);
+    field_value_factor (score * log10(1+doclen), multiply mode --
+    OpenSearch log1p is the common logarithm);
     (f) `rescore`: top-30 window re-ranked by 1*primary +
     2*BM25('join stream') -- the secondary scorer touches only the
     window."""

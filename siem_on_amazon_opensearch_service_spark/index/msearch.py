@@ -36,6 +36,7 @@ from .searchbody import (
     DEFAULT_TEXT_FIELD,
     _one,
     _vector_scored,
+    apply_rescore,
     compile_query,
     hits_page,
     run_aggs,
@@ -110,8 +111,12 @@ def msearch(
             scored = scored_by_tree[ref]
             if scored is None:  # empty tree == match_all
                 scored = ix.docs.withColumn("score", F.lit(1.0))
+        hits_in = scored
+        if "rescore" in body:
+            hits_in = apply_rescore(ix, scored, body, text_field,
+                                    positional_ix)
         res: dict = {
-            "hits": hits_page(scored, body, text_field, source_docs)
+            "hits": hits_page(hits_in, body, text_field, source_docs)
         }
         aggs_spec = body.get("aggs", body.get("aggregations"))
         if aggs_spec:

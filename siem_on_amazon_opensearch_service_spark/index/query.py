@@ -343,7 +343,8 @@ def function_score(scored: DataFrame, docs: DataFrame, factor_field: str,
         * F.lit(float(factor))
     fx = {
         "none": fv,
-        "log1p": F.log1p(fv),
+        # OpenSearch log1p is the COMMON logarithm of (1 + x)
+        "log1p": F.log10(fv + F.lit(1.0)),
         "sqrt": F.sqrt(fv),
         "square": fv * fv,
     }[modifier]

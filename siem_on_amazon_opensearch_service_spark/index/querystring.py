@@ -74,6 +74,7 @@ non-matching BooleanQuery scorer); field filters are filter-context
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field as dc_field
 from functools import reduce
@@ -164,6 +165,27 @@ class Boosting:
     positive: object = None
     negative: object = None
     negative_boost: float = 0.5
+
+
+@dataclass
+class FuncScore:
+    """function_score query: the child gates matching; the score is
+    ``boost_mode(child_score, score_mode(applicable function values))``.
+
+    ``functions``: list of dicts, each with an optional ``filter``
+    (ALREADY compiled to an AST node), optional ``weight``
+    (multiplies the function value; alone it IS the value), and at
+    most one of ``field_value_factor`` / ``gauss`` / ``exp`` /
+    ``linear`` (decay on a numeric docs column).  All of it compiles
+    to native Column expressions -- no UDF, no extra scan."""
+
+    child: object = None
+    functions: list = dc_field(default_factory=list)
+    score_mode: str = "multiply"
+    boost_mode: str = "multiply"
+    max_boost: float | None = None
+    min_score: float | None = None
+    boost: float = 1.0
 
 
 _TOKEN_RE = re.compile(
@@ -490,6 +512,11 @@ def _walk(node, out: list) -> None:
     elif isinstance(node, Boosting):
         _walk(node.positive, out)
         _walk(node.negative, out)
+    elif isinstance(node, FuncScore):
+        _walk(node.child, out)
+        for fn in node.functions:
+            if fn.get("filter") is not None:
+                _walk(fn["filter"], out)
     else:
         out.append(node)
 
@@ -508,6 +535,8 @@ def _has_scoring(node) -> bool:
         return _has_scoring(node.positive)
     if isinstance(node, DisMax):
         return any(_has_scoring(c) for c in node.children)
+    if isinstance(node, FuncScore):
+        return True
     return any(
         _has_scoring(c) for occ, c in node.clauses
         if occ in ("must", "should")
@@ -529,6 +558,8 @@ def _maybe_matches_without_postings(node) -> bool:
         return _maybe_matches_without_postings(node.child)
     if isinstance(node, Boosting):
         return _maybe_matches_without_postings(node.positive)
+    if isinstance(node, FuncScore):
+        return _maybe_matches_without_postings(node.child)
     musts = [c for occ, c in node.clauses if occ in ("must", "filter")]
     shoulds = [c for occ, c in node.clauses if occ == "should"]
     if any(not _maybe_matches_without_postings(c) for c in musts):
@@ -536,6 +567,23 @@ def _maybe_matches_without_postings(node) -> bool:
     if shoulds and (not musts or (node.minimum_should_match or 0) > 0):
         return any(_maybe_matches_without_postings(c) for c in shoulds)
     return True  # must-only (all maybe) or pure-negative match_all
+
+
+def _has_const_wrapper(node) -> bool:
+    """Does the tree contain a wrapper that scores WITHOUT posting
+    leaves (constant_score / function_score)?  Such a tree must
+    execute even when it has zero leaves -- it is match_all-shaped
+    but not score-1.0."""
+    if isinstance(node, (ConstScore, FuncScore)):
+        return True
+    if isinstance(node, Group):
+        return any(_has_const_wrapper(c) for _, c in node.clauses)
+    if isinstance(node, DisMax):
+        return any(_has_const_wrapper(c) for c in node.children)
+    if isinstance(node, Boosting):
+        return (_has_const_wrapper(node.positive)
+                or _has_const_wrapper(node.negative))
+    return False
 
 
 class _Compiler:
@@ -610,6 +658,11 @@ class _Compiler:
             return self.matched(node.child)
         if isinstance(node, Boosting):
             return self.matched(node.positive)
+        if isinstance(node, FuncScore):
+            m = self.matched(node.child)
+            if node.min_score is not None:
+                m = m & (self.score(node) >= float(node.min_score))
+            return m
         musts = [c for occ, c in node.clauses
                  if occ in ("must", "filter")]
         shoulds = [c for occ, c in node.clauses if occ == "should"]
@@ -662,6 +715,8 @@ class _Compiler:
                 self.matched(node.negative),
                 F.lit(float(node.negative_boost)),
             ).otherwise(F.lit(1.0))
+        if isinstance(node, FuncScore):
+            return self.func_score(node)
         total = F.lit(0.0)
         for occ, child in node.clauses:
             if occ in ("must_not", "filter"):
@@ -672,6 +727,135 @@ class _Compiler:
         if node.boost != 1.0:
             total = total * F.lit(float(node.boost))
         return total
+
+    # -- function_score ------------------------------------------------
+
+    def _func_value(self, fn: dict) -> Column:
+        """One function's value (its ``weight`` folded in) -- pure
+        native arithmetic over docs columns."""
+        v: Column | None = None
+        if "field_value_factor" in fn:
+            p = fn["field_value_factor"]
+            col = F.col(p["field"]).cast("double")
+            if "missing" in p:
+                col = F.coalesce(col, F.lit(float(p["missing"])))
+            x = col * F.lit(float(p.get("factor", 1.0)))
+            mod = p.get("modifier", "none")
+            if mod == "none":
+                v = x
+            elif mod == "log":       # OpenSearch log is base-10
+                v = F.log10(x)
+            elif mod == "log1p":
+                v = F.log10(x + F.lit(1.0))
+            elif mod == "log2p":
+                v = F.log10(x + F.lit(2.0))
+            elif mod == "ln":
+                v = F.log(x)
+            elif mod == "ln1p":
+                v = F.log(x + F.lit(1.0))
+            elif mod == "ln2p":
+                v = F.log(x + F.lit(2.0))
+            elif mod == "square":
+                v = x * x
+            elif mod == "sqrt":
+                v = F.sqrt(x)
+            elif mod == "reciprocal":
+                v = F.lit(1.0) / x
+            else:
+                raise ValueError(f"bad fvf modifier {mod!r}")
+        else:
+            for kind in ("gauss", "exp", "linear"):
+                if kind not in fn:
+                    continue
+                field, p = next(iter(fn[kind].items()))
+                origin = float(p["origin"])
+                scale = float(p["scale"])
+                offset = float(p.get("offset", 0.0))
+                decay = float(p.get("decay", 0.5))
+                dist = F.greatest(
+                    F.abs(F.col(field).cast("double") - F.lit(origin))
+                    - F.lit(offset),
+                    F.lit(0.0),
+                )
+                if kind == "gauss":
+                    sigma2 = -(scale ** 2) / (2.0 * math.log(decay))
+                    v = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+                elif kind == "exp":
+                    v = F.exp(F.lit(math.log(decay) / scale) * dist)
+                else:  # linear
+                    s = scale / (1.0 - decay)
+                    v = F.greatest(
+                        (F.lit(s) - dist) / F.lit(s), F.lit(0.0))
+                break
+        w = float(fn.get("weight", 1.0))
+        if v is None:
+            return F.lit(w)  # weight-only function
+        return v * F.lit(w)
+
+    def func_score(self, node: FuncScore) -> Column:
+        """function_score: score_mode-combine the APPLICABLE function
+        values (a function with a non-matching filter contributes
+        nothing, not zero), then boost_mode-combine with the child's
+        score.  NULL-filtered array + aggregate keeps everything one
+        native expression."""
+        child_score = (
+            self.score(node.child) if _has_scoring(node.child)
+            else F.lit(1.0)
+        )
+        if not node.functions:
+            factor = F.lit(1.0)
+        else:
+            vals = F.array(*[
+                F.when(
+                    self.matched(fn["filter"])
+                    if fn.get("filter") is not None else F.lit(True),
+                    self._func_value(fn),
+                )
+                for fn in node.functions
+            ])
+            app = F.filter(vals, lambda x: x.isNotNull())
+            n = F.size(app)
+            sm = node.score_mode
+            if sm == "multiply":
+                combined = F.aggregate(
+                    app, F.lit(1.0), lambda a, x: a * x)
+            elif sm == "sum":
+                combined = F.aggregate(
+                    app, F.lit(0.0), lambda a, x: a + x)
+            elif sm == "avg":
+                combined = F.aggregate(
+                    app, F.lit(0.0), lambda a, x: a + x
+                ) / n.cast("double")
+            elif sm == "max":
+                combined = F.array_max(app)
+            elif sm == "min":
+                combined = F.array_min(app)
+            elif sm == "first":
+                combined = F.element_at(app, 1)
+            else:
+                raise ValueError(f"bad score_mode {sm!r}")
+            # no applicable function: the score stays unmodified
+            factor = F.when(n == 0, F.lit(1.0)).otherwise(combined)
+            if node.max_boost is not None:
+                factor = F.least(factor, F.lit(float(node.max_boost)))
+        bm = node.boost_mode
+        if bm == "multiply":
+            s = child_score * factor
+        elif bm == "sum":
+            s = child_score + factor
+        elif bm == "replace":
+            s = factor
+        elif bm == "avg":
+            s = (child_score + factor) / F.lit(2.0)
+        elif bm == "max":
+            s = F.greatest(child_score, factor)
+        elif bm == "min":
+            s = F.least(child_score, factor)
+        else:
+            raise ValueError(f"bad boost_mode {bm!r}")
+        if node.boost != 1.0:
+            s = s * F.lit(float(node.boost))
+        return s
 
 
 # ---------------------------------------------------------------------------
@@ -897,14 +1081,15 @@ def forest_scores(
     N downstream per-tree actions reuse the decode+shuffle instead of
     re-running it; the caller owns ``.unpersist()`` via the returned
     handle."""
-    per_tree: list[tuple[list, list]] = []
+    per_tree: list[tuple[bool, list]] = []
     all_posting: list[TermLeaf] = []
     for tree in trees:
         leaves: list = []
         _walk(tree, leaves)
         pls = [l for l in leaves if isinstance(l, TermLeaf)]
         fls = [l for l in leaves if isinstance(l, FieldLeaf)]
-        per_tree.append((leaves, fls))
+        trivial = not leaves and not _has_const_wrapper(tree)
+        per_tree.append((trivial, fls))
         all_posting.extend(pls)
     for i, leaf in enumerate(all_posting):
         leaf.leaf_id = i
@@ -914,7 +1099,7 @@ def forest_scores(
     # ONE docs-anchored frame shared by every tree of the batch --
     # persisted, it holds the decode + shuffle output exactly once.
     anchored: DataFrame | None = None
-    if any(lv for lv, _ in per_tree):
+    if any(not trivial for trivial, _ in per_tree):
         if hits_df is not None:
             anchored = ix.docs.join(hits_df, "doc_id", "left")
         else:
@@ -924,8 +1109,8 @@ def forest_scores(
             anchored = anchored.persist()
 
     results: list[DataFrame | None] = []
-    for tree, (leaves, fls) in zip(trees, per_tree):
-        if not leaves:
+    for tree, (trivial, fls) in zip(trees, per_tree):
+        if trivial:
             results.append(None)
             continue
         results.append(
@@ -952,7 +1137,7 @@ def tree_scores(
     field_leaves = [l for l in leaves if isinstance(l, FieldLeaf)]
     for i, leaf in enumerate(posting_leaves):
         leaf.leaf_id = i
-    if not leaves:
+    if not leaves and not _has_const_wrapper(tree):
         return None
     hits_df = _forest_hits(ix, posting_leaves, positional_ix)
     return _tree_result(ix, tree, hits_df, field_leaves, with_docs)

@@ -53,6 +53,7 @@ from .querystring import (
     ConstScore,
     DisMax,
     FieldLeaf,
+    FuncScore,
     Group,
     TermLeaf,
     parse_query_string,
@@ -124,6 +125,33 @@ def compile_query(spec: dict,
         return Boosting(compile_query(body["positive"], text_field),
                         compile_query(body["negative"], text_field),
                         float(body.get("negative_boost", 0.5)))
+    if kind == "function_score":
+        inner = compile_query(body.get("query", {"match_all": {}}),
+                              text_field)
+        fns = body.get("functions")
+        if fns is None:
+            # single-function shorthand: the function keys live
+            # directly in the function_score body
+            fn = {k: v for k, v in body.items()
+                  if k in ("field_value_factor", "gauss", "exp",
+                           "linear", "weight")}
+            fns = [fn] if fn else []
+        compiled = []
+        for fn in fns:
+            cf = dict(fn)
+            if cf.get("filter") is not None:
+                cf["filter"] = compile_query(cf["filter"], text_field)
+            compiled.append(cf)
+        mb = body.get("max_boost")
+        ms = body.get("min_score")
+        return FuncScore(
+            child=inner, functions=compiled,
+            score_mode=body.get("score_mode", "multiply"),
+            boost_mode=body.get("boost_mode", "multiply"),
+            max_boost=None if mb is None else float(mb),
+            min_score=None if ms is None else float(ms),
+            boost=float(body.get("boost", 1.0)),
+        )
 
     if kind in ("query_string", "simple_query_string"):
         # simple_query_string's operator subset (+ - " * |) parses
@@ -264,7 +292,65 @@ def search_hits(
                              with_docs=True)
         if scored is None:  # empty tree == match_all
             scored = ix.docs.withColumn("score", F.lit(1.0))
+    if "rescore" in body:
+        scored = apply_rescore(ix, scored, body, text_field,
+                               positional_ix)
     return hits_page(scored, body, text_field, source_docs)
+
+
+def apply_rescore(
+    ix: PostingsIndex,
+    scored: DataFrame,
+    body: dict,
+    text_field: str = DEFAULT_TEXT_FIELD,
+    positional_ix: PostingsIndex | None = None,
+) -> DataFrame:
+    """``rescore``: re-rank the top ``window_size`` hits with a second
+    (usually more expensive, e.g. phrase) query --
+    ``qw * base + rw * rescore`` (score_mode total, the default; also
+    multiply/avg/max/min).  Docs inside the window that don't match
+    the rescore query keep ``qw * base``.
+
+    Plan shape: the window is a TakeOrderedAndProject (k rows, never
+    the corpus) broadcast into the rescore scores -- the rescore
+    query's cost is bounded by ITS postings, the join by the window.
+    The returned frame IS the window: the page must fit inside it
+    (from+size <= window_size, enforced), matching how rescore is
+    actually used."""
+    spec = body["rescore"]
+    window = int(spec.get("window_size", 10))
+    frm, size = int(body.get("from", 0)), int(body.get("size", 10))
+    if frm + size > window:
+        raise ValueError(
+            f"rescore window_size {window} < from+size {frm + size}")
+    rq = spec["query"]
+    qw = float(rq.get("query_weight", 1.0))
+    rw = float(rq.get("rescore_query_weight", 1.0))
+    mode = rq.get("score_mode", "total")
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(window)
+    rs = tree_scores(ix, compile_query(rq["rescore_query"], text_field),
+                     positional_ix=positional_ix)
+    if rs is None:
+        return top
+    rs = rs.withColumnRenamed("score", "_rs")
+    # left join preserving the window; the preserved side of an outer
+    # join can never be the broadcast build side, so AQE picks the
+    # strategy for rs (broadcast when small; a shuffle here is bounded
+    # by the RESCORE query's match set, never the corpus)
+    joined = top.join(rs, "doc_id", "left")
+    base = F.col("score") * F.lit(qw)
+    resc = F.col("_rs") * F.lit(rw)
+    combos = {
+        "total": base + resc,
+        "multiply": base * resc,
+        "avg": (base + resc) / F.lit(2.0),
+        "max": F.greatest(base, resc),
+        "min": F.least(base, resc),
+    }
+    if mode not in combos:
+        raise ValueError(f"bad rescore score_mode {mode!r}")
+    new = F.when(F.col("_rs").isNotNull(), combos[mode]).otherwise(base)
+    return joined.withColumn("score", new).select(*top.columns)
 
 
 def hits_page(
@@ -286,6 +372,15 @@ def hits_page(
 
     spec = _sort_spec(body.get("sort", [])) + [(F.col("doc_id"), False)]
     order = [c.desc() if d else c.asc() for c, d in spec]
+
+    if "collapse" in body:
+        # field collapsing: keep only the best hit (by the request's
+        # sort) per collapse-key value.  One window partitioned by
+        # the key -- the shuffle carries matched docs hashed by key,
+        # never a global sort.
+        cw = Window.partitionBy(body["collapse"]["field"]).orderBy(*order)
+        scored = (scored.withColumn("_crn", F.row_number().over(cw))
+                  .filter(F.col("_crn") == 1).drop("_crn"))
 
     if "search_after" in body:
         # deep-pagination cursor: a filter, not an offset -- page N

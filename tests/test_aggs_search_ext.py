@@ -347,7 +347,7 @@ def test_function_score_modes(data, fix, oix):
 
     q = "w00010 w00025"
     full = dict(oix.search(q, k=10**9))
-    for modifier, fx in [("log1p", lambda v: math.log1p(v)),
+    for modifier, fx in [("log1p", lambda v: math.log10(1 + v)),
                          ("sqrt", math.sqrt),
                          ("square", lambda v: v * v),
                          ("none", lambda v: v)]:

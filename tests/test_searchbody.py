@@ -675,3 +675,152 @@ def test_compile_rejects_unknown():
         compile_query({"knn": {"field": "emb"}})
     with pytest.raises(ValueError):
         run_aggs(None, {"x": {"nope": {}}})
+
+
+# ---------------------------------------------------------------------------
+# function_score / collapse / rescore
+# ---------------------------------------------------------------------------
+
+
+def test_function_score_fvf_weight_filter(ix, oracle, meta):
+    """field_value_factor + filtered weight, score_mode=sum,
+    boost_mode=multiply -- recomputed in pure Python."""
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": QUERY}},
+        "functions": [
+            {"field_value_factor": {
+                "field": "doclen", "factor": 0.1, "modifier": "ln1p"}},
+            {"filter": {"term": {"lang": "en"}}, "weight": 3.0},
+        ],
+        "score_mode": "sum",
+        "boost_mode": "multiply",
+    }}, "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    exp = {}
+    for d, s in _clause_scores(oracle, QUERY).items():
+        lang, dl = meta[d]
+        vals = [math.log(1.0 + 0.1 * dl)]
+        if lang == "en":
+            vals.append(3.0)
+        exp[d] = s * sum(vals)
+    _assert_rank_identical(got, _topk(exp))
+
+
+def test_function_score_gauss_replace_over_match_all(ix, meta):
+    """gauss decay on doclen over match_all (a LEAFLESS tree that
+    must still execute), boost_mode=replace."""
+    origin, scale, decay = 50.0, 20.0, 0.5
+    body = {"query": {"function_score": {
+        "functions": [{"gauss": {"doclen": {
+            "origin": origin, "scale": scale, "decay": decay}}}],
+        "boost_mode": "replace",
+    }}, "size": N}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    assert len(got) == N
+    sigma2 = -(scale ** 2) / (2.0 * math.log(decay))
+    exp = {d: math.exp(-((abs(dl - origin)) ** 2) / (2.0 * sigma2))
+           for d, (_, dl) in meta.items()}
+    for d, s in got:
+        assert math.isclose(s, exp[d], rel_tol=1e-9), d
+
+
+def test_function_score_modes_and_max_boost(ix, oracle, meta):
+    """score_mode=max over two weight functions + max_boost cap +
+    boost_mode=sum; a doc matching no function keeps factor 1."""
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": QUERY}},
+        "functions": [
+            {"filter": {"term": {"lang": "en"}}, "weight": 9.0},
+            {"filter": {"range": {"doclen": {"gte": 60}}}, "weight": 2.0},
+        ],
+        "score_mode": "max",
+        "boost_mode": "sum",
+        "max_boost": 5.0,
+    }}, "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    exp = {}
+    for d, s in _clause_scores(oracle, QUERY).items():
+        lang, dl = meta[d]
+        vals = []
+        if lang == "en":
+            vals.append(9.0)
+        if dl >= 60:
+            vals.append(2.0)
+        factor = min(max(vals), 5.0) if vals else 1.0
+        exp[d] = s + factor
+    _assert_rank_identical(got, _topk(exp))
+
+
+def test_function_score_min_score(ix, oracle, meta):
+    base = _clause_scores(oracle, QUERY)
+    cut = sorted(base.values())[len(base) // 2]
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": QUERY}},
+        "min_score": cut,
+    }}, "size": N}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    exp = {d: s for d, s in base.items() if s >= cut}
+    assert exp, "bad cut"
+    _assert_rank_identical(got, _topk(exp, k=N))
+
+
+def test_collapse_best_per_lang(ix, oracle, meta):
+    body = {"query": {"match": {"text": QUERY}}, "size": 10,
+            "collapse": {"field": "lang"}}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    best = {}
+    for d, s in sorted(_clause_scores(oracle, QUERY).items(),
+                       key=lambda kv: (-kv[1], kv[0])):
+        best.setdefault(meta[d][0], (d, s))
+    exp = sorted(best.values(), key=lambda ds: (-ds[1], ds[0]))
+    _assert_rank_identical(got, exp)
+
+
+def test_rescore_phrase_window(ix, pos_ix, oracle, pages_pdf):
+    """rescore the top-20 match window with a phrase query:
+    qw*base + rw*phrase for window docs containing the phrase."""
+    texts = {i: t for i, t in enumerate(pages_pdf["text"])}
+    # build the phrase from the top-ranked QUERY doc, so the rescore
+    # window is guaranteed to contain at least one phrase match
+    top_doc = max(_clause_scores(oracle, QUERY).items(),
+                  key=lambda kv: (kv[1], -kv[0]))[0]
+    toks = tokenize_py(texts[top_doc])
+    phrase = " ".join(toks[3:5])
+    body = {
+        "query": {"match": {"text": QUERY + " " + phrase}},
+        "size": 10,
+        "rescore": {
+            "window_size": 20,
+            "query": {
+                "rescore_query": {"match_phrase": {"text": phrase}},
+                "query_weight": 0.7,
+                "rescore_query_weight": 1.2,
+            },
+        },
+    }
+    got = _rows(search_hits(ix, body, positional_ix=pos_ix)
+                .select("doc_id", "score"))
+
+    base = _clause_scores(oracle, QUERY + " " + phrase)
+    window = sorted(base.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    # phrase scores: the engine's own positional path (itself pinned
+    # against a pure-Python recompute in test_phrase_bool.py)
+    exp = {}
+    from siem_on_amazon_opensearch_service_spark.index.positional import (
+        phrase_scores,
+    )
+    ph = {r["doc_id"]: r["score"]
+          for r in phrase_scores(pos_ix, phrase).collect()}
+    for d, s in window:
+        exp[d] = 0.7 * s + (1.2 * ph[d] if d in ph else 0.0)
+    assert any(d in ph for d, _ in window), "phrase absent from window"
+    _assert_rank_identical(got, _topk(exp, k=10))
+
+
+def test_rescore_window_too_small_raises(ix):
+    body = {"query": {"match": {"text": QUERY}}, "size": 30,
+            "rescore": {"window_size": 20,
+                        "query": {"rescore_query": {
+                            "term": {"text": "w00001"}}}}}
+    with pytest.raises(ValueError):
+        search_hits(ix, body)
