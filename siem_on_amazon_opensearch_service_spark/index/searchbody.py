@@ -552,10 +552,13 @@ def _vector_scored(
         return scored.join(ix.docs, "doc_id", "left").select(
             *[c for c in ix.docs.columns], "score")
 
-    # hybrid
+    # hybrid: sub-queries cut to pagination_depth, then fused either
+    # by RRF (rank_constant; the score-ranker processor) or by the
+    # normalization processor (the 2.x default pipeline) when the
+    # body carries "normalization"/"combination" blocks.
     depth = int(params.get("pagination_depth", 50))
     rank_const = int(params.get("rank_constant", 60))
-    ranked = []
+    cuts = []
     for sub in params.get("queries", []):
         skind, _ = _one(sub)
         if skind == "knn":
@@ -573,14 +576,28 @@ def _vector_scored(
                 continue
             cut = (sub_scored.orderBy(F.desc("score"), F.asc("doc_id"))
                    .limit(depth))
-        ranked.append(_ranked(cut, "doc_id", "score"))
-    if not ranked:
+        cuts.append(cut)
+    if not cuts:
         raise ValueError("hybrid query needs at least one sub-query")
-    fused = rrf_fuse(ranked, k=depth, rank_const=rank_const)
-    return fused.select(
-        "doc_id", F.col("rrf_score").alias("score")
-    ).join(ix.docs, "doc_id", "left").select(
-        *[c for c in ix.docs.columns], "score")
+    if "normalization" in params or "combination" in params:
+        from ..operators.hybrid import normalized_fuse
+
+        comb = params.get("combination", {})
+        fused = normalized_fuse(
+            cuts, k=depth,
+            normalization=params.get(
+                "normalization", {}).get("technique", "min_max"),
+            combination=comb.get("technique", "arithmetic_mean"),
+            weights=comb.get("parameters", {}).get("weights"),
+        )
+    else:
+        fused = rrf_fuse(
+            [_ranked(c, "doc_id", "score") for c in cuts],
+            k=depth, rank_const=rank_const,
+        ).withColumnRenamed("rrf_score", "score")
+    return fused.select("doc_id", "score").join(
+        ix.docs, "doc_id", "left"
+    ).select(*[c for c in ix.docs.columns], "score")
 
 
 # ---------------------------------------------------------------------------

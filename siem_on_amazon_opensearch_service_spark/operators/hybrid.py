@@ -85,3 +85,85 @@ def hybrid_topk(
         id_col, "cosine",
     )
     return rrf_fuse([lex, vec], k=k, rank_const=rank_const)
+
+
+def normalized_fuse(
+    lists: list[DataFrame],
+    k: int = 10,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """The OpenSearch normalization-processor fusion (the 2.x hybrid
+    DEFAULT; RRF is the score-ranker alternative): per-list score
+    normalization (``min_max`` or ``l2``) then weighted combination
+    (``arithmetic_mean`` over ALL sub-queries with a missing score
+    counting 0, ``geometric_mean`` / ``harmonic_mean`` over the
+    PRESENT scores -- the processor's documented treatment of zeros).
+
+    Inputs are (doc_id, score) top-``depth`` cuts, so the per-list
+    min/max/norm stats are 1-row aggregates cross-joined back
+    (metadata-sized, the engine's stats-fold idiom) and the fusion
+    shuffle carries at most ``len(lists) * depth`` rows."""
+    n = len(lists)
+    if weights is None:
+        weights = [1.0] * n
+    if len(weights) != n:
+        raise ValueError("one weight per sub-query list")
+    total_w = float(sum(weights))
+
+    parts = []
+    for i, df in enumerate(lists):
+        sc = F.col("score").cast("double")
+        if normalization == "min_max":
+            stats = df.agg(F.min(sc).alias("_lo"), F.max(sc).alias("_hi"))
+            norm = df.crossJoin(stats).select(
+                "doc_id",
+                F.when(
+                    F.col("_hi") > F.col("_lo"),
+                    (sc - F.col("_lo")) / (F.col("_hi") - F.col("_lo")),
+                ).otherwise(F.lit(1.0)).alias("s"),
+            )
+        elif normalization == "l2":
+            stats = df.agg(F.sqrt(F.sum(sc * sc)).alias("_n"))
+            norm = df.crossJoin(stats).select(
+                "doc_id",
+                F.when(F.col("_n") > 0, sc / F.col("_n"))
+                .otherwise(F.lit(0.0)).alias("s"),
+            )
+        else:
+            raise ValueError(f"bad normalization {normalization!r}")
+        parts.append(norm.select(
+            "doc_id", "s", F.lit(float(weights[i])).alias("w")))
+
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    g = allp.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("s")).alias("_ws"),
+        F.sum("w").alias("_wp"),  # weight present
+        F.sum(F.col("w") * F.log(
+            F.when(F.col("s") > 0, F.col("s")))).alias("_wlns"),
+        F.sum(F.when(F.col("s") > 0, F.col("w"))).alias("_wpos"),
+        F.sum(F.when(F.col("s") > 0,
+                     F.col("w") / F.col("s"))).alias("_winv"),
+    )
+    if combination == "arithmetic_mean":
+        score = F.col("_ws") / F.lit(total_w)
+    elif combination == "geometric_mean":
+        score = F.when(
+            F.col("_wpos").isNotNull() & (F.col("_wpos") > 0),
+            F.exp(F.col("_wlns") / F.col("_wpos")),
+        ).otherwise(F.lit(0.0))
+    elif combination == "harmonic_mean":
+        score = F.when(
+            F.col("_winv").isNotNull() & (F.col("_winv") > 0),
+            F.col("_wpos") / F.col("_winv"),
+        ).otherwise(F.lit(0.0))
+    else:
+        raise ValueError(f"bad combination {combination!r}")
+    return (
+        g.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
