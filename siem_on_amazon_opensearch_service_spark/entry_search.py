@@ -723,6 +723,43 @@ ORDER BY 1.0 * w.s + 2.0 * coalesce(s2.s2, 0) DESC, w.doc_id LIMIT 10
 """
 
 
+_DBQ_SQL = f"""
+{_SCORED_CTE},
+del AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'stream')
+SELECT doc_id, round(s, 4) AS score
+FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM del)
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+_SLICE_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+SELECT DISTINCT doc_id FROM tok
+WHERE term = 'spark' AND doc_id % 4 = 1
+"""
+
+#: session-cached saved-index dirs with _delete_by_query applied once
+_DBQ_CACHE: dict = {}
+
+
+def _dbq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Save the cached index to disk ONCE per session and run the real
+    ``_delete_by_query`` task against it (tombstone appends through the
+    storage seam). Idempotent: re-running the delete adds 0 rows, so
+    repeated entry invocations see identical state."""
+    import tempfile
+
+    from .index.docops import delete_by_query
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    p = _DBQ_CACHE.get(key)
+    if p is None:
+        p = tempfile.mkdtemp(prefix="spark_graft_dbq_ix_")
+        _built_index(spark, sf_dir).save(spark, p, buckets=4)
+        delete_by_query(spark, p, {"query": {"match": {"text": "stream"}}})
+        _DBQ_CACHE[key] = p
+    return p
+
+
 @register(
     "ft_filtered_search",
     f"""
@@ -738,6 +775,10 @@ ORDER BY 1.0 * w.s + 2.0 * coalesce(s2.s2, 0) DESC, w.doc_id LIMIT 10
     SELECT 'fscore', doc_id, score, '' FROM ({_FSCORE_SQL})
     UNION ALL
     SELECT 'rescore', doc_id, score, '' FROM ({_RESCORE_SQL})
+    UNION ALL
+    SELECT 'dbq', doc_id, score, '' FROM ({_DBQ_SQL})
+    UNION ALL
+    SELECT 'slice', doc_id, 0.0 AS score, '' FROM ({_SLICE_SQL})
     """,
 )
 def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,9 +798,17 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     OpenSearch log1p is the common logarithm);
     (f) `rescore`: top-30 window re-ranked by 1*primary +
     2*BM25('join stream') -- the secondary scorer touches only the
-    window."""
+    window; (g) chk='dbq': the `_delete_by_query` task API run for
+    real against a SAVED index (tombstone appends through the storage
+    seam), then live top-k -- Lucene deleted-docs semantics: masked
+    docs never occupy a top-k slot while idf/avgdl keep full-corpus
+    stats until compaction; (h) chk='slice': sliced-scroll slice 1 of
+    4 over the 'spark' match set -- slices partition the matched set
+    disjointly (index/docops.py)."""
+    from .index.docops import slice_hits
     from .index.query import (bm25_scores, collapse_topk, function_score,
                               rescore_topk, search_after)
+    from .index.tombstones import live_topk
 
     ix = _built_index(spark, sf_dir)
     scored = bm25_scores(ix, "spark table")  # full match set, no limit
@@ -825,9 +874,20 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rescore").alias("chk"), "doc_id",
         F.round("score", 4).alias("score"), F.lit("").alias("snippet"),
     )
+    dbq_path = _dbq_index_path(spark, sf_dir)
+    dbq = live_topk(ix, spark, dbq_path, "spark table", k=10).select(
+        F.lit("dbq").alias("chk"), "doc_id",
+        F.round("score", 4).alias("score"), F.lit("").alias("snippet"),
+    )
+    slice1 = slice_hits(
+        ix, {"query": {"match": {"text": "spark"}}}, 1, 4
+    ).select(
+        F.lit("slice").alias("chk"), "doc_id",
+        F.lit(0.0).alias("score"), F.lit("").alias("snippet"),
+    )
     return (filtered.unionByName(highlight).unionByName(page2)
             .unionByName(collapse).unionByName(fscore)
-            .unionByName(rescored))
+            .unionByName(rescored).unionByName(dbq).unionByName(slice1))
 
 
 _HY_QUERY = "spark table join stream"

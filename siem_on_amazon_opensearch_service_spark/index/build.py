@@ -86,6 +86,18 @@ class PostingsIndex:
         spark.createDataFrame(
             [(self.n_docs, self.avgdl)], "n_docs long, avgdl double"
         ).write.mode("overwrite").parquet(f"{path}/stats")
+        # A fresh save IS a fresh index: a tombstone set left at this
+        # path by a previous index names OLD doc ids and would silently
+        # delete unrelated docs from the new one (found live: re-saving
+        # over a deleted-from path made delete_by_query a no-op and
+        # masked wrong docs). Iceberg analog: replacing the table drops
+        # its delete files.
+        import os
+        import shutil
+
+        tomb = os.path.join(path, "tombstones")
+        if os.path.isdir(tomb):
+            shutil.rmtree(tomb)
 
     def save_bucketed(self, spark: SparkSession, table: str,
                       buckets: int = 32) -> None:
