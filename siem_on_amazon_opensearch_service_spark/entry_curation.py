@@ -238,23 +238,78 @@ def _ivf_path(spark: SparkSession, sf_dir: str, cents) -> str:
       FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v
       JOIN asg ON asg.vec_id = v.vec_id
       JOIN probe ON probe.cent_id = asg.cent_id
+    ),
+    -- chk='pq': product quantization with the deterministic first-8
+    -- codebook (m=4 subspaces x 16 dims), argmin-L2 codes via the
+    -- c.c - 2 x.c identity (the engine's exact formula), ADC score =
+    -- sum_j dot(q_sub_j, codebook[code_j]_sub_j)
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             embedding::DOUBLE[] AS e
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    subs(j) AS (VALUES (0), (1), (2), (3)),
+    pq_codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT v.vec_id, subs.j, cb.code,
+               row_number() OVER (
+                 PARTITION BY v.vec_id, subs.j
+                 ORDER BY
+                   list_dot_product(cb.e[subs.j*16+1 : (subs.j+1)*16],
+                                    cb.e[subs.j*16+1 : (subs.j+1)*16])
+                   - 2 * list_dot_product(v.e[subs.j*16+1 : (subs.j+1)*16],
+                                          cb.e[subs.j*16+1 : (subs.j+1)*16]),
+                   cb.code) AS rn
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v
+        CROSS JOIN subs CROSS JOIN cb)
+      WHERE rn = 1
+    ),
+    pq_scored AS (
+      SELECT c.vec_id,
+             sum(list_dot_product(qv.q[c.j*16+1 : (c.j+1)*16],
+                                  cb.e[c.j*16+1 : (c.j+1)*16])) AS s
+      FROM pq_codes c JOIN cb ON cb.code = c.code, qv
+      GROUP BY c.vec_id
+    ),
+    ivf_top AS (
+      SELECT vec_id, round({_COS}, 4) AS cosine
+      FROM cand, qv ORDER BY {_COS} DESC, vec_id LIMIT 10
+    ),
+    pq_top AS (
+      SELECT vec_id, round(s, 4) AS cosine
+      FROM pq_scored ORDER BY s DESC, vec_id LIMIT 10
     )
-    SELECT vec_id, round({_COS}, 4) AS cosine
-    FROM cand, qv ORDER BY {_COS} DESC, vec_id LIMIT 10
+    SELECT 'ivf' AS chk, vec_id, cosine FROM ivf_top
+    UNION ALL
+    SELECT 'pq', vec_id, cosine FROM pq_top
     """,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k over the MATERIALIZED layout: the vector
-    corpus is written partitionBy(cell) once at build time; a query
-    resolves its 4 probe cells of 16 on the driver (centroids are
-    metadata) and the literal cell IN (...) prunes partitions -- only
-    nprobe/n_cells of the corpus is ever scanned."""
+    """IVF approximate top-k over the MATERIALIZED layout (chk='ivf'):
+    the vector corpus is written partitionBy(cell) once at build time;
+    a query resolves its 4 probe cells of 16 on the driver (centroids
+    are metadata) and the literal cell IN (...) prunes partitions --
+    only nprobe/n_cells of the corpus is ever scanned.  chk='pq':
+    product-quantized ADC top-k (operators/pq.py) -- 64-dim float
+    vectors compressed to 4 code bytes, scored by a native
+    element_at gather against the (m x ksub) driver-side table; the
+    'cosine' column carries the approximate inner product."""
+    from .operators import pq as pqm
+
     vecs = _t(spark, sf_dir, "embeddings")
     cents = similarity.make_centroids(vecs, 16)
     path = _ivf_path(spark, sf_dir, cents)
-    return similarity.ivf_topk_materialized(
-        spark, path, cents, _query_vec(spark, sf_dir), k=10, nprobe=4
+    qv = _query_vec(spark, sf_dir)
+    ivf = similarity.ivf_topk_materialized(
+        spark, path, cents, qv, k=10, nprobe=4
+    ).select(F.lit("ivf").alias("chk"), "vec_id", "cosine")
+    books = pqm.pq_codebooks(vecs, 4, 8)
+    codes = pqm.pq_encode(vecs, books)
+    pq_top = pqm.pq_topk(codes, books, qv, k=10).select(
+        F.lit("pq").alias("chk"), "vec_id",
+        F.col("score").alias("cosine"),
     )
+    return ivf.unionByName(pq_top)
 
 
 def _kmeans_oracle_sql(n_iter: int = 3, k: int = 16, nprobe: int = 4) -> str:
