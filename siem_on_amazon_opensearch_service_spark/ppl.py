@@ -444,6 +444,37 @@ def parse_ppl(text: str) -> PPLQuery:
             q.stages.append(("sort", keys))
         elif cmd == "head":
             q.stages.append(("head", int(rest)))
+        elif cmd == "tail":
+            q.stages.append(("tail", int(rest or 10)))
+        elif cmd == "patterns":
+            mm = re.match(
+                r"^([A-Za-z_][A-Za-z0-9_.]*)"
+                r"(?:\s+new_field\s*=\s*([A-Za-z_][A-Za-z0-9_]*))?$",
+                rest, re.I)
+            if not mm:
+                raise PPLError(f"bad patterns stage {rest!r}")
+            q.stages.append(("patterns", mm.group(1),
+                             mm.group(2) or f"patterns_{mm.group(1)}"))
+        elif cmd in ("expand", "flatten"):
+            if not _IDENT.match(rest):
+                raise PPLError(f"bad {cmd} field {rest!r}")
+            q.stages.append((cmd, rest))
+        elif cmd == "fieldsummary":
+            mm = re.match(r"^includefields\s*=\s*(.+)$", rest, re.I)
+            if not mm:
+                raise PPLError(f"bad fieldsummary stage {rest!r}")
+            cols = [c.strip() for c in mm.group(1).split(",") if c.strip()]
+            if not cols or not all(_IDENT.match(c) for c in cols):
+                raise PPLError(f"bad fieldsummary fields {cols}")
+            q.stages.append(("fieldsummary", cols))
+        elif cmd == "join":
+            mm = re.match(
+                r"^(?:(inner|left)\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s+"
+                r"([A-Za-z_][A-Za-z0-9_]*)$", rest, re.I)
+            if not mm:
+                raise PPLError(f"bad join stage {rest!r}")
+            q.stages.append(("join", (mm.group(1) or "inner").lower(),
+                             mm.group(2), mm.group(3)))
         else:
             raise PPLError(f"unknown command {cmd!r}")
     return q
@@ -470,6 +501,7 @@ def ppl_query(spark: SparkSession, text: str,
     if q.source not in tables:
         raise PPLError(f"unknown source {q.source!r}")
     df = tables[q.source]
+    last_sort: list[tuple[str, bool]] | None = None
     for st in q.stages:
         kind = st[0]
         if kind == "where":
@@ -562,10 +594,58 @@ def ppl_query(spark: SparkSession, text: str,
                 .drop("__lookup_key")
             )
         elif kind == "sort":
+            last_sort = st[1]
             df = df.orderBy(*[
                 F.desc(c) if d else F.asc(c) for c, d in st[1]])
         elif kind == "head":
             df = df.limit(st[1])
+        elif kind == "tail":
+            # last-N of the current order: invert the sort (so tail is
+            # a TakeOrdered, never a full sort + offset), then restore
+            if last_sort is None:
+                raise PPLError("tail requires a preceding sort")
+            inv = [F.asc(c) if d else F.desc(c) for c, d in last_sort]
+            df = df.orderBy(*inv).limit(st[1]).orderBy(*[
+                F.desc(c) if d else F.asc(c) for c, d in last_sort])
+        elif kind == "patterns":
+            _, src, new = st
+            df = df.withColumn(
+                new, F.regexp_replace(F.col(src), "[a-zA-Z0-9]", ""))
+        elif kind == "expand":
+            df = df.withColumn(st[1], F.explode(F.col(st[1])))
+        elif kind == "flatten":
+            df = df.select("*", f"{st[1]}.*").drop(st[1])
+        elif kind == "fieldsummary":
+            # ONE aggregation job computing every field's profile,
+            # then a stack() pivot of the single metadata row -- never
+            # N scans for N fields.
+            cols = st[1]
+            exprs = []
+            for c in cols:
+                exprs += [
+                    F.count(F.col(c)).alias(f"__c_{c}"),
+                    F.countDistinct(F.col(c)).alias(f"__d_{c}"),
+                    F.min(F.expr(f"try_cast({c} AS DOUBLE)"))
+                    .alias(f"__mn_{c}"),
+                    F.max(F.expr(f"try_cast({c} AS DOUBLE)"))
+                    .alias(f"__mx_{c}"),
+                    F.avg(F.expr(f"try_cast({c} AS DOUBLE)"))
+                    .alias(f"__av_{c}"),
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"__n_{c}"),
+                ]
+            one = df.agg(*exprs)
+            stack = ", ".join(
+                f"'{c}', __c_{c}, __d_{c}, __mn_{c}, __mx_{c}, "
+                f"__av_{c}, __n_{c}" for c in cols)
+            df = one.selectExpr(
+                f"stack({len(cols)}, {stack}) AS (field, count, "
+                "distinct_count, min, max, avg, nulls)")
+        elif kind == "join":
+            _, how, key, tname = st
+            if tname not in tables:
+                raise PPLError(f"unknown join table {tname!r}")
+            df = df.join(tables[tname], key, how)
     return df
 
 
@@ -574,6 +654,7 @@ def ppl_to_sql(text: str) -> str:
     backend; also a readable 'explain' of what the pipeline does)."""
     q = parse_ppl(text)
     sql = f"SELECT * FROM {q.source}"
+    last_sort: list[tuple[str, bool]] | None = None
     for st in q.stages:
         kind = st[0]
         if kind == "where":
@@ -671,9 +752,46 @@ def ppl_to_sql(text: str) -> str:
             sql = (f"SELECT l.*, r.* EXCLUDE ({key}) FROM ({sql}) l "
                    f"LEFT JOIN {tname} r ON l.{local} = r.{key}")
         elif kind == "sort":
+            last_sort = st[1]
             keys = ", ".join(
                 f"{c} {'DESC' if d else 'ASC'}" for c, d in st[1])
             sql = f"SELECT * FROM ({sql}) ORDER BY {keys}"
         elif kind == "head":
             sql = f"SELECT * FROM ({sql}) LIMIT {st[1]}"
+        elif kind == "tail":
+            if last_sort is None:
+                raise PPLError("tail requires a preceding sort")
+            inv = ", ".join(
+                f"{c} {'ASC' if d else 'DESC'}" for c, d in last_sort)
+            orig = ", ".join(
+                f"{c} {'DESC' if d else 'ASC'}" for c, d in last_sort)
+            sql = (f"SELECT * FROM (SELECT * FROM ({sql}) "
+                   f"ORDER BY {inv} LIMIT {st[1]}) ORDER BY {orig}")
+        elif kind == "patterns":
+            _, src, new = st
+            sql = (f"SELECT *, regexp_replace({src}, '[a-zA-Z0-9]', '', "
+                   f"'g') AS {new} FROM ({sql})")
+        elif kind == "expand":
+            sql = (f"SELECT * EXCLUDE ({st[1]}), unnest({st[1]}) "
+                   f"AS {st[1]} FROM ({sql})")
+        elif kind == "flatten":
+            sql = (f"SELECT * EXCLUDE ({st[1]}), unnest({st[1]}) "
+                   f"FROM ({sql})")
+        elif kind == "fieldsummary":
+            parts = [
+                (f"SELECT '{c}' AS field, count({c}) AS count, "
+                 f"count(DISTINCT {c}) AS distinct_count, "
+                 f"min(TRY_CAST({c} AS DOUBLE)) AS min, "
+                 f"max(TRY_CAST({c} AS DOUBLE)) AS max, "
+                 f"avg(TRY_CAST({c} AS DOUBLE)) AS avg, "
+                 f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls "
+                 f"FROM ({sql})")
+                for c in st[1]
+            ]
+            sql = " UNION ALL ".join(parts)
+        elif kind == "join":
+            _, how, key, tname = st
+            jt = "JOIN" if how == "inner" else "LEFT JOIN"
+            sql = (f"SELECT * FROM ({sql}) l {jt} {tname} r "
+                   f"USING ({key})")
     return sql

@@ -67,6 +67,24 @@ PIPELINES = [
     "source=events | stats sum(value) as sv by span(ts, 12h) "
     "| eval svr = round(sv, 4) | fields ts_span, svr "
     "| trendline sort ts_span sma(3, svr) as sv_sma | sort ts_span",
+
+    # tail: last-N of the current order (inverted TakeOrdered)
+    "source=events | stats count() as n by user_id | sort user_id "
+    "| tail 5",
+
+    # patterns: alphanumerics stripped to the punctuation skeleton
+    "source=events | patterns props | stats count() as n "
+    "by patterns_props | sort patterns_props | head 10",
+
+    # join (inner/left) against a second pipeline source
+    "source=events | join left user_id users "
+    "| stats count() as n by tier | sort tier",
+    "source=events | join inner user_id users "
+    "| stats count() as n, avg(value) as av by tier | sort tier",
+
+    # fieldsummary: one-job numeric profile per field
+    "source=events | fieldsummary includefields=value, user_id, "
+    "event_type | sort field",
 ]
 
 
@@ -130,6 +148,32 @@ def test_ppl_where_pushdown_reaches_scan(spark, tables):
     assert "PushedFilters" in plan and "GreaterThan(value,150" in plan
     # column pruning: only the two projected columns are read
     assert "ReadSchema" in plan and "props" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_ppl_expand_flatten(spark, tmp_path):
+    """expand (array explode) and flatten (struct unnest) against the
+    DuckDB unnest twins over the same nested parquet."""
+    path = str(tmp_path / "nested")
+    spark.createDataFrame(
+        [(1, [1, 2], (10, "x")), (2, [3], (20, "y")), (3, [], (30, "z"))],
+        "id long, vals array<long>, s struct<a:long, b:string>",
+    ).coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW nested AS SELECT * FROM '{path}/*.parquet'")
+    text = ("source=nested | expand vals | flatten s "
+            "| eval v2 = vals * a | sort id, vals")
+    got = ppl_query(spark, text, {"nested": spark.read.parquet(path)})
+    grows = sorted(tuple(r) for r in got.collect())
+    orows = sorted(tuple(r) for r in con.execute(ppl_to_sql(text)).fetchall())
+    assert grows == orows and len(grows) == 3  # id=3 empty array drops
+
+
+def test_ppl_tail_requires_sort(spark, tables):
+    with pytest.raises(PPLError, match="requires a preceding sort"):
+        ppl_query(spark, "source=events | tail 3", tables)
+    with pytest.raises(PPLError):
+        ppl_to_sql("source=events | tail 3")
 
 
 def test_ppl_errors():
