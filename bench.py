@@ -257,6 +257,21 @@ def main() -> None:
             ix, vecs, FT_QUERIES[0], qv, k=20, depth=50
         ).collect())
 
+        # PQ ADC top-k: codes built once (build-time cost, like the
+        # index build), the timed part is the compressed-scan query --
+        # a native element_at gather over m=4 code bytes per vector.
+        from siem_on_amazon_opensearch_service_spark.operators import (
+            pq as pqm,
+        )
+
+        books = pqm.pq_codebooks(vecs, 4, 8)
+        pq_codes = pqm.pq_encode(vecs, books).persist()
+        pq_codes.count()
+        timed("pq_adc_topk", lambda: pqm.pq_topk(
+            pq_codes, books, qv, k=20
+        ).collect())
+        pq_codes.unpersist()
+
     # --- MinHash-LSH at the PRODUCTION parameterization (n_hash=128,
     # n_bands=16 -> r=8, S-curve threshold ~0.71), not the toy test
     # knobs: the banded shuffle is the 100 TB shape, timed here so the
