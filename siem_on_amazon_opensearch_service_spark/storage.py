@@ -170,3 +170,118 @@ class IcebergStore:
         view = f"_keys_{table.replace('.', '_')}"
         keys.createOrReplaceTempView(view)
         spark.sql(self.merge_delete_sql(table, view, key_col))
+
+    def snapshot_sql(self, table: str, tag: str) -> str:
+        """Iceberg snapshot = a named tag on the current snapshot --
+        zero data movement (the parquet analog below hardlinks)."""
+        return (f"ALTER TABLE {self._t(table)} "
+                f"CREATE TAG `{tag}` RETAIN 365 DAYS")
+
+    def restore_sql(self, table: str, tag: str) -> str:
+        cat = self.prefix.split(".", 1)[0]
+        return (f"CALL {cat}.system.rollback_to_snapshot"
+                f"(table => '{self._t(table)}', "
+                f"snapshot_id => (SELECT snapshot_id FROM "
+                f"{self._t(table)}.refs WHERE name = '{tag}'))")
+
+
+# ---------------------------------------------------------------------------
+# index-level snapshot / restore (the _snapshot repository API)
+# ---------------------------------------------------------------------------
+#
+# Reference semantics target: OpenSearch snapshot repositories -- the
+# ISM ladder snapshots an index before retiring it (the reference's
+# rollover policy keeps generations until storage pressure;
+# deploy_es/data.ini:66-80), and operators restore into a renamed
+# index.  Parquet restatement: every data file in this engine is
+# IMMUTABLE once written (rewrites replace whole directories, never
+# file contents), so a snapshot is a HARDLINK farm + manifest --
+# O(files) metadata work, zero data copy, exactly an Iceberg snapshot
+# manifest referencing existing data files.  Cross-device repos fall
+# back to a real copy.
+
+import json
+
+_SNAP_MANIFEST = "manifest.json"
+
+
+def _link_tree(src: str, dst: str) -> tuple[int, int]:
+    n_files = n_bytes = 0
+    for base, _, files in os.walk(src):
+        rel = os.path.relpath(base, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(base, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:           # cross-device repo
+                shutil.copy2(s, d)
+            n_files += 1
+            n_bytes += os.path.getsize(s)
+    return n_files, n_bytes
+
+
+def snapshot_index(path: str, repo: str, snap_id: str) -> dict:
+    """Snapshot every table dir under the index root into
+    ``repo/snap_id``.  Live mutations after the snapshot (tombstone
+    appends, compaction swaps, doc updates) never touch snapshotted
+    bytes: they write NEW files / replace directories, and hardlinked
+    inodes survive source deletion."""
+    dst = os.path.join(repo, snap_id)
+    if os.path.exists(dst):
+        raise ValueError(f"snapshot {snap_id!r} already exists")
+    tables = sorted(
+        d for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and not d.endswith((
+            ".compacting", ".merging", ".updating"))
+    )
+    manifest = {"snapshot": snap_id, "source": os.path.realpath(path),
+                "tables": tables, "files": 0, "bytes": 0}
+    for t in tables:
+        nf, nb = _link_tree(os.path.join(path, t), os.path.join(dst, t))
+        manifest["files"] += nf
+        manifest["bytes"] += nb
+    with open(os.path.join(dst, _SNAP_MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def restore_index(repo: str, snap_id: str, dest: str,
+                  overwrite: bool = False) -> dict:
+    """Restore a snapshot into ``dest`` (the rename-on-restore shape:
+    dest is a fresh index root).  Refuses to clobber an existing
+    index unless ``overwrite`` -- a restore is destructive only when
+    asked to be."""
+    src = os.path.join(repo, snap_id)
+    mpath = os.path.join(src, _SNAP_MANIFEST)
+    if not os.path.isfile(mpath):
+        raise ValueError(f"no snapshot {snap_id!r} in {repo!r}")
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    if os.path.exists(dest):
+        if not overwrite:
+            raise ValueError(f"dest {dest!r} exists (pass overwrite=True)")
+        shutil.rmtree(dest)
+    for t in manifest["tables"]:
+        _link_tree(os.path.join(src, t), os.path.join(dest, t))
+    return manifest
+
+
+def list_snapshots(repo: str) -> list[dict]:
+    out = []
+    if not os.path.isdir(repo):
+        return out
+    for d in sorted(os.listdir(repo)):
+        mpath = os.path.join(repo, d, _SNAP_MANIFEST)
+        if os.path.isfile(mpath):
+            with open(mpath) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def delete_snapshot(repo: str, snap_id: str) -> None:
+    dst = os.path.join(repo, snap_id)
+    if not os.path.isfile(os.path.join(dst, _SNAP_MANIFEST)):
+        raise ValueError(f"no snapshot {snap_id!r} in {repo!r}")
+    shutil.rmtree(dst)
