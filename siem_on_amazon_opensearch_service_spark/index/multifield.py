@@ -209,6 +209,13 @@ def multi_match_scores(
     * ``best_fields`` -- the OpenSearch DEFAULT: a per-doc dis_max
       over the per-field scores, score = max_f + tie_breaker *
       sum(other fields) (Lucene DisjunctionMaxQuery).
+    * ``cross_fields`` -- the fields act as ONE field (Lucene
+      BlendedTermQuery model): term statistics blend ACROSS fields --
+      idf_t uses df_blend = max_f df_f(t) against N_blend =
+      max_f docCount_f, so a term common in `title` but rare in `body`
+      stops being spuriously "rare" -- and each TERM contributes a
+      per-doc dis_max over its fields' saturated tfs (+ tie_breaker *
+      the rest), summed over query terms.
 
     Join-free plan: scan postings filtered to (query terms x boosted
     fields) -- the term predicate pushes to parquet -- decode varbyte
@@ -219,7 +226,7 @@ def multi_match_scores(
     groupBy(doc_id) runs over the already-reduced per-field rows --
     both map-side-combined, no joins.
     """
-    if mode not in ("most_fields", "best_fields"):
+    if mode not in ("most_fields", "best_fields", "cross_fields"):
         raise ValueError(f"unknown multi_match mode: {mode}")
     weights: dict[str, int] = {}
     for t in tokenize_py(query):
@@ -241,11 +248,24 @@ def multi_match_scores(
     if not stats:
         return empty
     wmap_items: list[F.Column] = []
-    for r in stats:
-        f_, t_ = r["field"], r["term"]
-        n_f, _ = mix.field_stats[f_]
-        w = boosts[f_] * weights[t_] * _idf(n_f, int(r["df"]))
-        wmap_items += [F.lit(f_ + SEP + t_), F.lit(float(w))]
+    if mode == "cross_fields":
+        # blended statistics: one idf per TERM from the max df across
+        # fields vs the max per-field docCount (driver metadata)
+        df_blend: dict[str, int] = {}
+        for r in stats:
+            df_blend[r["term"]] = max(df_blend.get(r["term"], 0),
+                                      int(r["df"]))
+        n_blend = max(mix.field_stats[f_][0] for f_ in use_fields)
+        for r in stats:
+            f_, t_ = r["field"], r["term"]
+            w = boosts[f_] * weights[t_] * _idf(n_blend, df_blend[t_])
+            wmap_items += [F.lit(f_ + SEP + t_), F.lit(float(w))]
+    else:
+        for r in stats:
+            f_, t_ = r["field"], r["term"]
+            n_f, _ = mix.field_stats[f_]
+            w = boosts[f_] * weights[t_] * _idf(n_f, int(r["df"]))
+            wmap_items += [F.lit(f_ + SEP + t_), F.lit(float(w))]
     wmap = F.create_map(*wmap_items)
     amap = F.create_map(
         *[
@@ -269,13 +289,24 @@ def multi_match_scores(
         "_s",
         wmap[F.col("term")] * tf / (tf + K1 * (1.0 - B + B * dl / avgdl)),
     ).filter(F.col("_s").isNotNull())
+    tb = float(tie_breaker)
     if mode == "most_fields":
         return scored.groupBy("doc_id").agg(F.sum("_s").alias("score"))
+    if mode == "cross_fields":
+        # per-TERM dis_max over fields, then sum over terms: both
+        # aggs hash on doc_id-prefixed keys, one exchange total
+        per_term = scored.groupBy(
+            "doc_id",
+            F.split_part("term", F.lit(SEP), F.lit(2)).alias("_t"),
+        ).agg(
+            (F.max("_s") + F.lit(tb) * (F.sum("_s") - F.max("_s")))
+            .alias("_ts")
+        )
+        return per_term.groupBy("doc_id").agg(F.sum("_ts").alias("score"))
     # best_fields: per-field subtotal first, then dis_max across fields
     per_field = scored.groupBy(
         "doc_id", F.split_part("term", F.lit(SEP), F.lit(1)).alias("_f")
     ).agg(F.sum("_s").alias("_fs"))
-    tb = float(tie_breaker)
     return per_field.groupBy("doc_id").agg(
         (F.max("_fs") + F.lit(tb) * (F.sum("_fs") - F.max("_fs")))
         .alias("score")

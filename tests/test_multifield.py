@@ -136,6 +136,76 @@ def test_best_fields_zero_tiebreak_is_pure_max(spark, pages, mix):
         assert s == pytest.approx(want, abs=1e-9)
 
 
+def _py_cross_fields(spark, pages, mix, tb):
+    """Pure-python blended-statistics twin over the raw corpus."""
+    import math
+
+    from siem_on_amazon_opensearch_service_spark.analysis import tokenize_py
+    from siem_on_amazon_opensearch_service_spark.bm25 import B, K1
+
+    url2id = {r["url"]: int(r["doc_id"]) for r in mix.docs.collect()}
+    raw = pages.select("url", "text", "title").collect()
+    toks = {
+        url2id[r["url"]]: {"body": tokenize_py(r["text"]),
+                           "title": tokenize_py(r["title"])}
+        for r in raw
+    }
+    qtf: dict[str, int] = {}
+    for t in tokenize_py(QUERY):
+        qtf[t] = qtf.get(t, 0) + 1
+
+    stats = {}
+    for f in BOOSTS:
+        dls = {d: len(v[f]) for d, v in toks.items() if v[f]}
+        stats[f] = (len(dls), sum(dls.values()) / len(dls))
+    n_blend = max(n for n, _ in stats.values())
+
+    df_blend = {}
+    for t in qtf:
+        for f in BOOSTS:
+            df = sum(1 for v in toks.values() if t in v[f])
+            df_blend[t] = max(df_blend.get(t, 0), df)
+
+    want = {}
+    for d, v in toks.items():
+        total = 0.0
+        for t, q in qtf.items():
+            if df_blend[t] == 0:
+                continue
+            idf = math.log(1 + (n_blend - df_blend[t] + 0.5)
+                           / (df_blend[t] + 0.5))
+            fs = []
+            for f in BOOSTS:
+                tf = v[f].count(t)
+                if not tf:
+                    continue
+                _, avgdl = stats[f]
+                sat = tf / (tf + K1 * (1 - B + B * len(v[f]) / avgdl))
+                fs.append(BOOSTS[f] * q * idf * sat)
+            if fs:
+                total += max(fs) + tb * (sum(fs) - max(fs))
+        if total:
+            want[d] = total
+    return want
+
+
+@pytest.mark.parametrize("tb", [0.0, 0.3])
+def test_cross_fields_blended_twin(spark, pages, mix, tb):
+    """cross_fields == the blended-statistics model: one idf per term
+    (df = max across fields, N = max docCount), per-term dis_max over
+    fields, summed over terms."""
+    got = {
+        r["doc_id"]: r["score"]
+        for r in multi_match_scores(
+            mix, QUERY, BOOSTS, mode="cross_fields", tie_breaker=tb
+        ).collect()
+    }
+    want = _py_cross_fields(spark, pages, mix, tb)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9), d
+
+
 def test_unknown_mode_raises(mix):
     with pytest.raises(ValueError):
-        multi_match_scores(mix, QUERY, BOOSTS, mode="cross_fields")
+        multi_match_scores(mix, QUERY, BOOSTS, mode="phrase_prefixy")
