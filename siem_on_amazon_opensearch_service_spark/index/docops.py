@@ -103,6 +103,30 @@ def delete_by_query(
     return n
 
 
+def count_matched(
+    ix: PostingsIndex,
+    body: dict | None,
+    positional_ix: PostingsIndex | None = None,
+    text_field: str = DEFAULT_TEXT_FIELD,
+) -> int:
+    """``_count``: matched-doc count for a body's query -- the same
+    one-scan matched set, reduced instead of paged."""
+    return matched_ids(ix, body, positional_ix, text_field).count()
+
+
+def validate_query(body: dict | None,
+                   text_field: str = DEFAULT_TEXT_FIELD) -> dict:
+    """``_validate/query``: compile-only check of a search body.
+    Returns ``{"valid": bool, "explanation" | "error": str}`` --
+    compilation is pure driver work, no job runs."""
+    try:
+        tree = compile_query((body or {}).get("query", {"match_all": {}}),
+                             text_field)
+        return {"valid": True, "explanation": repr(tree)}
+    except Exception as e:  # parse/compile errors ARE the API result
+        return {"valid": False, "error": str(e)}
+
+
 # ---------------------------------------------------------------------------
 # declarative update scripts (the painless-source analog)
 # ---------------------------------------------------------------------------

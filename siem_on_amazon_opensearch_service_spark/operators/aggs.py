@@ -31,16 +31,29 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 def significant_terms(df: DataFrame, field: str, foreground: Column,
-                      size: int = 10, min_doc_count: int = 1) -> DataFrame:
+                      size: int = 10, min_doc_count: int = 1,
+                      heuristic: str = "jlh") -> DataFrame:
     """``significant_terms`` agg: keys of ``field`` over-represented in
     the foreground set (rows matching ``foreground``) relative to the
-    whole background corpus, ranked by the JLH score
-    ``(fg% - bg%) * (fg% / bg%)`` (the OpenSearch default heuristic;
-    background includes the foreground, as in OpenSearch).
+    whole background corpus (background includes the foreground, as in
+    OpenSearch: ``background_is_superset``).
+
+    ``heuristic`` selects the OpenSearch significance scorer (public
+    formulas; ES/OpenSearch heuristics package):
+
+    * ``jlh`` (default): ``(fg% - bg%) * (fg% / bg%)``
+    * ``percentage``: ``fg_count / bg_count``
+    * ``chi_square`` (include_negatives=false): the 2x2 contingency
+      chi-square over (a,b,c,d) = (fg_count, fg_total - fg_count,
+      bg_count - fg_count, bg_total - fg_total - bg_count + fg_count)
+    * ``mutual_information``: pointwise MI sum over the same table
+    * ``gnd``: Google normalized distance, scored exp(-2*GND) so
+      bigger = more significant
 
     ONE pass over the fact table: a conditional count per key gives
     fg/bg doc counts together; totals fold in via a 1x1 crossJoin of
-    the same aggregate run at top level (metadata-sized).
+    the same aggregate run at top level (metadata-sized) -- the plan
+    is heuristic-independent, only the final scalar changes.
     Returns (key, fg_count, bg_count, score) ordered by score desc.
     """
     per_key = df.groupBy(F.col(field).alias("key")).agg(
@@ -53,13 +66,44 @@ def significant_terms(df: DataFrame, field: str, foreground: Column,
     )
     fg_pct = F.col("fg_count") / F.col("_fg_total")
     bg_pct = F.col("bg_count") / F.col("_bg_total")
-    jlh = F.when(
-        (F.col("fg_count") >= min_doc_count) & (fg_pct > bg_pct),
-        (fg_pct - bg_pct) * (fg_pct / bg_pct),
+    a = F.col("fg_count").cast("double")
+    b = F.col("_fg_total") - a
+    c = F.col("bg_count") - a
+    d = F.col("_bg_total") - F.col("_fg_total") - c
+    n = F.col("_bg_total")
+    if heuristic == "jlh":
+        raw = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    elif heuristic == "percentage":
+        raw = a / F.col("bg_count")
+    elif heuristic == "chi_square":
+        raw = (
+            n * F.pow(a * d - b * c, 2)
+            / ((a + b) * (c + d) * (a + c) * (b + d))
+        )
+    elif heuristic == "mutual_information":
+        def _mi(x, px, py):
+            p = x / n
+            return F.when(x > 0, p * F.log2(p / (px * py))).otherwise(0.0)
+        pf, pnf = (a + b) / n, (c + d) / n
+        pk, pnk = (a + c) / n, (b + d) / n
+        raw = (_mi(a, pf, pk) + _mi(b, pf, pnk)
+               + _mi(c, pnf, pk) + _mi(d, pnf, pnk))
+    elif heuristic == "gnd":
+        # f1 = key docs, f2 = foreground docs, f12 = both
+        lf1 = F.log(F.col("bg_count").cast("double"))
+        lf2 = F.log(F.col("_fg_total"))
+        lf12 = F.log(a)
+        gnd = ((F.greatest(lf1, lf2) - lf12)
+               / (F.log(n) - F.least(lf1, lf2)))
+        raw = F.when(a > 0, F.exp(-2.0 * gnd)).otherwise(0.0)
+    else:
+        raise ValueError(f"unknown significance heuristic {heuristic!r}")
+    score = F.when(
+        (F.col("fg_count") >= min_doc_count) & (fg_pct > bg_pct), raw
     ).otherwise(0.0)
     return (
         per_key.crossJoin(F.broadcast(totals))
-        .select("key", "fg_count", "bg_count", jlh.alias("score"))
+        .select("key", "fg_count", "bg_count", score.alias("score"))
         .filter(F.col("score") > 0.0)
         .orderBy(F.desc("score"), F.asc("key"))
         .limit(size)

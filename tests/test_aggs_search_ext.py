@@ -90,6 +90,64 @@ def test_significant_terms_jlh(events):
     assert scores == sorted(scores, reverse=True)
 
 
+def _sig_twin(rows, heuristic):
+    import math
+
+    fg = [r for r in rows if r[3] > 120.0]
+    fg_total, bg_total = float(len(fg)), float(len(rows))
+    fg_c = Counter(r[1] for r in fg)
+    bg_c = Counter(r[1] for r in rows)
+    expected = {}
+    for key, bgn in bg_c.items():
+        fgn = fg_c.get(key, 0)
+        fgp, bgp = fgn / fg_total, bgn / bg_total
+        if not (fgn >= 1 and fgp > bgp):
+            continue
+        a, b = float(fgn), fg_total - fgn
+        c, d = bgn - fgn, bg_total - fg_total - (bgn - fgn)
+        n = bg_total
+        if heuristic == "percentage":
+            s = a / bgn
+        elif heuristic == "chi_square":
+            s = (n * (a * d - b * c) ** 2
+                 / ((a + b) * (c + d) * (a + c) * (b + d)))
+        elif heuristic == "mutual_information":
+            s = 0.0
+            for x, px, py in ((a, (a + b) / n, (a + c) / n),
+                              (b, (a + b) / n, (b + d) / n),
+                              (c, (c + d) / n, (a + c) / n),
+                              (d, (c + d) / n, (b + d) / n)):
+                if x > 0:
+                    s += (x / n) * math.log2((x / n) / (px * py))
+        else:  # gnd
+            lf1, lf2, lf12 = math.log(bgn), math.log(fg_total), math.log(a)
+            g = ((max(lf1, lf2) - lf12)
+                 / (math.log(n) - min(lf1, lf2)))
+            s = math.exp(-2.0 * g)
+        if s > 0:
+            expected[key] = s
+    return expected
+
+
+@pytest.mark.parametrize(
+    "heuristic", ["percentage", "chi_square", "mutual_information", "gnd"])
+def test_significant_terms_heuristics(events, heuristic):
+    sdf, rows = events
+    expected = _sig_twin(rows, heuristic)
+    got = significant_terms(
+        sdf, "event_type", F.col("value") > 120.0, size=10,
+        heuristic=heuristic,
+    ).collect()
+    assert {r["key"] for r in got} == set(expected)
+    for r in got:
+        assert r["score"] == pytest.approx(expected[r["key"]], rel=1e-9)
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError, match="unknown significance"):
+        significant_terms(sdf, "event_type", F.col("value") > 120.0,
+                          heuristic="tfidfish").collect()
+
+
 def test_rare_terms(events):
     sdf, rows = events
     key = F.concat_ws(":", "event_type", "user_id")

@@ -101,6 +101,24 @@ def test_update_by_query_rejects_indexed_columns(spark, setup):
         update_by_query(spark, path, None, {"inc": {"doclen": 1}})
 
 
+def test_count_and_validate(spark, setup):
+    pdf, _, path = setup
+    from siem_on_amazon_opensearch_service_spark.index.docops import (
+        count_matched,
+        validate_query,
+    )
+
+    ix = PostingsIndex.load(spark, path)
+    assert count_matched(ix, BODY) == len(_match_set_py(pdf, "w00005"))
+    assert count_matched(ix, None) == len(pdf)
+    ok = validate_query({"query": {"bool": {"must": [
+        {"match": {"text": "a b"}}], "must_not": [
+        {"term": {"lang": "fr"}}]}}})
+    assert ok["valid"] and "Group" in ok["explanation"]
+    bad = validate_query({"query": {"frobnicate": {"x": 1}}})
+    assert not bad["valid"] and bad["error"]
+
+
 def test_script_exprs_validation():
     with pytest.raises(ValueError, match="unknown script op"):
         script_exprs({"explode": {"f": 1}})
