@@ -116,6 +116,49 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(pred)
 
 
+def mixture_rates(counts: dict[str, int], budget: int,
+                  temperature: float = 1.0) -> dict[str, float]:
+    """Temperature-weighted mixture rates (the multilingual /
+    domain-mixing sampler: p_s ∝ n_s^(1/T), the XLM-R exponent-smoothed
+    sampling scheme — T>1 upweights rare sources).  Given per-source
+    sizes and a total output budget, rate_s = min(1, p_s·B / n_s):
+    without-replacement sampling caps at keeping everything (epoch
+    repetition is the packer's job, not the sampler's).
+
+    Pure driver arithmetic over the per-source COUNTS — the rates are
+    metadata (a groupBy(source).count() away), never a corpus pass.
+    """
+    if budget <= 0 or temperature <= 0:
+        raise ValueError("budget and temperature must be positive")
+    smoothed = {s: n ** (1.0 / temperature)
+                for s, n in counts.items() if n > 0}
+    z = sum(smoothed[s] for s in sorted(smoothed))
+    return {
+        s: min(1.0, (smoothed[s] / z) * budget / counts[s])
+        for s in smoothed
+    }
+
+
+def mixture_sample(df: DataFrame, source_col: str, key_col: str,
+                   budget: int, temperature: float = 1.0,
+                   counts: dict[str, int] | None = None,
+                   seed: str = "mix") -> DataFrame:
+    """Deterministic temperature mixture over sources: ONE small
+    groupBy for the per-source counts (skippable by passing ``counts``
+    from the catalog), rates folded into per-source literal hash cuts
+    (:func:`hash_sample_pred`), one narrow filter pass keeps ~budget
+    rows at the smoothed proportions.  Row-identical across runs and
+    engines for fixed (seed, key)."""
+    if counts is None:
+        counts = {
+            r["s"]: int(r["n"])
+            for r in df.groupBy(F.col(source_col).alias("s"))
+            .agg(F.count("*").alias("n")).collect()
+        }
+    rates = mixture_rates(counts, budget, temperature)
+    return stratified_sample(df, source_col, rates, key_col, seed=seed)
+
+
 # ---------------------------------------------------------------------------
 # shard assignment
 # ---------------------------------------------------------------------------
