@@ -337,3 +337,93 @@ def duckdb_top_ngram_sql(n: int, table: str = "documents",
                AS frac
       FROM rk_{n} WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity quality signal
+# ---------------------------------------------------------------------------
+
+def doc_log_perplexity(docs: DataFrame, model, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       discount: float = 0.4) -> DataFrame:
+    """Per-document log-perplexity under the corpus bigram LM
+    (``index.suggest.BigramModel``) -- the kenlm-style quality filter
+    of web-curation pipelines (CCNet/Gopher family: score each doc
+    with an n-gram LM, drop the high-perplexity tail), restated on the
+    engine's own Stupid-Backoff LM so it shares one definition with
+    the phrase suggester.
+
+    logppl(d) = -(1/n) * [log P(t_1) + sum_i log P_SB(t_i | t_{i-1})]
+
+    with EXACTLY the suggester's scoring: bigram chain when (prev, w)
+    and prev both exist, else discount-smoothed unigram backoff, with
+    the +1e-9 unknown-word floor.
+
+    One narrow pass: tokens pair with their predecessor via a
+    zero-shuffle array shift INSIDE each row (no per-doc window), the
+    corpus-sized pair stream joins the vocabulary-sized LM tables
+    (AQE broadcasts them when small; at web scale they hash-join on
+    vocabulary keys), and one groupBy(doc_id) folds the sum.  Returns
+    (doc_id, n_tokens, logppl); empty docs get NULL logppl.
+    """
+    from ..analysis import tokens_col
+
+    ts = tokens_col(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), ts.alias("ts"))
+    shifted = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+    )
+    pairs = base.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(shifted.alias("pv"), F.col("ts").alias("wd"))
+        ).alias("pos", "p"),
+    ).select("doc_id", "pos", F.col("p.pv").alias("prev"),
+             F.col("p.wd").alias("w"))
+
+    uni_w = model.unigrams.select(F.col("w"), F.col("n").alias("n_w"))
+    uni_p = model.unigrams.select(
+        F.col("w").alias("prev"), F.col("n").alias("n_prev"))
+    bi = model.bigrams.select(
+        F.col("w1").alias("prev"), F.col("w2").alias("w"),
+        F.col("n").alias("n_bi"))
+    total = float(model.total) if model.total else 1.0
+
+    j = (
+        pairs.join(bi, ["prev", "w"], "left")
+        .join(uni_p, "prev", "left")
+        .join(uni_w, "w", "left")
+    )
+    backoff = F.log(
+        F.lit(discount) * (F.coalesce(F.col("n_w"), F.lit(0.0)) + 1e-9)
+        / F.lit(total))
+    first = F.log(
+        (F.coalesce(F.col("n_w"), F.lit(0.0)) + 1e-9) / F.lit(total))
+    chained = F.when(
+        F.col("n_bi").isNotNull() & F.col("n_prev").isNotNull(),
+        F.log(F.col("n_bi").cast("double") / F.col("n_prev")),
+    ).otherwise(backoff)
+    s = F.when(F.col("pos") == 0, first).otherwise(chained)
+
+    return (
+        j.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum(s).alias("_lp"))
+        .select(
+            "doc_id", "n_tokens",
+            F.round(-F.col("_lp") / F.col("n_tokens"), 6).alias("logppl"),
+        )
+    )
+
+
+def filter_by_perplexity(docs: DataFrame, model, max_logppl: float,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Keep docs whose LM log-perplexity is at most ``max_logppl`` --
+    the curation drop-the-tail move. One semi-join against the scored
+    ids; empty docs (no score) are dropped."""
+    keep = doc_log_perplexity(docs, model, text_col, id_col).filter(
+        F.col("logppl") <= max_logppl
+    ).select("doc_id")
+    return docs.join(keep.withColumnRenamed("doc_id", id_col),
+                     id_col, "left_semi")
