@@ -191,3 +191,45 @@ def analyzed_text(text: Column | str,
     separators)."""
     return F.array_join(
         analyzed_tokens(text, stopwords, synonyms, stem), " ")
+
+
+# ---------------------------------------------------------------------------
+# _analyze API
+# ---------------------------------------------------------------------------
+
+def analyze_text(text: str,
+                 stopwords: list[str] | None = None,
+                 synonyms: dict[str, str] | None = None,
+                 stem: bool = False) -> list[dict]:
+    """``POST /_analyze``: the token stream the engine would index for
+    ``text``, with offsets and positions — the debugging endpoint the
+    dashboards' Dev Tools exposes.  Pure driver-side work (the API
+    analyzes ONE string; the distributed twin is ``analyzed_tokens``).
+
+    ``start_offset``/``end_offset`` index into the lowercased input
+    (identical to the raw input for ASCII); ``position`` is the index
+    in the post-filter stream — contiguous across removed stopwords,
+    matching the engine's positional index (which builds positions
+    from the filtered stream, not Lucene's gap-preserving increments).
+    """
+    import re as _re
+
+    from .analysis import TOKEN_SPLIT_PATTERN
+
+    token_re = _re.compile(TOKEN_SPLIT_PATTERN.replace("[^", "[", 1))
+    out = []
+    pos = 0
+    stopset = set(stopwords or [])
+    for m in token_re.finditer((text or "").lower()):
+        tok = m.group(0)
+        if tok in stopset:
+            continue
+        if synonyms:
+            tok = synonyms.get(tok, tok)
+        if stem:
+            tok = py_s_stem(tok)
+        out.append({"token": tok, "start_offset": m.start(),
+                    "end_offset": m.end(), "position": pos,
+                    "type": "<ALPHANUM>"})
+        pos += 1
+    return out

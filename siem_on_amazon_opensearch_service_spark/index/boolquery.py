@@ -230,6 +230,45 @@ def term_suggest(ix: PostingsIndex, text: str, max_edits: int = 2,
     )
 
 
+def mlt_select_terms(ix: PostingsIndex, like_text: str,
+                     max_query_terms: int = 25, min_term_freq: int = 2,
+                     min_doc_freq: int = 2,
+                     minimum_should_match_pct: float = 0.3,
+                     ) -> tuple[list[str], int]:
+    """MLT term selection (Lucene MoreLikeThis): returns the selected
+    terms and the resolved minimum_should_match count.  Candidates
+    need ``min_term_freq`` occurrences in the like-text and
+    ``min_doc_freq`` corpus docs; rank by tf * idf (the engine's BM25
+    idf), ties by term; top ``max_query_terms`` survive.  Driver-side
+    metadata only: the df lookup is a term-pruned dictionary scan
+    collecting <= |candidate| rows."""
+    import math
+
+    from collections import Counter
+
+    tf_c = Counter(tokenize_py(like_text))
+    cand = sorted(t for t, n in tf_c.items() if n >= min_term_freq)
+    if not cand:
+        return [], 0
+    stats = (
+        ix.term_stats
+        .filter(F.col("term").isin(cand) & (F.col("df") >= min_doc_freq))
+        .select("term", "df")
+        .collect()
+    )
+    if not stats:
+        return [], 0
+    n = float(ix.n_docs)
+
+    def tfidf(r):
+        return tf_c[r["term"]] * math.log(
+            1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+
+    ranked = sorted(stats, key=lambda r: (-tfidf(r), r["term"]))
+    sel = [r["term"] for r in ranked[:max_query_terms]]
+    return sel, int(len(sel) * minimum_should_match_pct)
+
+
 def more_like_this(ix: PostingsIndex, like_text: str,
                    max_query_terms: int = 25, min_term_freq: int = 2,
                    min_doc_freq: int = 2,
@@ -256,33 +295,14 @@ def more_like_this(ix: PostingsIndex, like_text: str,
     (already on the driver) and df from a term-pruned dictionary scan
     collecting <= |candidate| rows; the corpus-sized work is exactly
     one bool query."""
-    import math
-
-    from collections import Counter
-
-    tf_c = Counter(tokenize_py(like_text))
-    cand = sorted(t for t, n in tf_c.items() if n >= min_term_freq)
+    sel, msm = mlt_select_terms(
+        ix, like_text, max_query_terms=max_query_terms,
+        min_term_freq=min_term_freq, min_doc_freq=min_doc_freq,
+        minimum_should_match_pct=minimum_should_match_pct)
     spark = ix.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
-    if not cand:
+    if not sel:
         return empty
-    stats = (
-        ix.term_stats
-        .filter(F.col("term").isin(cand) & (F.col("df") >= min_doc_freq))
-        .select("term", "df")
-        .collect()
-    )
-    if not stats:
-        return empty
-    n = float(ix.n_docs)
-
-    def tfidf(r):
-        return tf_c[r["term"]] * math.log(
-            1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
-
-    ranked = sorted(stats, key=lambda r: (-tfidf(r), r["term"]))
-    sel = [r["term"] for r in ranked[:max_query_terms]]
-    msm = int(len(sel) * minimum_should_match_pct)
 
     scored = _decoded_scored(ix, sel)
     per_doc = scored.groupBy("doc_id").agg(

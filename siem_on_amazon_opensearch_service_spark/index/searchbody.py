@@ -41,6 +41,7 @@ body shape to `_search`.
 
 from __future__ import annotations
 
+from dataclasses import replace as dc_replace
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
@@ -63,6 +64,161 @@ from .querystring import (
 #: docs-table column that holds the indexed full text's name -- the
 #: corpus schema (url, warc_ts, html, text, lang) indexes ``text``.
 DEFAULT_TEXT_FIELD = "text"
+
+
+# ---------------------------------------------------------------------------
+# runtime fields (search-time mappings)
+# ---------------------------------------------------------------------------
+
+#: OpenSearch runtime-field type -> Spark cast type.
+_RUNTIME_TYPES = {
+    "keyword": "string", "long": "bigint", "double": "double",
+    "boolean": "boolean", "date": "timestamp", "ip": "string",
+}
+
+
+def with_runtime_mappings(ix: PostingsIndex,
+                          runtime_mappings: dict) -> PostingsIndex:
+    """``runtime_mappings``: search-time computed fields (OpenSearch
+    runtime fields, normally a painless ``emit(...)`` script).  Each
+    definition derives ONE docs column on the handle, so runtime
+    fields work everywhere a mapped field does -- term-level query
+    nodes, sort, ``_source``, aggregations (including as the
+    significant_terms background set) -- without touching stored data.
+
+    Script forms:
+
+    * ``{"script": {"source": "<sql expr>"}}`` -- one Spark SQL scalar
+      expression over the doc columns (the engine's painless stand-in;
+      stays inside Catalyst/codegen).
+    * ``{"script": [declarative ops]}`` -- the update-by-query script
+      surface (``docops.script_exprs``); the runtime field reads its
+      own name after the ops run.
+    * no script -- field "shadowing": re-reads the same-named stored
+      column under the declared type (OpenSearch's script-less runtime
+      field reading ``_source``).
+
+    Values take try_cast semantics: a malformed row becomes NULL (the
+    runtime fields' lenient read path), never a job abort.
+    """
+    docs = ix.docs
+    for name, spec in runtime_mappings.items():
+        typ = _RUNTIME_TYPES[spec.get("type", "keyword")]
+        script = spec.get("script")
+        if script is None:
+            col = F.col(name)
+        elif isinstance(script, dict) and "source" in script:
+            col = F.expr(script["source"])
+        else:
+            from .docops import _apply_script, script_exprs
+            docs = _apply_script(docs, script_exprs(script))
+            col = F.col(name)
+        docs = docs.withColumn(name, col.try_cast(typ))
+    return dc_replace(ix, docs=docs)
+
+
+# ---------------------------------------------------------------------------
+# more_like_this expansion (needs index stats -> runs before the pure
+# compiler)
+# ---------------------------------------------------------------------------
+
+
+def _mlt_bool(body: dict, ix: PostingsIndex,
+              source_docs: DataFrame | None, text_field: str) -> dict:
+    """Resolve one ``more_like_this`` node into a plain ``bool``
+    node: Lucene MLT term selection (tf*idf-ranked characteristic
+    terms of the like-texts, ``boolquery.mlt_select_terms``) emits a
+    should-group with the resolved minimum_should_match; ``_id``
+    likes pull their text from the corpus table (driver-side, k rows)
+    and are excluded from hits unless ``include`` (OpenSearch
+    default)."""
+    from .boolquery import mlt_select_terms
+
+    likes = body.get("like", [])
+    if isinstance(likes, (str, dict)):
+        likes = [likes]
+    texts: list[str] = []
+    like_ids: list[int] = []
+    for item in likes:
+        if isinstance(item, str):
+            texts.append(item)
+        else:
+            like_ids.append(int(item["_id"]))
+    if like_ids:
+        if source_docs is None:
+            raise ValueError(
+                "more_like_this with {'_id': ...} likes needs "
+                "source_docs (the corpus table with doc_id + text)")
+        rows = (source_docs
+                .filter(F.col("doc_id").isin(like_ids))
+                .select(text_field).collect())
+        texts.extend(str(r[text_field]) for r in rows)
+
+    msm_raw = body.get("minimum_should_match", "30%")
+    pct = (float(msm_raw[:-1]) / 100.0
+           if isinstance(msm_raw, str) and msm_raw.endswith("%")
+           else None)
+    sel, msm = mlt_select_terms(
+        ix, " ".join(texts),
+        max_query_terms=int(body.get("max_query_terms", 25)),
+        min_term_freq=int(body.get("min_term_freq", 2)),
+        min_doc_freq=int(body.get("min_doc_freq", 2)),
+        minimum_should_match_pct=0.3 if pct is None else pct)
+    if pct is None and not isinstance(msm_raw, str):
+        msm = int(msm_raw)
+    if not sel:
+        return {"match_none": {}}
+    out: dict = {
+        "should": [{"term": {text_field: {"value": t}}} for t in sel],
+        "minimum_should_match": msm,
+    }
+    if like_ids and not body.get("include", False):
+        out["must_not"] = [{"ids": {"values": [str(i) for i in like_ids]}}]
+    return {"bool": out}
+
+
+def expand_mlt(node: dict, ix: PostingsIndex,
+               source_docs: DataFrame | None = None,
+               text_field: str = DEFAULT_TEXT_FIELD) -> dict:
+    """Walk a query-DSL tree and expand every ``more_like_this`` node
+    (term selection reads index statistics, so it cannot live in the
+    pure ``compile_query``).  Non-MLT subtrees return unchanged."""
+    if not isinstance(node, dict) or not node:
+        return node
+    kind, body = _one(node)
+
+    def rec(n):
+        return expand_mlt(n, ix, source_docs, text_field)
+
+    if kind == "more_like_this":
+        return _mlt_bool(body, ix, source_docs, text_field)
+    if kind == "bool":
+        nb = dict(body)
+        for occ in ("must", "filter", "should", "must_not"):
+            if occ in nb:
+                items = nb[occ]
+                nb[occ] = (rec(items) if isinstance(items, dict)
+                           else [rec(i) for i in items])
+        return {"bool": nb}
+    if kind == "dis_max":
+        nb = dict(body)
+        nb["queries"] = [rec(q) for q in body.get("queries", [])]
+        return {"dis_max": nb}
+    if kind == "constant_score":
+        nb = dict(body)
+        nb["filter"] = rec(body["filter"])
+        return {"constant_score": nb}
+    if kind == "boosting":
+        nb = dict(body)
+        nb["positive"] = rec(body["positive"])
+        nb["negative"] = rec(body["negative"])
+        return {"boosting": nb}
+    if kind == "function_score":
+        nb = dict(body)
+        if "query" in nb:
+            nb["query"] = rec(nb["query"])
+        return {"function_score": nb}
+    return node
 
 
 # ---------------------------------------------------------------------------
@@ -281,7 +437,10 @@ def search_hits(
     a top-level ``hybrid`` query executes each sub-query to
     ``pagination_depth`` and fuses by RRF (the 2.x
     score-ranker-processor default)."""
-    qnode = body.get("query", {"match_all": {}})
+    if body.get("runtime_mappings"):
+        ix = with_runtime_mappings(ix, body["runtime_mappings"])
+    qnode = expand_mlt(body.get("query", {"match_all": {}}), ix,
+                       source_docs, text_field)
     qkind, _ = _one(qnode)
     if qkind in ("knn", "hybrid"):
         scored = _vector_scored(ix, qnode, positional_ix, text_field,
@@ -469,11 +628,13 @@ def _sort_spec(sort_list: list) -> list[tuple[Column, bool]]:
     spec = []
     for s in sort_list:
         if isinstance(s, str):
-            fname, direction = s, "asc"
+            fname, opts = s, {}
         else:
             fname, opts = _one(s)
-            direction = (opts.get("order", "asc")
-                         if isinstance(opts, dict) else str(opts))
+        # _score defaults desc, fields default asc (OpenSearch)
+        default = "desc" if fname == "_score" else "asc"
+        direction = (opts.get("order", default)
+                     if isinstance(opts, dict) else str(opts))
         col = F.col("score" if fname == "_score" else fname)
         spec.append((col, direction == "desc"))
     if not spec:
@@ -1020,11 +1181,17 @@ def search_body(
     matched doc set (not the hits page), exactly like OpenSearch --
     except knn/hybrid queries, whose matched set IS the top-k/fused
     cut."""
+    if body.get("runtime_mappings"):
+        # derive once; strip the key so search_hits doesn't re-apply
+        # (declarative ops like ``inc`` are not idempotent)
+        ix = with_runtime_mappings(ix, body["runtime_mappings"])
+        body = {k: v for k, v in body.items() if k != "runtime_mappings"}
     res: dict = {"hits": search_hits(ix, body, positional_ix, text_field,
                                      vecs=vecs, source_docs=source_docs)}
     aggs_spec = body.get("aggs", body.get("aggregations"))
     if aggs_spec:
-        qnode = body.get("query", {"match_all": {}})
+        qnode = expand_mlt(body.get("query", {"match_all": {}}), ix,
+                           source_docs, text_field)
         qkind, _ = _one(qnode)
         if qkind in ("knn", "hybrid"):
             matched = _vector_scored(ix, qnode, positional_ix,
