@@ -442,7 +442,13 @@ def search_hits(
     qnode = expand_mlt(body.get("query", {"match_all": {}}), ix,
                        source_docs, text_field)
     qkind, _ = _one(qnode)
-    if qkind in ("knn", "hybrid"):
+    if qkind.startswith("span_"):
+        if positional_ix is None:
+            raise ValueError("span queries need a positional index")
+        from .spans import span_scores
+        scored = (span_scores(positional_ix, qnode)
+                  .join(ix.docs, "doc_id", "left"))
+    elif qkind in ("knn", "hybrid"):
         scored = _vector_scored(ix, qnode, positional_ix, text_field,
                                 vecs, vec_id_col, vec_col)
     else:

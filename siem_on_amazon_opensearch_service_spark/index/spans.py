@@ -1,0 +1,214 @@
+r"""Span queries over the positional index: ``span_term`` /
+``span_near`` (ordered + unordered, slop) / ``span_first`` /
+``span_or`` / ``span_not``.
+
+Reference semantics target: the Lucene span family OpenSearch exposes
+as query DSL (used in security content for "X within N tokens of Y,
+in order" rules; the reference's filter bar accepts the ``span_*``
+JSON nodes).  A span is a (doc, start, end) position interval; span
+queries compose intervals, and a doc scores by how many (and how
+tight) composed intervals it contains.
+
+Documented semantics (deterministic, shared with the pytest twin):
+
+* ``span_term t`` — one span per occurrence: (pos, pos+1), width 1.
+* ``span_near(clauses, slop, in_order)`` — one span per combination
+  of one child span each, pairwise NON-OVERLAPPING, ordered when
+  ``in_order`` (child i+1 starts at-or-after child i ends); the
+  enclosing interval is (min start, max end) and its total gap
+  ``(end - start) - Σ child widths`` must be ``<= slop``.
+* ``span_first(match, end)`` — match spans with ``span.end <= end``.
+* ``span_or(clauses)`` — the distinct union of child spans.
+* ``span_not(include, exclude)`` — include spans overlapping no
+  exclude span in the same doc.
+
+Scoring mirrors the engine's sloppy-phrase shape (Lucene
+SpanScorer's sloppyFreq): each matched span weighs
+``1 / (1 + gap)``; the doc's span frequency is the sum, fed to BM25
+with idf = Σ idf over every leaf-term slot in the tree.
+
+Plan (100 TB posture): ONE term-pruned positional scan decodes every
+leaf term (``In(term, ...)`` reaches parquet); near-composition is a
+doc_id join chain — all keys are doc_id, so the joins co-locate on
+one shuffle — with a window predicate ``|start_i - start_0| <= Σw +
+slop`` bounding per-doc combinations by the window width, never
+all-pairs.  No driver-side position work, no row-Python.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import tokenize_py
+from ..bm25 import B, K1, idf
+from .build import PostingsIndex
+from .positional import decode_blocks_positions
+
+__all__ = ["span_scores", "span_topk", "span_leaf_terms"]
+
+
+def _one(spec: dict) -> tuple[str, object]:
+    if len(spec) != 1:
+        raise ValueError(f"span node must have exactly one key: {spec}")
+    return next(iter(spec.items()))
+
+
+def _term_of(body) -> str:
+    # {"span_term": {"text": "t"}} or {"span_term": {"text": {"value": "t"}}}
+    _, v = _one(body)
+    tok = v["value"] if isinstance(v, dict) else v
+    toks = tokenize_py(str(tok))
+    if len(toks) != 1:
+        raise ValueError(f"span_term must analyze to one token: {tok!r}")
+    return toks[0]
+
+
+def span_leaf_terms(node: dict) -> list[str]:
+    """Every leaf term in tree order (duplicates kept — each slot
+    contributes its idf, the PhraseQuery convention)."""
+    kind, body = _one(node)
+    if kind == "span_term":
+        return [_term_of(body)]
+    if kind == "span_near":
+        return [t for c in body["clauses"] for t in span_leaf_terms(c)]
+    if kind == "span_or":
+        return [t for c in body["clauses"] for t in span_leaf_terms(c)]
+    if kind == "span_first":
+        return span_leaf_terms(body["match"])
+    if kind == "span_not":
+        # exclude terms gate but don't score (Lucene SpanNot scores
+        # the include side only)
+        return span_leaf_terms(body["include"])
+    raise ValueError(f"unsupported span node: {kind!r}")
+
+
+def _all_terms(node: dict) -> list[str]:
+    """Leaf terms INCLUDING span_not excludes (for the one pruned
+    decode pass)."""
+    kind, body = _one(node)
+    if kind == "span_not":
+        return _all_terms(body["include"]) + _all_terms(body["exclude"])
+    if kind in ("span_near", "span_or"):
+        return [t for c in body["clauses"] for t in _all_terms(c)]
+    if kind == "span_first":
+        return _all_terms(body["match"])
+    return span_leaf_terms(node)
+
+
+def _spans(decoded: DataFrame, node: dict) -> DataFrame:
+    """Recursive span construction: (doc_id, start, end, w)."""
+    kind, body = _one(node)
+
+    if kind == "span_term":
+        t = _term_of(body)
+        return decoded.filter(F.col("term") == t).select(
+            "doc_id", F.col("pos").alias("start"),
+            (F.col("pos") + 1).alias("end"), F.lit(1).alias("w"))
+
+    if kind == "span_first":
+        child = _spans(decoded, body["match"])
+        return child.filter(F.col("end") <= int(body["end"]))
+
+    if kind == "span_or":
+        parts = [_spans(decoded, c) for c in body["clauses"]]
+        return reduce(DataFrame.unionByName, parts).dropDuplicates(
+            ["doc_id", "start", "end", "w"])
+
+    if kind == "span_not":
+        inc = _spans(decoded, body["include"]).alias("i")
+        exc = _spans(decoded, body["exclude"]).alias("x")
+        overlap = (
+            (F.col("i.doc_id") == F.col("x.doc_id"))
+            & (F.col("i.start") < F.col("x.end"))
+            & (F.col("x.start") < F.col("i.end"))
+        )
+        return inc.join(exc, overlap, "left_anti").select(
+            "i.doc_id", "i.start", "i.end", "i.w")
+
+    if kind == "span_near":
+        clauses = body["clauses"]
+        slop = int(body.get("slop", 0))
+        in_order = bool(body.get("in_order", True))
+        children = [_spans(decoded, c) for c in clauses]
+        n = len(children)
+        if n == 1:
+            return children[0]
+        total_w = F.lit(0)
+        cur = children[0].select(
+            "doc_id", F.col("start").alias("_s0"),
+            F.col("end").alias("_e0"), F.col("w").alias("_w0"))
+        # window bound: any child span of a valid combination starts
+        # within (sum of widths + slop) of child 0's start
+        win = sum(len(span_leaf_terms(c)) for c in clauses) + slop
+        for i in range(1, n):
+            ci = children[i].select(
+                "doc_id", F.col("start").alias(f"_s{i}"),
+                F.col("end").alias(f"_e{i}"), F.col("w").alias(f"_w{i}"))
+            cur = cur.join(ci, "doc_id").filter(
+                (F.col(f"_s{i}") >= F.col("_s0") - F.lit(win))
+                & (F.col(f"_s{i}") <= F.col("_s0") + F.lit(win)))
+        preds = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if in_order and j == i + 1:
+                    preds.append(F.col(f"_s{j}") >= F.col(f"_e{i}"))
+                elif not in_order:
+                    preds.append(
+                        (F.col(f"_s{j}") >= F.col(f"_e{i}"))
+                        | (F.col(f"_s{i}") >= F.col(f"_e{j}")))
+        cur = cur.filter(reduce(lambda a, b: a & b, preds))
+        start = (F.col("_s0") if in_order
+                 else F.least(*[F.col(f"_s{i}") for i in range(n)]))
+        end = (F.col(f"_e{n-1}") if in_order
+               else F.greatest(*[F.col(f"_e{i}") for i in range(n)]))
+        w = reduce(lambda a, b: a + b,
+                   [F.col(f"_w{i}") for i in range(n)])
+        gap_ok = (end - start - w) <= F.lit(slop)
+        return cur.filter(gap_ok).select(
+            "doc_id", start.alias("start"), end.alias("end"), w.alias("w"))
+
+    raise ValueError(f"unsupported span node: {kind!r}")
+
+
+def span_scores(ix: PostingsIndex, node: dict) -> DataFrame:
+    """(doc_id, score) over the full span match set, for composition
+    or pagination.  ``ix`` must be a POSITIONAL index
+    (``build_positional_index``)."""
+    spark = ix.postings.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    terms = _all_terms(node)
+    if not terms:
+        return empty
+    uniq = list(dict.fromkeys(terms))
+    srows = ix.term_stats.filter(F.col("term").isin(uniq)).collect()
+    dfs = {r["term"]: int(r["df"]) for r in srows}
+
+    scoring = span_leaf_terms(node)
+    if any(t not in dfs for t in scoring):
+        return empty          # a required leaf term is absent
+    idf_sum = float(sum(idf(ix.n_docs, dfs[t]) for t in scoring))
+
+    present = [t for t in uniq if t in dfs]
+    decoded = decode_blocks_positions(
+        ix.postings.filter(F.col("term").isin(present)))
+    dls = decoded.select("doc_id", "dl").dropDuplicates(["doc_id"])
+
+    spans = _spans(decoded.select("doc_id", "dl", "term", "pos"), node)
+    weight = F.lit(1.0) / (
+        F.lit(1.0) + (F.col("end") - F.col("start") - F.col("w"))
+        .cast("double"))
+    freq = (spans.groupBy("doc_id").agg(F.sum(weight).alias("ptf"))
+            .join(dls, "doc_id"))
+    ptf = F.col("ptf")
+    dl = F.col("dl").cast("double")
+    score = (F.lit(idf_sum) * ptf
+             / (ptf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl))))
+    return freq.select("doc_id", score.alias("score"))
+
+
+def span_topk(ix: PostingsIndex, node: dict, k: int = 10) -> DataFrame:
+    return (span_scores(ix, node)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

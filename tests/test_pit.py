@@ -100,3 +100,40 @@ def test_keep_alive_expiry_renewal_and_reaper(spark, setup):
         pit_topk(spark, repo, pid, QUERY, now=T0 + 12)
     close_pit(repo, pid2)
     assert list_pits(repo) == []
+
+
+def test_pit_search_after_pagination_stable_under_mutation(
+        spark, setup, tmp_path_factory):
+    """The canonical OpenSearch deep-pagination pattern: PIT +
+    search_after.  Pages concatenate to the full ranked list with no
+    gaps or repeats, even when docs are deleted MID-pagination."""
+    path, _ = setup
+    # fresh copy so this test's delete doesn't disturb module peers
+    import shutil
+    work = str(tmp_path_factory.mktemp("pit_page")) + "/ix"
+    shutil.copytree(path, work)
+    repo = str(tmp_path_factory.mktemp("pit_page_repo"))
+
+    pid = open_pit(work, repo, now=T0, keep_alive_s=600.0)
+    full = _rows(pit_topk(spark, repo, pid, QUERY, now=T0 + 1, k=10_000))
+
+    pages, cursor, n = [], None, 0
+    body = {"query": {"match": {"text": QUERY}}, "size": 7}
+    while True:
+        b = dict(body) if cursor is None else dict(body,
+                                                   search_after=cursor)
+        rows = pit_search(spark, repo, pid, b, now=T0 + 2 + n,
+                          keep_alive_s=600.0)["hits"].collect()
+        if not rows:
+            break
+        pages.extend((int(r["doc_id"]), round(float(r["score"]), 6))
+                     for r in rows)
+        cursor = [rows[-1]["score"], rows[-1]["doc_id"]]
+        n += 1
+        if n == 2:   # delete a doc on the LIVE index mid-pagination
+            deleted = delete_by_query(
+                spark, work, {"query": {"match": {"text": "w00012"}}})
+            assert deleted > 0
+    assert pages == full
+    assert n >= 3  # really paginated
+    close_pit(repo, pid)

@@ -1,0 +1,200 @@
+"""Span queries: engine (doc_id, score) results must match a
+pure-python span matcher implementing the module's documented
+semantics exactly (same spans, same 1/(1+gap) weights, same BM25)."""
+
+import math
+
+import pytest
+
+from siem_on_amazon_opensearch_service_spark import corpus
+from siem_on_amazon_opensearch_service_spark.analysis import tokenize_py
+from siem_on_amazon_opensearch_service_spark.bm25 import B, K1, idf
+from siem_on_amazon_opensearch_service_spark.index.positional import (
+    build_positional_index,
+)
+from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+    search_hits,
+)
+from siem_on_amazon_opensearch_service_spark.index.spans import (
+    span_leaf_terms,
+    span_scores,
+    span_topk,
+)
+
+N = 250
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return corpus.make_pages_pdf(N, seed=37)
+
+
+@pytest.fixture(scope="module")
+def pos_ix(spark, pages_pdf):
+    pdf = pages_pdf.copy()
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    pix = build_positional_index(spark, spark.createDataFrame(pdf),
+                                 id_col="doc_id", salt_threshold=60)
+    pix.postings = pix.postings.persist()
+    pix.term_stats = pix.term_stats.persist()
+    return pix
+
+
+@pytest.fixture(scope="module")
+def toks(pages_pdf):
+    return {i: tokenize_py(t) for i, t in enumerate(pages_pdf["text"])}
+
+
+# --- pure-python twin ------------------------------------------------------
+
+def py_spans(doc, node):
+    """(start, end, w) spans for one token list.  A MULTISET (list):
+    span_near counts every valid child combination as its own match
+    (two combinations yielding the same enclosing interval both
+    count), exactly like the engine's join rows; only span_or dedups
+    (documented "distinct union")."""
+    (kind, body), = node.items()
+
+    def term_of(b):
+        (_, v), = b.items()
+        return (v["value"] if isinstance(v, dict) else v).lower()
+
+    if kind == "span_term":
+        t = term_of(body)
+        return [(i, i + 1, 1) for i, tok in enumerate(doc) if tok == t]
+    if kind == "span_first":
+        return [s for s in py_spans(doc, body["match"])
+                if s[1] <= int(body["end"])]
+    if kind == "span_or":
+        out = set()
+        for c in body["clauses"]:
+            out |= set(py_spans(doc, c))
+        return sorted(out)
+    if kind == "span_not":
+        inc = py_spans(doc, body["include"])
+        exc = py_spans(doc, body["exclude"])
+        return [s for s in inc
+                if not any(s[0] < e[1] and e[0] < s[1] for e in exc)]
+    if kind == "span_near":
+        import itertools
+        slop = int(body.get("slop", 0))
+        in_order = bool(body.get("in_order", True))
+        childs = [py_spans(doc, c) for c in body["clauses"]]
+        out = []
+        for combo in itertools.product(*childs):
+            ok = True
+            for i in range(len(combo)):
+                for j in range(i + 1, len(combo)):
+                    if in_order and j == i + 1:
+                        ok &= combo[j][0] >= combo[i][1]
+                    elif not in_order:
+                        ok &= (combo[j][0] >= combo[i][1]
+                               or combo[i][0] >= combo[j][1])
+            if not ok:
+                continue
+            start = min(s[0] for s in combo)
+            end = max(s[1] for s in combo)
+            w = sum(s[2] for s in combo)
+            if (end - start) - w <= slop:
+                out.append((start, end, w))
+        return out
+    raise ValueError(kind)
+
+
+def py_span_scores(toks, node, n_docs, avgdl):
+    dfs = {}
+    for t in set(span_leaf_terms(node)):
+        dfs[t] = sum(1 for d in toks.values() if t in d)
+    if any(v == 0 for v in dfs.values()):
+        return {}
+    idf_sum = sum(idf(n_docs, dfs[t]) for t in span_leaf_terms(node))
+    out = {}
+    for i, d in toks.items():
+        spans = py_spans(d, node)
+        if not spans:
+            continue
+        ptf = sum(1.0 / (1.0 + (e - s) - w) for s, e, w in spans)
+        dl = len(d)
+        out[i] = idf_sum * ptf / (ptf + K1 * (1 - B + B * dl / avgdl))
+    return out
+
+
+def _got(df):
+    return {int(r["doc_id"]): float(r["score"]) for r in df.collect()}
+
+
+def _check(spark, pos_ix, toks, node, require_hits=True):
+    got = _got(span_scores(pos_ix, node))
+    want = py_span_scores(toks, node, pos_ix.n_docs, pos_ix.avgdl)
+    assert set(got) == set(want)
+    for d in got:
+        assert math.isclose(got[d], want[d], rel_tol=1e-9), (d, node)
+    if require_hits:
+        assert got, f"vacuous span test: {node}"
+    return got
+
+
+T = lambda t: {"span_term": {"text": t}}  # noqa: E731
+
+
+def test_span_term_and_first(spark, pos_ix, toks):
+    _check(spark, pos_ix, toks, T("w00004"))
+    got_all = _got(span_scores(pos_ix, T("w00004")))
+    got_first = _check(spark, pos_ix, toks,
+                       {"span_first": {"match": T("w00004"), "end": 30}})
+    assert set(got_first) < set(got_all)
+
+
+def test_span_near_ordered_and_unordered(spark, pos_ix, toks):
+    node_o = {"span_near": {"clauses": [T("w00004"), T("w00011")],
+                            "slop": 6, "in_order": True}}
+    node_u = {"span_near": {"clauses": [T("w00004"), T("w00011")],
+                            "slop": 6, "in_order": False}}
+    go = _check(spark, pos_ix, toks, node_o)
+    gu = _check(spark, pos_ix, toks, node_u)
+    assert set(go) <= set(gu)
+
+    # three clauses, tight slop
+    node3 = {"span_near": {
+        "clauses": [T("w00004"), T("w00011"), T("w00001")],
+        "slop": 12, "in_order": False}}
+    _check(spark, pos_ix, toks, node3, require_hits=False)
+
+
+def test_span_or_not_and_nesting(spark, pos_ix, toks):
+    node = {"span_near": {
+        "clauses": [
+            {"span_or": {"clauses": [T("w00004"), T("w00007")]}},
+            T("w00001"),
+        ], "slop": 10, "in_order": False}}
+    _check(spark, pos_ix, toks, node)
+
+    notq = {"span_not": {
+        "include": T("w00004"),
+        "exclude": {"span_near": {
+            "clauses": [T("w00004"), T("w00001")], "slop": 2,
+            "in_order": False}},
+    }}
+    _check(spark, pos_ix, toks, notq)
+
+
+def test_span_body_and_topk(spark, pos_ix, toks):
+    node = {"span_near": {"clauses": [T("w00004"), T("w00011")],
+                          "slop": 6, "in_order": False}}
+    want = py_span_scores(toks, node, pos_ix.n_docs, pos_ix.avgdl)
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in span_topk(pos_ix, node, k=5).collect()]
+    assert [d for d, _ in got] == [d for d, _ in ranked]
+
+    hits = search_hits(pos_ix, {"query": node, "size": 5},
+                       positional_ix=pos_ix)
+    assert [int(r["doc_id"]) for r in hits.collect()] \
+        == [d for d, _ in ranked]
+
+    # absent term -> empty, not an error
+    assert _got(span_scores(
+        pos_ix, {"span_near": {"clauses": [T("w00004"), T("zzzz")],
+                               "slop": 3}})) == {}
+    with pytest.raises(ValueError, match="positional"):
+        search_hits(pos_ix, {"query": node, "size": 5})
