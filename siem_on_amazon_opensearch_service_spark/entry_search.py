@@ -109,6 +109,75 @@ FROM scored ORDER BY s DESC, doc_id LIMIT 20
 """
 
 
+SPAN_A, SPAN_B = "table", "value"
+SPAN_SLOP = 4
+SPAN_FIRST_END = 15
+
+_SPAN_NEAR_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOK} AS t FROM documents),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM d),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokpos
+  WHERE term IN ('{SPAN_A}', '{SPAN_B}') GROUP BY term
+),
+idfsum AS (
+  SELECT sum(ln(1 + (stats.n - df + 0.5) / (df + 0.5))) AS v
+  FROM dft, stats
+),
+pairs AS (
+  SELECT a.doc_id, abs(b.pos - a.pos) - 1 AS gap
+  FROM tokpos a JOIN tokpos b ON a.doc_id = b.doc_id
+  WHERE a.term = '{SPAN_A}' AND b.term = '{SPAN_B}'
+    AND abs(b.pos - a.pos) - 1 <= {SPAN_SLOP}
+),
+freq AS (
+  SELECT doc_id, sum(1.0 / (1.0 + gap)) AS ptf FROM pairs GROUP BY doc_id
+),
+scored AS (
+  SELECT f.doc_id,
+         idfsum.v * f.ptf
+           / (f.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
+  FROM freq f JOIN dl ON dl.doc_id = f.doc_id, stats, idfsum
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 20
+"""
+
+_SPAN_FIRST_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOK} AS t FROM documents),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM d),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+),
+fdf AS (
+  SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM tokpos
+  WHERE term = '{SPAN_A}'
+),
+fidf AS (
+  SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS v FROM fdf, stats
+),
+freq AS (
+  SELECT doc_id, count(*)::DOUBLE AS ptf FROM tokpos
+  WHERE term = '{SPAN_A}' AND pos + 1 <= {SPAN_FIRST_END} GROUP BY doc_id
+),
+scored AS (
+  SELECT f.doc_id,
+         fidf.v * f.ptf
+           / (f.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
+  FROM freq f JOIN dl ON dl.doc_id = f.doc_id, stats, fidf
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 20
+"""
+
+
 PP_EXACT = ["table"]          # exact leading slots
 PP_PREFIX = "val"             # trailing prefix slot (matches value/...)
 PHRASE_PREFIX = " ".join(PP_EXACT + [PP_PREFIX])
@@ -167,6 +236,10 @@ FROM scoredp ORDER BY s DESC, doc_id LIMIT 20
     SELECT 'phrase_prefix', doc_id, score FROM ({_PP_SQL})
     UNION ALL
     SELECT 'proximity', doc_id, score FROM ({_PROX_SQL})
+    UNION ALL
+    SELECT 'span_near', doc_id, score FROM ({_SPAN_NEAR_SQL})
+    UNION ALL
+    SELECT 'span_first', doc_id, score FROM ({_SPAN_FIRST_SQL})
     """,
 )
 def ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,10 +249,14 @@ def ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a prefix expanded INSIDE the postings scan, union-df idf for
     the prefix slot) + sloppy phrase (chk='proximity': query_string
     ``"a b"~{PROX_SLOP}``, ordered matches with total gap <= slop
-    weighted 1/(1+gap) -- Lucene sloppyFreq shape), all through the
-    positional index."""
+    weighted 1/(1+gap) -- Lucene sloppyFreq shape) + span queries
+    (chk='span_near': unordered two-clause near, every child
+    combination a match weighted 1/(1+gap); chk='span_first': match
+    confined to the first {SPAN_FIRST_END} positions, full-corpus
+    idf), all through the positional index."""
     from .index.positional import (phrase_prefix_topk, phrase_topk,
                                    proximity_topk)
+    from .index.spans import span_topk
 
     pix = _pos_index(spark, sf_dir)
     top = phrase_topk(pix, PHRASE, k=20).select(
@@ -194,7 +271,20 @@ def ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("proximity").alias("chk"),
         "doc_id", F.round("score", 4).alias("score"),
     )
-    return top.unionByName(pp).unionByName(prox)
+    t = lambda x: {"span_term": {"text": x}}  # noqa: E731
+    near = span_topk(pix, {"span_near": {
+        "clauses": [t(SPAN_A), t(SPAN_B)], "slop": SPAN_SLOP,
+        "in_order": False}}, k=20).select(
+        F.lit("span_near").alias("chk"),
+        "doc_id", F.round("score", 4).alias("score"),
+    )
+    first = span_topk(pix, {"span_first": {
+        "match": t(SPAN_A), "end": SPAN_FIRST_END}}, k=20).select(
+        F.lit("span_first").alias("chk"),
+        "doc_id", F.round("score", 4).alias("score"),
+    )
+    return (top.unionByName(pp).unionByName(prox)
+            .unionByName(near).unionByName(first))
 
 
 _BOOL_MUST = ["table", "value"]
@@ -1122,12 +1212,49 @@ ms_top AS (
   WHERE c_table IS NOT NULL OR c_value IS NOT NULL
   ORDER BY coalesce(c_table, 0) + coalesce(c_value, 0) DESC, doc_id
   LIMIT 10
+),
+-- runtime_mappings twin: kchars = floor(n_chars/100) filter,
+-- grp = 'g' || (source number % 3) bucketing
+rt_matched AS (
+  SELECT a.doc_id, a.c_table AS s
+  FROM agg a JOIN documents d USING (doc_id)
+  WHERE a.c_table IS NOT NULL
+    AND floor(d.n_chars::DOUBLE / 100) = 2
+),
+rt_top AS (
+  SELECT doc_id, round(s, 4) AS score FROM rt_matched
+  ORDER BY s DESC, doc_id LIMIT 15
+),
+rt_agg AS (
+  SELECT 'g' || ((regexp_extract(d.source, '([0-9]+)', 1)::INT) % 3)
+           ::VARCHAR AS k,
+         count(*)::BIGINT AS doc_id, 0.0 AS score
+  FROM rt_matched m JOIN documents d USING (doc_id)
+  GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 5
 )
 SELECT 'qs' AS chk, '' AS k, doc_id, score FROM qs_top
 UNION ALL SELECT 'body', '', doc_id, score FROM body_top
 UNION ALL SELECT 'agg', k, doc_id, score FROM agg_buckets
 UNION ALL SELECT 'msearch', '', doc_id, score FROM ms_top
+UNION ALL SELECT 'runtime', '', doc_id, score FROM rt_top
+UNION ALL SELECT 'rtagg', k, doc_id, score FROM rt_agg
 """
+
+_RT_BODY = {
+    "runtime_mappings": {
+        "grp": {"type": "keyword", "script": {"source":
+            "concat('g', cast(cast(regexp_extract(source, '([0-9]+)', 1)"
+            " as int) % 3 as string))"}},
+        "kchars": {"type": "long",
+                   "script": {"source": "floor(n_chars / 100)"}},
+    },
+    "query": {"bool": {
+        "must": [{"match": {"text": "table"}}],
+        "filter": [{"term": {"kchars": {"value": "2"}}}],
+    }},
+    "size": 15,
+    "aggs": {"by_grp": {"terms": {"field": "grp", "size": 5}}},
+}
 
 _SB_BODY = {
     "query": {"bool": {
@@ -1174,10 +1301,18 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     one forest, one postings scan + one shuffle, and chk='msearch'
     gates the second panel (match: "table value", plain BM25 top-10)
     -- the multi-panel-dashboard execution shape, value-hash-checked
-    against the per-panel SQL oracle."""
+    against the per-panel SQL oracle.
+
+    chk='runtime'/'rtagg' exercise ``runtime_mappings``: two
+    search-time computed fields (a keyword bucketing expression over
+    ``source`` and a numeric ``floor(n_chars/100)``) used as a
+    filter-context term predicate AND as a terms-agg key -- derived
+    docs columns, zero stored-data changes
+    (searchbody.with_runtime_mappings)."""
     from .index.build import PostingsIndex
     from .index.msearch import msearch
     from .index.querystring import query_string_topk
+    from .index.searchbody import search_body
 
     ix = _built_index(spark, sf_dir)
     wide_docs = ix.docs.join(
@@ -1209,7 +1344,18 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("msearch").alias("chk"), F.lit("").alias("k"),
         "doc_id", F.round("score", 4).alias("score"),
     )
-    return qs.unionByName(body).unionByName(agg).unionByName(ms)
+    rt_res = search_body(ix2, _RT_BODY)
+    rt = rt_res["hits"].select(
+        F.lit("runtime").alias("chk"), F.lit("").alias("k"),
+        "doc_id", F.round("score", 4).alias("score"),
+    )
+    rtagg = rt_res["aggs"]["by_grp"].select(
+        F.lit("rtagg").alias("chk"), F.col("by_grp").alias("k"),
+        F.col("doc_count").cast("long").alias("doc_id"),
+        F.lit(0.0).alias("score"),
+    )
+    return (qs.unionByName(body).unionByName(agg).unionByName(ms)
+            .unionByName(rt).unionByName(rtagg))
 
 
 _FACET_QUERY = "spark table join stream"
