@@ -1231,6 +1231,15 @@ rt_agg AS (
          count(*)::BIGINT AS doc_id, 0.0 AS score
   FROM rt_matched m JOIN documents d USING (doc_id)
   GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 5
+),
+-- the SQL-plugin twins: SELECT ... WHERE match(text, 'table value')
+-- is the ms_top ranking; the GROUP BY statement buckets the same
+-- matched set by lang
+sql_agg AS (
+  SELECT coalesce(d.lang, '') AS k, count(*)::BIGINT AS n
+  FROM agg a JOIN documents d USING (doc_id)
+  WHERE a.c_table IS NOT NULL OR a.c_value IS NOT NULL
+  GROUP BY 1
 )
 SELECT 'qs' AS chk, '' AS k, doc_id, score FROM qs_top
 UNION ALL SELECT 'body', '', doc_id, score FROM body_top
@@ -1238,6 +1247,8 @@ UNION ALL SELECT 'agg', k, doc_id, score FROM agg_buckets
 UNION ALL SELECT 'msearch', '', doc_id, score FROM ms_top
 UNION ALL SELECT 'runtime', '', doc_id, score FROM rt_top
 UNION ALL SELECT 'rtagg', k, doc_id, score FROM rt_agg
+UNION ALL SELECT 'sql', '', doc_id, score FROM ms_top
+UNION ALL SELECT 'sqlagg', k, n, 0.0 FROM sql_agg
 """
 
 _RT_BODY = {
@@ -1354,8 +1365,36 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_count").cast("long").alias("doc_id"),
         F.lit(0.0).alias("score"),
     )
+    # chk='sql'/'sqlagg': the OpenSearch SQL plugin (sqlplugin.py) —
+    # the Query Workbench surface.  match() compiles through the SAME
+    # tree_scores executor; the relational remainder (grouping,
+    # ordering, limit) is plain Catalyst.
+    from .sqlplugin import sql_query
+
+    sqlhits = sql_query(
+        spark,
+        "SELECT doc_id, _score FROM pages "
+        "WHERE match(text, 'table value') "
+        "ORDER BY _score DESC, doc_id LIMIT 10",
+        {"pages": ix2.docs}, ix=ix2,
+    ).select(
+        F.lit("sql").alias("chk"), F.lit("").alias("k"),
+        "doc_id", F.round("_score", 4).alias("score"),
+    )
+    sqlagg = sql_query(
+        spark,
+        "SELECT coalesce(lang, '') AS k, count(*) AS n FROM pages "
+        "WHERE match(text, 'table value') "
+        "GROUP BY coalesce(lang, '')",
+        {"pages": ix2.docs}, ix=ix2,
+    ).select(
+        F.lit("sqlagg").alias("chk"), "k",
+        F.col("n").cast("long").alias("doc_id"),
+        F.lit(0.0).alias("score"),
+    )
     return (qs.unionByName(body).unionByName(agg).unionByName(ms)
-            .unionByName(rt).unionByName(rtagg))
+            .unionByName(rt).unionByName(rtagg)
+            .unionByName(sqlhits).unionByName(sqlagg))
 
 
 _FACET_QUERY = "spark table join stream"
