@@ -363,22 +363,55 @@ def _cfg_line_spark() -> F.Column:
       strftime(to_timestamp(floor(epoch(try_strptime(ts_raw, '%d/%b/%Y:%H:%M:%S')))::BIGINT
                - (2.0 * 3600)::BIGINT), '%Y-%m-%d %H:%M:%S') AS ts_utc
     FROM parsed WHERE NOT regexp_matches(status, '^[45]')
+    UNION ALL
+    SELECT event_id, client_ip AS source_ip,
+      regexp_replace(request, '^/p/', '/page/') AS url_path, status,
+      'ingest_access' AS log_type,
+      strftime(to_timestamp(floor(epoch(try_strptime(ts_raw, '%d/%b/%Y:%H:%M:%S')))::BIGINT
+               - (2.0 * 3600)::BIGINT), '%Y-%m-%d %H:%M:%S') AS ts_utc
+    FROM parsed WHERE NOT regexp_matches(status, '^[45]')
     """,
 )
 def etl_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END config-defined source: APACHE_CONFIG (one aws.ini
-    section analog) compiles into parse -> exclude -> rename -> static
-    -> ECS -> timestamp(+TZ shift) -> select, all native expressions
-    (config.py). The oracle is the same pipeline hand-written in SQL."""
+    """END-TO-END config-defined source, BOTH declarative dialects in
+    one gated entry: APACHE_CONFIG (one aws.ini section analog,
+    config.py: parse -> exclude -> rename -> static -> ECS ->
+    timestamp(+TZ shift) -> select) produces log_type=apache_access;
+    the SAME source run through an OpenSearch ``_ingest/pipeline``
+    processor chain (ingest.py: grok -> drop-if -> gsub -> rename ->
+    set -> date(timezone)) produces log_type=ingest_access. Every
+    transform on both paths is a native expression; the oracle is the
+    two pipelines hand-written in SQL."""
     from .config import compile_pipeline
+    from .ingest import compile_ingest_pipeline
 
     _utc(spark)
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 400)
     lines = ev.select("event_id", _cfg_line_spark().alias("line"))
     out = compile_pipeline(APACHE_CONFIG)(lines)
-    return out.withColumn(
+    cfg = out.withColumn(
         "ts_utc", F.date_format("ts_utc", "yyyy-MM-dd HH:mm:ss")
     )
+
+    pipe = {"processors": [
+        {"grok": {"field": "line", "patterns": [
+            "%{NOTSPACE:client_ip} %{NOTSPACE} %{NOTSPACE:user} "
+            "\\[%{DATA:ts_raw}\\] "
+            "\"%{WORD:method} %{NOTSPACE:request} %{DATA:http_version}\" "
+            "%{INT:status} %{NOTSPACE:bytes}"]}},
+        {"drop": {"if": "status rlike '^[45]'"}},
+        {"gsub": {"field": "request", "pattern": "^/p/",
+                  "replacement": "/page/", "target_field": "url_path"}},
+        {"rename": {"field": "client_ip", "target_field": "source_ip"}},
+        {"set": {"field": "log_type", "value": "ingest_access"}},
+        {"date": {"field": "ts_raw", "formats": ["dd/MMM/yyyy:HH:mm:ss"],
+                  "target_field": "ts_utc", "timezone": "+02:00"}},
+    ]}
+    ing = compile_ingest_pipeline(pipe)(lines).select(
+        "event_id", "source_ip", "url_path", "status", "log_type",
+        F.date_format("ts_utc", "yyyy-MM-dd HH:mm:ss").alias("ts_utc"),
+    )
+    return cfg.unionByName(ing)
 
 
 # ---------------------------------------------------------------------------

@@ -45,8 +45,13 @@ def _rows(df):
     return [(int(r["doc_id"]), round(r["score"], 6)) for r in df.collect()]
 
 
-def test_pit_pins_view_across_destructive_mutation(spark, setup):
-    path, repo = setup
+def test_pit_pins_view_across_destructive_mutation(
+        spark, setup, tmp_path_factory):
+    src, repo = setup
+    # destructive test: own copy, so the module fixture stays pristine
+    import shutil
+    path = str(tmp_path_factory.mktemp("pit_mut")) + "/ix"
+    shutil.copytree(src, path)
     ix0 = PostingsIndex.load(spark, path)
     before = _rows(live_topk(ix0, spark, path, QUERY, k=10))
 
