@@ -734,7 +734,28 @@ class _Compiler:
         """One function's value (its ``weight`` folded in) -- pure
         native arithmetic over docs columns."""
         v: Column | None = None
-        if "field_value_factor" in fn:
+        if "rank_feature" in fn:
+            # the rank_feature query's monotonic saturation functions
+            # (public Elasticsearch/OpenSearch semantics): saturation
+            # x/(x+pivot), log ln(scaling_factor + x), sigmoid
+            # x^e/(x^e + pivot^e).  The pivot must be given explicitly
+            # (the upstream default -- approximate geometric mean of
+            # the feature -- would be a corpus stats job; callers at
+            # scale precompute it once and pass it in).
+            p = fn["rank_feature"]
+            x = F.col(p["field"]).cast("double")
+            if "log" in p:
+                sf = float(p["log"]["scaling_factor"])
+                v = F.log(F.lit(sf) + x)
+            elif "sigmoid" in p:
+                pv = float(p["sigmoid"]["pivot"])
+                ex = float(p["sigmoid"]["exponent"])
+                xp = F.pow(x, F.lit(ex))
+                v = xp / (xp + F.lit(pv ** ex))
+            else:
+                pv = float(p["saturation"]["pivot"])
+                v = x / (x + F.lit(pv))
+        elif "field_value_factor" in fn:
             p = fn["field_value_factor"]
             col = F.col(p["field"]).cast("double")
             if "missing" in p:

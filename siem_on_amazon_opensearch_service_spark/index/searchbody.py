@@ -390,6 +390,28 @@ def compile_query(spec: dict,
             return FieldLeaf(field, "wildcard", v)
         raise ValueError("regexp on non-text fields is not supported")
 
+    if kind == "rank_feature":
+        # rank_feature: match docs where the (numeric, positive)
+        # feature column exists; score = boost * saturation-fn(value).
+        # Desugars onto FuncScore so the one scoring pipeline handles
+        # it: child gates (value > 0), boost_mode=replace makes the
+        # function value THE score.
+        field = body["field"]
+        fn: dict = {"rank_feature": {"field": field}}
+        for fkind in ("saturation", "log", "sigmoid"):
+            if fkind in body:
+                fn["rank_feature"][fkind] = body[fkind]
+        if len(fn["rank_feature"]) == 1:
+            raise ValueError(
+                "rank_feature needs saturation{pivot}/log/sigmoid "
+                "(the geometric-mean default pivot would be a corpus "
+                "stats job; precompute and pass it)")
+        gate = compile_query({"range": {field: {"gt": 0}}}, text_field)
+        return FuncScore(
+            child=gate, functions=[fn], score_mode="sum",
+            boost_mode="replace", boost=float(body.get("boost", 1.0)),
+        )
+
     if kind == "fuzzy":
         field, params = _field_params(body)
         _require_text(kind, field, text_field)

@@ -824,3 +824,65 @@ def test_rescore_window_too_small_raises(ix):
                             "term": {"text": "w00001"}}}}}
     with pytest.raises(ValueError):
         search_hits(ix, body)
+
+
+# ---------------------------------------------------------------------------
+# rank_feature
+# ---------------------------------------------------------------------------
+
+
+def test_rank_feature_saturation(ix, oracle):
+    """rank_feature alone: score = boost * x/(x+pivot) over the
+    feature column (doclen), matching only positive values."""
+    body = {"query": {"rank_feature": {
+        "field": "doclen", "saturation": {"pivot": 40}, "boost": 2.5}},
+        "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    want = _topk({
+        d: 2.5 * (dl / (dl + 40.0))
+        for d, dl in oracle.doclen.items() if dl > 0
+    })
+    _assert_rank_identical(got, want)
+
+
+def test_rank_feature_log_and_sigmoid(ix, oracle):
+    body = {"query": {"rank_feature": {
+        "field": "doclen", "log": {"scaling_factor": 3}}}, "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    want = _topk({d: math.log(3.0 + dl)
+                  for d, dl in oracle.doclen.items() if dl > 0})
+    _assert_rank_identical(got, want)
+
+    body = {"query": {"rank_feature": {
+        "field": "doclen",
+        "sigmoid": {"pivot": 50, "exponent": 0.6}}}, "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    want = _topk({
+        d: (dl ** 0.6) / (dl ** 0.6 + 50.0 ** 0.6)
+        for d, dl in oracle.doclen.items() if dl > 0
+    })
+    _assert_rank_identical(got, want)
+
+
+def test_rank_feature_in_bool_should(ix, oracle):
+    """The canonical use: BM25 relevance + a static quality signal as
+    an additive should clause."""
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": QUERY}}],
+        "should": [{"rank_feature": {
+            "field": "doclen", "saturation": {"pivot": 40},
+            "boost": 0.8}}],
+    }}, "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    base = _clause_scores(oracle, QUERY)
+    want = _topk({
+        d: s + (0.8 * (oracle.doclen[d] / (oracle.doclen[d] + 40.0))
+                if oracle.doclen[d] > 0 else 0.0)
+        for d, s in base.items()
+    })
+    _assert_rank_identical(got, want)
+
+
+def test_rank_feature_requires_function():
+    with pytest.raises(ValueError, match="rank_feature needs"):
+        compile_query({"rank_feature": {"field": "doclen"}})
