@@ -1124,6 +1124,24 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
             g = (g.withColumn("_rk", F.dense_rank().over(wrank))
                  .filter(F.col("_rk") <= size)
                  .drop("_rk", *( ["_lvl_total"] if by == "_count" else [])))
+        # response-order contract (single level only): OpenSearch
+        # returns terms buckets sorted by the order spec and
+        # histogram-family buckets by key.  The sort runs AFTER
+        # pruning, over the surviving buckets (size-bounded for terms)
+        # -- a trivial final exchange, never a corpus-sized sort.
+        # Multi-level flat rows represent a bucket TREE; they stay
+        # unordered (callers sort per-parent as needed).
+        if len(levels) == 1:
+            name, _k, _e, prune = levels[0]
+            if prune is not None:
+                by, dirn = prune["by"], prune["dir"]
+                col = (F.col(name) if by == "_key"
+                       else F.col("doc_count") if by == "_count"
+                       else F.col(by))
+                lead = col.desc() if dirn == "desc" else col.asc()
+                g = g.orderBy(lead, F.asc(name))
+            else:
+                g = g.orderBy(F.asc(name))
         return g
 
     def _composite(node: dict) -> DataFrame:
