@@ -103,28 +103,62 @@ def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(_t(spark, sf_dir, "documents"))
 
 
+def _semdedup_oracle() -> str:
+    from .operators.semdedup import duckdb_semdedup_sql
+
+    return duckdb_semdedup_sql(0.35, n_cents=8, max_id=200)
+
+
 @register(
     "dedup_embedding_cosine_pairs",
-    """
+    f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
       WHERE vec_id < 100
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT 'pairs' AS chk, a.vec_id AS a, b.vec_id AS b,
            round(list_dot_product(a.e, b.e)
                  / (sqrt(list_dot_product(a.e, a.e))
-                    * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS v1,
+           0.0::DOUBLE AS v2
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.e, b.e)
           / (sqrt(list_dot_product(a.e, a.e))
              * sqrt(list_dot_product(b.e, b.e))) >= 0.3
-    """,
+    UNION ALL
+    SELECT 'semdedup', vec_id, comp, cell::DOUBLE,
+           (CASE WHEN keep THEN 1.0 ELSE 0.0 END)::DOUBLE
+    FROM ({{SD}})
+    """.replace("{SD}", _semdedup_oracle()),
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above threshold (bounded id
-    range; at scale this runs per ANN bucket)."""
+    """Embedding-space near-dup family, both shapes in one gated
+    entry. chk='pairs': cosine pairs above threshold over a bounded
+    id range (at scale this runs per ANN bucket). chk='semdedup':
+    the full SemDeDup labeling (operators/semdedup.py, public
+    algorithm arXiv:2303.09540) — 8-centroid assignment, within-cell
+    pairs at t=0.35, connected components, lowest-cent_sim
+    representative — against a recursive-CTE DuckDB oracle."""
+    from .operators.semdedup import semdedup
+
     vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    return dedup.embedding_dup_pairs(vecs, threshold=0.3)
+    pairs = dedup.embedding_dup_pairs(vecs, threshold=0.3).select(
+        F.lit("pairs").alias("chk"), F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"), F.col("cosine").alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+    v200 = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    cents = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_vec"))
+    )
+    sd = semdedup(v200, cents, threshold=0.35).select(
+        F.lit("semdedup").alias("chk"), F.col("vec_id").alias("a"),
+        F.col("comp").alias("b"), F.col("cell").cast("double").alias("v1"),
+        F.when(F.col("keep"), 1.0).otherwise(0.0).alias("v2"),
+    )
+    return pairs.unionByName(sd)
 
 
 @register(
