@@ -562,6 +562,18 @@ def text_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEXPR = f"len({duckdb_tokens_sql('text')})"
 
+#: DSIR selection parameters shared by the Spark side and the oracle
+_DSIR_RAW = "doc_id < 300"
+_DSIR_TGT = "doc_id >= 300 AND lang = 'en' AND n_chars > 300"
+_DSIR_K, _DSIR_B = 30, 2048
+
+
+def _dsir_oracle() -> str:
+    from .operators.dsir import duckdb_dsir_sql
+
+    return duckdb_dsir_sql(_DSIR_RAW, _DSIR_TGT, k=_DSIR_K,
+                           n_buckets=_DSIR_B)
+
 
 @register(
     "pack_sample_shard",
@@ -629,7 +641,10 @@ _TOKEXPR = f"len({duckdb_tokens_sql('text')})"
       ON t2.doc_id = ls.doc_id
     LEFT JOIN ({textstats.duckdb_top_ngram_sql(3)}) t3
       ON t3.doc_id = ls.doc_id
-    """,
+    UNION ALL
+    SELECT 'dsir', id::VARCHAR, round(logw * 1e6)::BIGINT, ''
+    FROM ({{DSIR}})
+    """.replace("{DSIR}", _dsir_oracle()),
 )
 def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch assembly in one gated entry: ~512-token sequence
@@ -697,8 +712,23 @@ def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             micro("top_2gram_char_frac"), micro("top_3gram_char_frac"),
         ).alias("detail"),
     )
+    # 'dsir' rows: importance-resampled selection (operators/dsir.py,
+    # arXiv:2302.03169) — raw = low ids, target = long en docs from
+    # the rest of the corpus; deterministic Gumbel top-k, logw carried
+    # as micro-unit integers (same float-formatting dodge as above)
+    from .operators.dsir import dsir_sample
+
+    raw = d.filter(F.col("doc_id") < 300)
+    tgt = d.filter((F.col("doc_id") >= 300) & (F.col("lang") == "en")
+                   & (F.col("n_chars") > 300))
+    dsir = dsir_sample(raw, tgt, k=_DSIR_K, n_buckets=_DSIR_B).select(
+        F.lit("dsir").alias("chk"),
+        F.col("id").cast("string").alias("key"),
+        F.round(F.col("logw") * 1e6).cast("long").alias("n"),
+        F.lit("").alias("detail"),
+    )
     return (pack.unionByName(sample).unionByName(shard)
-            .unionByName(contam).unionByName(rep))
+            .unionByName(contam).unionByName(rep).unionByName(dsir))
 
 
 _Q_SQL = textstats.duckdb_quality_sql()
