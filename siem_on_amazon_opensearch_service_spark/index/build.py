@@ -251,17 +251,25 @@ def build_index(
     id_col: str | None = None,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     shuffle_partitions: int | None = None,
+    keep_cols: list[str] | None = None,
 ) -> PostingsIndex:
     """Build the index from a pages/documents DataFrame.
 
     ``id_col``: pre-existing long id column; if None, dense ids are
     assigned by url rank (docids.py).
+
+    ``keep_cols``: extra source columns carried into the docs table
+    (filter/agg surface, join-field layouts, multi-valued keyword
+    arrays) — they ride the one tokenize scan, never a re-scan.
     """
     if id_col is None:
         pages = assign_doc_ids(pages, order_col="url")
         id_col = "doc_id"
 
     keep = [c for c in ("url", "warc_ts", "lang") if c in pages.columns]
+    for c in keep_cols or []:
+        if c not in keep and c != id_col:
+            keep.append(c)
     base = pages.select(
         F.col(id_col).cast("long").alias("doc_id"),
         tokens_col(text_col).alias("_toks"),

@@ -109,7 +109,12 @@ class TermLeaf:
 class FieldLeaf:
     """A docs-column predicate leaf (non-scoring filter context).
 
-    op: exact | wildcard | exists | range | in
+    op: exact | wildcard | exists | range | in | terms_set
+
+    ``terms_set`` is the OpenSearch multi-valued-keyword match: the
+    doc's ARRAY column must share at least ``msm_field``-many (a
+    per-doc numeric column) — or ``msm_const``-many — elements with
+    ``values``.
     """
 
     field: str
@@ -119,7 +124,9 @@ class FieldLeaf:
     hi: str | None = None
     lo_incl: bool = True
     hi_incl: bool = True
-    values: tuple = ()       # op == "in" only
+    values: tuple = ()       # op in ("in", "terms_set")
+    msm_field: str | None = None   # terms_set only
+    msm_const: int | None = None   # terms_set only
 
 
 @dataclass
@@ -186,6 +193,27 @@ class FuncScore:
     max_boost: float | None = None
     min_score: float | None = None
     boost: float = 1.0
+
+
+@dataclass
+class ScriptScore:
+    """script_score query: the child gates matching; the score is the
+    restricted-Painless ``source`` expression evaluated with
+    ``_score`` bound to the child's score (see ``painless.py`` for
+    the accepted subset — it compiles to ONE native Column, never a
+    Python UDF).  ``ast`` caches the parsed tree."""
+
+    child: object = None
+    source: str = ""
+    min_score: float | None = None
+    boost: float = 1.0
+    ast: object = None
+
+    def parsed(self):
+        if self.ast is None:
+            from .painless import parse_script
+            self.ast = parse_script(self.source)
+        return self.ast
 
 
 _TOKEN_RE = re.compile(
@@ -517,6 +545,8 @@ def _walk(node, out: list) -> None:
         for fn in node.functions:
             if fn.get("filter") is not None:
                 _walk(fn["filter"], out)
+    elif isinstance(node, ScriptScore):
+        _walk(node.child, out)
     else:
         out.append(node)
 
@@ -535,7 +565,7 @@ def _has_scoring(node) -> bool:
         return _has_scoring(node.positive)
     if isinstance(node, DisMax):
         return any(_has_scoring(c) for c in node.children)
-    if isinstance(node, FuncScore):
+    if isinstance(node, (FuncScore, ScriptScore)):
         return True
     return any(
         _has_scoring(c) for occ, c in node.clauses
@@ -558,7 +588,7 @@ def _maybe_matches_without_postings(node) -> bool:
         return _maybe_matches_without_postings(node.child)
     if isinstance(node, Boosting):
         return _maybe_matches_without_postings(node.positive)
-    if isinstance(node, FuncScore):
+    if isinstance(node, (FuncScore, ScriptScore)):
         return _maybe_matches_without_postings(node.child)
     musts = [c for occ, c in node.clauses if occ in ("must", "filter")]
     shoulds = [c for occ, c in node.clauses if occ == "should"]
@@ -574,7 +604,7 @@ def _has_const_wrapper(node) -> bool:
     leaves (constant_score / function_score)?  Such a tree must
     execute even when it has zero leaves -- it is match_all-shaped
     but not score-1.0."""
-    if isinstance(node, (ConstScore, FuncScore)):
+    if isinstance(node, (ConstScore, FuncScore, ScriptScore)):
         return True
     if isinstance(node, Group):
         return any(_has_const_wrapper(c) for _, c in node.clauses)
@@ -584,6 +614,18 @@ def _has_const_wrapper(node) -> bool:
         return (_has_const_wrapper(node.positive)
                 or _has_const_wrapper(node.negative))
     return False
+
+
+_DURATION_SECONDS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0,
+                     "d": 86400.0, "w": 604800.0}
+
+
+def _duration_seconds(s: str) -> float:
+    """OpenSearch time-unit string ("7d", "3h", "500ms") -> seconds."""
+    m = re.match(r"^(\d+(?:\.\d+)?)(ms|s|m|h|d|w)$", s.strip())
+    if not m:
+        raise ValueError(f"bad duration {s!r}")
+    return float(m.group(1)) * _DURATION_SECONDS[m.group(2)]
 
 
 class _Compiler:
@@ -613,6 +655,19 @@ class _Compiler:
             pred = col.cast("string").like(_wild_to_like(leaf.value))
         elif leaf.op == "in":
             pred = col.cast("string").isin([str(v) for v in leaf.values])
+        elif leaf.op == "terms_set":
+            # multi-valued keyword semantics: the doc's array column
+            # must share >= msm elements with the query terms; the
+            # per-doc minimum comes from minimum_should_match_field.
+            # One array_intersect per row -- codegen, no join.
+            overlap = F.size(F.array_intersect(
+                col.cast("array<string>"),
+                F.array(*[F.lit(str(v)) for v in leaf.values]),
+            ))
+            msm = (F.col(leaf.msm_field).cast("int")
+                   if leaf.msm_field is not None
+                   else F.lit(int(leaf.msm_const or 1)))
+            pred = (overlap >= msm) & (msm > 0)
         elif leaf.op == "range":
             iso_re = re.compile(
                 r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?)?$")
@@ -658,7 +713,7 @@ class _Compiler:
             return self.matched(node.child)
         if isinstance(node, Boosting):
             return self.matched(node.positive)
-        if isinstance(node, FuncScore):
+        if isinstance(node, (FuncScore, ScriptScore)):
             m = self.matched(node.child)
             if node.min_score is not None:
                 m = m & (self.score(node) >= float(node.min_score))
@@ -717,6 +772,16 @@ class _Compiler:
             ).otherwise(F.lit(1.0))
         if isinstance(node, FuncScore):
             return self.func_score(node)
+        if isinstance(node, ScriptScore):
+            from .painless import to_column
+            child_score = (
+                self.score(node.child) if _has_scoring(node.child)
+                else F.lit(1.0)
+            )
+            s = to_column(node.parsed(), {"_score": child_score})
+            if node.boost != 1.0:
+                s = s * F.lit(float(node.boost))
+            return s
         total = F.lit(0.0)
         for occ, child in node.clauses:
             if occ in ("must_not", "filter"):
@@ -755,6 +820,24 @@ class _Compiler:
             else:
                 pv = float(p["saturation"]["pivot"])
                 v = x / (x + F.lit(pv))
+        elif "distance_feature" in fn:
+            # distance_feature query (desugared by the body compiler):
+            # score = pivot / (pivot + |value - origin|).  Numeric
+            # origins compare as doubles; ISO origins as timestamps
+            # with duration-string pivots ("7d"/"3h"/"10m"/"30s").
+            p = fn["distance_feature"]
+            col = F.col(p["field"])
+            origin, pivot = p["origin"], p["pivot"]
+            try:
+                o = float(origin)
+                dist = F.abs(col.cast("double") - F.lit(o))
+                pv = float(pivot)
+            except (TypeError, ValueError):
+                dist = F.abs(
+                    col.cast("timestamp").cast("double")
+                    - F.to_timestamp(F.lit(str(origin))).cast("double"))
+                pv = _duration_seconds(str(pivot))
+            v = F.lit(pv) / (F.lit(pv) + dist)
         elif "field_value_factor" in fn:
             p = fn["field_value_factor"]
             col = F.col(p["field"]).cast("double")

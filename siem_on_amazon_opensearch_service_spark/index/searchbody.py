@@ -41,6 +41,7 @@ body shape to `_search`.
 
 from __future__ import annotations
 
+import re
 from dataclasses import replace as dc_replace
 from functools import reduce
 
@@ -56,6 +57,7 @@ from .querystring import (
     FieldLeaf,
     FuncScore,
     Group,
+    ScriptScore,
     TermLeaf,
     parse_query_string,
     tree_scores,
@@ -218,6 +220,14 @@ def expand_mlt(node: dict, ix: PostingsIndex,
         if "query" in nb:
             nb["query"] = rec(nb["query"])
         return {"function_score": nb}
+    if kind == "script_score":
+        nb = dict(body)
+        nb["query"] = rec(body["query"])
+        return {"script_score": nb}
+    if kind == "pinned":
+        nb = dict(body)
+        nb["organic"] = rec(body["organic"])
+        return {"pinned": nb}
     return node
 
 
@@ -420,6 +430,64 @@ def compile_query(spec: dict,
                         boost=float(params.get("boost", 1.0)),
                         max_edits=2 if fz == "AUTO" else int(fz))
 
+    if kind == "script_score":
+        ms = body.get("min_score")
+        node = ScriptScore(
+            child=compile_query(body["query"], text_field),
+            source=str(body["script"]["source"]
+                       if isinstance(body["script"], dict)
+                       else body["script"]),
+            min_score=None if ms is None else float(ms),
+            boost=float(body.get("boost", 1.0)),
+        )
+        node.parsed()   # reject unsupported script syntax at compile
+        return node
+
+    if kind == "distance_feature":
+        # matches docs that HAVE the field; contributes
+        # boost * pivot / (pivot + |value - origin|) as the score.
+        # Desugars onto FuncScore exactly like rank_feature.
+        field = body["field"]
+        gate = FieldLeaf(field, "exists")
+        fn = {"distance_feature": {"field": field,
+                                   "origin": body["origin"],
+                                   "pivot": body["pivot"]}}
+        return FuncScore(
+            child=Group(clauses=[("filter", gate)]), functions=[fn],
+            score_mode="sum", boost_mode="replace",
+            boost=float(body.get("boost", 1.0)),
+        )
+
+    if kind == "pinned":
+        # promoted ids rank first, in list order, above every organic
+        # hit: a DisMax where pin i scores PIN_BASE - i (constant,
+        # far above any BM25 score) and the organic child keeps its
+        # own score.  max() picks the pin when both match — exactly
+        # the Lucene implementation's float-max-decrement trick.
+        ids = [str(v) for v in body.get("ids", [])]
+        organic = compile_query(body.get("organic", {"match_all": {}}),
+                                text_field)
+        pin_base = 1.0e12
+        pins = [
+            ConstScore(FieldLeaf("doc_id", "in", values=(i,)),
+                       boost=pin_base - rank)
+            for rank, i in enumerate(ids)
+        ]
+        return DisMax(children=[organic, *pins], tie_breaker=0.0)
+
+    if kind == "terms_set":
+        field, params = _one(body)
+        terms = tuple(str(v) for v in params["terms"])
+        msm_f = params.get("minimum_should_match_field")
+        msm_c = params.get("minimum_should_match")
+        if msm_f is None and msm_c is None:
+            raise ValueError(
+                "terms_set needs minimum_should_match_field or a "
+                "constant minimum_should_match")
+        return FieldLeaf(field, "terms_set", values=terms,
+                         msm_field=msm_f,
+                         msm_const=None if msm_c is None else int(msm_c))
+
     raise ValueError(f"unsupported query DSL node: {kind!r}")
 
 
@@ -429,6 +497,81 @@ def _require_text(kind: str, field: str, text_field: str) -> None:
             f"{kind} targets the indexed text field "
             f"({text_field!r}); got {field!r}"
         )
+
+
+# ---------------------------------------------------------------------------
+# join fields: has_child / has_parent
+# ---------------------------------------------------------------------------
+
+
+def _join_field_scored(ix: PostingsIndex, qkind: str, body: dict,
+                       positional_ix: PostingsIndex | None,
+                       text_field: str) -> DataFrame:
+    """OpenSearch join-field queries over a single index whose docs
+    table carries the join layout: ``join_name`` (the relation name)
+    and ``join_parent`` (the parent doc_id, NULL on roots) — the
+    parent-join field type, where children are routed to the parent's
+    shard.  Column names override via ``join_name_field`` /
+    ``join_parent_field`` in the body.
+
+    ``has_child``: parents with >=min_children (<=max_children)
+    matching children of ``type``; score_mode none|sum|max|min|avg
+    over child scores.  ``has_parent``: children whose parent of
+    ``parent_type`` matches; ``score: true`` propagates the parent's
+    score (else constant 1.0, the Lucene filter behavior).
+
+    Plan at scale: the inner query is the usual one-scan tree; the
+    family rollup is ONE groupBy on the parent key, and the final
+    attach is a doc_id equi-join — with docs bucketed by the routing
+    key (coalesce(join_parent, doc_id)) both co-locate, and a
+    selective inner query leaves a small side AQE broadcasts."""
+    name_col = body.get("join_name_field", "join_name")
+    parent_col = body.get("join_parent_field", "join_parent")
+    for c in (name_col, parent_col):
+        if c not in ix.docs.columns:
+            raise ValueError(f"join-field query needs docs column {c!r}")
+    inner = compile_query(body["query"], text_field)
+    matched = tree_scores(ix, inner, positional_ix=positional_ix,
+                          with_docs=True)
+    if matched is None:    # match_all inner query
+        matched = ix.docs.withColumn("score", F.lit(1.0))
+
+    if qkind == "has_child":
+        child_type = str(body["type"])
+        mode = str(body.get("score_mode", "none"))
+        agg = {"none": F.lit(1.0), "sum": F.sum("score"),
+               "max": F.max("score"), "min": F.min("score"),
+               "avg": F.avg("score")}
+        if mode not in agg:
+            raise ValueError(f"bad score_mode {mode!r}")
+        fam = (
+            matched
+            .filter((F.col(name_col) == child_type)
+                    & F.col(parent_col).isNotNull())
+            .groupBy(F.col(parent_col).alias("doc_id"))
+            .agg(F.count("*").alias("_n_children"),
+                 (agg[mode] if mode != "none" else F.first(F.lit(1.0)))
+                 .alias("score"))
+            .filter(F.col("_n_children")
+                    >= int(body.get("min_children", 1)))
+        )
+        if body.get("max_children") is not None:
+            fam = fam.filter(
+                F.col("_n_children") <= int(body["max_children"]))
+        return ix.docs.join(fam.drop("_n_children"), "doc_id")
+
+    # has_parent: children of matched parents
+    parent_type = str(body["parent_type"])
+    keep_score = bool(body.get("score", False))
+    parents = (matched.filter(F.col(name_col) == parent_type)
+               .select(F.col("doc_id").alias("_parent_id"),
+                       F.col("score").alias("_parent_score")))
+    kids = ix.docs.filter(F.col(parent_col).isNotNull())
+    out = kids.join(parents,
+                    kids[parent_col] == parents["_parent_id"])
+    score = (F.col("_parent_score") if keep_score
+             else F.lit(1.0)).alias("score")
+    return out.select(*[kids[c] for c in kids.columns], score)
 
 
 # ---------------------------------------------------------------------------
@@ -464,12 +607,26 @@ def search_hits(
     qnode = expand_mlt(body.get("query", {"match_all": {}}), ix,
                        source_docs, text_field)
     qkind, _ = _one(qnode)
+    if qkind == "intervals":
+        # intervals is the modern position-algebra surface over the
+        # same machinery: desugar onto the span executor.  A tree
+        # that provably matches nothing (prefix with no vocabulary
+        # expansion) becomes match_none.
+        if positional_ix is None:
+            raise ValueError("intervals queries need a positional index")
+        from .spans import intervals_to_span
+        span_node = intervals_to_span(qnode["intervals"], positional_ix)
+        qnode = span_node if span_node is not None else {"match_none": {}}
+        qkind, _ = _one(qnode)
     if qkind.startswith("span_"):
         if positional_ix is None:
             raise ValueError("span queries need a positional index")
         from .spans import span_scores
         scored = (span_scores(positional_ix, qnode)
                   .join(ix.docs, "doc_id", "left"))
+    elif qkind in ("has_child", "has_parent"):
+        scored = _join_field_scored(ix, qkind, qnode[qkind],
+                                    positional_ix, text_field)
     elif qkind in ("knn", "hybrid"):
         scored = _vector_scored(ix, qnode, positional_ix, text_field,
                                 vecs, vec_id_col, vec_col)
@@ -796,7 +953,8 @@ def _vector_scored(
 _BUCKET_KINDS = ("terms", "date_histogram", "auto_date_histogram",
                  "histogram", "range", "filters")
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
-                 "cardinality", "stats", "percentiles")
+                 "cardinality", "stats", "percentiles",
+                 "weighted_avg", "extended_stats", "scripted_metric")
 
 _CAL_TRUNC = {"second": "second", "minute": "minute", "hour": "hour",
               "day": "day", "week": "week", "month": "month",
@@ -916,9 +1074,74 @@ def _filter_pred(q: dict | str, text_field: str) -> Column:
     return comp.matched(node)
 
 
+_MAP_SCRIPT_RE = re.compile(
+    r"^\s*state\.(\w+)\s*\+=\s*(.+?);?\s*$")
+_COMBINE_RE = re.compile(r"^\s*return\s+state\.(\w+)\s*;?\s*$")
+_INIT_RE = re.compile(r"^\s*state\.(\w+)\s*=\s*0(\.0)?\s*;?\s*$")
+
+
+def _scripted_metric_parts(params: dict) -> tuple[str, str]:
+    """Accept the canonical Painless shard-sum scripted_metric (init
+    ``state.v = 0``, map ``state.v += <expr>``, combine ``return
+    state.v``, reduce = sum over states) — which compiles to ONE
+    native F.sum — or the explicit declarative form ``{"map_expr":
+    <expr>, "reduce": sum|min|max|avg|count}``.  Anything else (a
+    general interpreter would be a per-row Python UDF) is rejected
+    with instructions."""
+    if "map_expr" in params:
+        return str(params["map_expr"]), str(params.get("reduce", "sum"))
+    m = _MAP_SCRIPT_RE.match(str(params.get("map_script", "")))
+    if not m:
+        raise ValueError(
+            "scripted_metric: supported forms are map_script "
+            "'state.v += <expr>' (shard-sum) or the declarative "
+            "{'map_expr': <expr>, 'reduce': sum|min|max|avg|count}")
+    var, expr = m.group(1), m.group(2)
+    init = params.get("init_script")
+    if init is not None:
+        im = _INIT_RE.match(str(init))
+        if not im or im.group(1) != var:
+            raise ValueError(
+                "scripted_metric init_script must zero the map "
+                "variable (a nonzero per-shard init sums "
+                "shard-count-many times — not shard-agnostic)")
+    comb = params.get("combine_script")
+    if comb is not None:
+        cm = _COMBINE_RE.match(str(comb))
+        if not cm or cm.group(1) != var:
+            raise ValueError(
+                "scripted_metric combine_script must be "
+                f"'return state.{var}'")
+    return expr, "sum"
+
+
 def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
+    if kind == "scripted_metric":
+        from .painless import parse_script, to_column
+        src, red = _scripted_metric_parts(params)
+        col = to_column(parse_script(src))
+        fns = {"sum": F.sum, "min": F.min, "max": F.max,
+               "avg": F.avg, "count": F.count}
+        if red not in fns:
+            raise ValueError(f"bad scripted_metric reduce {red!r}")
+        return [fns[red](col).alias(name)]
+    if kind == "weighted_avg":
+        vv = F.col(params["value"]["field"]).cast("double")
+        ww = F.col(params["weight"]["field"]).cast("double")
+        both = F.when(vv.isNotNull() & ww.isNotNull(), True)
+        return [(F.sum(F.when(both, vv * ww))
+                 / F.sum(F.when(both, ww))).alias(name)]
     v = F.col(params["field"])
     num = v.cast("double")
+    if kind == "extended_stats":
+        return [F.count(v).alias(f"{name}_count"),
+                F.min(num).alias(f"{name}_min"),
+                F.max(num).alias(f"{name}_max"),
+                F.avg(num).alias(f"{name}_avg"),
+                F.sum(num).alias(f"{name}_sum"),
+                F.sum(num * num).alias(f"{name}_sum_of_squares"),
+                F.var_pop(num).alias(f"{name}_variance"),
+                F.stddev_pop(num).alias(f"{name}_std_deviation")]
     if kind == "avg":
         return [F.avg(num).alias(name)]
     if kind == "sum":

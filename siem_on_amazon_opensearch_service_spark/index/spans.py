@@ -212,3 +212,84 @@ def span_scores(ix: PostingsIndex, node: dict) -> DataFrame:
 def span_topk(ix: PostingsIndex, node: dict, k: int = 10) -> DataFrame:
     return (span_scores(ix, node)
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# intervals query -> span tree
+# ---------------------------------------------------------------------------
+
+_UNBOUNDED_GAPS = 1 << 30
+
+
+def intervals_to_span(body: dict, ix: PostingsIndex | None = None) -> dict:
+    """Desugar the OpenSearch ``intervals`` query onto the span
+    executor (both are Lucene position-interval algebras; the span
+    tree here reproduces the intervals MATCHING semantics — which
+    docs, which position windows — while scoring follows this
+    module's documented sloppy-span shape).
+
+    ``{"intervals": {field: rule}}`` rules supported:
+
+    * ``match`` — ``query`` analyzed to tokens; ``max_gaps``
+      (default -1 = unbounded) -> span_near slop; ``ordered``
+      (default False) -> in_order.
+    * ``any_of`` — ``intervals`` list -> span_or.
+    * ``all_of`` — ``intervals`` list + max_gaps/ordered -> span_near.
+    * ``prefix`` — vocabulary expansion over ``ix.term_stats``
+      (driver-side, bounded like the fuzzy path) -> span_or of
+      span_terms.
+
+    Returns ``None`` when the tree provably matches nothing (a
+    prefix with no vocabulary expansion poisons its all_of/match
+    ancestors and drops out of any_of).
+    """
+    field_body = body
+    if len(body) == 1 and isinstance(next(iter(body.values())), dict):
+        # {"field": {rule...}} wrapper (the wire shape)
+        _, field_body = next(iter(body.items()))
+    return _interval_rule(field_body, ix)
+
+
+def _interval_rule(rule: dict, ix: PostingsIndex | None) -> dict | None:
+    kind, p = _one(rule)
+    if kind == "match":
+        toks = tokenize_py(str(p["query"]))
+        if not toks:
+            raise ValueError("intervals match analyzed to no tokens")
+        if len(toks) == 1:
+            return {"span_term": {"text": toks[0]}}
+        gaps = int(p.get("max_gaps", -1))
+        return {"span_near": {
+            "clauses": [{"span_term": {"text": t}} for t in toks],
+            "slop": _UNBOUNDED_GAPS if gaps < 0 else gaps,
+            "in_order": bool(p.get("ordered", False)),
+        }}
+    if kind == "any_of":
+        kids = [_interval_rule(r, ix) for r in p["intervals"]]
+        kids = [k for k in kids if k is not None]
+        if not kids:
+            return None
+        return {"span_or": {"clauses": kids}}
+    if kind == "all_of":
+        kids = [_interval_rule(r, ix) for r in p["intervals"]]
+        if any(k is None for k in kids):
+            return None
+        gaps = int(p.get("max_gaps", -1))
+        return {"span_near": {
+            "clauses": kids,
+            "slop": _UNBOUNDED_GAPS if gaps < 0 else gaps,
+            "in_order": bool(p.get("ordered", False)),
+        }}
+    if kind == "prefix":
+        if ix is None:
+            raise ValueError("intervals prefix needs the index "
+                             "(vocabulary expansion)")
+        pre = str(p["prefix"] if isinstance(p, dict) else p).lower()
+        terms = [r["term"] for r in ix.term_stats
+                 .filter(F.col("term").startswith(pre))
+                 .select("term").collect()]
+        if not terms:
+            return None
+        return {"span_or": {"clauses": [
+            {"span_term": {"text": t}} for t in sorted(terms)]}}
+    raise ValueError(f"unsupported intervals rule: {kind!r}")

@@ -1,0 +1,460 @@
+"""Seventh-batch query-type parity: script_score / distance_feature /
+pinned / terms_set / intervals / scripted_metric / weighted_avg /
+extended_stats / has_child / has_parent — each vs a pure-Python or
+pandas twin computed from the oracle index."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from siem_on_amazon_opensearch_service_spark import corpus
+from siem_on_amazon_opensearch_service_spark.analysis import tokenize_py
+from siem_on_amazon_opensearch_service_spark.bm25 import score_py
+from siem_on_amazon_opensearch_service_spark.index import (
+    PostingsIndex,
+    build_index,
+)
+from siem_on_amazon_opensearch_service_spark.index.painless import (
+    parse_script,
+    to_column,
+    to_sql,
+)
+from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+    run_aggs,
+    search_hits,
+)
+from siem_on_amazon_opensearch_service_spark.oracle import OracleIndex
+
+K = 15
+N = 300
+QUERY = "w00034 w00077"
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return corpus.make_pages_pdf(N, seed=23)
+
+
+@pytest.fixture(scope="module")
+def ix(spark, pages_pdf):
+    pdf = pages_pdf.copy()
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    built = build_index(spark, spark.createDataFrame(pdf),
+                        id_col="doc_id", salt_threshold=60)
+    built.postings = built.postings.persist()
+    built.term_stats = built.term_stats.persist()
+    built.docs = built.docs.persist()
+    return built
+
+
+@pytest.fixture(scope="module")
+def oracle(pages_pdf):
+    return OracleIndex.build(
+        {i: t for i, t in enumerate(pages_pdf["text"])})
+
+
+@pytest.fixture(scope="module")
+def doclen(oracle):
+    return dict(oracle.doclen)
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _assert_rank_identical(got, expected):
+    assert expected, "oracle expectation is empty -- bad test query"
+    assert len(got) == len(expected), (got, expected)
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gd == ed, (got, expected)
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def _clause_scores(oracle, query):
+    scores = {}
+    for term in tokenize_py(query):
+        plist = oracle.postings.get(term, {})
+        dfv = len(plist)
+        for d, tf in plist.items():
+            scores[d] = scores.get(d, 0.0) + score_py(
+                tf, oracle.doclen[d], oracle.avgdl, oracle.n_docs, dfv)
+    return scores
+
+
+def _topk(scores, k=K):
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+# ---------------------------------------------------------------------------
+# painless expression compiler
+# ---------------------------------------------------------------------------
+
+
+def test_painless_parse_and_sql_roundtrip():
+    src = ("_score * 2 + Math.log(doc['doclen'].value + 1) "
+           "- saturation(doc['doclen'].value, 10)")
+    ast = parse_script(src)
+    # the SQL backend agrees with a hand computation via DuckDB
+    import duckdb
+    sql = to_sql(ast, {"_score": "3.0"})
+    got = duckdb.sql(
+        f"SELECT {sql} AS v FROM (SELECT 40 AS doclen)").fetchone()[0]
+    want = 3.0 * 2 + math.log(41) - 40 / (40 + 10)
+    assert math.isclose(got, want, rel_tol=1e-12)
+
+
+@pytest.mark.parametrize("bad", [
+    "for (x in y) { }",
+    "state.t = 1; state.t",
+    "doc['f'].values",
+    "params.factor * 2",
+    "_score +",
+])
+def test_painless_rejects_out_of_subset(bad):
+    with pytest.raises(ValueError):
+        parse_script(bad)
+
+
+# ---------------------------------------------------------------------------
+# script_score
+# ---------------------------------------------------------------------------
+
+
+def test_script_score_matches_python(ix, oracle, doclen):
+    body = {
+        "query": {"script_score": {
+            "query": {"match": {"text": QUERY}},
+            "script": {"source":
+                       "_score * 1.5 + doc['doclen'].value / 100"},
+        }},
+        "size": K,
+    }
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    base = _clause_scores(oracle, QUERY)
+    rescored = {d: s * 1.5 + doclen[d] / 100 for d, s in base.items()}
+    _assert_rank_identical(got, _topk(rescored))
+
+
+def test_script_score_min_score_gates(ix, oracle, doclen):
+    base = _clause_scores(oracle, QUERY)
+    rescored = {d: s * 2 for d, s in base.items()}
+    cut = sorted(rescored.values())[len(rescored) // 2]
+    body = {
+        "query": {"script_score": {
+            "query": {"match": {"text": QUERY}},
+            "script": {"source": "_score * 2"},
+            "min_score": cut,
+        }},
+        "size": 1000,
+    }
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    keep = {d: s for d, s in rescored.items() if s >= cut}
+    _assert_rank_identical(got, _topk(keep, k=1000))
+
+
+def test_script_score_rejects_bad_script_at_compile(ix):
+    body = {"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source": "params.x * 2"},
+    }}}
+    with pytest.raises(ValueError):
+        search_hits(ix, body)
+
+
+# ---------------------------------------------------------------------------
+# distance_feature
+# ---------------------------------------------------------------------------
+
+
+def test_distance_feature_numeric(ix, oracle, doclen):
+    origin, pivot, boost = 40.0, 10.0, 2.5
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": QUERY}}],
+            "should": [{"distance_feature": {
+                "field": "doclen", "origin": origin, "pivot": pivot,
+                "boost": boost}}],
+        }},
+        "size": K,
+    }
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    base = _clause_scores(oracle, QUERY)
+    want = {
+        d: s + boost * pivot / (pivot + abs(doclen[d] - origin))
+        for d, s in base.items()
+    }
+    _assert_rank_identical(got, _topk(want))
+
+
+def test_distance_feature_date(ix, pages_pdf, oracle):
+    # recency boost over warc_ts: the flagship "fresher pages first"
+    origin = "2024-06-01 00:00:00"
+    body = {
+        "query": {"distance_feature": {
+            "field": "warc_ts", "origin": origin, "pivot": "7d"}},
+        "size": 25,
+    }
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    ts = pages_pdf["warc_ts"]
+    o = pd.Timestamp(origin, tz=getattr(ts.dt, "tz", None))
+    pv = 7 * 86400.0
+    want = {
+        i: pv / (pv + abs((ts[i] - o).total_seconds()))
+        for i in range(N)
+    }
+    _assert_rank_identical(got, _topk(want, k=25))
+
+
+# ---------------------------------------------------------------------------
+# pinned
+# ---------------------------------------------------------------------------
+
+
+def test_pinned_ids_rank_first_in_order(ix, oracle):
+    organic = _topk(_clause_scores(oracle, QUERY), k=K)
+    organic_ids = [d for d, _ in organic]
+    # pin two docs that are NOT organic top hits, plus one that is
+    pins = [organic_ids[-1] + 101, organic_ids[-1] + 57, organic_ids[0]]
+    pins = [p % N for p in pins]
+    body = {
+        "query": {"pinned": {
+            "ids": [str(p) for p in pins],
+            "organic": {"match": {"text": QUERY}},
+        }},
+        "size": K,
+    }
+    got = [d for d, _ in
+           _rows(search_hits(ix, body).select("doc_id", "score"))]
+    assert got[:3] == pins
+    # organic tail keeps BM25 order, minus any pinned dup
+    tail = [d for d in organic_ids if d not in pins]
+    assert got[3:] == tail[:K - 3]
+
+
+# ---------------------------------------------------------------------------
+# terms_set
+# ---------------------------------------------------------------------------
+
+
+def test_terms_set_msm_field(spark, pages_pdf):
+    pdf = pages_pdf.copy()
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    tag_pool = ["net", "auth", "db", "web", "dns"]
+    pdf["tags"] = [
+        [tag_pool[(i + j) % len(tag_pool)] for j in range(i % 4)]
+        for i in range(len(pdf))
+    ]
+    pdf["required_matches"] = [(i % 3) for i in range(len(pdf))]
+    built = build_index(spark, spark.createDataFrame(pdf),
+                        id_col="doc_id", salt_threshold=60,
+                        keep_cols=["tags", "required_matches"])
+    body = {"query": {"terms_set": {"tags": {
+        "terms": ["net", "db", "dns"],
+        "minimum_should_match_field": "required_matches",
+    }}}, "size": N}
+    got = sorted(
+        r["doc_id"]
+        for r in search_hits(built, body).select("doc_id").collect())
+    want = sorted(
+        int(r.doc_id) for _, r in pdf.iterrows()
+        if r.required_matches >= 1
+        and len(set(r.tags) & {"net", "db", "dns"}) >= r.required_matches
+    )
+    assert want, "vacuous terms_set expectation"
+    assert got == want
+
+
+def test_terms_set_constant_msm(spark, pages_pdf):
+    pdf = pages_pdf.head(60).copy()
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    pdf["tags"] = [["a", "b"] if i % 2 else ["a"] for i in range(60)]
+    built = build_index(spark, spark.createDataFrame(pdf),
+                        id_col="doc_id", salt_threshold=60,
+                        keep_cols=["tags"])
+    body = {"query": {"terms_set": {"tags": {
+        "terms": ["a", "b"], "minimum_should_match": 2}}}, "size": 60}
+    got = sorted(r["doc_id"]
+                 for r in search_hits(built, body).collect())
+    assert got == [i for i in range(60) if i % 2]
+
+
+# ---------------------------------------------------------------------------
+# intervals
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_ix(spark, pages_pdf):
+    from siem_on_amazon_opensearch_service_spark.index.positional import (
+        build_positional_index,
+    )
+    pdf = pages_pdf.copy()
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    pix = build_positional_index(spark, spark.createDataFrame(pdf),
+                                 id_col="doc_id", salt_threshold=60)
+    pix.postings = pix.postings.persist()
+    pix.term_stats = pix.term_stats.persist()
+    return pix
+
+
+def test_intervals_match_equals_span_near(ix, pos_ix):
+    iv_body = {"query": {"intervals": {"text": {"match": {
+        "query": QUERY, "max_gaps": 3, "ordered": True}}}}, "size": K}
+    sp_body = {"query": {"span_near": {
+        "clauses": [{"span_term": {"text": t}}
+                    for t in tokenize_py(QUERY)],
+        "slop": 3, "in_order": True}}, "size": K}
+    got = _rows(search_hits(ix, iv_body, positional_ix=pos_ix)
+                .select("doc_id", "score"))
+    want = _rows(search_hits(ix, sp_body, positional_ix=pos_ix)
+                 .select("doc_id", "score"))
+    assert want, "span expectation empty -- bad test terms"
+    _assert_rank_identical(got, want)
+
+
+def test_intervals_any_of_prefix_expansion(ix, pos_ix, oracle):
+    # prefix w0003 expands over the vocabulary; any_of unions it with
+    # a single-term match
+    iv_body = {"query": {"intervals": {"text": {"any_of": {
+        "intervals": [{"prefix": {"prefix": "w0003"}},
+                      {"match": {"query": "w00077"}}],
+    }}}}, "size": 2 * N}
+    got = {d for d, _ in
+           _rows(search_hits(ix, iv_body, positional_ix=pos_ix)
+                 .select("doc_id", "score"))}
+    vocab = [t for t in oracle.postings if t.startswith("w0003")]
+    assert vocab, "prefix expands to nothing -- bad test prefix"
+    want = set()
+    for t in vocab + ["w00077"]:
+        want |= set(oracle.postings.get(t, {}))
+    assert got == want
+
+
+def test_intervals_unmatched_prefix_is_match_none(ix, pos_ix):
+    iv_body = {"query": {"intervals": {"text": {"prefix": {
+        "prefix": "zzzzzz"}}}}, "size": 10}
+    assert search_hits(ix, iv_body, positional_ix=pos_ix).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# scripted_metric / weighted_avg / extended_stats
+# ---------------------------------------------------------------------------
+
+
+def test_scripted_metric_painless_shard_sum(ix, pages_pdf, doclen):
+    aggs = {"total": {"scripted_metric": {
+        "init_script": "state.t = 0",
+        "map_script": "state.t += doc['doclen'].value * 2",
+        "combine_script": "return state.t",
+    }}}
+    out = run_aggs(ix.docs, aggs)["_metrics"].collect()[0]
+    want = sum(doclen[i] * 2 for i in range(N))
+    assert math.isclose(out["total"], want, rel_tol=1e-9)
+
+
+def test_scripted_metric_declarative_avg(ix, doclen):
+    aggs = {"m": {"scripted_metric": {
+        "map_expr": "doclen * doclen", "reduce": "avg"}}}
+    out = run_aggs(ix.docs, aggs)["_metrics"].collect()[0]
+    want = sum(v * v for v in doclen.values()) / N
+    assert math.isclose(out["m"], want, rel_tol=1e-9)
+
+
+def test_scripted_metric_rejects_general_painless(ix):
+    aggs = {"m": {"scripted_metric": {
+        "map_script": "state.t.add(doc['doclen'].value)",
+    }}}
+    with pytest.raises(ValueError):
+        run_aggs(ix.docs, aggs)
+
+
+def test_weighted_avg_and_extended_stats(ix, pages_pdf, doclen):
+    # weight doclen by itself under a lang bucket; pandas twin
+    aggs = {"langs": {"terms": {"field": "lang", "size": 10},
+                      "aggs": {
+        "w": {"weighted_avg": {"value": {"field": "doclen"},
+                               "weight": {"field": "doclen"}}},
+        "es": {"extended_stats": {"field": "doclen"}},
+    }}}
+    got = {r["langs"]: r for r in run_aggs(ix.docs, aggs)["langs"]
+           .collect()}
+    pdf = pages_pdf.copy()
+    pdf["doclen"] = [doclen[i] for i in range(N)]
+    for lang, grp in pdf.groupby("lang"):
+        dl = grp["doclen"]
+        assert math.isclose(got[lang]["w"],
+                            (dl * dl).sum() / dl.sum(), rel_tol=1e-9)
+        assert math.isclose(got[lang]["es_variance"],
+                            dl.var(ddof=0), rel_tol=1e-9)
+        assert math.isclose(got[lang]["es_sum_of_squares"],
+                            (dl * dl).sum(), rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# has_child / has_parent
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def family_ix(spark, pages_pdf):
+    """Join-field layout: first 60 docs are 'question' roots; the rest
+    are 'answer' children attached round-robin."""
+    pdf = pages_pdf.copy()
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    n_parents = 60
+    pdf["join_name"] = ["question" if i < n_parents else "answer"
+                        for i in range(len(pdf))]
+    pdf["join_parent"] = [
+        None if i < n_parents else (i % n_parents)
+        for i in range(len(pdf))
+    ]
+    built = build_index(spark, spark.createDataFrame(pdf),
+                        id_col="doc_id", salt_threshold=60,
+                        keep_cols=["join_name", "join_parent"])
+    built.docs = built.docs.persist()
+    return built
+
+
+def test_has_child_sum_min_children(family_ix, oracle):
+    body = {"query": {"has_child": {
+        "type": "answer", "query": {"match": {"text": QUERY}},
+        "score_mode": "sum", "min_children": 2}}, "size": 100}
+    got = _rows(search_hits(family_ix, body)
+                .select("doc_id", "score")
+                .orderBy("doc_id"))
+    base = _clause_scores(oracle, QUERY)
+    fam = {}
+    for d, s in base.items():
+        if d >= 60:
+            fam.setdefault(d % 60, []).append(s)
+    want = sorted((p, sum(ss)) for p, ss in fam.items() if len(ss) >= 2)
+    _assert_rank_identical(got, want)
+
+
+def test_has_child_none_is_constant(family_ix, oracle):
+    body = {"query": {"has_child": {
+        "type": "answer", "query": {"match": {"text": QUERY}},
+        "score_mode": "none"}}, "size": 100}
+    rows = _rows(search_hits(family_ix, body)
+                 .select("doc_id", "score"))
+    base = _clause_scores(oracle, QUERY)
+    want_ids = sorted({d % 60 for d in base if d >= 60})
+    assert sorted(d for d, _ in rows) == want_ids
+    assert all(s == 1.0 for _, s in rows)
+
+
+def test_has_parent_propagates_score(family_ix, oracle):
+    body = {"query": {"has_parent": {
+        "parent_type": "question", "query": {"match": {"text": QUERY}},
+        "score": True}}, "size": 1000}
+    got = dict(_rows(search_hits(family_ix, body)
+                     .select("doc_id", "score")))
+    base = _clause_scores(oracle, QUERY)
+    parents = {d: s for d, s in base.items() if d < 60}
+    assert parents, "no parent matches -- bad test query"
+    want = {c: parents[c % 60] for c in range(60, N)
+            if (c % 60) in parents}
+    assert set(got) == set(want)
+    for c, s in want.items():
+        assert math.isclose(got[c], s, rel_tol=1e-9)
