@@ -1240,6 +1240,67 @@ sql_agg AS (
   FROM agg a JOIN documents d USING (doc_id)
   WHERE a.c_table IS NOT NULL OR a.c_value IS NOT NULL
   GROUP BY 1
+),
+-- script_score twin: _score * 1.5 + ln(n_chars + 1) over match(table
+-- value); the restricted-Painless compiler emits exactly this tree
+sscore_top AS (
+  SELECT a.doc_id,
+    round((coalesce(a.c_table, 0) + coalesce(a.c_value, 0)) * 1.5
+          + ln(d.n_chars::DOUBLE + 1), 4) AS score
+  FROM agg a JOIN documents d USING (doc_id)
+  WHERE a.c_table IS NOT NULL OR a.c_value IS NOT NULL
+  ORDER BY (coalesce(a.c_table, 0) + coalesce(a.c_value, 0)) * 1.5
+           + ln(d.n_chars::DOUBLE + 1) DESC, a.doc_id LIMIT 15
+),
+-- distance_feature twin: recency-style proximity boost
+-- 2 * pivot / (pivot + |n_chars - 300|) added to the must score
+dfeat_top AS (
+  SELECT a.doc_id,
+    round(a.c_table
+          + 2.0 * 50.0 / (50.0 + abs(d.n_chars::DOUBLE - 300.0)),
+          4) AS score
+  FROM agg a JOIN documents d USING (doc_id)
+  WHERE a.c_table IS NOT NULL
+  ORDER BY a.c_table
+           + 2.0 * 50.0 / (50.0 + abs(d.n_chars::DOUBLE - 300.0))
+           DESC, a.doc_id LIMIT 15
+),
+-- pinned twin: ids (3, 1, 4) score PIN_BASE - rank, organic keeps
+-- its BM25 sum; max() semantics = the CASE
+pin_top AS (
+  SELECT d.doc_id,
+    round(CASE d.doc_id WHEN 3 THEN 1000000000000.0
+                        WHEN 1 THEN 999999999999.0
+                        WHEN 4 THEN 999999999998.0
+          ELSE coalesce(a.c_table, 0) + coalesce(a.c_value, 0)
+          END, 4) AS score
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+  WHERE d.doc_id IN (3, 1, 4)
+     OR a.c_table IS NOT NULL OR a.c_value IS NOT NULL
+  ORDER BY CASE d.doc_id WHEN 3 THEN 1000000000000.0
+                         WHEN 1 THEN 999999999999.0
+                         WHEN 4 THEN 999999999998.0
+           ELSE coalesce(a.c_table, 0) + coalesce(a.c_value, 0) END
+           DESC, d.doc_id LIMIT 10
+),
+-- terms_set twin: tags = [lang, source] must share >= (n_chars%2+1)
+-- elements with the query terms (per-doc minimum_should_match_field)
+tset AS (
+  SELECT d.doc_id, 1.0 AS score
+  FROM documents d
+  WHERE len(list_intersect([d.lang, d.source],
+                           ['en', 'de', 'src3', 'src7']))
+        >= (d.n_chars % 2 + 1)
+),
+-- has_child twin: join layout doc_id<50 = parents, child's parent =
+-- doc_id % 50; parents with >=2 children matching 'table',
+-- score_mode=sum
+haschild_top AS (
+  SELECT (a.doc_id % 50) AS doc_id, round(sum(a.c_table), 4) AS score
+  FROM agg a
+  WHERE a.c_table IS NOT NULL AND a.doc_id >= 50
+  GROUP BY 1 HAVING count(*) >= 2
+  ORDER BY sum(a.c_table) DESC, 1 LIMIT 15
 )
 SELECT 'qs' AS chk, '' AS k, doc_id, score FROM qs_top
 UNION ALL SELECT 'body', '', doc_id, score FROM body_top
@@ -1249,6 +1310,11 @@ UNION ALL SELECT 'runtime', '', doc_id, score FROM rt_top
 UNION ALL SELECT 'rtagg', k, doc_id, score FROM rt_agg
 UNION ALL SELECT 'sql', '', doc_id, score FROM ms_top
 UNION ALL SELECT 'sqlagg', k, n, 0.0 FROM sql_agg
+UNION ALL SELECT 'sscore', '', doc_id, score FROM sscore_top
+UNION ALL SELECT 'dfeat', '', doc_id, score FROM dfeat_top
+UNION ALL SELECT 'pinned', '', doc_id, score FROM pin_top
+UNION ALL SELECT 'tset', '', doc_id, score FROM tset
+UNION ALL SELECT 'haschild', '', doc_id, score FROM haschild_top
 """
 
 _RT_BODY = {
@@ -1392,9 +1458,70 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("doc_id"),
         F.lit(0.0).alias("score"),
     )
+    # chk='sscore'/'dfeat'/'pinned'/'tset'/'haschild': the seventh
+    # query-type batch (script_score via the restricted-Painless
+    # compiler, distance_feature proximity boost, pinned promoted
+    # ids, terms_set per-doc minimum over an array column, and the
+    # has_child join-field rollup over a doc_id%50 parent layout).
+    from .index.searchbody import search_hits
+
+    ix3 = PostingsIndex(
+        docs=(wide_docs
+              .withColumn("tags", F.array("lang", "source"))
+              .withColumn("req",
+                          ((F.col("n_chars") % 2) + 1).cast("int"))
+              .withColumn("join_name",
+                          F.when(F.col("doc_id") < 50, F.lit("question"))
+                          .otherwise(F.lit("answer")))
+              .withColumn("join_parent",
+                          F.when(F.col("doc_id") >= 50,
+                                 F.col("doc_id") % 50))),
+        postings=ix.postings, term_stats=ix.term_stats,
+        n_docs=ix.n_docs, avgdl=ix.avgdl,
+    )
+
+    def _chk(tag: str, hits: DataFrame) -> DataFrame:
+        return hits.select(
+            F.lit(tag).alias("chk"), F.lit("").alias("k"),
+            "doc_id", F.round("score", 4).alias("score"),
+        )
+
+    sscore = _chk("sscore", search_hits(ix3, {
+        "query": {"script_score": {
+            "query": {"match": {"text": "table value"}},
+            "script": {"source":
+                       "_score * 1.5 + Math.log(doc['n_chars'].value"
+                       " + 1)"},
+        }}, "size": 15}))
+    dfeat = _chk("dfeat", search_hits(ix3, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "table"}}],
+            "should": [{"distance_feature": {
+                "field": "n_chars", "origin": 300, "pivot": 50,
+                "boost": 2}}],
+        }}, "size": 15}))
+    pinned = _chk("pinned", search_hits(ix3, {
+        "query": {"pinned": {
+            "ids": ["3", "1", "4"],
+            "organic": {"match": {"text": "table value"}},
+        }}, "size": 10}))
+    tset = _chk("tset", search_hits(ix3, {
+        "query": {"terms_set": {"tags": {
+            "terms": ["en", "de", "src3", "src7"],
+            "minimum_should_match_field": "req",
+        }}}, "size": 1000}))
+    haschild = _chk("haschild", search_hits(ix3, {
+        "query": {"has_child": {
+            "type": "answer", "query": {"match": {"text": "table"}},
+            "score_mode": "sum", "min_children": 2,
+        }}, "size": 15}))
+
     return (qs.unionByName(body).unionByName(agg).unionByName(ms)
             .unionByName(rt).unionByName(rtagg)
-            .unionByName(sqlhits).unionByName(sqlagg))
+            .unionByName(sqlhits).unionByName(sqlagg)
+            .unionByName(sscore).unionByName(dfeat)
+            .unionByName(pinned).unionByName(tset)
+            .unionByName(haschild))
 
 
 _FACET_QUERY = "spark table join stream"

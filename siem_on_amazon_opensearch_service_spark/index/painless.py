@@ -12,6 +12,8 @@ Column so the scoring scan stays whole-stage codegen.
 Scope — deliberately a SUBSET, rejected loudly outside it:
 
 * arithmetic ``+ - * / %``, unary ``-``, parentheses;
+* comparisons ``> >= < <= == !=`` and boolean ``&& || !`` (the
+  filter-context ``script`` query and ``bucket_selector`` scripts);
 * numeric literals (int / float);
 * ``_score`` (bound by the caller to the child query's score);
 * ``doc['field'].value`` / ``doc["field"].value`` / bare
@@ -44,7 +46,7 @@ _TOKEN = re.compile(
     r"|(?P<doc>doc\[\s*['\"](?P<docfield>[A-Za-z0-9_.]+)['\"]\s*\]\s*"
     r"\.\s*value)"
     r"|(?P<name>[A-Za-z_][A-Za-z0-9_.]*)"
-    r"|(?P<op>[-+*/%(),]))"
+    r"|(?P<op>>=|<=|==|!=|&&|\|\||[-+*/%(),><!]))"
 )
 
 _MATH1 = {"Math.log": "ln", "Math.log10": "log10", "Math.sqrt": "sqrt",
@@ -74,9 +76,11 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    """expr := term (('+'|'-') term)* ; term := unary (('*'|'/'|'%')
-    unary)* ; unary := '-' unary | atom ; atom := num | '(' expr ')'
-    | fn '(' args ')' | field-ref | name."""
+    """bool := cmp (('&&'|'||') cmp)* ;
+    cmp := expr (('>'|'>='|'<'|'<='|'=='|'!=') expr)? ;
+    expr := term (('+'|'-') term)* ; term := unary (('*'|'/'|'%')
+    unary)* ; unary := '-' unary | '!' unary | atom ; atom := num |
+    '(' bool ')' | fn '(' args ')' | field-ref | name."""
 
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
@@ -98,9 +102,24 @@ class _Parser:
             raise ValueError(f"expected {op!r}, got {t!r}")
 
     def parse(self):
-        node = self.expr()
+        node = self.boolexpr()
         if self.peek() is not None:
             raise ValueError(f"trailing tokens: {self.toks[self.i:]!r}")
+        return node
+
+    def boolexpr(self):
+        node = self.cmp()
+        while self.peek() in (("op", "&&"), ("op", "||")):
+            op = self.take()[1]
+            node = ("bool", op, node, self.cmp())
+        return node
+
+    def cmp(self):
+        node = self.expr()
+        if self.peek() in (("op", ">"), ("op", ">="), ("op", "<"),
+                           ("op", "<="), ("op", "=="), ("op", "!=")):
+            op = self.take()[1]
+            node = ("cmp", op, node, self.expr())
         return node
 
     def expr(self):
@@ -121,6 +140,9 @@ class _Parser:
         if self.peek() == ("op", "-"):
             self.take()
             return ("neg", self.unary())
+        if self.peek() == ("op", "!"):
+            self.take()
+            return ("not", self.unary())
         return self.atom()
 
     def args(self, n: int) -> list:
@@ -139,7 +161,7 @@ class _Parser:
         if kind == "field":
             return ("field", val)
         if kind == "op" and val == "(":
-            node = self.expr()
+            node = self.boolexpr()
             self.expect(")")
             return node
         if kind == "name":
@@ -174,7 +196,7 @@ def script_columns(node) -> set[str]:
         return {node[1]}
     if kind == "num":
         return set()
-    if kind == "neg":
+    if kind in ("neg", "not"):
         return script_columns(node[1])
     if kind == "call1":
         return script_columns(node[2])
@@ -195,6 +217,8 @@ def to_column(node, env: dict[str, Column] | None = None) -> Column:
         return F.col(node[1]).cast("double")
     if kind == "neg":
         return -to_column(node[1], env)
+    if kind == "not":
+        return ~to_column(node[1], env)
     if kind == "call1":
         _, fn, a = node
         return getattr(F, {"ln": "log"}.get(fn, fn))(to_column(a, env))
@@ -203,6 +227,11 @@ def to_column(node, env: dict[str, Column] | None = None) -> Column:
         return getattr(F, fn)(to_column(a, env), to_column(b, env))
     _, op, a, b = node
     ca, cb = to_column(a, env), to_column(b, env)
+    if kind == "cmp":
+        return {">": ca > cb, ">=": ca >= cb, "<": ca < cb,
+                "<=": ca <= cb, "==": ca == cb, "!=": ca != cb}[op]
+    if kind == "bool":
+        return (ca & cb) if op == "&&" else (ca | cb)
     return {"+": ca + cb, "-": ca - cb, "*": ca * cb,
             "/": ca / cb, "%": ca % cb}[op]
 
@@ -219,6 +248,8 @@ def to_sql(node, env: dict[str, str] | None = None) -> str:
         return f'CAST("{node[1]}" AS DOUBLE)'
     if kind == "neg":
         return f"(-{to_sql(node[1], env)})"
+    if kind == "not":
+        return f"(NOT {to_sql(node[1], env)})"
     if kind == "call1":
         _, fn, a = node
         return f"{fn}({to_sql(a, env)})"
@@ -226,4 +257,6 @@ def to_sql(node, env: dict[str, str] | None = None) -> str:
         _, fn, a, b = node
         return f"{fn}({to_sql(a, env)}, {to_sql(b, env)})"
     _, op, a, b = node
-    return f"({to_sql(a, env)} {op} {to_sql(b, env)})"
+    sql_op = {"&&": "AND", "||": "OR", "==": "=",
+              "!=": "<>"}.get(op, op)
+    return f"({to_sql(a, env)} {sql_op} {to_sql(b, env)})"

@@ -109,12 +109,16 @@ class TermLeaf:
 class FieldLeaf:
     """A docs-column predicate leaf (non-scoring filter context).
 
-    op: exact | wildcard | exists | range | in | terms_set
+    op: exact | wildcard | exists | range | in | terms_set | script
 
     ``terms_set`` is the OpenSearch multi-valued-keyword match: the
     doc's ARRAY column must share at least ``msm_field``-many (a
     per-doc numeric column) — or ``msm_const``-many — elements with
     ``values``.
+
+    ``script`` is the filter-context script query: ``value`` holds a
+    restricted-Painless boolean source (painless.py) compiled to one
+    native predicate over docs columns; ``field`` is unused.
     """
 
     field: str
@@ -646,6 +650,10 @@ class _Compiler:
         )
 
     def field_matched(self, leaf: FieldLeaf) -> Column:
+        if leaf.op == "script":
+            from .painless import parse_script, to_column
+            pred = to_column(parse_script(leaf.value)).cast("boolean")
+            return F.coalesce(pred, F.lit(False))
         col = F.col(leaf.field)
         if leaf.op == "exists":
             pred = col.isNotNull()

@@ -475,6 +475,23 @@ def compile_query(spec: dict,
         ]
         return DisMax(children=[organic, *pins], tie_breaker=0.0)
 
+    if kind == "script":
+        # filter-context script query: a restricted-Painless boolean
+        # predicate over docs columns (one native expression).
+        src = body["script"]
+        src = src["source"] if isinstance(src, dict) else str(src)
+        leaf = FieldLeaf("", "script", value=str(src))
+        from .painless import parse_script
+        parse_script(str(src))   # reject unsupported syntax at compile
+        return leaf
+
+    if kind == "wrapper":
+        # base64-wrapped query JSON (the saved-objects escape hatch)
+        import base64
+        import json
+        return compile_query(
+            json.loads(base64.b64decode(body["query"])), text_field)
+
     if kind == "terms_set":
         field, params = _one(body)
         terms = tuple(str(v) for v in params["terms"])
@@ -745,6 +762,17 @@ def hits_page(
     if "highlight" in body:
         out = _with_highlight(out, body, text_field, source_docs)
 
+    if "script_fields" in body:
+        # per-hit computed fields: restricted-Painless expressions
+        # evaluated over the BOUNDED page rows (never the corpus),
+        # with _score available like the script_score context.
+        from .painless import parse_script, to_column
+        for fname, fbody in body["script_fields"].items():
+            src = fbody["script"]
+            src = src["source"] if isinstance(src, dict) else str(src)
+            out = out.withColumn(fname, to_column(
+                parse_script(src), {"_score": F.col("score")}))
+
     src = body.get("_source")
     if src is not None:
         keep = ["doc_id"] + [c for c in src if c in out.columns]
@@ -752,6 +780,10 @@ def hits_page(
             keep.append("score")
         if "highlight" in body:
             keep.append("highlight")
+        # script fields ride alongside _source (the wire contract
+        # returns them in a separate "fields" section)
+        keep += [c for c in body.get("script_fields", {})
+                 if c not in keep]
         out = out.select(*keep)
     return out
 
@@ -809,7 +841,8 @@ def _with_highlight(page: DataFrame, body: dict, text_field: str,
 
 def _sort_spec(sort_list: list) -> list[tuple[Column, bool]]:
     """OpenSearch ``sort`` entries -> [(column, is_desc)] (``_score``
-    maps to the score column; default is score desc)."""
+    maps to the score column; default is score desc; ``_script``
+    sorts by a restricted-Painless expression over docs columns)."""
     spec = []
     for s in sort_list:
         if isinstance(s, str):
@@ -820,7 +853,13 @@ def _sort_spec(sort_list: list) -> list[tuple[Column, bool]]:
         default = "desc" if fname == "_score" else "asc"
         direction = (opts.get("order", default)
                      if isinstance(opts, dict) else str(opts))
-        col = F.col("score" if fname == "_score" else fname)
+        if fname == "_script":
+            from .painless import parse_script, to_column
+            src = opts["script"]
+            src = src["source"] if isinstance(src, dict) else str(src)
+            col = to_column(parse_script(src))
+        else:
+            col = F.col("score" if fname == "_score" else fname)
         spec.append((col, direction == "desc"))
     if not spec:
         spec = [(F.col("score"), True)]

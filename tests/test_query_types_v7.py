@@ -458,3 +458,65 @@ def test_has_parent_propagates_score(family_ix, oracle):
     assert set(got) == set(want)
     for c, s in want.items():
         assert math.isclose(got[c], s, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# script query / wrapper / script_fields / _script sort
+# ---------------------------------------------------------------------------
+
+
+def test_painless_boolean_operators():
+    ast = parse_script("doclen >= 40 && !(doclen > 100) || doclen == 7")
+    import duckdb
+    sql = to_sql(ast)
+    for v, want in ((50, True), (150, False), (7, True), (10, False)):
+        got = duckdb.sql(
+            f"SELECT {sql} FROM (SELECT {v}::DOUBLE AS doclen)"
+        ).fetchone()[0]
+        assert got is want, (v, got)
+
+
+def test_script_query_filter_context(ix, oracle, doclen):
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": QUERY}}],
+        "filter": [{"script": {"script": {
+            "source": "doc['doclen'].value % 2 == 0 && "
+                      "doc['doclen'].value >= 30"}}}],
+    }}, "size": 1000}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    base = _clause_scores(oracle, QUERY)
+    keep = {d: s for d, s in base.items()
+            if doclen[d] % 2 == 0 and doclen[d] >= 30}
+    _assert_rank_identical(got, _topk(keep, k=1000))
+
+
+def test_wrapper_query_decodes(ix, oracle):
+    import base64
+    import json
+    inner = {"match": {"text": QUERY}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    body = {"query": {"wrapper": {"query": b64}}, "size": K}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    _assert_rank_identical(got, _topk(_clause_scores(oracle, QUERY)))
+
+
+def test_script_fields_and_script_sort(ix, oracle, doclen):
+    body = {
+        "query": {"match": {"text": QUERY}},
+        "sort": [{"_script": {
+            "type": "number",
+            "script": {"source": "doc['doclen'].value % 10"},
+            "order": "asc"}}],
+        "script_fields": {"dl2": {"script": {
+            "source": "doc['doclen'].value * 2 + _score"}}},
+        "size": K,
+    }
+    rows = search_hits(ix, body).select("doc_id", "score", "dl2") \
+        .collect()
+    base = _clause_scores(oracle, QUERY)
+    want_order = sorted(base, key=lambda d: (doclen[d] % 10, d))[:K]
+    assert [r["doc_id"] for r in rows] == want_order
+    for r in rows:
+        assert math.isclose(
+            r["dl2"], doclen[r["doc_id"]] * 2 + base[r["doc_id"]],
+            rel_tol=1e-9)
