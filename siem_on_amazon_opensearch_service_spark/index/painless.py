@@ -178,6 +178,10 @@ class _Parser:
                 xp = ("call2", "pow", x, e)
                 return ("bin", "/", xp,
                         ("bin", "+", xp, ("call2", "pow", p, e)))
+            if val.startswith("params."):
+                # bucket_script/bucket_selector variables: the caller
+                # binds params.<var> via the env
+                return ("field", val)
             if "." in val:
                 raise ValueError(f"unsupported call/ref {val!r}")
             return ("field", val)      # _score or a bare column name
@@ -214,6 +218,8 @@ def to_column(node, env: dict[str, Column] | None = None) -> Column:
     if kind == "field":
         if node[1] in env:
             return env[node[1]]
+        if node[1].startswith("params."):
+            raise ValueError(f"unbound script variable {node[1]!r}")
         return F.col(node[1]).cast("double")
     if kind == "neg":
         return -to_column(node[1], env)
@@ -245,6 +251,8 @@ def to_sql(node, env: dict[str, str] | None = None) -> str:
     if kind == "field":
         if node[1] in env:
             return f"({env[node[1]]})"
+        if node[1].startswith("params."):
+            raise ValueError(f"unbound script variable {node[1]!r}")
         return f'CAST("{node[1]}" AS DOUBLE)'
     if kind == "neg":
         return f"(-{to_sql(node[1], env)})"

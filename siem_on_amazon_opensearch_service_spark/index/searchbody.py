@@ -1207,6 +1207,82 @@ def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
     raise ValueError(f"unsupported metric agg {kind!r}")
 
 
+_PARENT_PIPE_KINDS = ("derivative", "cumulative_sum", "moving_avg",
+                      "moving_fn", "serial_diff", "bucket_script",
+                      "bucket_selector", "bucket_sort")
+_SIBLING_PIPE_KINDS = ("avg_bucket", "sum_bucket", "min_bucket",
+                       "max_bucket", "stats_bucket")
+
+
+def _pipe_window(levels: list[tuple]):
+    """Pipeline-agg window: ordered by the innermost bucket key,
+    partitioned by the parent keys (nested pipelines run per parent
+    bucket).  The frame is the REDUCED bucket list -- metadata-sized,
+    the OpenSearch coordinator-phase shape."""
+    if not levels:
+        raise ValueError("parent pipeline aggs need a bucket level")
+    keys = [n for n, _k, _e, _p in levels]
+    part, order = keys[:-1], keys[-1]
+    w = (Window.partitionBy(*part) if part else Window
+         ).orderBy(F.asc(order))
+    return w, order
+
+
+def _parent_pipe(frame: DataFrame, levels: list[tuple], name: str,
+                 kind: str, params: dict) -> DataFrame:
+    """One parent pipeline agg over the materialized bucket frame."""
+    w, order = _pipe_window(levels)
+    bp = params.get("buckets_path")
+    if kind in ("bucket_script", "bucket_selector"):
+        from .painless import parse_script, to_column
+        env = {
+            f"params.{var}": F.col("doc_count" if p == "_count" else p)
+            .cast("double")
+            for var, p in dict(bp or {}).items()
+        }
+        src = params["script"]
+        src = src["source"] if isinstance(src, dict) else str(src)
+        expr = to_column(parse_script(src), env)
+        if kind == "bucket_script":
+            return frame.withColumn(name, expr)
+        return frame.filter(expr.cast("boolean"))
+    if kind == "bucket_sort":
+        order_cols = _order_cols(params.get("sort", []))
+        if not params.get("sort"):
+            order_cols = [F.asc(order)]
+        size = params.get("size")
+        out = frame.orderBy(*order_cols)
+        return out.limit(int(size)) if size is not None else out
+    col = F.col("doc_count" if bp in (None, "_count") else str(bp))
+    col = col.cast("double")
+    if kind == "derivative":
+        return frame.withColumn(name, col - F.lag(col).over(w))
+    if kind == "cumulative_sum":
+        return frame.withColumn(name, F.sum(col).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    if kind == "serial_diff":
+        return frame.withColumn(
+            name, col - F.lag(col, int(params.get("lag", 1))).over(w))
+    # moving_avg / moving_fn over a trailing window-bucket frame;
+    # moving_fn accepts the shipped "MovingFunctions.<fn>(values)"
+    # script shape (the only scripts OpenSearch ships built-in)
+    fn = str(params.get("fn", "avg"))
+    if "script" in params:
+        src = params["script"]
+        src = src["source"] if isinstance(src, dict) else str(src)
+        m = re.match(r"^\s*MovingFunctions\.(\w+)\(values\)\s*$", src)
+        if not m:
+            raise ValueError(
+                "moving_fn script must be MovingFunctions."
+                "<min|max|sum|avg|stddev>(values)")
+        fn = {"unweightedAvg": "avg"}.get(m.group(1), m.group(1))
+    win = int(params.get("window", 5))
+    reducer = {"min": F.min, "max": F.max, "sum": F.sum,
+               "avg": F.avg, "stddev": F.stddev_samp}[fn]
+    return frame.withColumn(name, reducer(col).over(
+        w.rowsBetween(-(win - 1), 0)))
+
+
 def _split_agg_node(node: dict) -> tuple[tuple | None, list, dict]:
     """One named agg entry -> (bucket, metrics, sub_aggs)."""
     bucket = None
@@ -1248,8 +1324,21 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
     def walk(path: list[str], levels: list[tuple], spec: dict) -> None:
         # all sibling PURE-METRIC entries at one path share ONE
         # groupBy (one shuffle); sibling bucket entries fork.
+        # Pipeline entries (parent: derivative/cumulative_sum/...;
+        # sibling: avg_bucket/... referencing "bucket>metric") apply
+        # AFTER the reduce, over the metadata-sized bucket frames --
+        # the OpenSearch coordinator-phase contract.
         metric_cols: list[tuple] = []
+        parent_pipes: list[tuple] = []
+        sibling_pipes: list[tuple] = []
         for name, node in spec.items():
+            pk = next(iter(node))
+            if pk in _PARENT_PIPE_KINDS:
+                parent_pipes.append((name, pk, node[pk]))
+                continue
+            if pk in _SIBLING_PIPE_KINDS:
+                sibling_pipes.append((name, pk, node[pk]))
+                continue
             if "top_hits" in node:
                 out[">".join(path + [name])] = _materialize_hits(
                     levels, node["top_hits"])
@@ -1302,9 +1391,38 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                 walk(path + [name], lv, subs)
             else:
                 out[">".join(path + [name])] = _materialize(lv, [])
-        if metric_cols:
-            out[">".join(path) if path else "_metrics"] = _materialize(
-                levels, metric_cols)
+        if metric_cols or parent_pipes:
+            frame = _materialize(levels, metric_cols)
+            for name, kind, params in parent_pipes:
+                frame = _parent_pipe(frame, levels, name, kind, params)
+            out[">".join(path) if path else "_metrics"] = frame
+        for name, kind, params in sibling_pipes:
+            # sibling-bucket metric: reduce a sibling bucket agg's
+            # frame ("bucket>metric" path) per parent key
+            bp = str(params["buckets_path"])
+            head, _, metric = bp.partition(">")
+            key = ">".join(path + [head])
+            if key not in out:
+                raise ValueError(
+                    f"{kind} buckets_path {bp!r}: no sibling bucket "
+                    f"agg {head!r}")
+            child = out[key]
+            vcol = F.col("doc_count" if metric in ("", "_count")
+                         else metric)
+            pkeys = [n for n, _k, _e, _p in levels]
+            fns = {"avg_bucket": [F.avg(vcol).alias(name)],
+                   "sum_bucket": [F.sum(vcol).alias(name)],
+                   "min_bucket": [F.min(vcol).alias(name)],
+                   "max_bucket": [F.max(vcol).alias(name)],
+                   "stats_bucket": [
+                       F.count(vcol).alias(f"{name}_count"),
+                       F.min(vcol).alias(f"{name}_min"),
+                       F.max(vcol).alias(f"{name}_max"),
+                       F.avg(vcol).alias(f"{name}_avg"),
+                       F.sum(vcol).alias(f"{name}_sum")]}[kind]
+            red = (child.groupBy(*pkeys).agg(*fns) if pkeys
+                   else child.agg(*fns))
+            out[">".join(path + [name])] = red
 
     def _materialize(levels: list[tuple],
                      metrics: list[tuple]) -> DataFrame:

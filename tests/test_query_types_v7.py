@@ -108,12 +108,22 @@ def test_painless_parse_and_sql_roundtrip():
     "for (x in y) { }",
     "state.t = 1; state.t",
     "doc['f'].values",
-    "params.factor * 2",
+    "Math.tanh(2)",
     "_score +",
 ])
 def test_painless_rejects_out_of_subset(bad):
     with pytest.raises(ValueError):
         parse_script(bad)
+
+
+def test_painless_rejects_unbound_params():
+    # params.<var> parses (bucket_script binds it) but an unbound
+    # reference must fail at compile, both backends
+    ast = parse_script("params.factor * 2")
+    with pytest.raises(ValueError):
+        to_column(ast)
+    with pytest.raises(ValueError):
+        to_sql(ast)
 
 
 # ---------------------------------------------------------------------------
@@ -520,3 +530,92 @@ def test_script_fields_and_script_sort(ix, oracle, doclen):
         assert math.isclose(
             r["dl2"], doclen[r["doc_id"]] * 2 + base[r["doc_id"]],
             rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# pipeline aggs in the body dispatcher
+# ---------------------------------------------------------------------------
+
+
+def test_body_pipeline_aggs_nested(ix, pages_pdf, doclen):
+    aggs = {"by_lang": {"terms": {"field": "lang", "size": 10}, "aggs": {
+        "hist": {"histogram": {"field": "doclen", "interval": 100},
+                 "aggs": {
+            "sales": {"sum": {"field": "doclen"}},
+            "cs": {"cumulative_sum": {"buckets_path": "sales"}},
+            "d": {"derivative": {"buckets_path": "sales"}},
+            "mv": {"moving_fn": {
+                "buckets_path": "sales", "window": 2,
+                "script": "MovingFunctions.max(values)"}},
+            "sd": {"serial_diff": {"buckets_path": "sales", "lag": 2}},
+            "ratio": {"bucket_script": {
+                "buckets_path": {"s": "sales", "c": "_count"},
+                "script": "params.s / params.c"}},
+        }},
+        "avg_sales": {"avg_bucket": {"buckets_path": "hist>sales"}},
+        "st": {"stats_bucket": {"buckets_path": "hist>_count"}},
+    }}}
+    res = run_aggs(ix.docs, aggs)
+    got = {(r["by_lang"], r["hist"]): r
+           for r in res["by_lang>hist"].collect()}
+    sib = {r["by_lang"]: r["avg_sales"]
+           for r in res["by_lang>avg_sales"].collect()}
+    stt = {r["by_lang"]: r for r in res["by_lang>st"].collect()}
+
+    pdf = pages_pdf.copy()
+    pdf["doclen"] = [doclen[i] for i in range(N)]
+    pdf["bucket"] = (pdf["doclen"] // 100) * 100
+    grp = (pdf.groupby(["lang", "bucket"])
+           .agg(n=("doclen", "size"), sales=("doclen", "sum"))
+           .reset_index())
+    assert got, "no buckets -- vacuous"
+    for lang, sub in grp.groupby("lang"):
+        sub = sub.sort_values("bucket").reset_index(drop=True)
+        cs = d = None
+        vals = list(sub["sales"].astype(float))
+        for i, row in sub.iterrows():
+            r = got[(lang, float(row["bucket"]))]
+            assert r["doc_count"] == row["n"]
+            assert math.isclose(r["sales"], row["sales"], rel_tol=1e-9)
+            assert math.isclose(r["cs"], sum(vals[:i + 1]), rel_tol=1e-9)
+            if i == 0:
+                assert r["d"] is None
+            else:
+                assert math.isclose(r["d"], vals[i] - vals[i - 1],
+                                    rel_tol=1e-9)
+            assert math.isclose(r["mv"], max(vals[max(0, i - 1):i + 1]),
+                                rel_tol=1e-9)
+            if i < 2:
+                assert r["sd"] is None
+            else:
+                assert math.isclose(r["sd"], vals[i] - vals[i - 2],
+                                    rel_tol=1e-9)
+            assert math.isclose(r["ratio"], vals[i] / row["n"],
+                                rel_tol=1e-9)
+        assert math.isclose(sib[lang], sum(vals) / len(vals),
+                            rel_tol=1e-9)
+        assert stt[lang]["st_sum"] == sub["n"].sum()
+        assert stt[lang]["st_max"] == sub["n"].max()
+
+
+def test_body_bucket_selector_and_sort(ix, pages_pdf, doclen):
+    aggs = {"hist": {"histogram": {"field": "doclen", "interval": 50},
+                     "aggs": {
+        "sales": {"sum": {"field": "doclen"}},
+        "keep": {"bucket_selector": {
+            "buckets_path": {"c": "_count"},
+            "script": "params.c >= 10"}},
+        "top": {"bucket_sort": {
+            "sort": [{"sales": {"order": "desc"}}], "size": 3}},
+    }}}
+    rows = run_aggs(ix.docs, aggs)["hist"].collect()
+    pdf = pages_pdf.copy()
+    pdf["doclen"] = [doclen[i] for i in range(N)]
+    pdf["bucket"] = (pdf["doclen"] // 50) * 50
+    grp = (pdf.groupby("bucket")
+           .agg(n=("doclen", "size"), sales=("doclen", "sum"))
+           .reset_index())
+    grp = grp[grp["n"] >= 10].sort_values("sales", ascending=False)
+    want = list(grp.head(3)["bucket"].astype(float))
+    assert want, "selector filtered everything -- vacuous"
+    assert sorted(r["hist"] for r in rows) == sorted(want)
