@@ -146,3 +146,93 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
             F.unhex(header), F.encode(F.col(text_col), "UTF-8")
         ).alias("media"),
     )
+
+
+RESIZE_SCHEMA = ("media_id long, width int, height int, "
+                 "pixels array<float>")
+
+FRAME_SCHEMA = ("media_id long, frame_idx int, n_frames int, "
+                "feature array<float>")
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  bin_col: str = "media",
+                  id_col: str = "media_id") -> DataFrame:
+    """Decode + nearest-neighbor resize via ``mapInPandas``.  The
+    resampling math (index grid + gather) is REAL — only the pixel
+    source is the stub decoder — so a real decoder drops in without
+    touching the Spark plumbing.  Output pixels are row-major floats
+    in [0, 255] at exactly (target_h, target_w)."""
+    cols = df.select(id_col, bin_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            out = []
+            for mid, payload in zip(b[id_col], b[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, pix = decode_image_stub(raw)
+                except ValueError:
+                    continue
+                # nearest-neighbor index grids (the classic resize)
+                ys = np.minimum(
+                    (np.arange(target_h) * h / target_h).astype(int),
+                    h - 1)
+                xs = np.minimum(
+                    (np.arange(target_w) * w / target_w).astype(int),
+                    w - 1)
+                small = pix[np.ix_(ys, xs)].astype(np.float32)
+                out.append((int(mid), target_w, target_h,
+                            small.ravel()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "pixels"])
+
+    return cols.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_sample: int,
+                  bin_col: str = "media", id_col: str = "media_id",
+                  frame_bytes: int = 256,
+                  n_features: int = 8) -> DataFrame:
+    """Video frame-sampling plumbing: treat the payload as a
+    concatenation of fixed-size frames, pick ``n_sample``
+    evenly-spaced frame indices (the standard uniform temporal
+    sampler: ``floor((i + 0.5) * n_frames / n_sample)``), decode each
+    SELECTED frame only, and emit one feature row per (media, frame).
+
+    One payload never decodes more than ``n_sample`` frames — at 100
+    TB the whole point of sampling is to avoid touching the other
+    bytes; a real container parser would seek, the stub slices."""
+    cols = df.select(id_col, bin_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            out = []
+            for mid, payload in zip(b[id_col], b[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                n_frames = max(1, len(raw) // frame_bytes)
+                idxs = sorted({
+                    int((i + 0.5) * n_frames / n_sample)
+                    for i in range(min(n_sample, n_frames))
+                })
+                for fi in idxs:
+                    chunk = raw[fi * frame_bytes:(fi + 1) * frame_bytes]
+                    try:
+                        _w, _h, pix = decode_image_stub(chunk)
+                    except ValueError:
+                        continue
+                    bands = np.array_split(
+                        pix.ravel().astype(np.float64), n_features)
+                    feat = np.array(
+                        [bb.mean() if bb.size else 0.0 for bb in bands],
+                        dtype=np.float32)
+                    out.append((int(mid), fi, n_frames, feat))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "n_frames",
+                              "feature"])
+
+    return cols.mapInPandas(run, schema=FRAME_SCHEMA)

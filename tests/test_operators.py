@@ -312,3 +312,44 @@ def test_ivf_topk_accepts_precomputed_assignment(clustered_vecs, spark):
     assert [(r["vec_id"], r["cosine"]) for r in got] == [
         (r["vec_id"], r["cosine"]) for r in want
     ]
+
+
+def test_multimodal_resize_nearest_neighbor(spark):
+    payloads = [(0, bytes(range(256)) * 3), (1, b"short"), (2, b"")]
+    df = spark.createDataFrame(payloads, "media_id long, media binary")
+    got = {r["media_id"]: r
+           for r in multimodal.resize_images(df, 8, 6).collect()}
+    assert 2 not in got                       # empty payload dropped
+    for mid in (0, 1):
+        w, h, pix = multimodal.decode_image_stub(payloads[mid][1])
+        ys = np.minimum((np.arange(6) * h / 6).astype(int), h - 1)
+        xs = np.minimum((np.arange(8) * w / 8).astype(int), w - 1)
+        want = pix[np.ix_(ys, xs)].astype(np.float32).ravel()
+        r = got[mid]
+        assert (r["width"], r["height"]) == (8, 6)
+        assert list(map(float, r["pixels"])) == [float(v) for v in want]
+
+
+def test_multimodal_frame_sampling(spark):
+    # 10 "frames" of 256 bytes; sample 4 evenly spaced, decode ONLY those
+    payload = bytes(range(256)) * 10
+    df = spark.createDataFrame([(0, payload), (1, b"tiny")],
+                               "media_id long, media binary")
+    rows = multimodal.sample_frames(df, n_sample=4).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    f0 = sorted(r["frame_idx"] for r in by_media[0])
+    want = sorted({int((i + 0.5) * 10 / 4) for i in range(4)})
+    assert f0 == want
+    assert all(r["n_frames"] == 10 for r in by_media[0])
+    # a sub-frame payload still yields its single frame 0
+    assert [r["frame_idx"] for r in by_media[1]] == [0]
+    # features recompute from the sliced frame bytes
+    r1 = next(r for r in by_media[0] if r["frame_idx"] == want[0])
+    chunk = payload[want[0] * 256:(want[0] + 1) * 256]
+    _w, _h, pix = multimodal.decode_image_stub(chunk)
+    exp = [float(np.float32(b.mean() if b.size else 0.0)) for b in
+           np.array_split(pix.ravel().astype(np.float64), 8)]
+    assert [round(float(x), 4) for x in r1["feature"]] == \
+        [round(x, 4) for x in exp]
