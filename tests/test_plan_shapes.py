@@ -274,3 +274,47 @@ def test_searchbody_query_plan_single_groupby_no_joins(saved_ix):
     assert "CartesianProduct" not in plan
     # must_not is rows through the same groupBy, never an anti-join
     assert "LeftAnti" not in plan
+
+
+def test_terms_set_is_codegen_predicate_no_join(spark):
+    # terms_set must stay a per-row array_intersect predicate -- no
+    # join against an exploded terms table, no extra exchange
+    from siem_on_amazon_opensearch_service_spark.index.querystring import (
+        FieldLeaf, _Compiler,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], 2)], "doc_id long, tags array<string>, req int")
+    leaf = FieldLeaf("tags", "terms_set", values=("a", "b", "c"),
+                     msm_field="req")
+    pred = _Compiler(F.lit(None)).field_matched(leaf)
+    plan = _plan(df.filter(pred))
+    assert "Join" not in plan and ") Exchange" not in plan
+    assert "array_intersect" in plan
+
+
+def test_has_child_single_rollup_no_cartesian(spark, saved_ix):
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_hits,
+    )
+
+    ix = saved_ix
+    docs2 = (ix.docs
+             .withColumn("join_name",
+                         F.when(F.col("doc_id") < 50, F.lit("question"))
+                         .otherwise(F.lit("answer")))
+             .withColumn("join_parent",
+                         F.when(F.col("doc_id") >= 50,
+                                F.col("doc_id") % 50)))
+    ix2 = PostingsIndex(docs=docs2, postings=ix.postings,
+                        term_stats=ix.term_stats,
+                        n_docs=ix.n_docs, avgdl=ix.avgdl)
+    body = {"query": {"has_child": {
+        "type": "answer", "query": {"match": {"text": "w00001"}},
+        "score_mode": "sum", "min_children": 1}}, "size": 10}
+    plan = _plan(search_hits(ix2, body))
+    assert "CartesianProduct" not in plan
+    # the family rollup is hash aggregation, never a window/sort over
+    # children
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
