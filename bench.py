@@ -204,6 +204,20 @@ def main() -> None:
 
     timed("search_body", run_search_body)
 
+    # --- script_score: the restricted-Painless path must cost the
+    # same as the plain top-k (one native expression, zero Python) ---
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_hits,
+    )
+
+    ss_body = {"query": {"script_score": {
+        "query": {"match": {"text": FT_QUERIES[0]}},
+        "script": {"source":
+                   "_score * 1.5 + Math.log(doc['doclen'].value + 1)"},
+    }}, "size": 20}
+    timed("script_score", lambda: search_hits(ix, ss_body)
+          .select("doc_id", "score").collect())
+
     # --- _msearch: a 6-panel dashboard batch vs the same panels
     # sequentially -- the batch shares ONE postings scan + shuffle ---
     from siem_on_amazon_opensearch_service_spark.index.msearch import (

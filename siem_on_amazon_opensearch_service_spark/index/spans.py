@@ -285,9 +285,15 @@ def _interval_rule(rule: dict, ix: PostingsIndex | None) -> dict | None:
             raise ValueError("intervals prefix needs the index "
                              "(vocabulary expansion)")
         pre = str(p["prefix"] if isinstance(p, dict) else p).lower()
+        max_exp = int(p.get("max_expansions", 128)) \
+            if isinstance(p, dict) else 128
+        # Lucene rewrite bound: highest-df expansions first, capped --
+        # an unbounded driver collect over a 'a*'-style prefix would
+        # be a vocabulary-sized result at web scale
         terms = [r["term"] for r in ix.term_stats
                  .filter(F.col("term").startswith(pre))
-                 .select("term").collect()]
+                 .orderBy(F.desc("df"), F.asc("term"))
+                 .limit(max_exp).select("term").collect()]
         if not terms:
             return None
         return {"span_or": {"clauses": [
