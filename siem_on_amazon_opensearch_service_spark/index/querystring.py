@@ -1024,21 +1024,51 @@ def _term_leaf_rows(ix: PostingsIndex,
     )
 
 
+# Lucene-style multi-term rewrite bound: when the vocabulary scan
+# matches at most this many terms, the postings scan gets a literal
+# `term IN (...)` (parquet row-group skipping on the term-sorted
+# layout); above it we keep the predicate inside the postings scan
+# (the constant_score rewrite -- correct for arbitrarily large term
+# sets, just not dictionary-pruned). Semantics are IDENTICAL on both
+# paths; the bound only switches physical strategy.
+MULTI_TERM_SCAN_CUTOFF = 512
+
+
 def _const_leaf_rows(ix: PostingsIndex, leaf: TermLeaf,
                      like_pattern: str | None,
                      rlike_pattern: str | None = None) -> DataFrame:
     """Constant-score multi-term leaf (prefix / wildcard / regexp):
     every doc containing ANY dictionary term matching the pattern
-    scores boost * 1.0. No driver-side expansion, no clause-count
-    cap: the LIKE / RLIKE predicate runs inside the term-sorted
-    postings scan."""
+    scores boost * 1.0.
+
+    Strategy (Lucene MultiTermQuery rewrite, vocabulary-first): the
+    pattern is first evaluated against ``term_stats`` -- ONE ROW PER
+    TERM, metadata-sized next to the postings -- and, when the match
+    set fits :data:`MULTI_TERM_SCAN_CUTOFF`, the postings scan is a
+    pushed-down ``term IN (literals)`` instead of a LIKE/RLIKE over
+    every postings block. A leading-wildcard query (``*Unauthorized*``,
+    every other CloudTrail saved search) then reads only the matched
+    terms' row groups. Overflow falls back to the in-scan predicate:
+    same results, vocabulary-pruning skipped."""
     if rlike_pattern is not None:
         # Lucene regexp queries are anchored (whole-term match).
-        pred = F.col("term").rlike(f"^(?:{rlike_pattern})$")
+        def pred_on(col: Column) -> Column:
+            return col.rlike(f"^(?:{rlike_pattern})$")
     else:
-        pred = F.col("term").like(like_pattern)
+        def pred_on(col: Column) -> Column:
+            return col.like(like_pattern)
+    vocab = ix.term_stats.filter(pred_on(F.col("term"))) \
+        .select("term").limit(MULTI_TERM_SCAN_CUTOFF + 1).collect()
+    if len(vocab) <= MULTI_TERM_SCAN_CUTOFF:
+        if not vocab:
+            # provably-empty leaf: no postings job at all
+            return ix.postings.sparkSession.createDataFrame(
+                [], "doc_id long, leaf int, contrib double")
+        scan_pred = F.col("term").isin([r["term"] for r in vocab])
+    else:
+        scan_pred = pred_on(F.col("term"))
     matched = decode_blocks(
-        ix.postings.filter(pred)
+        ix.postings.filter(scan_pred)
     ).select("doc_id").distinct()
     return matched.select(
         "doc_id", F.lit(leaf.leaf_id).alias("leaf"),

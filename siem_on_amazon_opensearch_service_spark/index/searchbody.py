@@ -993,6 +993,7 @@ _BUCKET_KINDS = ("terms", "date_histogram", "auto_date_histogram",
                  "histogram", "range", "filters")
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
                  "cardinality", "stats", "percentiles",
+                 "percentile_ranks", "string_stats",
                  "weighted_avg", "extended_stats", "scripted_metric")
 
 _CAL_TRUNC = {"second": "second", "minute": "minute", "hour": "hour",
@@ -1204,6 +1205,20 @@ def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
         return [F.expr(
             f"percentile({params['field']}, {p / 100.0})"
         ).alias(f"{name}_p{p:g}".replace(".", "_")) for p in pcts]
+    if kind == "percentile_ranks":
+        # percent of values <= each cutoff (the OpenSearch response
+        # shape) -- one conditional-count per cutoff, same single agg
+        vals = [float(x) for x in params["values"]]
+        return [(F.sum(F.when(num <= F.lit(x), 1).otherwise(0))
+                 * 100.0 / F.count(num)
+                 ).alias(f"{name}_r{x:g}".replace(".", "_"))
+                for x in vals]
+    if kind == "string_stats":
+        ln = F.length(v.cast("string"))
+        return [F.count(v).alias(f"{name}_count"),
+                F.min(ln).alias(f"{name}_min_length"),
+                F.max(ln).alias(f"{name}_max_length"),
+                F.avg(ln.cast("double")).alias(f"{name}_avg_length")]
     raise ValueError(f"unsupported metric agg {kind!r}")
 
 

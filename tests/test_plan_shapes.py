@@ -318,3 +318,35 @@ def test_has_child_single_rollup_no_cartesian(spark, saved_ix):
     # children
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_wildcard_rewrites_to_pushed_term_in(saved_ix, monkeypatch):
+    """Leading-wildcard leaves rewrite against the vocabulary table
+    (Lucene MultiTermQuery rewrite): the POSTINGS scan must carry a
+    pushed literal In(term...) — never a LIKE/RLIKE over every
+    postings block — when the dictionary match set fits the cutoff."""
+    from siem_on_amazon_opensearch_service_spark.index.querystring import (
+        query_string_topk,
+    )
+
+    df = query_string_topk(saved_ix, "*0042*", k=5)
+    plan = _plan(df)
+    assert "In(term" in plan
+    # overflow path: force cutoff 0 -> the predicate stays in-scan
+    # (Contains/LIKE pushed instead of a literal set) with IDENTICAL
+    # results
+    import siem_on_amazon_opensearch_service_spark.index.querystring as qs
+    rows_pruned = sorted(map(tuple, df.collect()))
+    monkeypatch.setattr(qs, "MULTI_TERM_SCAN_CUTOFF", 0)
+    fb = query_string_topk(saved_ix, "*0042*", k=5)
+    assert "In(term" not in _plan(fb)
+    assert sorted(map(tuple, fb.collect())) == rows_pruned
+
+
+def test_wildcard_empty_vocab_is_jobless(saved_ix):
+    from siem_on_amazon_opensearch_service_spark.index.querystring import (
+        query_string_topk,
+    )
+
+    df = query_string_topk(saved_ix, "*zzzznomatch*", k=5)
+    assert df.count() == 0

@@ -619,3 +619,30 @@ def test_body_bucket_selector_and_sort(ix, pages_pdf, doclen):
     want = list(grp.head(3)["bucket"].astype(float))
     assert want, "selector filtered everything -- vacuous"
     assert sorted(r["hist"] for r in rows) == sorted(want)
+
+
+def test_percentile_ranks_and_string_stats(ix, pages_pdf, doclen):
+    aggs = {"langs": {"terms": {"field": "lang", "size": 10},
+                      "aggs": {
+        "pr": {"percentile_ranks": {"field": "doclen",
+                                    "values": [40, 60.5]}},
+        "ss": {"string_stats": {"field": "url"}},
+    }}}
+    got = {r["langs"]: r for r in run_aggs(ix.docs, aggs)["langs"]
+           .collect()}
+    pdf = pages_pdf.copy()
+    pdf["doclen"] = [doclen[i] for i in range(N)]
+    for lang, grp in pdf.groupby("lang"):
+        dl = grp["doclen"]
+        assert math.isclose(got[lang]["pr_r40"],
+                            100.0 * (dl <= 40).sum() / len(dl),
+                            rel_tol=1e-9)
+        assert math.isclose(got[lang]["pr_r60_5"],
+                            100.0 * (dl <= 60.5).sum() / len(dl),
+                            rel_tol=1e-9)
+        ln = grp["url"].str.len()
+        assert got[lang]["ss_count"] == len(grp)
+        assert got[lang]["ss_min_length"] == ln.min()
+        assert got[lang]["ss_max_length"] == ln.max()
+        assert math.isclose(got[lang]["ss_avg_length"], ln.mean(),
+                            rel_tol=1e-9)
