@@ -116,3 +116,40 @@ def test_matrix_stats_exact(spark):
     r = out[("x", "y")]
     assert r.cov == pytest.approx(statistics.covariance(xs, ys))
     assert r.corr == pytest.approx(statistics.correlation(xs, ys))
+
+
+def test_rollup_sync_incremental_equals_batch(spark, raw, tmp_path):
+    """Continuous mode: two syncs over a growing source must equal one
+    batch build over everything; an empty delta is a no-op."""
+    from siem_on_amazon_opensearch_service_spark.operators.rollup import (
+        rollup_read, rollup_sync)
+
+    path = str(tmp_path / "roll")
+    cutoff = "2024-03-01 20:00:00"
+    first = raw.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+    r1 = rollup_sync(first, SPEC, path)
+    assert r1["new_rows"] == first.count()
+    r2 = rollup_sync(raw, SPEC, path)
+    assert r2["new_rows"] == raw.count() - first.count()
+    # third pass: nothing new
+    r3 = rollup_sync(raw, SPEC, path)
+    assert r3["new_rows"] == 0 and r3["watermark"] == r2["watermark"]
+
+    def canon(df):
+        return sorted(
+            (r["rollup_ts"], r["site"], r["rollup_count"],
+             r["v__sum"], r["v__min"], r["v__max"], r["v__value_count"])
+            for r in df.collect())
+
+    assert canon(rollup_read(spark, path)) == canon(rollup_build(raw, SPEC))
+    # and the merged rollup still answers coarse queries correctly
+    got = rollup_answer(rollup_read(spark, path), SPEC, 86400, ["site"],
+                        [("v", "avg"), ("", "count")]).collect()
+    want = {(r["bucket_ts"], r["site"]): (r["v_avg"], r["_count"])
+            for r in rollup_answer(rollup_build(raw, SPEC), SPEC, 86400,
+                                   ["site"],
+                                   [("v", "avg"), ("", "count")]).collect()}
+    for r in got:
+        wa, wc = want[(r["bucket_ts"], r["site"])]
+        assert r["_count"] == wc
+        assert abs(r["v_avg"] - wa) < 1e-9
