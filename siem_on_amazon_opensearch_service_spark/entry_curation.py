@@ -575,6 +575,16 @@ def _dsir_oracle() -> str:
                            n_buckets=_DSIR_B)
 
 
+#: NB quality-classifier parameters shared by Spark side and oracle
+_NBQ_TRAIN, _NBQ_B = "doc_id < 400", 2048
+
+
+def _nbq_oracle() -> str:
+    from .operators.classifier import duckdb_nb_sql
+
+    return duckdb_nb_sql(_NBQ_TRAIN, n_buckets=_NBQ_B)
+
+
 @register(
     "pack_sample_shard",
     f"""
@@ -644,7 +654,11 @@ def _dsir_oracle() -> str:
     UNION ALL
     SELECT 'dsir', id::VARCHAR, round(logw * 1e6)::BIGINT, ''
     FROM ({{DSIR}})
-    """.replace("{DSIR}", _dsir_oracle()),
+    UNION ALL
+    SELECT 'nbq', id::VARCHAR, round(logit * 1e6)::BIGINT,
+           keep::VARCHAR
+    FROM ({{NBQ}})
+    """.replace("{DSIR}", _dsir_oracle()).replace("{NBQ}", _nbq_oracle()),
 )
 def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch assembly in one gated entry: ~512-token sequence
@@ -727,8 +741,23 @@ def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("logw") * 1e6).cast("long").alias("n"),
         F.lit("").alias("detail"),
     )
+    # 'nbq' rows: NB log-odds quality classifier (operators/
+    # classifier.py, the CCNet/fineweb curation scorer) — fit on the
+    # low-id docs with lang='en' as the keep label, score everything;
+    # logit in micro-units (cross-engine drift measured at 1e-14)
+    from .operators.classifier import nb_fit, nb_score
+
+    nbq_train = d.filter(F.expr(_NBQ_TRAIN)).withColumn(
+        "label", (F.col("lang") == "en").cast("int"))
+    nbq = nb_score(d, nb_fit(nbq_train, n_buckets=_NBQ_B)).select(
+        F.lit("nbq").alias("chk"),
+        F.col("id").cast("string").alias("key"),
+        F.round(F.col("logit") * 1e6).cast("long").alias("n"),
+        F.col("keep").cast("string").alias("detail"),
+    )
     return (pack.unionByName(sample).unionByName(shard)
-            .unionByName(contam).unionByName(rep).unionByName(dsir))
+            .unionByName(contam).unionByName(rep).unionByName(dsir)
+            .unionByName(nbq))
 
 
 _Q_SQL = textstats.duckdb_quality_sql()
