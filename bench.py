@@ -286,6 +286,22 @@ def main() -> None:
         ).collect())
         pq_codes.unpersist()
 
+        # HNSW scatter-gather: graph construction is a build step
+        # (untimed, like the index build); the timed part is the
+        # per-shard beam search + global merge for one query batch.
+        from siem_on_amazon_opensearch_service_spark.operators import (
+            hnsw as hnswm,
+        )
+
+        graph = hnswm.hnsw_build(
+            vecs, n_shards=4, m=8, ef_construction=48
+        ).persist()
+        graph.count()
+        timed("hnsw_topk", lambda: hnswm.hnsw_query(
+            graph, [(0, qv)], k=20, ef_search=64
+        ).collect())
+        graph.unpersist()
+
     # --- MinHash-LSH at the PRODUCTION parameterization (n_hash=128,
     # n_bands=16 -> r=8, S-curve threshold ~0.71), not the toy test
     # knobs: the banded shuffle is the 100 TB shape, timed here so the

@@ -233,3 +233,67 @@ def analyze_text(text: str,
                     "type": "<ALPHANUM>"})
         pos += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# CJK bigram tokenizer (the OpenSearch ``cjk`` analyzer family)
+# ---------------------------------------------------------------------------
+
+#: Han + Hiragana + Katakana (the scripts CJKBigramFilter bigrams by
+#: default). One combined class: mixed-script bigrams form across
+#: adjacent CJK characters, as in Lucene's default (no ignored_scripts).
+CJK_CLASS = "一-鿿぀-ゟ゠-ヿ"
+_CJK_RUNS = f"([a-z0-9]+|[{CJK_CLASS}]+)"
+
+
+def cjk_tokens_col(col: Column | str) -> Column:
+    """Tokenizer VARIANT (not a post-filter): latin/digit runs tokenize
+    as in the core analyzer; runs of CJK characters emit overlapping
+    character bigrams (a lone CJK char emits as a unigram) — Lucene's
+    CJKAnalyzer / ``cjk_bigram`` behavior, the analyzer the reference's
+    Japanese deployments configure for message fields.
+
+    Plug into the index via ``build_index(..., tokenizer=
+    cjk_tokens_col)`` and query via the matching ``py_cjk_tokens``.
+    Native expressions only (regexp_extract_all / transform / substr /
+    flatten) — whole-stage codegen, no Python in the scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.regexp_extract_all(F.lower(c), F.lit(_CJK_RUNS), 1)
+
+    def expand(r: Column) -> Column:
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(r) - 1, F.lit(1))),
+            lambda i: r.substr(i, F.lit(2)),
+        )
+        return F.when(r.rlike("^[a-z0-9]"), F.array(r)).otherwise(bigrams)
+
+    return F.flatten(F.transform(runs, expand))
+
+
+def py_cjk_tokens(text: str) -> list[str]:
+    """Pure-Python twin (oracle + query-string path)."""
+    import re as _re
+
+    if not text:
+        return []
+    out: list[str] = []
+    for r in _re.findall(_CJK_RUNS, text.lower()):
+        if _re.match("^[a-z0-9]", r):
+            out.append(r)
+        elif len(r) == 1:
+            out.append(r)
+        else:
+            out.extend(r[i:i + 2] for i in range(len(r) - 1))
+    return out
+
+
+def duckdb_cjk_sql(expr: str) -> str:
+    """DuckDB twin producing the identical token array."""
+    return (
+        f"flatten(list_transform("
+        f"regexp_extract_all(lower({expr}), '{_CJK_RUNS}', 1), "
+        f"r -> CASE WHEN regexp_matches(r, '^[a-z0-9]') THEN [r] "
+        f"ELSE list_transform("
+        f"range(1, greatest(length(r) - 1, 1) + 1), "
+        f"i -> substring(r, i::INT, 2)) END))"
+    )

@@ -252,6 +252,7 @@ def build_index(
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     shuffle_partitions: int | None = None,
     keep_cols: list[str] | None = None,
+    tokenizer=None,
 ) -> PostingsIndex:
     """Build the index from a pages/documents DataFrame.
 
@@ -261,10 +262,16 @@ def build_index(
     ``keep_cols``: extra source columns carried into the docs table
     (filter/agg surface, join-field layouts, multi-valued keyword
     arrays) — they ride the one tokenize scan, never a re-scan.
+
+    ``tokenizer``: Column -> token-array Column; defaults to the shared
+    core analyzer. This is the per-field-analyzer seam (OpenSearch
+    mapping ``analyzer:``): pass e.g. ``analysis_ext.cjk_tokens_col``
+    and query with its matching Python twin.
     """
     if id_col is None:
         pages = assign_doc_ids(pages, order_col="url")
         id_col = "doc_id"
+    tokenizer = tokenizer or tokens_col
 
     keep = [c for c in ("url", "warc_ts", "lang") if c in pages.columns]
     for c in keep_cols or []:
@@ -272,7 +279,7 @@ def build_index(
             keep.append(c)
     base = pages.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        tokens_col(text_col).alias("_toks"),
+        tokenizer(F.col(text_col)).alias("_toks"),
         *keep,
     )
 

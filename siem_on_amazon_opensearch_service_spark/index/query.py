@@ -79,16 +79,19 @@ def score_col(avgdl: float, n_docs: int) -> F.Column:
     return idf * tf / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl)))
 
 
-def _query_weights(query: str) -> dict[str, int]:
+def _query_weights(query: str, tokenizer_py=None) -> dict[str, int]:
     """Term -> occurrence count in the query (Lucene: a repeated term
-    is a repeated clause, scoring once per occurrence)."""
+    is a repeated clause, scoring once per occurrence).
+    ``tokenizer_py`` must match the analyzer the index was built with
+    (defaults to the shared core analyzer)."""
     w: dict[str, int] = {}
-    for t in tokenize_py(query):
+    for t in (tokenizer_py or tokenize_py)(query):
         w[t] = w.get(t, 0) + 1
     return w
 
 
-def bm25_scores(ix: PostingsIndex, query: str) -> DataFrame:
+def bm25_scores(ix: PostingsIndex, query: str,
+                tokenizer_py=None) -> DataFrame:
     """(doc_id, score) for EVERY matching doc — the unlimited match
     set, for filter-context composition or downstream joins. Plan:
     scan (term pushdown) → decode → native score → one shuffle
@@ -97,7 +100,7 @@ def bm25_scores(ix: PostingsIndex, query: str) -> DataFrame:
     """
     from ..bm25 import idf as _idf
 
-    weights = _query_weights(query)
+    weights = _query_weights(query, tokenizer_py)
     terms = list(weights)
     spark = ix.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -133,12 +136,12 @@ def bm25_scores(ix: PostingsIndex, query: str) -> DataFrame:
 
 
 def bm25_topk(ix: PostingsIndex, query: str, k: int = 10,
-              with_url: bool = False) -> DataFrame:
+              with_url: bool = False, tokenizer_py=None) -> DataFrame:
     """Top-k docs for one query string. Returns (doc_id, score[, url]).
     TakeOrderedAndProject over :func:`bm25_scores` — per-partition
     heaps + driver merge, never a global sort."""
     topk = (
-        bm25_scores(ix, query)
+        bm25_scores(ix, query, tokenizer_py)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

@@ -25,12 +25,16 @@ class OracleIndex:
     postings: dict[str, dict[int, int]] = field(default_factory=dict)
 
     @classmethod
-    def build(cls, docs: dict[int, str]) -> "OracleIndex":
-        """docs: doc_id -> text."""
+    def build(cls, docs: dict[int, str],
+              tokenizer=None) -> "OracleIndex":
+        """docs: doc_id -> text. ``tokenizer`` defaults to the shared
+        core analyzer; pass the matching Python twin when the engine
+        index was built with a tokenizer override."""
         ix = cls()
+        tokenize = tokenizer or tokenize_py
         total = 0
         for doc_id, text in docs.items():
-            toks = tokenize_py(text)
+            toks = tokenize(text)
             ix.doclen[doc_id] = len(toks)
             total += len(toks)
             for term, tf in Counter(toks).items():
@@ -42,13 +46,14 @@ class OracleIndex:
     def df(self, term: str) -> int:
         return len(self.postings.get(term, {}))
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(self, query: str, k: int = 10,
+               tokenizer=None) -> list[tuple[int, float]]:
         """Top-k (doc_id, score); OR semantics over query terms
         (OpenSearch ``match`` default operator), tie-break
         (score desc, doc_id asc). Duplicate query terms contribute
         once per occurrence, matching Lucene's per-clause scoring."""
         scores: dict[int, float] = {}
-        for term in tokenize_py(query):
+        for term in (tokenizer or tokenize_py)(query):
             plist = self.postings.get(term)
             if not plist:
                 continue
