@@ -485,7 +485,7 @@ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 matched AS (
-  SELECT term FROM dft WHERE levenshtein(term, '{_FUZZY_TERM}') <= 1
+  SELECT term FROM dft WHERE damerau_levenshtein(term, '{_FUZZY_TERM}') <= 1
 ),
 scored AS (
   SELECT tf.doc_id,

@@ -120,24 +120,71 @@ def multiterm_topk(ix: PostingsIndex, like_pattern: str,
     )
 
 
+def dl_distance(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance — the exact function
+    DuckDB exposes as ``damerau_levenshtein`` (the oracle twin), with
+    a transposition as one primitive edit. O(len(a)*len(b)) on the
+    driver over dictionary-candidate lists only."""
+    la, lb = len(a), len(b)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    inf = la + lb
+    # Lowrance-Wagner: last-seen row per alphabet symbol
+    da: dict[str, int] = {}
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = inf
+    for i in range(la + 1):
+        d[i + 1][0] = inf
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = inf
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l_ = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,              # substitute
+                d[i + 1][j] + 1,             # insert
+                d[i][j + 1] + 1,             # delete
+                d[k][l_] + (i - k - 1) + 1 + (j - l_ - 1),  # transpose
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
 def fuzzy_topk(ix: PostingsIndex, term: str, k: int = 10,
                max_edits: int = 1) -> DataFrame:
     """Fuzzy term query (OpenSearch ``term~`` / fuzziness=1): expand
-    against the term dictionary by Levenshtein distance, then score
-    every matched variant with its own BM25 and sum per doc.
+    against the term dictionary by Damerau-Levenshtein distance — a
+    transposition counts as ONE edit, Lucene's ``transpositions:
+    true`` default — then score every matched variant with its own
+    BM25 and sum per doc.
 
     The expansion is a scan of term_stats (the term dictionary — tiny
-    relative to postings) with a native ``levenshtein`` predicate;
-    matched terms then follow the ordinary pruned-decode path.
-    (Lucene's FuzzyQuery blends dfs across variants; summing
-    per-variant BM25 keeps the same candidates with a deterministic,
-    cross-engine-reproducible scoring — documented deviation.)"""
+    relative to postings) with a native ``levenshtein`` prefilter at
+    ``2 * max_edits`` (sound: lev <= 2*DL, each transposition costs at
+    most two plain edits) refined to exact DL on the driver-side
+    candidate list; matched terms then follow the ordinary
+    pruned-decode path. (Lucene's FuzzyQuery blends dfs across
+    variants; summing per-variant BM25 keeps the same candidates with
+    a deterministic, cross-engine-reproducible scoring — documented
+    deviation.)"""
     q = term.lower().strip()
     matched_terms = [
         r["term"]
         for r in ix.term_stats.filter(
-            F.levenshtein(F.col("term"), F.lit(q)) <= max_edits
+            F.levenshtein(F.col("term"), F.lit(q)) <= 2 * max_edits
         ).select("term").collect()
+        if dl_distance(r["term"], q) <= max_edits
     ]
     spark = ix.postings.sparkSession
     if not matched_terms:

@@ -88,7 +88,10 @@ def msearch(
     slots: list[tuple[str, object]] = []  # ("tree", tree) | ("vec", qnode)
     trees: list = []
     for body in bodies:
-        qnode = body.get("query", {"match_all": {}})
+        from .searchbody import resolve_terms_lookup
+
+        qnode = resolve_terms_lookup(
+            body.get("query", {"match_all": {}}), ix)
         qkind, _ = _one(qnode)
         if qkind in ("knn", "hybrid"):
             slots.append(("vec", qnode))

@@ -1077,11 +1077,17 @@ def _const_leaf_rows(ix: PostingsIndex, leaf: TermLeaf,
 
 
 def _fuzzy_variants(ix: PostingsIndex, text: str, max_edits: int) -> list[str]:
+    # Damerau-Levenshtein expansion (transpositions = one edit, the
+    # Lucene default): native lev prefilter at 2*max_edits (sound
+    # bound), exact DL refine over the candidate list on the driver.
+    from .boolquery import dl_distance
+
     return [
         r["term"]
         for r in ix.term_stats.filter(
-            F.levenshtein(F.col("term"), F.lit(text)) <= max_edits
+            F.levenshtein(F.col("term"), F.lit(text)) <= 2 * max_edits
         ).select("term").collect()
+        if dl_distance(r["term"], text) <= max_edits
     ]
 
 

@@ -250,6 +250,38 @@ def _field_params(body, value_key: str = "value") -> tuple[str, dict]:
     return field, params
 
 
+def resolve_terms_lookup(node, ix: PostingsIndex):
+    """Terms-lookup rewrite: the ``{"terms": {field: {"id": ...,
+    "path": ...}}}`` form fetches the lookup document's ``path``
+    values and splices a literal value list in place — the OpenSearch
+    coordinator does the same single GET before broadcasting the
+    query. One driver-side single-row fetch per lookup clause; a
+    missing doc or null path resolves to the empty list (matches
+    nothing), as upstream."""
+    if isinstance(node, list):
+        return [resolve_terms_lookup(x, ix) for x in node]
+    if not isinstance(node, dict):
+        return node
+    out = {}
+    for k, v in node.items():
+        if k == "terms" and isinstance(v, dict) and len(v) == 1:
+            (field, spec), = v.items()
+            if isinstance(spec, dict) and "id" in spec:
+                path = spec.get("path", field)
+                rows = (ix.docs
+                        .filter(F.col("doc_id") == int(spec["id"]))
+                        .select(F.col(path).alias("_v")).collect())
+                vals = []
+                if rows and rows[0]["_v"] is not None:
+                    got = rows[0]["_v"]
+                    vals = (list(got) if isinstance(got, (list, tuple))
+                            else [got])
+                out[k] = {field: [str(x) for x in vals]}
+                continue
+        out[k] = resolve_terms_lookup(v, ix)
+    return out
+
+
 def compile_query(spec: dict,
                   text_field: str = DEFAULT_TEXT_FIELD) -> object:
     """Compile one OpenSearch query-DSL node into the boolean-tree
@@ -623,6 +655,7 @@ def search_hits(
         ix = with_runtime_mappings(ix, body["runtime_mappings"])
     qnode = expand_mlt(body.get("query", {"match_all": {}}), ix,
                        source_docs, text_field)
+    qnode = resolve_terms_lookup(qnode, ix)
     qkind, _ = _one(qnode)
     if qkind == "intervals":
         # intervals is the modern position-algebra surface over the

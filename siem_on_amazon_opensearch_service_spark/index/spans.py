@@ -1,6 +1,6 @@
 r"""Span queries over the positional index: ``span_term`` /
 ``span_near`` (ordered + unordered, slop) / ``span_first`` /
-``span_or`` / ``span_not``.
+``span_or`` / ``span_not`` / ``span_within`` / ``span_containing``.
 
 Reference semantics target: the Lucene span family OpenSearch exposes
 as query DSL (used in security content for "X within N tokens of Y,
@@ -19,6 +19,9 @@ Documented semantics (deterministic, shared with the pytest twin):
   ``(end - start) - Σ child widths`` must be ``<= slop``.
 * ``span_first(match, end)`` — match spans with ``span.end <= end``.
 * ``span_or(clauses)`` — the distinct union of child spans.
+* ``span_within(little, big)`` / ``span_containing(little, big)`` —
+  enclosure (little ⊆ big): within returns the little spans,
+  containing the big spans, each once.
 * ``span_not(include, exclude)`` — include spans overlapping no
   exclude span in the same doc.
 
@@ -82,6 +85,12 @@ def span_leaf_terms(node: dict) -> list[str]:
         # exclude terms gate but don't score (Lucene SpanNot scores
         # the include side only)
         return span_leaf_terms(body["include"])
+    if kind == "span_within":
+        # Lucene SpanWithin returns (and scores) the LITTLE side
+        return span_leaf_terms(body["little"])
+    if kind == "span_containing":
+        # Lucene SpanContaining returns (and scores) the BIG side
+        return span_leaf_terms(body["big"])
     raise ValueError(f"unsupported span node: {kind!r}")
 
 
@@ -91,6 +100,8 @@ def _all_terms(node: dict) -> list[str]:
     kind, body = _one(node)
     if kind == "span_not":
         return _all_terms(body["include"]) + _all_terms(body["exclude"])
+    if kind in ("span_within", "span_containing"):
+        return _all_terms(body["little"]) + _all_terms(body["big"])
     if kind in ("span_near", "span_or"):
         return [t for c in body["clauses"] for t in _all_terms(c)]
     if kind == "span_first":
@@ -127,6 +138,23 @@ def _spans(decoded: DataFrame, node: dict) -> DataFrame:
         )
         return inc.join(exc, overlap, "left_anti").select(
             "i.doc_id", "i.start", "i.end", "i.w")
+
+    if kind in ("span_within", "span_containing"):
+        # enclosure, not mere overlap: little ⊆ big. within keeps the
+        # little spans, containing keeps the big spans — each returned
+        # span once (left_semi), the Lucene multiset.
+        little = _spans(decoded, body["little"]).alias("l")
+        big = _spans(decoded, body["big"]).alias("b")
+        enclosed = (
+            (F.col("l.doc_id") == F.col("b.doc_id"))
+            & (F.col("l.start") >= F.col("b.start"))
+            & (F.col("l.end") <= F.col("b.end"))
+        )
+        if kind == "span_within":
+            return little.join(big, enclosed, "left_semi").select(
+                "l.doc_id", "l.start", "l.end", "l.w")
+        return big.join(little, enclosed, "left_semi").select(
+            "b.doc_id", "b.start", "b.end", "b.w")
 
     if kind == "span_near":
         clauses = body["clauses"]

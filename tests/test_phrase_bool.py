@@ -310,3 +310,40 @@ def test_querystring_phrase_slop(data, pix, fix):
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_dl_distance_matches_duckdb():
+    import duckdb
+
+    from siem_on_amazon_opensearch_service_spark.index.boolquery import (
+        dl_distance,
+    )
+
+    pairs = [("ab", "ba"), ("table", "tbale"), ("ca", "abc"),
+             ("kitten", "sitting"), ("", "abc"), ("same", "same"),
+             ("transpose", "transpsoe"), ("w0001", "w0010")]
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert dl_distance(a, b) == want, (a, b)
+
+
+def test_fuzzy_matches_transposition(spark):
+    """'tbale'~1 must match docs containing 'table' (one transposition
+    = one edit, the Lucene transpositions:true default) — plain
+    Levenshtein would need 2 edits and miss it."""
+    from siem_on_amazon_opensearch_service_spark.index import build_index
+    from siem_on_amazon_opensearch_service_spark.index.boolquery import (
+        fuzzy_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the table is set"), (1, "a chair and nothing else"),
+         (2, "tables everywhere")],
+        "doc_id long, text string")
+    ix = build_index(spark, df, id_col="doc_id")
+    got = {r["doc_id"] for r in fuzzy_topk(ix, "tbale", k=10,
+                                           max_edits=1).collect()}
+    assert 0 in got        # 'table' via transposition (DL=1)
+    assert 1 not in got

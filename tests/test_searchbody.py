@@ -886,3 +886,30 @@ def test_rank_feature_in_bool_should(ix, oracle):
 def test_rank_feature_requires_function():
     with pytest.raises(ValueError, match="rank_feature needs"):
         compile_query({"rank_feature": {"field": "doclen"}})
+
+
+def test_terms_lookup_query(spark):
+    from siem_on_amazon_opensearch_service_spark import corpus
+    from siem_on_amazon_opensearch_service_spark.index import build_index
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_hits,
+    )
+
+    pdf = corpus.make_pages_pdf(80, seed=9)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    # lookup doc 3 carries the allow-list in an array column
+    pdf["allowed"] = [["en", "de"] if i == 3 else None
+                      for i in range(len(pdf))]
+    ix = build_index(spark, spark.createDataFrame(pdf), id_col="doc_id",
+                     keep_cols=["allowed"])
+    looked = search_hits(ix, {"query": {"terms": {
+        "lang": {"id": 3, "path": "allowed"}}}, "size": 100})
+    literal = search_hits(ix, {"query": {"terms": {
+        "lang": ["en", "de"]}}, "size": 100})
+    got = sorted(r["doc_id"] for r in looked.collect())
+    want = sorted(r["doc_id"] for r in literal.collect())
+    assert got == want and want, "vacuous terms-lookup test"
+    # missing lookup doc -> matches nothing
+    assert search_hits(ix, {"query": {"terms": {
+        "lang": {"id": 99999, "path": "allowed"}}}, "size": 10}
+    ).count() == 0

@@ -75,6 +75,14 @@ def py_spans(doc, node):
         exc = py_spans(doc, body["exclude"])
         return [s for s in inc
                 if not any(s[0] < e[1] and e[0] < s[1] for e in exc)]
+    if kind in ("span_within", "span_containing"):
+        little = py_spans(doc, body["little"])
+        big = py_spans(doc, body["big"])
+        if kind == "span_within":
+            return [s for s in little
+                    if any(s[0] >= b[0] and s[1] <= b[1] for b in big)]
+        return [b for b in big
+                if any(s[0] >= b[0] and s[1] <= b[1] for s in little)]
     if kind == "span_near":
         import itertools
         slop = int(body.get("slop", 0))
@@ -198,3 +206,23 @@ def test_span_body_and_topk(spark, pos_ix, toks):
                                "slop": 3}})) == {}
     with pytest.raises(ValueError, match="positional"):
         search_hits(pos_ix, {"query": node, "size": 5})
+
+
+def test_span_within_and_containing(spark, pos_ix, toks):
+    # little = a frequent term; big = an unordered near window around it
+    big = {"span_near": {"clauses": [T("w00001"), T("w00057")],
+                         "slop": 6, "in_order": False}}
+    _check(spark, pos_ix, toks,
+           {"span_within": {"little": T("w00001"), "big": big}})
+    _check(spark, pos_ix, toks,
+           {"span_containing": {"little": T("w00001"), "big": big}})
+    # scoring side differs between the two: within scores the little
+    # term's idf, containing the big tree's
+    w = py_span_scores(toks, {"span_within": {"little": T("w00001"),
+                                              "big": big}},
+                       pos_ix.n_docs, pos_ix.avgdl)
+    c = py_span_scores(toks, {"span_containing": {"little": T("w00001"),
+                                                  "big": big}},
+                       pos_ix.n_docs, pos_ix.avgdl)
+    assert set(w) == set(c)          # same matching docs...
+    assert any(abs(w[d] - c[d]) > 1e-12 for d in w)  # ...different scores
