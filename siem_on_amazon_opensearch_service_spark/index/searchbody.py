@@ -955,14 +955,28 @@ def _vector_scored(
                 f"got {field!r}"
             )
         k = int(spec.get("k", 10))
-        cand = vecs
-        if "filter" in spec:
-            pred = _filter_pred(spec["filter"], text_field)
-            keep = ix.docs.filter(pred).select(
-                F.col("doc_id").alias(vec_id_col))
-            cand = vecs.join(keep, vec_id_col, "left_semi")
-        top = cosine_topk(cand, spec["vector"], k=k,
-                          id_col=vec_id_col, vec_col=vec_col)
+        method = spec.get("method") or {}
+        if method.get("name") == "hnsw" and "filter" not in spec:
+            # graph ANN path: the method block carries the prebuilt
+            # sharded HNSW graph (the mapping's method analog). A
+            # filtered knn falls back to the exact pre-filtered scan
+            # below — the same exact-search fallback upstream takes
+            # when the filter is restrictive.
+            from ..operators.hnsw import hnsw_query
+
+            ef = int(method.get("ef_search", max(64, k)))
+            top = hnsw_query(method["graph"], [(0, spec["vector"])],
+                             k=k, ef_search=ef) \
+                .select(F.col("vec_id").alias(vec_id_col), "cosine")
+        else:
+            cand = vecs
+            if "filter" in spec:
+                pred = _filter_pred(spec["filter"], text_field)
+                keep = ix.docs.filter(pred).select(
+                    F.col("doc_id").alias(vec_id_col))
+                cand = vecs.join(keep, vec_id_col, "left_semi")
+            top = cosine_topk(cand, spec["vector"], k=k,
+                              id_col=vec_id_col, vec_col=vec_col)
         scored = top.select(
             F.col(vec_id_col).alias("doc_id"),
             F.col("cosine").cast("double").alias("score"),

@@ -162,3 +162,30 @@ def test_bucketed_graph_query_is_exchange_free(spark, vecs):
         assert q.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS hnsw_graph_bucketed_test")
+
+
+def test_knn_body_hnsw_method(spark, vecs, saved_graph):
+    """The _search knn body routes through the graph when the method
+    block carries one; results match the brute body at high ef."""
+    from siem_on_amazon_opensearch_service_spark.index import build_index
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_hits,
+    )
+
+    pdf = __import__(
+        "siem_on_amazon_opensearch_service_spark.corpus",
+        fromlist=["corpus"]).make_pages_pdf(N, seed=5)
+    pdf.insert(0, "doc_id", range(N))
+    ix = build_index(spark, spark.createDataFrame(pdf), id_col="doc_id")
+    qid, qv = _queries()[0]
+    brute = search_hits(ix, {"query": {"knn": {"embedding": {
+        "vector": qv, "k": 10}}}, "size": 10}, vecs=vecs)
+    graphed = search_hits(ix, {"query": {"knn": {"embedding": {
+        "vector": qv, "k": 10,
+        "method": {"name": "hnsw", "graph": saved_graph,
+                   "ef_search": N}}}}, "size": 10}, vecs=vecs)
+    b = [(r["doc_id"], round(r["score"], 4)) for r in brute.collect()]
+    g = [(r["doc_id"], round(r["score"], 4)) for r in graphed.collect()]
+    # scores agree; id order may swap only inside equal-score ties
+    assert [x[1] for x in b] == [x[1] for x in g]
+    assert len(set(x[0] for x in b) & set(x[0] for x in g)) >= 8
