@@ -93,25 +93,20 @@ def nb_score(docs: DataFrame, model: NBModel, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Per-doc logit + keep decision: ``(id, logit, keep)``. One
     broadcast join against the weight table, one groupBy(doc); docs
-    with zero grams score exactly ``bias``."""
+    with zero grams ride an ``explode_outer`` sentinel and score
+    exactly ``bias`` — NO corpus-side re-join (the naive
+    docs-left-join-scores shape is a second full shuffle of the
+    corpus at 100 TB)."""
     counts = ngram_bucket_counts(docs, text_col=text_col, id_col=id_col,
-                                 n_buckets=model.n_buckets)
-    scored = (
+                                 n_buckets=model.n_buckets,
+                                 keep_empty=True)
+    return (
         counts.join(F.broadcast(model.weights), "bucket", "left")
         .groupBy("id")
-        .agg(F.sum(
+        .agg((F.coalesce(F.sum(
             F.col("cnt") * F.coalesce(F.col("w"),
                                       F.lit(model.default_w))
-        ).alias("_s"))
-    )
-    base = docs.select(F.col(id_col).alias("id"))
-    return (
-        base.join(scored, "id", "left")
-        .select(
-            "id",
-            (F.coalesce(F.col("_s"), F.lit(0.0))
-             + F.lit(model.bias)).alias("logit"),
-        )
+        ), F.lit(0.0)) + F.lit(model.bias)).alias("logit"))
         .withColumn("keep", F.col("logit") > 0)
     )
 

@@ -45,10 +45,16 @@ def _md5_32(c: Column) -> Column:
 
 def ngram_bucket_counts(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
-                        n_buckets: int = N_BUCKETS) -> DataFrame:
+                        n_buckets: int = N_BUCKETS,
+                        keep_empty: bool = False) -> DataFrame:
     """(id, bucket, cnt): hashed unigram+bigram counts per doc.
     One tokenize pass; bigrams assemble natively from the token array
-    (zip_with of the array with itself shifted by one)."""
+    (zip_with of the array with itself shifted by one).
+
+    ``keep_empty``: emit a ``(id, bucket NULL, cnt 0)`` sentinel row
+    for zero-gram docs (``explode_outer``, the same trick the index
+    build uses for exact n_docs) so a downstream per-doc aggregate
+    covers EVERY doc without re-joining the corpus."""
     toks = tokens_col(text_col)
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -56,11 +62,17 @@ def ngram_bucket_counts(docs: DataFrame, text_col: str = "text",
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     grams = F.concat(toks, bigrams)
+    explode = F.explode_outer if keep_empty else F.explode
     exploded = docs.select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("g")
-    ).select("id", (_md5_32(F.col("g")) % n_buckets).alias("bucket"))
+        F.col(id_col).alias("id"), explode(grams).alias("g")
+    ).select(
+        "id",
+        F.when(F.col("g").isNotNull(),
+               _md5_32(F.col("g")) % n_buckets).alias("bucket"),
+        F.col("g"),
+    )
     return exploded.groupBy("id", "bucket").agg(
-        F.count("*").alias("cnt"))
+        F.count("g").alias("cnt"))
 
 
 def duckdb_bucket_counts_sql(table: str = "documents",
