@@ -1268,6 +1268,56 @@ def forest_scores(
     return results, anchored
 
 
+class _TokensCompiler(_Compiler):
+    """Evaluates the SAME boolean tree directly over a token-array
+    column instead of postings hits — the percolator's exact phase:
+    rules run against a raw document batch, no index required. Phrase
+    windows check positions natively over the array."""
+
+    def __init__(self, toks: Column):
+        super().__init__(hits_col=None)
+        self.toks = toks
+
+    def leaf_matched(self, leaf: TermLeaf) -> Column:
+        t = self.toks
+        if leaf.kind == "term":
+            return F.array_contains(t, leaf.text)
+        if leaf.kind == "prefix":
+            return F.exists(t, lambda x: x.startswith(leaf.text))
+        if leaf.kind == "wildcard":
+            return F.exists(t, lambda x: x.like(_wild_to_like(leaf.text)))
+        if leaf.kind == "regexp":
+            return F.exists(t, lambda x: x.rlike(f"^(?:{leaf.text})$"))
+        if leaf.kind == "phrase":
+            words = tokenize_py(leaf.text)
+            if not words:
+                return F.lit(False)
+            n = len(words)
+            # exists i in [0, size-n]: t[i+j] == w_j for all j
+            # (element_at is 1-based)
+            return F.exists(
+                F.sequence(F.lit(1),
+                           F.greatest(F.size(t) - n + 1, F.lit(0))),
+                lambda i: reduce(
+                    Column.__and__,
+                    [F.element_at(t, i + j) == words[j]
+                     for j in range(n)],
+                ),
+            )
+        raise ValueError(
+            f"percolator rules don't support {leaf.kind!r} clauses")
+
+    def leaf_contrib(self, leaf: TermLeaf) -> Column:
+        # boolean context: percolation never ranks
+        return self.leaf_matched(leaf).cast("double")
+
+
+def tokens_tree_predicate(tree, toks: Column) -> Column:
+    """Boolean Column: does a doc (token array + field columns) match
+    the parsed query_string tree? Native expressions only."""
+    return _TokensCompiler(toks).matched(tree)
+
+
 def tree_scores(
     ix: PostingsIndex,
     tree,

@@ -80,8 +80,16 @@ def nb_fit(docs: DataFrame, label_col: str = "label",
     )
     w = (F.log(F.col("c1") + alpha) - F.lit(math.log(d1))
          - F.log(F.col("c0") + alpha) + F.lit(math.log(d0)))
+    # the model IS driver metadata (<= n_buckets rows by design):
+    # materialize it so scoring plans carry no fit lineage (otherwise
+    # the fit's counts-x-labels join rides into every score job)
+    rows = per.select("bucket", w.alias("w")).collect()
+    spark = docs.sparkSession
+    weights = spark.createDataFrame(
+        [(int(r["bucket"]), float(r["w"])) for r in rows],
+        "bucket long, w double")
     return NBModel(
-        weights=per.select("bucket", w.alias("w")),
+        weights=weights,
         default_w=math.log(alpha) - math.log(d1)
         - math.log(alpha) + math.log(d0),
         bias=math.log(float(nrow["n1"])) - math.log(float(nrow["n0"])),

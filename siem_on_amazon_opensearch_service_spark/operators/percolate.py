@@ -76,3 +76,47 @@ def percolate(docs: DataFrame, rules: DataFrame,
         )
     )
     return fired.select("doc_id", "query_id", "n_matched", "n_terms")
+
+
+def percolate_query_strings(docs: DataFrame,
+                            rules: list[tuple[object, str]],
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            default_operator: str = "OR") -> DataFrame:
+    """Percolate FULL query_string rules — the form the reference's
+    saved searches / monitors actually take (``eventName:(A OR B) AND
+    NOT errorCode:*`` style) — against a document batch.
+
+    ``rules``: driver-held ``(query_id, query_string)`` list (rule
+    sets are metadata). Each rule parses ONCE on the driver and
+    compiles to a native boolean over the doc's token array + field
+    columns (`index/querystring.py:tokens_tree_predicate`); all rules
+    evaluate in ONE whole-stage-codegen projection — no join, no
+    per-rule job, cost |docs| x (cheap native predicates). For
+    vocabulary-selective mega rule sets, the broadcast-join pruning
+    :func:`percolate` remains the other physical strategy.
+
+    Returns (doc_id, query_id) pairs for every rule that fires.
+    """
+    from ..index.querystring import (
+        parse_query_string, tokens_tree_predicate,
+    )
+
+    toks = F.col("__toks")
+    fired = F.array(*[
+        F.when(
+            tokens_tree_predicate(
+                parse_query_string(q, default_operator=default_operator),
+                toks),
+            F.lit(str(qid)),
+        )
+        for qid, q in rules
+    ])
+    return (
+        docs.withColumn("__toks", tokens_col(text_col))
+        .select(
+            F.col(id_col),
+            F.explode(F.filter(fired, lambda x: x.isNotNull()))
+            .alias("query_id"),
+        )
+    )

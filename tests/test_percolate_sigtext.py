@@ -110,3 +110,45 @@ def test_significant_text_vs_python(frames):
         assert r["score"] == pytest.approx(s, abs=1e-12)
     # 'error' itself is maximally significant
     assert got[0]["term"] == "error"
+
+
+def test_percolate_query_strings(spark):
+    """Full query_string rules against a doc batch: one projection,
+    results match a per-doc python evaluation."""
+    from siem_on_amazon_opensearch_service_spark.operators.percolate import (
+        percolate_query_strings,
+    )
+
+    rows = [
+        (0, "error timeout in the backend service", "prod"),
+        (1, "all good here nothing to see", "prod"),
+        (2, "error but only in staging tests", "staging"),
+        (3, "unauthorized operation denied access", "prod"),
+        (4, "the quick brown fox", "dev"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "env string")
+    rules = [
+        ("r1", "error AND NOT env:staging"),
+        ("r2", "unauthor* OR denied"),
+        ("r3", 'env:(prod OR dev) AND "quick brown"'),
+        ("r4", "env:* AND NOT error"),
+    ]
+    got = sorted((r["doc_id"], r["query_id"])
+                 for r in percolate_query_strings(docs, rules).collect())
+    want = sorted([
+        (0, "r1"),
+        (3, "r2"),
+        (4, "r3"),
+        (1, "r4"), (3, "r4"), (4, "r4"),
+    ])
+    assert got == want
+
+    # plan shape: no join, one projection
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        percolate_query_strings(docs, rules).explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "Exchange" not in plan

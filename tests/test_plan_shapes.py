@@ -350,3 +350,21 @@ def test_wildcard_empty_vocab_is_jobless(saved_ix):
 
     df = query_string_topk(saved_ix, "*zzzznomatch*", k=5)
     assert df.count() == 0
+
+
+def test_classifier_scoring_no_corpus_rejoin(spark):
+    """nb_score: ONE broadcast join vs the weight table + one groupBy,
+    never a corpus-side sort-merge re-join (zero-gram docs ride the
+    explode_outer sentinel)."""
+    from siem_on_amazon_opensearch_service_spark.operators.classifier \
+        import nb_fit, nb_score
+
+    docs = spark.createDataFrame(
+        [(0, "good text here", "en"), (1, "zzz qqq", "xx"), (2, "", "en")],
+        "doc_id long, text string, lang string")
+    model = nb_fit(
+        docs.withColumn("label", (F.col("lang") == "en").cast("int")),
+        n_buckets=64)
+    plan = _plan(nb_score(docs, model))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
