@@ -1206,47 +1206,135 @@ def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sigma rule pack for the detection chk rows — ONE definition feeds
+#: both engines (compile_rule for Spark, sigma_where_sql for DuckDB).
+_SIGMA_RULES = [
+    {"id": "big_error", "level": "high", "detection": {
+        "sel": {"event_type": "error", "value|gte": 150},
+        "condition": "sel"}},
+    {"id": "cheap_buy", "detection": {
+        "buy": {"event_type": "purch*"},
+        "cheap": {"value|lt": 20},
+        "condition": "all of them"}},
+    {"id": "k_teens", "detection": {
+        "teen": {"props|re": "\"k\": 1[0-9]\\}"},
+        "legit": {"event_type": ["signup", "login"]},
+        "condition": "teen and not legit"}},
+]
+
+
+#: six hours: wide enough that the sf0.01 synthetic traffic actually
+#: produces correlated pairs (nearest cross-rule delta there is ~66
+#: min) — a 1 h window would gate on an empty, vacuous result set
+_CORR_WINDOW_S = 21600
+
+
+def _sigma_findings_sql() -> str:
+    """The rule pack over the events view as a findings relation."""
+    from .operators.sigma import sigma_where_sql
+
+    arms = [
+        f"SELECT event_id AS finding_id, '{r['id']}' AS rule_id, "
+        f"user_id AS entity, ts FROM events "
+        f"WHERE {sigma_where_sql(r)}"
+        for r in _SIGMA_RULES
+    ]
+    return " UNION ALL ".join(arms)
+
+
+def _alert_pairs_sql() -> str:
+    from .operators.correlate import correlate_sql
+
+    return correlate_sql(_sigma_findings_sql(), ["big_error"],
+                         ["cheap_buy", "k_teens"], _CORR_WINDOW_S)
+
+
 @register(
     "agg_alert_threshold",
-    """
+    f"""
     WITH windowed AS (
       SELECT user_id, count(*) AS n_failures,
              round(sum(value), 4) AS sum_value
       FROM events
       WHERE event_type = 'error'
       GROUP BY user_id
-    )
-    SELECT user_id, n_failures, sum_value,
-           CASE WHEN n_failures >= 10 THEN 'high' ELSE 'medium' END
-             AS severity
+    ),
+    findings AS ({_sigma_findings_sql()}),
+    pairs AS ({_alert_pairs_sql()})
+    SELECT 'monitor' AS chk,
+           user_id::VARCHAR || ':' ||
+           CASE WHEN n_failures >= 10 THEN 'high' ELSE 'medium' END AS k,
+           n_failures AS n, sum_value AS v
     FROM windowed WHERE n_failures >= 5
+    UNION ALL
+    SELECT 'sigma', rule_id, count(*),
+           round(sum(floor(epoch(ts))::BIGINT % 1000), 4)
+    FROM findings GROUP BY rule_id
+    UNION ALL
+    SELECT 'correl', a_rule || '>' || b_rule, count(*),
+           round(sum(delta_s), 4)
+    FROM pairs GROUP BY a_rule, b_rule
     """,
 )
 def agg_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Alerting monitor over agg buckets (ref opensearch_alert_config/
-    .../ALL_User_ConsoleLogin_failure.json:2-10: bucket the failure
-    events per user, trigger when the count crosses the threshold,
-    grade severity) -- the query a scheduled monitor would run; the
-    trigger condition is a plain HAVING over the bucket agg.
+    """Detection/alerting family, three chk rows:
 
-    The monitor is expressed in PPL (the OpenSearch piped query
-    language an analyst would type) and COMPILED to the DataFrame
-    plan by ppl.py — so this entry's value-hash gate checks the PPL
-    compiler end-to-end against the hand-written SQL oracle."""
+    * ``monitor`` — alerting monitor over agg buckets (ref
+      opensearch_alert_config/.../ALL_User_ConsoleLogin_failure.json:
+      2-10: bucket failures per user, trigger on threshold, grade
+      severity), expressed in PPL and COMPILED by ppl.py so the gate
+      checks the PPL compiler end-to-end.
+    * ``sigma`` — the Security Analytics detector sweep: the
+      ``_SIGMA_RULES`` pack evaluates over events in ONE codegen
+      projection (operators/sigma.py); per-rule finding counts.
+    * ``correl`` — the correlation engine over those findings
+      (operators/correlate.py banded interval join) vs the oracle's
+      naive inequality join: per rule-pair counts + summed deltas.
+    """
+    from .operators.correlate import correlate_findings
+    from .operators.sigma import sigma_findings
     from .ppl import ppl_query
 
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
-    return ppl_query(
+    monitor = ppl_query(
         spark,
         "search source=events "
         "| where event_type = 'error' "
         "| stats count() as n_failures, sum(value) as sv by user_id "
         "| where n_failures >= 5 "
         "| eval sum_value = round(sv, 4) "
-        "| eval severity = if(n_failures >= 10, 'high', 'medium') "
-        "| fields user_id, n_failures, sum_value, severity",
+        "| fields user_id, n_failures, sum_value",
         {"events": ev},
-    )
+    ).select(
+        F.lit("monitor").alias("chk"),
+        F.concat_ws(":", F.col("user_id").cast("string"),
+                    F.when(F.col("n_failures") >= 10, "high")
+                    .otherwise("medium")).alias("k"),
+        F.col("n_failures").alias("n"),
+        F.col("sum_value").alias("v"))
+
+    findings = sigma_findings(
+        ev, _SIGMA_RULES, id_col="event_id",
+        keep_cols=["ts", "user_id"]).withColumnRenamed(
+            "event_id", "finding_id")
+    sigma = findings.groupBy("rule_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("ts").cast("timestamp").cast("long") % 1000),
+                4).alias("v"),
+    ).select(F.lit("sigma").alias("chk"), F.col("rule_id").alias("k"),
+             "n", "v")
+
+    pairs = correlate_findings(
+        findings, ["big_error"], ["cheap_buy", "k_teens"],
+        window_s=_CORR_WINDOW_S, entity_col="user_id")
+    correl = pairs.groupBy("a_rule", "b_rule").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("delta_s"), 4).alias("v"),
+    ).select(F.lit("correl").alias("chk"),
+             F.concat_ws(">", "a_rule", "b_rule").alias("k"), "n", "v")
+
+    return monitor.unionByName(sigma).unionByName(correl)
 
 
 @register(
