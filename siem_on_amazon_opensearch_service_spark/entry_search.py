@@ -1301,6 +1301,20 @@ haschild_top AS (
   WHERE a.c_table IS NOT NULL AND a.doc_id >= 50
   GROUP BY 1 HAVING count(*) >= 2
   ORDER BY sum(a.c_table) DESC, 1 LIMIT 15
+),
+-- sltr twin (LTR plugin): linear model over the logged featureset
+-- f1 = BM25(table value), f2 = BM25(join stream), f3 = ln(1+doclen);
+-- the match_all-anchored f3 makes the logging set every doc
+ltr_scored AS (
+  SELECT dl.doc_id,
+    0.8 * (coalesce(a.c_table, 0) + coalesce(a.c_value, 0))
+    + 0.5 * (coalesce(a.c_join, 0) + coalesce(a.c_stream, 0))
+    + 0.02 * ln(1 + dl.dl) - 0.1 AS s
+  FROM dl LEFT JOIN agg a USING (doc_id)
+),
+ltr_top AS (
+  SELECT doc_id, round(s, 4) AS score FROM ltr_scored
+  ORDER BY s DESC, doc_id LIMIT 15
 )
 SELECT 'qs' AS chk, '' AS k, doc_id, score FROM qs_top
 UNION ALL SELECT 'body', '', doc_id, score FROM body_top
@@ -1315,6 +1329,7 @@ UNION ALL SELECT 'dfeat', '', doc_id, score FROM dfeat_top
 UNION ALL SELECT 'pinned', '', doc_id, score FROM pin_top
 UNION ALL SELECT 'tset', '', doc_id, score FROM tset
 UNION ALL SELECT 'haschild', '', doc_id, score FROM haschild_top
+UNION ALL SELECT 'ltr', '', doc_id, score FROM ltr_top
 """
 
 _RT_BODY = {
@@ -1516,12 +1531,33 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_mode": "sum", "min_children": 2,
         }}, "size": 15}))
 
+    # chk='ltr': the LTR plugin surface (index/ltr.py) — a linear
+    # model scored over a logged featureset (two match features
+    # through the shared forest + a function_score doclen signal);
+    # the sltr primary-ranking path, value-hash-checked against the
+    # same linear combination recomputed in SQL.
+    from .index.ltr import LinearModel, sltr_topk
+
+    ltr = _chk("ltr", sltr_topk(
+        ix2,
+        [{"name": "f1", "template": {"match": {"text": "{{kw}}"}}},
+         {"name": "f2", "template": {"match": {"text": "{{kw2}}"}}},
+         {"name": "f3", "template": {"function_score": {
+             "query": {"match_all": {}},
+             "functions": [{"field_value_factor": {
+                 "field": "doclen", "modifier": "ln1p"}}],
+             "boost_mode": "replace"}}}],
+        {"kw": "table value", "kw2": "join stream"},
+        LinearModel({"f1": 0.8, "f2": 0.5, "f3": 0.02},
+                    intercept=-0.1),
+        k=15))
+
     return (qs.unionByName(body).unionByName(agg).unionByName(ms)
             .unionByName(rt).unionByName(rtagg)
             .unionByName(sqlhits).unionByName(sqlagg)
             .unionByName(sscore).unionByName(dfeat)
             .unionByName(pinned).unionByName(tset)
-            .unionByName(haschild))
+            .unionByName(haschild).unionByName(ltr))
 
 
 _FACET_QUERY = "spark table join stream"
