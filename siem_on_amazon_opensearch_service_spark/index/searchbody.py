@@ -381,6 +381,30 @@ def compile_query(spec: dict,
             g.minimum_should_match = int(params["minimum_should_match"])
         return g
 
+    if kind == "match_bool_prefix":
+        # the search-as-you-type query: every token a term clause
+        # except the LAST, which matches as a prefix (the user is
+        # still typing it) -- OpenSearch builds exactly this bool
+        field, params = _field_params(body, "query")
+        _require_text(kind, field, text_field)
+        terms = tokenize_py(str(params["query"]))
+        # a trailing non-token char (space/punct) means the last word
+        # is complete -- keep it a term, like OpenSearch's analyzer do
+        raw = str(params["query"])
+        last_open = bool(terms) and bool(raw) and (
+            raw[-1].isalnum() or raw[-1] == "_")
+        occ = ("must" if str(params.get("operator", "or")).lower() == "and"
+               else "should")
+        g = Group(boost=float(params.get("boost", 1.0)))
+        for i, t in enumerate(terms):
+            if i == len(terms) - 1 and last_open:
+                g.clauses.append((occ, TermLeaf("prefix", t)))
+            else:
+                g.clauses.append((occ, TermLeaf("term", t)))
+        if "minimum_should_match" in params:
+            g.minimum_should_match = int(params["minimum_should_match"])
+        return g
+
     if kind in ("match_phrase", "match_phrase_prefix"):
         field, params = _field_params(body, "query")
         _require_text(kind, field, text_field)
@@ -1041,7 +1065,51 @@ _BUCKET_KINDS = ("terms", "date_histogram", "auto_date_histogram",
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
                  "cardinality", "stats", "percentiles",
                  "percentile_ranks", "string_stats",
-                 "weighted_avg", "extended_stats", "scripted_metric")
+                 "weighted_avg", "extended_stats", "scripted_metric",
+                 "rate")
+
+#: fixed-width intervals the ``rate`` metric can normalize between;
+#: month/quarter/year buckets vary in length and are rejected (the
+#: upstream agg handles those by per-bucket day counts -- out of
+#: scope until a workload needs it)
+_FIXED_SECONDS = {"second": 1, "minute": 60, "hour": 3600,
+                  "day": 86400, "week": 604800}
+
+
+def _interval_seconds(interval: str) -> float:
+    if interval in _FIXED_SECONDS:
+        return float(_FIXED_SECONDS[interval])
+    unit = interval[-1]
+    if interval[:-1].isdigit() and unit in "smhdw":
+        return float(int(interval[:-1])) * {
+            "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}[unit]
+    raise ValueError(
+        f"rate cannot normalize over interval {interval!r} "
+        "(variable-width calendar buckets)")
+
+
+def _rate_expr(name: str, params: dict, levels: list[tuple],
+               bucket_meta: dict) -> Column:
+    """The ``rate`` metric: per-bucket value scaled from the parent
+    date_histogram's width to the requested unit
+    (``sum(field) * unit_seconds / bucket_seconds``; doc count when
+    no field). Pure arithmetic over the same single aggregation."""
+    parent = None
+    for lvl_name, _k, _e, _p in reversed(levels):
+        meta = bucket_meta.get(lvl_name)
+        if meta and meta[0] == "date_histogram":
+            parent = meta[1]
+            break
+    if parent is None:
+        raise ValueError("rate needs an enclosing date_histogram")
+    interval = parent.get("calendar_interval",
+                          parent.get("fixed_interval", "day"))
+    bucket_s = _interval_seconds(str(interval))
+    unit = params.get("unit")
+    unit_s = bucket_s if unit is None else _interval_seconds(str(unit))
+    base = (F.sum(F.col(params["field"]).cast("double"))
+            if "field" in params else F.count(F.lit(1)).cast("double"))
+    return (base * F.lit(unit_s / bucket_s)).alias(name)
 
 _CAL_TRUNC = {"second": "second", "minute": "minute", "hour": "hour",
               "day": "day", "week": "week", "month": "month",
@@ -1382,6 +1450,7 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
     scores, so pass it).
     """
     out: dict[str, DataFrame] = {}
+    bucket_meta: dict[str, tuple] = {}  # level name -> (kind, params)
 
     def walk(path: list[str], levels: list[tuple], spec: dict) -> None:
         # all sibling PURE-METRIC entries at one path share ONE
@@ -1448,6 +1517,7 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
             kind, params = bucket
             key, needs_explode, prune = _bucket_expr(kind, params,
                                                      text_field, docs)
+            bucket_meta[name] = (kind, params)
             lv = levels + [(name, key, needs_explode, prune)]
             if subs:
                 walk(path + [name], lv, subs)
@@ -1496,8 +1566,12 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
             else:
                 df = df.withColumn(name, key)
             keys.append(name)
-        mexprs = [e for mn, mk, mp in metrics
-                  for e in _metric_exprs(mn, mk, mp)]
+        mexprs = []
+        for mn, mk, mp in metrics:
+            if mk == "rate":
+                mexprs.append(_rate_expr(mn, mp, levels, bucket_meta))
+            else:
+                mexprs.extend(_metric_exprs(mn, mk, mp))
         if not keys:
             return df.agg(F.count(F.lit(1)).alias("doc_count"), *mexprs)
         g = (df.filter(reduce(Column.__and__,
