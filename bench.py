@@ -319,6 +319,29 @@ def main() -> None:
         docs, n_hash=128, n_bands=16
     ).count())
 
+    # --- Sigma detector sweep: a 3-rule pack over the events table in
+    # one codegen projection + the banded correlation join -- the
+    # Security Analytics scan shape (map-only; throughput-bound) ---
+    from siem_on_amazon_opensearch_service_spark.operators.correlate import (
+        correlate_findings,
+    )
+    from siem_on_amazon_opensearch_service_spark.operators.sigma import (
+        sigma_findings,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sig_rules = entry_queries._SIGMA_RULES
+
+    def run_sigma():
+        fnd = sigma_findings(events, sig_rules,
+                             keep_cols=["ts", "user_id"]) \
+            .withColumnRenamed("event_id", "finding_id")
+        return correlate_findings(
+            fnd, ["big_error"], ["cheap_buy", "k_teens"],
+            window_s=21600, entity_col="user_id").count()
+
+    timed("sigma_correlate", run_sigma)
+
     # --- representative reference-workload queries from the registry ---
     reg = entry_queries.registry()
     for name in ("agg_terms_topn", "agg_date_histogram", "join_broadcast_dim",

@@ -1061,12 +1061,13 @@ def _vector_scored(
 # ---------------------------------------------------------------------------
 
 _BUCKET_KINDS = ("terms", "date_histogram", "auto_date_histogram",
-                 "histogram", "range", "filters")
+                 "histogram", "range", "filters",
+                 "geohash_grid", "geotile_grid", "geo_distance")
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
                  "cardinality", "stats", "percentiles",
                  "percentile_ranks", "string_stats",
                  "weighted_avg", "extended_stats", "scripted_metric",
-                 "rate")
+                 "rate", "geo_bounds", "geo_centroid")
 
 #: fixed-width intervals the ``rate`` metric can normalize between;
 #: month/quarter/year buckets vary in length and are rejected (the
@@ -1203,6 +1204,48 @@ def _bucket_expr(kind: str, params: dict, text_field: str,
             pred = _filter_pred(q, text_field)
             arms.append(F.when(pred, F.lit(label)))
         return F.array_compact(F.array(*arms)), True, None
+    # geo grids: the dashboards' coordinate-map rollups. The geo_point
+    # field is a struct column with lat/lon doubles; the cell key is
+    # closed-form native arithmetic (operators/geo.py, operators/
+    # aggs.py), so a grid agg costs exactly a terms agg.
+    if kind == "geohash_grid":
+        from ..operators.geo import geohash
+
+        f = params["field"]
+        key = geohash(f"{f}.lat", f"{f}.lon",
+                      int(params.get("precision", 5)))
+        return key, False, {"size": int(params.get("size", 10000)),
+                            "by": "_count", "dir": "desc"}
+    if kind == "geotile_grid":
+        from ..operators.aggs import geotile
+
+        f = params["field"]
+        key = geotile(F.col(f"{f}.lat"), F.col(f"{f}.lon"),
+                      int(params.get("precision", 7)))
+        return key, False, {"size": int(params.get("size", 10000)),
+                            "by": "_count", "dir": "desc"}
+    if kind == "geo_distance":
+        from ..operators.geo import haversine_km
+
+        f, origin = params["field"], params["origin"]
+        unit_km = {"m": 1e-3, "km": 1.0, "mi": 1.609344,
+                   "ft": 0.0003048}[params.get("unit", "m")]
+        dist = haversine_km(
+            F.col(f"{f}.lat").cast("double"),
+            F.col(f"{f}.lon").cast("double"),
+            float(origin["lat"]), float(origin["lon"]))
+        arms = []
+        for r in params["ranges"]:
+            frm, to = r.get("from"), r.get("to")
+            label = r.get("key", f"{frm if frm is not None else '*'}-"
+                                 f"{to if to is not None else '*'}")
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (dist >= float(frm) * unit_km)
+            if to is not None:
+                cond = cond & (dist < float(to) * unit_km)
+            arms.append(F.when(cond, F.lit(label)))
+        return F.array_compact(F.array(*arms)), True, None
     raise ValueError(f"unsupported bucket agg {kind!r}")
 
 
@@ -1286,6 +1329,17 @@ def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
         both = F.when(vv.isNotNull() & ww.isNotNull(), True)
         return [(F.sum(F.when(both, vv * ww))
                  / F.sum(F.when(both, ww))).alias(name)]
+    if kind in ("geo_bounds", "geo_centroid"):
+        la = F.col(params["field"] + ".lat").cast("double")
+        lo = F.col(params["field"] + ".lon").cast("double")
+        if kind == "geo_bounds":
+            return [F.max(la).alias(f"{name}_top"),
+                    F.min(la).alias(f"{name}_bottom"),
+                    F.min(lo).alias(f"{name}_left"),
+                    F.max(lo).alias(f"{name}_right")]
+        return [F.avg(la).alias(f"{name}_lat"),
+                F.avg(lo).alias(f"{name}_lon"),
+                F.count(la).alias(f"{name}_count")]
     v = F.col(params["field"])
     num = v.cast("double")
     if kind == "extended_stats":
