@@ -139,7 +139,15 @@ def render_template(source: dict | str, params: dict) -> dict:
     ``{"size": "{{k}}"}`` → ``{"size": 5}`` behavior), plus
     ``{{#var}}...{{/var}}`` section stripping when the param is
     falsy.  Conditional sections only gate whole dict KEYS here (the
-    documented toggle-a-clause use)."""
+    documented toggle-a-clause use).
+
+    This is the dict-level convenience form for templates authored as
+    Python dicts. The WIRE-exact ``_search/template`` semantics —
+    rendering over the raw JSON text so ``"size": {{size}}`` (unquoted
+    splice), ``{{^var}}default{{/var}}`` fallbacks, and
+    ``{{#toJson}}var{{/toJson}}`` all work, plus the ``_scripts``
+    stored-template registry — live in ``index/templates.py``; prefer
+    that module for templates arriving as JSON strings."""
     import json
 
     if isinstance(source, str):

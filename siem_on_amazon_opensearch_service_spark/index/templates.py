@@ -13,6 +13,12 @@ then the rendered body executes through the ordinary
 a driver-side render step, so every plan property of the body
 compiler (one postings scan, one groupBy, native gating) carries
 over unchanged.
+
+Relationship to ``index/pipelines.render_template``: that one is the
+dict-level convenience (typed ``{"size": "{{k}}"}`` substitution,
+``{{#var}}`` key-gating) for templates authored as Python dicts; THIS
+module is the wire-exact text form for templates stored/shipped as
+JSON strings, and owns the stored-template registry.
 """
 
 from __future__ import annotations
