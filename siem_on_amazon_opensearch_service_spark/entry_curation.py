@@ -213,15 +213,32 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     f"""
     WITH q AS (
       SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
-    ), v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-    SELECT vec_id, round({_COS}, 4) AS cosine
-    FROM v, q ORDER BY {_COS} DESC, vec_id LIMIT 10
+    ), v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    topk AS (
+      SELECT vec_id, round({_COS}, 4) AS cosine
+      FROM v, q ORDER BY {_COS} DESC, vec_id LIMIT 10
+    )
+    SELECT 'topk' AS chk, vec_id, cosine FROM topk
+    """
+    f"""
+    UNION ALL
+    SELECT 'radial', vec_id, round({_COS}, 4)
+    FROM v, q WHERE {_COS} >= 0.1
     """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k to a query vector (exact baseline)."""
+    """Brute-force cosine top-k to a query vector (exact baseline),
+    plus chk='radial': the k-NN plugin's radial search
+    (``min_score`` — every vector within the score radius, no k).
+    The radial arm is a pure map-side filter over the scan — no
+    TakeOrdered heap at all, the cheapest possible knn shape."""
     vecs = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(vecs, _query_vec(spark, sf_dir), k=10)
+    qv = _query_vec(spark, sf_dir)
+    topk = similarity.cosine_topk(vecs, qv, k=10).select(
+        F.lit("topk").alias("chk"), "vec_id", "cosine")
+    radial = similarity.cosine_radial(vecs, qv, min_score=0.1).select(
+        F.lit("radial").alias("chk"), "vec_id", "cosine")
+    return topk.unionByName(radial)
 
 
 _IVF_CACHE: dict[tuple, str] = {}

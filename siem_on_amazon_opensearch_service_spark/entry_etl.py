@@ -438,6 +438,27 @@ def _geohash_duck() -> str:
     return geohash_sql(_GEO_LAT, _GEO_LON, 3)
 
 
+#: non-convex pentagon over the derived scatter — the geo_polygon /
+#: polygon-geo_shape QUERY predicate (ray-casting parity, one
+#: shared-dialect boolean; index/searchbody.py compiles the DSL nodes
+#: to exactly these texts)
+_PENTA = [(-40.0, -120.0), (50.0, -100.0), (10.0, 0.0),
+          (55.0, 100.0), (-35.0, 60.0)]
+
+
+def _geoq_sqls() -> dict[str, str]:
+    from .operators.geo import (bbox_sql, haversine_sql,
+                                point_in_polygon_sql)
+
+    return {
+        "poly": point_in_polygon_sql(_GEO_LAT, _GEO_LON, _PENTA),
+        "dist": (f"({haversine_sql(_GEO_LAT, _GEO_LON, 40.0, -74.0)}"
+                 " <= 3000.0)"),
+        "bbox": bbox_sql(_GEO_LAT, _GEO_LON, 60.0, -120.0,
+                         20.0, -60.0),
+    }
+
+
 @register(
     "join_range_geo_bands",
     f"""
@@ -467,6 +488,15 @@ def _geohash_duck() -> str:
     FROM events
     WHERE ({_GEO_LAT}) BETWEEN 20.0 AND 60.0
       AND ({_GEO_LON}) BETWEEN -120.0 AND -60.0
+    UNION ALL
+    SELECT 'geoq_poly', count(*), round(coalesce(sum(value), 0), 4)
+    FROM events WHERE {_geoq_sqls()["poly"]}
+    UNION ALL
+    SELECT 'geoq_dist', count(*), round(coalesce(sum(value), 0), 4)
+    FROM events WHERE {_geoq_sqls()["dist"]}
+    UNION ALL
+    SELECT 'geoq_bbox', count(*), round(coalesce(sum(value), 0), 4)
+    FROM events WHERE {_geoq_sqls()["bbox"]}
     """,
 )
 def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,5 +582,21 @@ def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("centroid_lat") + F.col("centroid_lon"), 4
         ).alias("sum_value"),
     )
-    return (band_part.unionByName(geo_part).unionByName(tile_part)
-            .unionByName(hash_part).unionByName(bounds_part))
+    # geo QUERY predicates (geo_polygon / geo_distance /
+    # geo_bounding_box filter context): each is the ONE shared-dialect
+    # boolean the _search compiler emits — whole-stage codegen, pushes
+    # to the scan; the oracle evaluates the identical text.
+    geoq_parts = [
+        ev.filter(F.expr(sql)).agg(
+            F.count("*").alias("n"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4)
+            .alias("sum_value"),
+        ).select(F.lit(f"geoq_{tag}").alias("bucket"), "n",
+                 "sum_value")
+        for tag, sql in _geoq_sqls().items()
+    ]
+    out = (band_part.unionByName(geo_part).unionByName(tile_part)
+           .unionByName(hash_part).unionByName(bounds_part))
+    for p in geoq_parts:
+        out = out.unionByName(p)
+    return out

@@ -517,6 +517,12 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE '7d' END AS lbl
       FROM (SELECT extract(epoch FROM max(ts) - min(ts)) AS s FROM events))
     GROUP BY 1
+    UNION ALL
+    SELECT 'transform:' || event_type || ':' ||
+             ((floor(epoch(ts) / 86400) * 86400)::BIGINT)::VARCHAR,
+           count(*), round(avg(value), 4), NULL::BIGINT, NULL::BIGINT,
+           NULL::DOUBLE
+    FROM events GROUP BY 1
     """,
 )
 def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,8 +632,25 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"), F.round("grade", 4).alias("sum_value"), *nulls,
     )
 
+    # 'transform:' rows — the Index Transforms plugin's pivot job
+    # (operators/transform.py): terms × date_histogram pivot storing
+    # FINAL values (avg — legal for a transform, illegal for a
+    # rollup merge); one partial+final hash aggregate.
+    from .operators.transform import TransformSpec, transform_build
+
+    tf = transform_build(ev, TransformSpec(
+        groups=(("event_type", "terms", None),
+                ("ts", "date_histogram", 86400)),
+        aggs=(("value", "sum"), ("value", "avg")),
+    )).select(
+        F.concat_ws(":", F.lit("transform"), "event_type",
+                    F.col("ts_bucket").cast("string")).alias("bucket"),
+        F.col("transform_count").alias("n"),
+        F.round("value__avg", 4).alias("sum_value"), *nulls,
+    )
+
     return (dense.unionByName(sparse).unionByName(anomalies)
-            .unionByName(dr).unionByName(auto))
+            .unionByName(dr).unionByName(auto).unionByName(tf))
 
 
 @register(

@@ -440,3 +440,77 @@ def completion_suggest(ix: PostingsIndex, prefix: str,
         cand.withColumn("rank", F.row_number().over(w))
         .orderBy("rank")
     )
+
+
+def build_completion_contexts(docs: DataFrame, ctx_col: str,
+                              text_col: str = "text") -> DataFrame:
+    """Context-dictionary build for the completion suggester's
+    *category contexts* (OpenSearch ``contexts`` on a completion
+    field: every suggestion is indexed under its document's context
+    values, and queries filter/boost by context).
+
+    Corpus-derived analog: one pass exploding each doc's DISTINCT
+    analyzed tokens under its context value -> (ctx, term, df) where
+    df = documents in that context containing the term. One shuffle
+    (the groupBy), vocabulary × contexts output — term_stats-sized
+    per context, never corpus-sized.
+    """
+    from ..analysis import tokens_col
+
+    return (
+        docs.select(
+            F.col(ctx_col).cast("string").alias("ctx"),
+            F.explode(F.array_distinct(tokens_col(text_col)))
+            .alias("term"),
+        )
+        .groupBy("ctx", "term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def completion_suggest_ctx(ctx_stats: DataFrame, prefix: str,
+                           contexts: dict[str, float] | list[str],
+                           size: int = 5) -> DataFrame:
+    """Completion suggester with category contexts: candidates must
+    carry at least one of the requested contexts; the weight is the
+    boost-scaled df SUMMED over matching contexts (the plugin's
+    context-boost semantics). ``contexts`` maps context value ->
+    boost (a plain list = boost 1.0 each).
+
+    Plan: literal ``ctx IN`` + leading-prefix predicate (sargable on a
+    (ctx, term)-sorted layout), one tiny groupBy over the filtered
+    dictionary rows, TakeOrdered top-``size``. No postings touched.
+    Returns (suggestion, weight, rank).
+    """
+    from pyspark.sql import Window
+
+    if isinstance(contexts, list):
+        contexts = {c: 1.0 for c in contexts}
+    if not contexts:
+        raise ValueError("contexts must be non-empty")
+    toks = tokenize_py(prefix)
+    spark = ctx_stats.sparkSession
+    out_schema = "suggestion string, weight double, rank int"
+    if not toks:
+        return spark.createDataFrame([], out_schema)
+    live, head = toks[-1], " ".join(toks[:-1])
+    boost = F.create_map(*[
+        F.lit(x) for kv in contexts.items()
+        for x in (str(kv[0]), float(kv[1]))
+    ])
+    cand = (
+        ctx_stats.filter(F.col("ctx").isin([str(c) for c in contexts])
+                         & F.col("term").startswith(live))
+        .groupBy("term")
+        .agg(F.sum(F.col("df").cast("double")
+                   * F.element_at(boost, F.col("ctx"))).alias("weight"))
+        .select(
+            (F.concat_ws(" ", F.lit(head), F.col("term")) if head
+             else F.col("term")).alias("suggestion"),
+            F.round("weight", 4).alias("weight"),
+        )
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(size)
+    )
+    w = Window.orderBy(F.desc("weight"), F.asc("suggestion"))
+    return cand.withColumn("rank", F.row_number().over(w)).orderBy("rank")

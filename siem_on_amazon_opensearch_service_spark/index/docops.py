@@ -340,3 +340,31 @@ def sliced_export(
         .withColumn("slice", slice_col(max_slices, hashed=hashed))
         .write.partitionBy("slice").mode("overwrite").parquet(out_path)
     )
+
+
+def mget(ix, ids: list, source_docs: DataFrame | None = None) -> DataFrame:
+    """``_mget``: fetch documents by id, RESPONSE IN REQUEST ORDER
+    with a ``found`` flag per slot (missing ids still occupy their
+    slot — the wire contract). ``source_docs`` joins the stored
+    ``_source`` columns alongside the index's doc metadata when the
+    corpus table is available.
+
+    Plan: the id list is a driver-side literal (requests are
+    human-sized) — broadcast left join from the ids frame, one
+    metadata-bounded job, never a scan ordered by anything else.
+    """
+    spark = ix.docs.sparkSession
+    req = spark.createDataFrame(
+        [(i, int(n)) for n, i in enumerate(ids)], "doc_id long, _slot int")
+    docs = ix.docs
+    if source_docs is not None:
+        extra = [c for c in source_docs.columns if c not in docs.columns]
+        docs = docs.join(source_docs.select("doc_id", *extra),
+                         "doc_id", "left")
+    out = (
+        F.broadcast(req).join(docs, "doc_id", "left")
+        .withColumn("found", F.col(docs.columns[1]).isNotNull())
+        .orderBy("_slot")
+        .drop("_slot")
+    )
+    return out

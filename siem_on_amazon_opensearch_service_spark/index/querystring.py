@@ -654,6 +654,12 @@ class _Compiler:
             from .painless import parse_script, to_column
             pred = to_column(parse_script(leaf.value)).cast("boolean")
             return F.coalesce(pred, F.lit(False))
+        if leaf.op == "sql_expr":
+            # closed-form shared-dialect SQL predicate (geo queries:
+            # operators/geo.py emits ONE text both engines parse);
+            # codegen on the Spark side, verbatim oracle on the other.
+            return F.coalesce(F.expr(leaf.value).cast("boolean"),
+                              F.lit(False))
         col = F.col(leaf.field)
         if leaf.op == "exists":
             pred = col.isNotNull()

@@ -444,6 +444,56 @@ def compile_query(spec: dict,
     if kind == "exists":
         return FieldLeaf(body["field"], "exists")
 
+    if kind in ("geo_bounding_box", "geo_distance", "geo_polygon",
+                "geo_shape"):
+        # geo filter context over a geo_point struct column: each
+        # desugars to ONE closed-form shared-dialect SQL boolean
+        # (operators/geo.py) — codegen, no UDF, and the identical
+        # text serves as the correctness oracle.
+        from ..operators.geo import (bbox_sql, haversine_sql,
+                                     point_in_polygon_sql)
+
+        params = {k: v for k, v in body.items()
+                  if k not in ("validation_method", "ignore_unmapped",
+                               "distance", "distance_type", "relation")}
+        field, spec = _one(params)
+        lat, lon = f"{field}.lat", f"{field}.lon"
+        if kind == "geo_bounding_box":
+            tl, br = spec["top_left"], spec["bottom_right"]
+            return FieldLeaf(field, "sql_expr", value=bbox_sql(
+                lat, lon, float(tl["lat"]), float(tl["lon"]),
+                float(br["lat"]), float(br["lon"])))
+        if kind == "geo_distance":
+            m = re.match(r"^([\d.]+)\s*(m|km|mi|ft)$",
+                         str(body["distance"]))
+            if not m:
+                raise ValueError(f"bad distance {body['distance']!r}")
+            km = float(m.group(1)) * {"m": 1e-3, "km": 1.0,
+                                      "mi": 1.609344,
+                                      "ft": 0.0003048}[m.group(2)]
+            return FieldLeaf(field, "sql_expr", value=(
+                f"({haversine_sql(lat, lon, float(spec['lat']), float(spec['lon']))}"
+                f" <= {km!r})"))
+        # geo_polygon, or a polygon-shaped geo_shape (relation:
+        # intersects over the doc POINT == containment test)
+        if kind == "geo_shape":
+            shp = spec["shape"] if isinstance(spec, dict) else spec
+            if str(shp.get("type", "")).lower() != "polygon":
+                raise ValueError(
+                    "geo_shape: only polygon shapes over geo_point "
+                    "docs are supported")
+            # GeoJSON rings are (lon, lat); first ring = outer
+            pts = [(float(p[1]), float(p[0]))
+                   for p in shp["coordinates"][0]]
+        else:
+            pts = [(float(p["lat"]), float(p["lon"]))
+                   for p in spec["points"]]
+        # drop an explicit closing vertex (the SQL closes the ring)
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        return FieldLeaf(field, "sql_expr",
+                         value=point_in_polygon_sql(lat, lon, pts))
+
     if kind in ("prefix", "wildcard", "regexp"):
         field, params = _field_params(body)
         v = str(params["value"])
@@ -978,9 +1028,29 @@ def _vector_scored(
                 f"knn targets the embeddings column {vec_col!r}; "
                 f"got {field!r}"
             )
+        radial = ("min_score" in spec) or ("max_distance" in spec)
+        if radial and "k" in spec:
+            raise ValueError("knn takes k OR min_score/max_distance, "
+                             "not both (plugin radial-search contract)")
         k = int(spec.get("k", 10))
         method = spec.get("method") or {}
-        if method.get("name") == "hnsw" and "filter" not in spec:
+        if radial:
+            # radial search: a map-side score filter over the
+            # (optionally pre-filtered) scan — no top-k heap at all.
+            from ..operators.similarity import cosine_radial
+
+            cand = vecs
+            if "filter" in spec:
+                pred = _filter_pred(spec["filter"], text_field)
+                keep = ix.docs.filter(pred).select(
+                    F.col("doc_id").alias(vec_id_col))
+                cand = vecs.join(keep, vec_id_col, "left_semi")
+            top = cosine_radial(
+                cand, spec["vector"],
+                min_score=spec.get("min_score"),
+                max_distance=spec.get("max_distance"),
+                id_col=vec_id_col, vec_col=vec_col)
+        elif method.get("name") == "hnsw" and "filter" not in spec:
             # graph ANN path: the method block carries the prebuilt
             # sharded HNSW graph (the mapping's method analog). A
             # filtered knn falls back to the exact pre-filtered scan

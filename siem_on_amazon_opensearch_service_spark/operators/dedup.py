@@ -591,7 +591,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 def cosine_col(a: str | Column, b: str | Column) -> Column:
     """Cosine similarity of two array<float> columns, computed in
-    double precision (cross-engine reproducible)."""
+    double precision (cross-engine reproducible). A zero vector has
+    no direction: the cosine is NULL (never a DIVIDE_BY_ZERO crash
+    under ANSI mode), so threshold filters and top-k heaps exclude it
+    naturally in both engines — the posture a 100 TB corpus with
+    empty-doc/padding embeddings needs."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
 
@@ -602,7 +606,8 @@ def cosine_col(a: str | Column, b: str | Column) -> Column:
             lambda acc, v: acc + v,
         )
 
-    return dot(ca, cb) / (F.sqrt(dot(ca, ca)) * F.sqrt(dot(cb, cb)))
+    denom = F.sqrt(dot(ca, ca)) * F.sqrt(dot(cb, cb))
+    return F.when(denom != F.lit(0.0), dot(ca, cb) / denom)
 
 
 def embedding_dup_pairs(vecs: DataFrame, threshold: float,

@@ -125,3 +125,72 @@ def geo_bounds_centroid(df: DataFrame, lat: Column, lon: Column,
         F.avg(la).alias("centroid_lat"), F.avg(lo).alias("centroid_lon"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# geo queries (query-DSL filter context) — shared-dialect SQL text
+# ---------------------------------------------------------------------------
+
+def bbox_sql(lat_sql: str, lon_sql: str, top: float, left: float,
+             bottom: float, right: float) -> str:
+    """``geo_bounding_box`` query as ONE SQL boolean that parses
+    identically in Spark SQL and DuckDB (the geohash_sql trick) — so
+    the engine predicate and the correctness oracle are the same
+    text. Non-wrapping box (left < right); pure comparisons, pushes
+    down to the scan."""
+    return (f"(({lat_sql}) <= {float(top)!r} AND "
+            f"({lat_sql}) >= {float(bottom)!r} AND "
+            f"({lon_sql}) >= {float(left)!r} AND "
+            f"({lon_sql}) <= {float(right)!r})")
+
+
+def haversine_sql(lat_sql: str, lon_sql: str,
+                  center_lat: float, center_lon: float) -> str:
+    """Great-circle distance in km to a fixed center as shared-dialect
+    SQL (radians/sin/cos/asin parse in both engines); the
+    ``geo_distance`` QUERY's metric, same formula as
+    :func:`haversine_km`."""
+    la, lo = f"radians({lat_sql})", f"radians({lon_sql})"
+    cla, clo = (f"radians({float(center_lat)!r})",
+                f"radians({float(center_lon)!r})")
+    return (
+        f"(2 * 6371.0 * asin(sqrt("
+        f"pow(sin(({la} - {cla}) / 2), 2) + "
+        f"cos({la}) * cos({cla}) * "
+        f"pow(sin(({lo} - {clo}) / 2), 2))))"
+    )
+
+
+def point_in_polygon_sql(lat_sql: str, lon_sql: str,
+                         points: list[tuple[float, float]]) -> str:
+    """``geo_polygon`` / polygon-``geo_shape`` containment as ONE
+    closed-form SQL boolean: textbook ray casting (odd crossing
+    parity of the eastward ray), one CASE term per polygon edge —
+    whole-stage codegen on the Spark side, the identical text on the
+    DuckDB side. ``points`` are (lat, lon) vertices in ring order
+    (closing edge implied). Edges with y1 == y2 can never satisfy the
+    crossing test, so the division is guarded by construction.
+
+    Scale: the polygon is a driver-side literal; N edges cost N
+    comparisons per row — map-side, no join, no UDF.
+    """
+    if len(points) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    terms = []
+    n = len(points)
+    for i in range(n):
+        y1, x1 = (float(points[i][0]), float(points[i][1]))
+        y2, x2 = (float(points[(i + 1) % n][0]),
+                  float(points[(i + 1) % n][1]))
+        if y1 == y2:
+            continue  # horizontal edge: parity unchanged
+        terms.append(
+            f"(CASE WHEN (({y1!r} > ({lat_sql})) <> "
+            f"({y2!r} > ({lat_sql}))) AND "
+            f"(({lon_sql}) < ({x2!r} - {x1!r}) * "
+            f"(({lat_sql}) - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    if not terms:
+        return "(1 = 0)"
+    return f"((({' + '.join(terms)}) % 2) = 1)"

@@ -120,3 +120,50 @@ def percolate_query_strings(docs: DataFrame,
             .alias("query_id"),
         )
     )
+
+
+def doc_level_monitor(docs: DataFrame, rules: list[tuple[object, str]],
+                      path: str, ts_col: str = "warc_ts",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      default_operator: str = "OR") -> dict:
+    """Alerting-plugin *document-level monitor* execution: percolate
+    only documents newer than the stored checkpoint against the
+    monitor's query_string rules, append the per-document *findings*
+    (the plugin's finding index), and advance the checkpoint — so
+    repeated executions over a growing corpus alert on each document
+    exactly once (the doc-level monitor contract, vs the bucket-level
+    monitor in ``streaming/alerting.py``).
+
+    Scale shape: the delta filter is a time predicate (partition
+    pruning on an ingest-time layout); percolation is the one-codegen-
+    projection path of :func:`percolate_query_strings`; findings are
+    O(matches) appends. Returns {"new_docs": n, "findings": m,
+    "watermark": ts}.
+    """
+    import json
+    import os
+
+    state_file = os.path.join(path, "_monitor.json")
+    state = (json.load(open(state_file))
+             if os.path.exists(state_file) else {"watermark": None})
+    ts = F.col(ts_col).cast("timestamp")
+    delta = (docs if state["watermark"] is None
+             else docs.filter(ts > F.lit(state["watermark"])
+                              .cast("timestamp")))
+    hi = delta.agg(F.max(ts).cast("string").alias("hi"),
+                   F.count("*").alias("n")).collect()[0]
+    if not hi["n"]:
+        return {"new_docs": 0, "findings": 0,
+                "watermark": state["watermark"]}
+    found = percolate_query_strings(
+        delta, rules, text_col=text_col, id_col=id_col,
+        default_operator=default_operator).persist()
+    out_dir = os.path.join(path, "findings")
+    found.write.mode("append").parquet(out_dir)
+    m = found.count()
+    found.unpersist()
+    os.makedirs(path, exist_ok=True)
+    with open(state_file, "w") as f:
+        json.dump({"watermark": hi["hi"]}, f)
+    return {"new_docs": int(hi["n"]), "findings": int(m),
+            "watermark": hi["hi"]}

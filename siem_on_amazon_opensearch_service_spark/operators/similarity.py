@@ -46,6 +46,36 @@ def cosine_topk(vecs: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def cosine_radial(vecs: DataFrame, query_vec: list[float],
+                  min_score: float | None = None,
+                  max_distance: float | None = None,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """k-NN *radial* search (the k-NN plugin's ``min_score`` /
+    ``max_distance`` query variants): every vector within the score
+    radius, best first — no k.
+
+    Exactly one of ``min_score`` / ``max_distance`` must be given; for
+    the cosine space the plugin defines distance = 1 − cosine, so
+    ``max_distance=d`` is ``min_score=1−d``. Scale shape: a radial
+    query is a pure map-side FILTER over the scan — strictly cheaper
+    than top-k (no global TakeOrdered heap at all); the result size is
+    the caller's contract, exactly as in the plugin.
+    """
+    if (min_score is None) == (max_distance is None):
+        raise ValueError("radial search takes exactly one of "
+                         "min_score / max_distance")
+    cutoff = (float(min_score) if min_score is not None
+              else 1.0 - float(max_distance))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = vecs.select(
+        F.col(id_col), cosine_col(F.col(vec_col), q).alias("cosine")
+    ).filter(F.col("cosine") >= cutoff)
+    return scored.select(
+        id_col, F.round("cosine", 4).alias("cosine")
+    ).orderBy(F.desc("cosine"), F.asc(id_col))
+
+
 def ivf_assign(vecs: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
                cent_id: str = "cent_id", cent_vec: str = "cent_vec") -> DataFrame:
