@@ -78,24 +78,18 @@ def build_rotated(
     return periods
 
 
-def load_rotated(
-    spark: SparkSession,
-    path: str,
-    start: str | None = None,
-    end: str | None = None,
-) -> PostingsIndex:
-    """Open the union of period indices whose label lies in
-    [start, end] (inclusive; zero-padded labels make string comparison
-    the date comparison). Only those periods' directories are touched.
-    """
+def choose_periods(path: str, start: str | None = None,
+                   end: str | None = None) -> list[tuple[int, str]]:
+    """Resolve the (batch ordinal, label) periods whose label lies in
+    [start, end] (inclusive). Prefix-compare so a bound more precise
+    than the rotation granularity keeps its boundary period:
+    start='2020-12-15' over month labels truncates to '2020-12' (the
+    period CONTAINING the bound is in range), and end='2020' over
+    month labels compares the label's year prefix ('through 2020'
+    keeps every 2020 month)."""
     with open(_manifest_path(path)) as f:
         manifest = json.load(f)
     labels: list[str] = manifest["labels"]
-    # Prefix-compare so a bound more precise than the rotation
-    # granularity keeps its boundary period: start='2020-12-15' over
-    # month labels truncates to '2020-12' (the period CONTAINING the
-    # bound is in range), and end='2020' over month labels compares
-    # the label's year prefix ('through 2020' keeps every 2020 month).
     chosen = [
         (i, p)
         for i, p in enumerate(labels)
@@ -106,6 +100,20 @@ def load_rotated(
         raise ValueError(
             f"no index periods in range [{start}, {end}]; have {labels}"
         )
+    return chosen
+
+
+def load_rotated(
+    spark: SparkSession,
+    path: str,
+    start: str | None = None,
+    end: str | None = None,
+) -> PostingsIndex:
+    """Open the union of period indices whose label lies in
+    [start, end] (inclusive; zero-padded labels make string comparison
+    the date comparison). Only those periods' directories are touched.
+    """
+    chosen = choose_periods(path, start, end)
     post_dirs = [f"{path}/delta/batch={i}/postings" for i, _ in chosen]
     doc_dirs = [f"{path}/delta/batch={i}/docs" for i, _ in chosen]
     stat_dirs = [f"{path}/delta/batch={i}/stats" for i, _ in chosen]
