@@ -72,6 +72,11 @@ class PostingsIndex:
     term_stats: DataFrame  # term, df, max_tf, max_impact
     n_docs: int
     avgdl: float
+    #: optional edge-ngram prefix dictionary (prefix, term) — the
+    #: mapping's ``index_prefixes`` option; built/persisted by
+    #: `index/sayt.py`, used transparently by the multi-term rewrite.
+    prefix_vocab: DataFrame | None = None
+    prefix_max_gram: int = 0
 
     def save(self, spark: SparkSession, path: str, buckets: int = 32) -> None:
         """Persist as parquet laid out for term-pruned scans."""
@@ -117,13 +122,24 @@ class PostingsIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "PostingsIndex":
+        import json as _json
+        import os as _os
+
         stats = spark.read.parquet(f"{path}/stats").collect()[0]
+        pv, max_gram = None, 0
+        pmeta = _os.path.join(path, "prefix_meta.json")
+        if _os.path.exists(pmeta):
+            with open(pmeta) as f:
+                max_gram = int(_json.load(f)["max_gram"])
+            pv = spark.read.parquet(f"{path}/prefix_vocab")
         return cls(
             docs=spark.read.parquet(f"{path}/docs"),
             postings=spark.read.parquet(f"{path}/postings"),
             term_stats=spark.read.parquet(f"{path}/term_stats"),
             n_docs=stats["n_docs"],
             avgdl=stats["avgdl"],
+            prefix_vocab=pv,
+            prefix_max_gram=max_gram,
         )
 
 

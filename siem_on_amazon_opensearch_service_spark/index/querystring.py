@@ -1066,20 +1066,58 @@ def _const_leaf_rows(ix: PostingsIndex, leaf: TermLeaf,
     vocab = ix.term_stats.filter(pred_on(F.col("term"))) \
         .select("term").limit(MULTI_TERM_SCAN_CUTOFF + 1).collect()
     if len(vocab) <= MULTI_TERM_SCAN_CUTOFF:
-        if not vocab:
-            # provably-empty leaf: no postings job at all
-            return ix.postings.sparkSession.createDataFrame(
-                [], "doc_id long, leaf int, contrib double")
-        scan_pred = F.col("term").isin([r["term"] for r in vocab])
-    else:
-        scan_pred = pred_on(F.col("term"))
+        return _const_terms_rows(ix, leaf, [r["term"] for r in vocab])
     matched = decode_blocks(
-        ix.postings.filter(scan_pred)
+        ix.postings.filter(pred_on(F.col("term")))
     ).select("doc_id").distinct()
     return matched.select(
         "doc_id", F.lit(leaf.leaf_id).alias("leaf"),
         F.lit(float(leaf.boost)).alias("contrib"),
     )
+
+
+def _const_terms_rows(ix: PostingsIndex, leaf: TermLeaf,
+                      terms: list[str]) -> DataFrame:
+    """Constant-score leaf over an ALREADY-RESOLVED literal term list
+    (vocabulary-first rewrite hit, or the edge-ngram prefix
+    dictionary): pushed-down ``term IN (...)`` postings scan."""
+    if not terms:
+        # provably-empty leaf: no postings job at all
+        return ix.postings.sparkSession.createDataFrame(
+            [], "doc_id long, leaf int, contrib double")
+    matched = decode_blocks(
+        ix.postings.filter(F.col("term").isin(terms))
+    ).select("doc_id").distinct()
+    return matched.select(
+        "doc_id", F.lit(leaf.leaf_id).alias("leaf"),
+        F.lit(float(leaf.boost)).alias("contrib"),
+    )
+
+
+def _prefix_vocab_terms(ix: PostingsIndex,
+                        text: str) -> list[str] | None:
+    """Vocabulary expansion of a prefix leaf through the edge-ngram
+    dictionary (`sayt.py` — the mapping's ``index_prefixes`` option):
+    an EqualTo on the prefix-sorted dictionary instead of a LIKE over
+    every term_stats row. Returns None when the index has no prefix
+    dictionary or the match set overflows the literal-``IN`` cutoff
+    (callers fall back to the un-accelerated rewrite — identical
+    results either way)."""
+    if ix.prefix_vocab is None or not text:
+        return None
+    probe = text[: ix.prefix_max_gram]
+    cond = F.col("prefix") == probe
+    if len(text) > ix.prefix_max_gram:
+        # past Lucene's max_chars: equality on the stored gram plus a
+        # residual refine over the handful of surviving rows
+        cond = cond & F.col("term").like(_escape_like(text) + "%")
+    rows = (
+        ix.prefix_vocab.filter(cond)
+        .select("term").limit(MULTI_TERM_SCAN_CUTOFF + 1).collect()
+    )
+    if len(rows) > MULTI_TERM_SCAN_CUTOFF:
+        return None
+    return [r["term"] for r in rows]
 
 
 def _fuzzy_variants(ix: PostingsIndex, text: str, max_edits: int) -> list[str]:
@@ -1119,9 +1157,18 @@ def _forest_hits(
             parts.append(rows)
     for leaf in posting_leaves:
         if leaf.kind == "prefix":
-            parts.append(
-                _const_leaf_rows(ix, leaf, _escape_like(leaf.text) + "%")
-            )
+            sayt = _prefix_vocab_terms(ix, leaf.text)
+            if sayt is not None:
+                # edge-ngram dictionary hit: the postings scan is the
+                # same pushed-down term IN (...) the vocabulary-first
+                # rewrite would build — the dictionary just found the
+                # terms by equality instead of a vocab LIKE scan
+                parts.append(_const_terms_rows(ix, leaf, sayt))
+            else:
+                parts.append(
+                    _const_leaf_rows(ix, leaf,
+                                     _escape_like(leaf.text) + "%")
+                )
         elif leaf.kind == "wildcard":
             parts.append(_const_leaf_rows(ix, leaf, _wild_to_like(leaf.text)))
         elif leaf.kind == "regexp":

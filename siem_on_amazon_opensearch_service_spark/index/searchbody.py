@@ -474,23 +474,42 @@ def compile_query(spec: dict,
             return FieldLeaf(field, "sql_expr", value=(
                 f"({haversine_sql(lat, lon, float(spec['lat']), float(spec['lon']))}"
                 f" <= {km!r})"))
-        # geo_polygon, or a polygon-shaped geo_shape (relation:
-        # intersects over the doc POINT == containment test)
+        # geo_polygon, or a geo_shape (relation: intersects over the
+        # doc POINT == containment test). Shapes: polygon,
+        # multipolygon (OR of outer-ring containments), envelope
+        # (bbox — GeoJSON [[minlon, maxlat], [maxlon, minlat]]).
+        def _ring(coords) -> list[tuple[float, float]]:
+            # GeoJSON rings are (lon, lat); first ring = outer; drop
+            # an explicit closing vertex (the SQL closes the ring)
+            pts = [(float(p[1]), float(p[0])) for p in coords]
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts = pts[:-1]
+            return pts
+
         if kind == "geo_shape":
             shp = spec["shape"] if isinstance(spec, dict) else spec
-            if str(shp.get("type", "")).lower() != "polygon":
+            styp = str(shp.get("type", "")).lower()
+            if styp == "envelope":
+                (l, t), (r, b) = shp["coordinates"]
+                return FieldLeaf(field, "sql_expr", value=bbox_sql(
+                    lat, lon, float(t), float(l), float(b), float(r)))
+            if styp == "multipolygon":
+                parts = [point_in_polygon_sql(lat, lon,
+                                              _ring(poly[0]))
+                         for poly in shp["coordinates"]]
+                return FieldLeaf(field, "sql_expr",
+                                 value="(" + " OR ".join(parts) + ")")
+            if styp != "polygon":
                 raise ValueError(
-                    "geo_shape: only polygon shapes over geo_point "
-                    "docs are supported")
-            # GeoJSON rings are (lon, lat); first ring = outer
-            pts = [(float(p[1]), float(p[0]))
-                   for p in shp["coordinates"][0]]
+                    "geo_shape: only polygon / multipolygon / "
+                    "envelope shapes over geo_point docs are "
+                    "supported")
+            pts = _ring(shp["coordinates"][0])
         else:
             pts = [(float(p["lat"]), float(p["lon"]))
                    for p in spec["points"]]
-        # drop an explicit closing vertex (the SQL closes the ring)
-        if len(pts) > 1 and pts[0] == pts[-1]:
-            pts = pts[:-1]
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts = pts[:-1]
         return FieldLeaf(field, "sql_expr",
                          value=point_in_polygon_sql(lat, lon, pts))
 

@@ -147,6 +147,40 @@ def test_geo_shape_polygon_geojson(geo_ix, geo_pdf):
     assert got == exp
 
 
+def test_geo_shape_envelope(geo_ix, geo_pdf):
+    # GeoJSON envelope: [[minlon, maxlat], [maxlon, minlat]]
+    got = _hit_ids(geo_ix, {"geo_shape": {"location": {
+        "shape": {"type": "envelope",
+                  "coordinates": [[0.0, 50.0], [12.5, 40.0]]}}}})
+    exp = sorted(
+        int(r.doc_id) for r in geo_pdf.itertuples()
+        if 40.0 <= r.lat <= 50.0 and 0.0 <= r.lon <= 12.5)
+    assert got == exp and 0 < len(exp) < N
+
+
+TRI_A = [(36.0, -2.0), (44.0, -2.0), (40.0, 6.0)]
+TRI_B = [(48.0, 15.0), (54.0, 15.0), (51.0, 22.0)]
+
+
+def test_geo_shape_multipolygon(geo_ix, geo_pdf):
+    def ring(pts):
+        return [[lo, la] for la, lo in pts] + [[pts[0][1], pts[0][0]]]
+
+    got = _hit_ids(geo_ix, {"geo_shape": {"location": {
+        "shape": {"type": "multipolygon",
+                  "coordinates": [[ring(TRI_A)], [ring(TRI_B)]]}}}})
+    exp = sorted(int(r.doc_id) for r in geo_pdf.itertuples()
+                 if _py_in_poly(r.lat, r.lon, TRI_A)
+                 or _py_in_poly(r.lat, r.lon, TRI_B))
+    assert got == exp and 0 < len(exp) < N
+    # the two lobes are disjoint: union == sum of the parts
+    a = sorted(int(r.doc_id) for r in geo_pdf.itertuples()
+               if _py_in_poly(r.lat, r.lon, TRI_A))
+    b = sorted(int(r.doc_id) for r in geo_pdf.itertuples()
+               if _py_in_poly(r.lat, r.lon, TRI_B))
+    assert len(exp) == len(a) + len(b) and a and b
+
+
 def test_geo_combines_with_text_clause(geo_ix, geo_pdf):
     body = {"query": {"bool": {
         "must": [{"match": {"text": "w3"}}],
