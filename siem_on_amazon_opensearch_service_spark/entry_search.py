@@ -1317,6 +1317,7 @@ ltr_top AS (
   ORDER BY s DESC, doc_id LIMIT 15
 )
 SELECT 'qs' AS chk, '' AS k, doc_id, score FROM qs_top
+UNION ALL SELECT 'sayt', '', doc_id, score FROM qs_top
 UNION ALL SELECT 'body', '', doc_id, score FROM body_top
 UNION ALL SELECT 'agg', k, doc_id, score FROM agg_buckets
 UNION ALL SELECT 'msearch', '', doc_id, score FROM ms_top
@@ -1417,6 +1418,22 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = query_string_topk(ix2, _QS_QUERY, k=20).select(
         F.lit("qs").alias("chk"), F.lit("").alias("k"),
+        "doc_id", F.round("score", 4).alias("score"),
+    )
+    # chk='sayt': the SAME query through an index_prefixes handle
+    # (index/sayt.py) — the st* prefix expands by EqualTo on the
+    # edge-ngram dictionary instead of a vocab LIKE; results (and
+    # therefore the oracle ranking) are pinned identical to chk='qs'.
+    from .index.sayt import build_prefix_vocab
+
+    ix_sayt = PostingsIndex(
+        docs=wide_docs, postings=ix.postings, term_stats=ix.term_stats,
+        n_docs=ix.n_docs, avgdl=ix.avgdl,
+        prefix_vocab=build_prefix_vocab(ix2, max_gram=3),
+        prefix_max_gram=3,
+    )
+    sayt = query_string_topk(ix_sayt, _QS_QUERY, k=20).select(
+        F.lit("sayt").alias("chk"), F.lit("").alias("k"),
         "doc_id", F.round("score", 4).alias("score"),
     )
     panel2 = {"query": {"match": {"text": "table value"}}, "size": 10}
@@ -1552,7 +1569,8 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
                     intercept=-0.1),
         k=15))
 
-    return (qs.unionByName(body).unionByName(agg).unionByName(ms)
+    return (qs.unionByName(sayt)
+            .unionByName(body).unionByName(agg).unionByName(ms)
             .unionByName(rt).unionByName(rtagg)
             .unionByName(sqlhits).unionByName(sqlagg)
             .unionByName(sscore).unionByName(dfeat)

@@ -461,3 +461,62 @@ def bm25_explain(ix: PostingsIndex, query: str, k: int = 10) -> DataFrame:
         )
         .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
     )
+
+
+def explain_doc(ix: PostingsIndex, query: str, doc_id: int) -> dict:
+    """``GET /{index}/_explain/{id}``: why does (or doesn't) ONE
+    document match the query — for an ARBITRARY doc id, not just the
+    top-k window that :func:`bm25_explain` covers.
+
+    Returns ``{"_id", "matched", "score", "details": [{term, tf, dl,
+    df, idf, qtf, contribution}, ...]}`` (sum of contributions ==
+    score, the flattened Lucene Explanation tree).
+
+    Plan: block metadata carries (min_doc_id, max_doc_id), so besides
+    the pushed ``term IN (...)`` the scan prunes to blocks whose id
+    RANGE covers the doc — on the (term, salt, block)-sorted layout a
+    single-doc explain decodes a handful of blocks, never a term's
+    full posting list. The result is ≤ |query terms| rows."""
+    from ..bm25 import idf as _idf
+
+    weights = _query_weights(query)
+    out: dict = {"_id": int(doc_id), "matched": False, "score": 0.0,
+                 "details": []}
+    if not weights:
+        return out
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in ix.term_stats.filter(F.col("term").isin(list(weights)))
+        .select("term", "df").collect()
+    }
+    present = [t for t in weights if t in dfs]
+    if not present:
+        return out
+    blocks = ix.postings.filter(
+        F.col("term").isin(present)
+        & (F.col("min_doc_id") <= int(doc_id))
+        & (F.col("max_doc_id") >= int(doc_id))
+    )
+    rows = (
+        decode_blocks(blocks)
+        .filter(F.col("doc_id") == int(doc_id))
+        .select("term", "tf", "dl")
+        .collect()
+    )
+    if not rows:
+        return out
+    for r in sorted(rows, key=lambda r: r["term"]):
+        t, tf, dl = r["term"], float(r["tf"]), float(r["dl"])
+        idf = _idf(ix.n_docs, dfs[t])
+        contribution = (
+            idf * weights[t]
+            * tf / (tf + K1 * (1.0 - B + B * dl / ix.avgdl))
+        )
+        out["details"].append({
+            "term": t, "tf": int(tf), "dl": int(dl), "df": dfs[t],
+            "idf": idf, "qtf": weights[t],
+            "contribution": contribution,
+        })
+        out["score"] += contribution
+    out["matched"] = True
+    return out

@@ -244,3 +244,50 @@ def test_term_suggest_empty_and_bad_mode(model):
     assert term_suggest(model, "quick brown fox").count() == 0
     with pytest.raises(ValueError):
         term_suggest(model, "x", suggest_mode="sometimes")
+
+
+# ---------------------------------------------------------------------------
+# explain_doc (_explain/{id})
+# ---------------------------------------------------------------------------
+
+
+def test_explain_doc_matches_topk_breakdown(ixdata):
+    from siem_on_amazon_opensearch_service_spark.index.query import (
+        explain_doc,
+    )
+
+    ix, _ = ixdata
+    q = "w00001 w00057 w00003"
+    top = bm25_explain(ix, q, k=3).collect()
+    did = top[0]["doc_id"]
+    got = explain_doc(ix, q, did)
+    assert got["matched"] and got["_id"] == did
+    assert got["score"] == pytest.approx(top[0]["score"], rel=1e-9)
+    exp_terms = {(r["term"], r["tf"], r["df"]) for r in top
+                 if r["doc_id"] == did}
+    assert {(d["term"], d["tf"], d["df"])
+            for d in got["details"]} == exp_terms
+    for d in got["details"]:
+        twin = [r for r in top if r["doc_id"] == did
+                and r["term"] == d["term"]][0]
+        assert d["contribution"] == pytest.approx(
+            twin["contribution"], rel=1e-9)
+    assert got["score"] == pytest.approx(
+        sum(d["contribution"] for d in got["details"]), rel=1e-12)
+
+
+def test_explain_doc_non_matching_and_absent(ixdata):
+    from siem_on_amazon_opensearch_service_spark.index.query import (
+        explain_doc,
+    )
+
+    ix, pdf = ixdata
+    # a doc that contains none of the query terms
+    toks = pdf["text"].str.split()
+    missing = next(i for i, ts in enumerate(toks)
+                   if "w00001" not in ts and "w00057" not in ts)
+    got = explain_doc(ix, "w00001 w00057", missing)
+    assert got == {"_id": missing, "matched": False, "score": 0.0,
+                   "details": []}
+    assert not explain_doc(ix, "zzznotaterm", 0)["matched"]
+    assert not explain_doc(ix, "...", 0)["matched"]
