@@ -302,6 +302,21 @@ def main() -> None:
         ).collect())
         graph.unpersist()
 
+    # --- neural_sparse: token-weight dot-product top-k over the
+    # weighted-postings layout (encode is the build step, untimed;
+    # the timed query is the pushed term scan + one hash agg) ---
+    from siem_on_amazon_opensearch_service_spark.index.sparse import (
+        build_sparse_index, neural_sparse_topk, sparse_encode,
+    )
+
+    sxi = build_sparse_index(sparse_encode(docs), n_docs=n_docs)
+    sxi.features = sxi.features.persist()
+    sxi.features.count()
+    timed("neural_sparse_topk", lambda: neural_sparse_topk(
+        sxi, {"spark": 2.0, "stream": 1.5, "join": 1.0}, k=20
+    ).collect())
+    sxi.features.unpersist()
+
     # --- MinHash-LSH at the PRODUCTION parameterization (n_hash=128,
     # n_bands=16 -> r=8, S-curve threshold ~0.71), not the toy test
     # knobs: the banded shuffle is the 100 TB shape, timed here so the

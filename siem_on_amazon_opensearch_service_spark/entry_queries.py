@@ -133,15 +133,65 @@ def ft_bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
-@register("ft_bm25_topk_dataframe", _BM25_SQL_BODY)
+#: neural_sparse query tokens (token -> model weight). Vocabulary
+#: overlaps FT_QUERY so the sparse and BM25 rankings are comparable.
+_SPARSE_Q = {"spark": 2.0, "stream": 1.5, "join": 1.0}
+
+_SPARSE_CACHE: dict[tuple, object] = {}
+
+
+def _sparse_index(spark: SparkSession, sf_dir: str):
+    from .index.sparse import build_sparse_index, sparse_encode
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sx = _SPARSE_CACHE.get(key)
+    if sx is None:
+        docs = _t(spark, sf_dir, "documents")
+        sx = build_sparse_index(sparse_encode(docs),
+                                n_docs=docs.count())
+        sx.features = sx.features.persist()
+        _SPARSE_CACHE[key] = sx
+    return sx
+
+
+def _ft_dataframe_oracle_sql() -> str:
+    from .index.sparse import sparse_encode_duckdb_sql
+
+    vals = ", ".join(f"('{t}', {w})" for t, w in _SPARSE_Q.items())
+    return f"""
+    WITH sw AS ({sparse_encode_duckdb_sql('documents', 'text', 'doc_id')}),
+    q(term, qw) AS (VALUES {vals}),
+    sc AS (
+      SELECT doc_id, sum(qw * weight) AS s
+      FROM sw JOIN q USING (term) GROUP BY doc_id
+    )
+    SELECT 'bm25' AS chk, * FROM ({_BM25_SQL_BODY})
+    UNION ALL
+    SELECT 'sparse' AS chk, doc_id, round(s, 4) AS score
+    FROM (SELECT * FROM sc ORDER BY s DESC, doc_id LIMIT {FT_K}) t
+    """
+
+
+@register("ft_bm25_topk_dataframe", _ft_dataframe_oracle_sql())
 def ft_bm25_topk_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics through the uncompressed pure-DataFrame plan
-    (M1 slice in SURVEY.md section 7.1)."""
+    (M1 slice in SURVEY.md section 7.1), plus chk='sparse': the
+    neural_sparse / rank_features surface (index/sparse.py) — learned
+    token-weight dot-product top-k over the weighted-postings layout,
+    here with the deterministic log1p(tf) encoder so the ranking is
+    value-hash-checkable cross-engine."""
     from .index.query import bm25_topk_df
+    from .index.sparse import neural_sparse_topk
 
     docs = _t(spark, sf_dir, "documents")
-    top = bm25_topk_df(docs, "text", "doc_id", FT_QUERY, k=FT_K)
-    return top.select("doc_id", F.round("score", 4).alias("score"))
+    top = bm25_topk_df(docs, "text", "doc_id", FT_QUERY, k=FT_K).select(
+        F.lit("bm25").alias("chk"),
+        "doc_id", F.round("score", 4).alias("score"))
+    sp = neural_sparse_topk(
+        _sparse_index(spark, sf_dir), _SPARSE_Q, k=FT_K
+    ).select(F.lit("sparse").alias("chk"),
+             "doc_id", F.round("score", 4).alias("score"))
+    return top.unionByName(sp)
 
 
 @register(

@@ -730,6 +730,7 @@ def search_hits(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     source_docs: DataFrame | None = None,
+    sparse=None,
 ) -> DataFrame:
     """Execute the body's query + sort/from/size/_source, returning
     the hits page.  Default sort is (_score desc, doc_id asc); a
@@ -772,7 +773,9 @@ def search_hits(
                                     positional_ix, text_field)
     elif qkind in ("knn", "hybrid"):
         scored = _vector_scored(ix, qnode, positional_ix, text_field,
-                                vecs, vec_id_col, vec_col)
+                                vecs, vec_id_col, vec_col, sparse=sparse)
+    elif qkind == "neural_sparse":
+        scored = _sparse_scored(ix, qnode, sparse)
     else:
         tree = compile_query(qnode, text_field)
         scored = tree_scores(ix, tree, positional_ix=positional_ix,
@@ -1015,6 +1018,38 @@ def _after_pred(spec: list[tuple[Column, bool]],
     return pred
 
 
+def _sparse_scored(ix: PostingsIndex, qnode: dict,
+                   sparse) -> DataFrame:
+    """Top-level ``neural_sparse`` query -> (docs cols..., score):
+    token-weight dot product over the weighted-postings index
+    (``index/sparse.py``) — the same pushed-scan/one-groupBy plan as
+    BM25; optional ``two_phase`` block routes through the 2.15
+    two-phase processor semantics."""
+    from .sparse import neural_sparse_topk, neural_sparse_topk_two_phase
+
+    _, params = _one(qnode)
+    field, spec = _one(params)
+    if sparse is None:
+        raise ValueError("neural_sparse query needs the sparse index "
+                         "(sparse=...)")
+    if field != sparse.field:
+        raise ValueError(
+            f"neural_sparse targets the rank_features field "
+            f"{sparse.field!r}; got {field!r}")
+    toks = {t: float(w) for t, w in spec["query_tokens"].items()}
+    k = int(spec.get("k", 10))
+    two = spec.get("two_phase")
+    if two:
+        top = neural_sparse_topk_two_phase(
+            sparse, toks, k=k,
+            prune_ratio=float(two.get("prune_ratio", 0.4)),
+            expand=int(two.get("expand", 5)))
+    else:
+        top = neural_sparse_topk(sparse, toks, k=k)
+    return top.join(ix.docs, "doc_id", "left").select(
+        *[c for c in ix.docs.columns], "score")
+
+
 def _vector_scored(
     ix: PostingsIndex,
     qnode: dict,
@@ -1023,6 +1058,7 @@ def _vector_scored(
     vecs: DataFrame | None,
     vec_id_col: str,
     vec_col: str,
+    sparse=None,
 ) -> DataFrame:
     """knn / hybrid top-level queries -> (docs cols..., score).
 
@@ -1037,7 +1073,7 @@ def _vector_scored(
     from ..operators.similarity import cosine_topk
 
     kind, params = _one(qnode)
-    if vecs is None:
+    if vecs is None and kind != "hybrid":
         raise ValueError(f"{kind} query needs the embeddings table "
                          "(vecs=...)")
     if kind == "knn":
@@ -1106,10 +1142,13 @@ def _vector_scored(
     cuts = []
     for sub in params.get("queries", []):
         skind, _ = _one(sub)
-        if skind == "knn":
-            sub_scored = _vector_scored(ix, sub, positional_ix,
-                                        text_field, vecs, vec_id_col,
-                                        vec_col)
+        if skind in ("knn", "neural_sparse"):
+            if skind == "knn":
+                sub_scored = _vector_scored(ix, sub, positional_ix,
+                                            text_field, vecs, vec_id_col,
+                                            vec_col)
+            else:
+                sub_scored = _sparse_scored(ix, sub, sparse)
             cut = (sub_scored.select("doc_id", "score")
                    .orderBy(F.desc("score"), F.asc("doc_id"))
                    .limit(depth))
@@ -1880,6 +1919,7 @@ def search_body(
     text_field: str = DEFAULT_TEXT_FIELD,
     vecs: DataFrame | None = None,
     source_docs: DataFrame | None = None,
+    sparse=None,
 ) -> dict:
     """Full ``_search`` execution: returns ``{"hits": DataFrame,
     "aggs": {path: DataFrame}}``.  Aggregations run over the complete
@@ -1892,7 +1932,8 @@ def search_body(
         ix = with_runtime_mappings(ix, body["runtime_mappings"])
         body = {k: v for k, v in body.items() if k != "runtime_mappings"}
     res: dict = {"hits": search_hits(ix, body, positional_ix, text_field,
-                                     vecs=vecs, source_docs=source_docs)}
+                                     vecs=vecs, source_docs=source_docs,
+                                     sparse=sparse)}
     aggs_spec = body.get("aggs", body.get("aggregations"))
     if aggs_spec:
         qnode = expand_mlt(body.get("query", {"match_all": {}}), ix,
@@ -1901,7 +1942,9 @@ def search_body(
         if qkind in ("knn", "hybrid"):
             matched = _vector_scored(ix, qnode, positional_ix,
                                      text_field, vecs, "vec_id",
-                                     "embedding")
+                                     "embedding", sparse=sparse)
+        elif qkind == "neural_sparse":
+            matched = _sparse_scored(ix, qnode, sparse)
         else:
             tree = compile_query(qnode, text_field)
             matched = tree_scores(ix, tree, positional_ix=positional_ix,
