@@ -203,3 +203,47 @@ def index_plan(mapping: IndexMapping,
         "typed_fields": typed_fields,
         "dynamic_string_type": mapping.dynamic_string_type,
     }
+
+
+#: Spark dtype -> the _field_caps wire type it presents as.
+_CAPS_TYPES = {
+    "string": "keyword", "bigint": "long", "int": "integer",
+    "smallint": "short", "tinyint": "byte",
+    "double": "double", "float": "float", "boolean": "boolean",
+    "timestamp": "date", "date": "date", "binary": "binary",
+}
+
+
+def field_caps(df: DataFrame, text_fields: tuple[str, ...] = ("text",),
+               ) -> dict[str, dict]:
+    """``GET /{index}/_field_caps``: per-field type + capability flags
+    derived from the docs schema — pure driver metadata (the schema is
+    already on the driver; zero jobs run).
+
+    ``text_fields`` marks analyzed columns (searchable, NOT
+    aggregatable — Lucene fielddata semantics); arrays of floats
+    present as ``knn_vector``, maps of floats as ``rank_features``,
+    other maps/structs as ``object``."""
+    caps: dict[str, dict] = {}
+    for f_ in df.schema.fields:
+        st = f_.dataType.simpleString()
+        if f_.name in text_fields and st == "string":
+            typ, searchable, aggregatable = "text", True, False
+        elif st in _CAPS_TYPES:
+            typ, searchable, aggregatable = _CAPS_TYPES[st], True, True
+        elif st.startswith("array<float") or st.startswith("array<double"):
+            typ, searchable, aggregatable = "knn_vector", True, False
+        elif st.startswith("map<string,float") or \
+                st.startswith("map<string,double"):
+            typ, searchable, aggregatable = "rank_features", True, False
+        elif st.startswith(("map<", "struct<")):
+            typ, searchable, aggregatable = "object", False, False
+        elif st.startswith("array<"):
+            inner = st[6:-1]
+            typ = _CAPS_TYPES.get(inner, "object")
+            searchable = aggregatable = inner in _CAPS_TYPES
+        else:
+            typ, searchable, aggregatable = "object", False, False
+        caps[f_.name] = {"type": typ, "searchable": searchable,
+                         "aggregatable": aggregatable}
+    return caps

@@ -971,13 +971,40 @@ def _with_highlight(page: DataFrame, body: dict, text_field: str,
 def _sort_spec(sort_list: list) -> list[tuple[Column, bool]]:
     """OpenSearch ``sort`` entries -> [(column, is_desc)] (``_score``
     maps to the score column; default is score desc; ``_script``
-    sorts by a restricted-Painless expression over docs columns)."""
+    sorts by a restricted-Painless expression over docs columns;
+    ``_geo_distance`` by haversine distance to a reference point —
+    a map-side expression, never a join)."""
     spec = []
     for s in sort_list:
         if isinstance(s, str):
             fname, opts = s, {}
         else:
             fname, opts = _one(s)
+        if fname == "_geo_distance":
+            from ..operators.geo import haversine_km
+
+            o = dict(opts)
+            direction = str(o.pop("order", "asc")).lower()
+            unit = str(o.pop("unit", "m")).lower()
+            o.pop("mode", None)
+            o.pop("distance_type", None)
+            (gfield, point), = o.items()
+            if isinstance(point, dict):
+                qlat, qlon = float(point["lat"]), float(point["lon"])
+            elif isinstance(point, (list, tuple)):  # GeoJSON lon,lat
+                qlon, qlat = float(point[0]), float(point[1])
+            else:  # "lat,lon" string
+                a, b = str(point).split(",")
+                qlat, qlon = float(a), float(b)
+            scale = {"m": 1000.0, "km": 1.0, "mi": 1.0 / 1.609344,
+                     "ft": 3280.839895}.get(unit)
+            if scale is None:
+                raise ValueError(f"unsupported geo sort unit {unit!r}")
+            col = haversine_km(F.col(gfield + ".lat"),
+                               F.col(gfield + ".lon"),
+                               qlat, qlon) * F.lit(scale)
+            spec.append((col, direction == "desc"))
+            continue
         # _score defaults desc, fields default asc (OpenSearch)
         default = "desc" if fname == "_score" else "asc"
         direction = (opts.get("order", default)
@@ -1195,7 +1222,7 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
                  "cardinality", "stats", "percentiles",
                  "percentile_ranks", "string_stats",
                  "weighted_avg", "extended_stats", "scripted_metric",
-                 "rate", "geo_bounds", "geo_centroid")
+                 "rate", "geo_bounds", "geo_centroid", "top_metrics")
 
 #: fixed-width intervals the ``rate`` metric can normalize between;
 #: month/quarter/year buckets vary in length and are rejected (the
@@ -1451,6 +1478,32 @@ def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
         if red not in fns:
             raise ValueError(f"bad scripted_metric reduce {red!r}")
         return [fns[red](col).alias(name)]
+    if kind == "top_metrics":
+        # per-bucket metric values FROM the best row by the sort key:
+        # native max_by/min_by — still one hash aggregate, no window,
+        # no row materialization. size > 1 would need per-bucket row
+        # lists; that is exactly the top_hits agg, rejected toward it.
+        if int(params.get("size", 1)) != 1:
+            raise ValueError("top_metrics supports size=1 "
+                             "(use top_hits for ranked row lists)")
+        sfield, sdir = _one(params["sort"]) if isinstance(
+            params["sort"], dict) else (str(params["sort"]), "asc")
+        if isinstance(sdir, dict):
+            sdir = sdir.get("order", "asc")
+        desc = str(sdir).lower() == "desc"
+        sv = F.col(sfield).cast("double")
+        # deterministic tie-break on doc_id asc (the engine-wide rule)
+        key = F.struct(sv, (-F.col("doc_id")).alias("_tb")) if desc \
+            else F.struct(sv, F.col("doc_id").alias("_tb"))
+        pick = F.max_by if desc else F.min_by
+        metrics = params["metrics"]
+        if isinstance(metrics, dict):
+            metrics = [metrics]
+        out = [pick(F.col(m["field"]).cast("double"), key)
+               .alias(f"{name}_{m['field']}") for m in metrics]
+        out.append((F.max(sv) if desc else F.min(sv))
+                   .alias(f"{name}_sort"))
+        return out
     if kind == "weighted_avg":
         vv = F.col(params["value"]["field"]).cast("double")
         ww = F.col(params["weight"]["field"]).cast("double")
@@ -1953,4 +2006,16 @@ def search_body(
                 matched = ix.docs
         res["aggs"] = run_aggs(matched, aggs_spec, text_field,
                                background=ix.docs)
+    if body.get("profile"):
+        # the ``profile: true`` body flag — here the honest profile
+        # is the Catalyst physical plan (scan pushdowns, exchanges,
+        # codegen spans), the engine's analog of Lucene's per-query
+        # timing tree.
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            res["hits"].explain("formatted")
+        res["profile"] = buf.getvalue()
     return res
