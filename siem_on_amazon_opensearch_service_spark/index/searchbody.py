@@ -1216,7 +1216,8 @@ def _vector_scored(
 # ---------------------------------------------------------------------------
 
 _BUCKET_KINDS = ("terms", "date_histogram", "auto_date_histogram",
-                 "histogram", "range", "filters",
+                 "histogram", "range", "filters", "multi_terms",
+                 "date_range", "ip_range",
                  "geohash_grid", "geotile_grid", "geo_distance")
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
                  "cardinality", "stats", "percentiles",
@@ -1358,6 +1359,65 @@ def _bucket_expr(kind: str, params: dict, text_field: str,
         for label, q in params["filters"].items():
             pred = _filter_pred(q, text_field)
             arms.append(F.when(pred, F.lit(label)))
+        return F.array_compact(F.array(*arms)), True, None
+    if kind == "multi_terms":
+        # composite key over N fields; a doc missing ANY field drops
+        # out of the agg (upstream multi_terms semantics) — the
+        # null-key filter in _materialize handles that once the key
+        # is gated on all parts being present
+        fields = [t["field"] for t in params["terms"]]
+        present = reduce(Column.__and__,
+                         [F.col(f).isNotNull() for f in fields])
+        key = F.when(present, F.concat_ws(
+            "|", *[F.col(f).cast("string") for f in fields]))
+        order = params.get("order", {"_count": "desc"})
+        if isinstance(order, list):
+            order = order[0]
+        by, dirn = next(iter(order.items()))
+        return key, False, {"size": int(params.get("size", 10)),
+                            "by": by, "dir": str(dirn).lower()}
+    if kind == "date_range":
+        v = F.col(params["field"]).cast("timestamp")
+        arms = []
+        for r in params["ranges"]:
+            frm, to = r.get("from"), r.get("to")
+            label = r.get("key", f"{frm if frm is not None else '*'}-"
+                                 f"{to if to is not None else '*'}")
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (v >= F.lit(str(frm)).cast("timestamp"))
+            if to is not None:
+                cond = cond & (v < F.lit(str(to)).cast("timestamp"))
+            arms.append(F.when(cond, F.lit(label)))
+        return F.array_compact(F.array(*arms)), True, None
+    if kind == "ip_range":
+        # bounds and CIDR masks resolve to uint32 intervals on the
+        # driver (query metadata); the scan-side predicate is pure
+        # integer arithmetic over the shared ipv4 encoding
+        from ..functions.scalars import ipv4_to_long
+        from ..operators.aggs import _cidr_bounds
+
+        ipl = ipv4_to_long(F.col(params["field"]))
+        arms = []
+        for r in params["ranges"]:
+            if "mask" in r:
+                lo, hi = _cidr_bounds(r["mask"])
+                label = r.get("key", r["mask"])
+            else:
+                frm, to = r.get("from"), r.get("to")
+                lo = None if frm is None else _cidr_bounds(
+                    str(frm) + "/32")[0]
+                hi = None if to is None else _cidr_bounds(
+                    str(to) + "/32")[0]
+                label = r.get("key",
+                              f"{frm if frm is not None else '*'}-"
+                              f"{to if to is not None else '*'}")
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (ipl >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (ipl < F.lit(hi))
+            arms.append(F.when(cond, F.lit(label)))
         return F.array_compact(F.array(*arms)), True, None
     # geo grids: the dashboards' coordinate-map rollups. The geo_point
     # field is a struct column with lat/lon doubles; the cell key is
@@ -1687,13 +1747,15 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
     out: dict[str, DataFrame] = {}
     bucket_meta: dict[str, tuple] = {}  # level name -> (kind, params)
 
-    def walk(path: list[str], levels: list[tuple], spec: dict) -> None:
+    def walk(path: list[str], levels: list[tuple], spec: dict,
+             frame: DataFrame | None = None) -> None:
         # all sibling PURE-METRIC entries at one path share ONE
         # groupBy (one shuffle); sibling bucket entries fork.
         # Pipeline entries (parent: derivative/cumulative_sum/...;
         # sibling: avg_bucket/... referencing "bucket>metric") apply
         # AFTER the reduce, over the metadata-sized bucket frames --
         # the OpenSearch coordinator-phase contract.
+        frame = docs if frame is None else frame
         metric_cols: list[tuple] = []
         parent_pipes: list[tuple] = []
         sibling_pipes: list[tuple] = []
@@ -1707,7 +1769,54 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                 continue
             if "top_hits" in node:
                 out[">".join(path + [name])] = _materialize_hits(
-                    levels, node["top_hits"])
+                    levels, node["top_hits"], frame)
+                continue
+            if pk in ("filter", "global", "missing"):
+                # single-bucket restrictors: the subtree re-runs over
+                # the restricted frame (filter = extra predicate;
+                # missing = field-is-null; global = escape the query
+                # to the background corpus). Top level only — nested
+                # single-bucket restriction under a key fan-out would
+                # need key-carrying filters; no dashboard uses it.
+                if levels:
+                    raise ValueError(
+                        f"{pk} agg is supported at the top level of "
+                        "the aggs tree")
+                if pk == "filter":
+                    sub_frame = frame.filter(
+                        _filter_pred(node["filter"], text_field))
+                elif pk == "missing":
+                    sub_frame = frame.filter(
+                        F.col(node["missing"]["field"]).isNull())
+                else:
+                    if background is None:
+                        raise ValueError(
+                            "global agg needs background= (the full "
+                            "docs table)")
+                    sub_frame = background
+                subs = node.get("aggs", node.get("aggregations", {}))
+                if subs:
+                    walk(path + [name], [], subs, sub_frame)
+                # pure-metric subtrees land AT this path with their
+                # own doc_count column; otherwise emit the count frame
+                if ">".join(path + [name]) not in out:
+                    out[">".join(path + [name])] = sub_frame.agg(
+                        F.count(F.lit(1)).alias("doc_count"))
+                continue
+            if pk == "rare_terms":
+                if levels:
+                    raise ValueError(
+                        "rare_terms is supported at the top level of "
+                        "the aggs tree")
+                from ..operators.aggs import rare_terms
+
+                p = node["rare_terms"]
+                out[">".join(path + [name])] = rare_terms(
+                    frame.filter(F.col(p["field"]).isNotNull()),
+                    F.col(p["field"]).cast("string"),
+                    max_doc_count=int(p.get("max_doc_count", 1)),
+                    size=int(p.get("size", 10)),
+                )
                 continue
             if "composite" in node:
                 if levels:
@@ -1723,8 +1832,8 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                 p = node["significant_terms"]
                 from ..operators.aggs import significant_terms
 
-                bg = background if background is not None else docs
-                fg_ids = docs.select("doc_id").withColumn(
+                bg = background if background is not None else frame
+                fg_ids = frame.select("doc_id").withColumn(
                     "_fg", F.lit(True))
                 flagged = bg.join(fg_ids, "doc_id", "left")
                 out[">".join(path + [name])] = significant_terms(
@@ -1751,18 +1860,19 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                 )
             kind, params = bucket
             key, needs_explode, prune = _bucket_expr(kind, params,
-                                                     text_field, docs)
+                                                     text_field, frame)
             bucket_meta[name] = (kind, params)
             lv = levels + [(name, key, needs_explode, prune)]
             if subs:
-                walk(path + [name], lv, subs)
+                walk(path + [name], lv, subs, frame)
             else:
-                out[">".join(path + [name])] = _materialize(lv, [])
+                out[">".join(path + [name])] = _materialize(lv, [],
+                                                            frame)
         if metric_cols or parent_pipes:
-            frame = _materialize(levels, metric_cols)
+            red = _materialize(levels, metric_cols, frame)
             for name, kind, params in parent_pipes:
-                frame = _parent_pipe(frame, levels, name, kind, params)
-            out[">".join(path) if path else "_metrics"] = frame
+                red = _parent_pipe(red, levels, name, kind, params)
+            out[">".join(path) if path else "_metrics"] = red
         for name, kind, params in sibling_pipes:
             # sibling-bucket metric: reduce a sibling bucket agg's
             # frame ("bucket>metric" path) per parent key
@@ -1791,9 +1901,9 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                    else child.agg(*fns))
             out[">".join(path + [name])] = red
 
-    def _materialize(levels: list[tuple],
-                     metrics: list[tuple]) -> DataFrame:
-        df = docs
+    def _materialize(levels: list[tuple], metrics: list[tuple],
+                     frame: DataFrame | None = None) -> DataFrame:
+        df = docs if frame is None else frame
         keys = []
         for name, key, needs_explode, _ in levels:
             if needs_explode:
@@ -1934,7 +2044,8 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                 .orderBy(*[F.asc(n) for n in names])
                 .limit(int(p.get("size", 10))))
 
-    def _materialize_hits(levels: list[tuple], spec: dict) -> DataFrame:
+    def _materialize_hits(levels: list[tuple], spec: dict,
+                          frame: DataFrame | None = None) -> DataFrame:
         """top_hits leaf: per-bucket best docs under the spec's sort.
         Bucket survival (terms size) must match the sibling bucket
         rows, so the pruned bucket keys come from the same
@@ -1944,7 +2055,7 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
         size = int(spec.get("size", 1))
         order = _order_cols(spec.get("sort", []))
         order.append(F.asc("doc_id"))
-        df = docs
+        df = docs if frame is None else frame
         keys = []
         for name, key, needs_explode, _ in levels:
             if needs_explode:
@@ -1955,7 +2066,7 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
         df = df.filter(reduce(Column.__and__,
                               [F.col(k).isNotNull() for k in keys]))
         if any(size_ is not None for *_x, size_ in levels):
-            survivors = _materialize(levels, []).select(*keys)
+            survivors = _materialize(levels, [], frame).select(*keys)
             df = df.join(F.broadcast(survivors), keys, "left_semi")
         w = Window.partitionBy(*keys).orderBy(*order)
         return (df.withColumn("_rn", F.row_number().over(w))

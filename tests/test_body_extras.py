@@ -115,3 +115,90 @@ def test_field_caps(spark):
                             "aggregatable": True}
     assert caps["nested"]["type"] == "object"
     assert caps["doc_id"]["type"] == "long"
+
+
+# ---------------------------------------------------------------------------
+# new bucket kinds: filter / global / missing, multi_terms,
+# date_range / ip_range, rare_terms
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ev_ix(spark):
+    rows = [
+        (0, "spark alpha", "2024-01-01 00:10:00", "10.0.0.1", "a", 1.0),
+        (1, "spark beta", "2024-01-02 05:00:00", "10.0.0.200", "a", 2.0),
+        (2, "spark gamma", "2024-02-01 00:00:00", "10.0.1.5", "b", 3.0),
+        (3, "spark delta", "2024-02-15 12:00:00", "192.168.1.9", None, 4.0),
+        (4, "other words", "2024-03-01 00:00:00", "10.0.0.7", "c", 5.0),
+        (5, "spark omega", "2024-03-02 00:00:00", "10.0.0.8", "a", 6.0),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, ts, ip, g, v) for i, t, ts, ip, g, v in rows],
+        "doc_id long, text string, ts_s string, ip string, "
+        "grp string, value double").selectExpr(
+            "doc_id", "text", "cast(ts_s as timestamp) as ts",
+            "ip", "grp", "value")
+    from siem_on_amazon_opensearch_service_spark.index import build_index
+    return build_index(spark, docs, text_col="text", id_col="doc_id",
+                       keep_cols=["ts", "ip", "grp", "value"])
+
+
+def test_filter_missing_global_buckets(ev_ix):
+    res = search_body(ev_ix, {
+        "query": {"match": {"text": "spark"}},
+        "aggs": {
+            "grp_a": {"filter": {"term": {"grp": "a"}},
+                      "aggs": {"v": {"sum": {"field": "value"}}}},
+            "no_grp": {"missing": {"field": "grp"}},
+            "all": {"global": {},
+                    "aggs": {"n": {"value_count": {"field": "doc_id"}}}},
+        }})
+    # matched set = spark docs {0,1,2,3,5}; grp a among them = {0,1,5}
+    fa = res["aggs"]["grp_a"].collect()[0]
+    assert fa.doc_count == 3 and fa.v == 9.0
+    assert res["aggs"]["no_grp"].collect()[0].doc_count == 1  # doc 3
+    # global escapes the query: all 6 docs
+    ga = res["aggs"]["all"].collect()[0]
+    assert ga.doc_count == 6 and ga.n == 6
+    with pytest.raises(ValueError):
+        run_aggs(ev_ix.docs, {"t": {"terms": {"field": "grp"}, "aggs": {
+            "f": {"filter": {"term": {"grp": "a"}}}}}}, "text")
+
+
+def test_multi_terms_bucket(ev_ix):
+    out = run_aggs(ev_ix.docs, {"mt": {"multi_terms": {
+        "terms": [{"field": "grp"}, {"field": "value"}],
+        "size": 10}}}, "text")["mt"].collect()
+    got = {r.mt: r.doc_count for r in out}
+    # doc 3 has null grp -> dropped (upstream multi_terms semantics)
+    assert got == {"a|1.0": 1, "a|2.0": 1, "a|6.0": 1,
+                   "b|3.0": 1, "c|5.0": 1}
+
+
+def test_date_range_and_ip_range_buckets(ev_ix):
+    out = run_aggs(ev_ix.docs, {"dr": {"date_range": {
+        "field": "ts", "ranges": [
+            {"key": "jan", "from": "2024-01-01", "to": "2024-02-01"},
+            {"key": "feb_on", "from": "2024-02-01"},
+            {"key": "all", "to": "2025-01-01"},
+        ]}}}, "text")["dr"].collect()
+    got = {r.dr: r.doc_count for r in out}
+    assert got == {"jan": 2, "feb_on": 4, "all": 6}
+
+    out2 = run_aggs(ev_ix.docs, {"ipr": {"ip_range": {
+        "field": "ip", "ranges": [
+            {"key": "low", "from": "10.0.0.0", "to": "10.0.0.100"},
+            {"mask": "10.0.0.0/24"},
+            {"key": "private192", "from": "192.168.0.0",
+             "to": "192.169.0.0"},
+        ]}}}, "text")["ipr"].collect()
+    got2 = {r.ipr: r.doc_count for r in out2}
+    # 10.0.0.x: .1 .200 .7 .8 ; 10.0.1.5 outside /24; one 192.168.
+    assert got2 == {"low": 3, "10.0.0.0/24": 4, "private192": 1}
+
+
+def test_rare_terms_bucket(ev_ix):
+    out = run_aggs(ev_ix.docs, {"rare": {"rare_terms": {
+        "field": "grp", "max_doc_count": 1}}}, "text")["rare"].collect()
+    assert [(r.key, r.n) for r in out] == [("b", 1), ("c", 1)]
