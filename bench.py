@@ -309,11 +309,22 @@ def main() -> None:
         build_sparse_index, neural_sparse_topk, sparse_encode,
     )
 
+    from siem_on_amazon_opensearch_service_spark.index.sparse import (
+        neural_sparse_topk_pruned,
+    )
+
     sxi = build_sparse_index(sparse_encode(docs), n_docs=n_docs)
     sxi.features = sxi.features.persist()
     sxi.features.count()
     timed("neural_sparse_topk", lambda: neural_sparse_topk(
         sxi, {"spark": 2.0, "stream": 1.5, "join": 1.0}, k=20
+    ).collect())
+    # MaxScore-pruned variant on a stopword-laden weighting (forced
+    # past the cost dispatch so the pruned plan itself is what's
+    # measured; results are rank-identical by construction)
+    timed("neural_sparse_pruned", lambda: neural_sparse_topk_pruned(
+        sxi, {"spark": 0.2, "stream": 0.15, "join": 2.0, "table": 1.5},
+        k=20, min_rows=0,
     ).collect())
     sxi.features.unpersist()
 

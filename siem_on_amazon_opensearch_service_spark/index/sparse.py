@@ -257,6 +257,90 @@ def neural_sparse_topk_two_phase(
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+#: cost-based dispatch bound, mirroring plans/pruning.py: below this
+#: many candidate feature rows (sum of query-term dfs) the θ job costs
+#: more than the scan it saves — run the single-job exhaustive plan.
+PRUNE_MIN_ROWS = 100_000
+
+
+def neural_sparse_topk_pruned(
+    sx: SparseIndex, query_tokens: dict[str, float], k: int = 10,
+    min_rows: int | None = None, stats_out: dict | None = None,
+) -> DataFrame:
+    """MaxScore-pruned sparse top-k — rank-identical to
+    :func:`neural_sparse_topk` (Turtle & Flood 1995, the same
+    distributed-exact restatement as ``plans/pruning.py`` for BM25,
+    with the saturation bound collapsed to the stored weight):
+
+    1. θ = the k-th best single-term score of the highest-upper-bound
+       token (``UB_t = q_w · max_weight_t`` from the stats table —
+       driver metadata, no corpus pass);
+    2. the maximal low-UB token suffix with ``Σ UB < θ`` is
+       non-essential: a doc matching ONLY those tokens scores < θ and
+       can never reach the top-k;
+    3. essential tokens scan as usual; non-essential rows join the
+       essential candidate set (contribution restriction, AQE picks
+       the join strategy) so every surviving doc's score stays exact.
+
+    Learned sparse expansions are long and Zipf-tailed (SPLADE emits
+    hundreds of low-weight tokens per query) — exactly the regime
+    where the non-essential tail dominates posting volume. Pass
+    ``stats_out={}`` to receive ``{"theta", "essential"}`` and force
+    the pruned plan regardless of size."""
+    toks = {t: float(w) for t, w in query_tokens.items() if w > 0}
+    spark = sx.features.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not toks:
+        return empty
+    rows = sx.stats.filter(F.col("term").isin(list(toks))).collect()
+    if not rows:
+        return empty
+    if min_rows is None:
+        min_rows = PRUNE_MIN_ROWS
+    if stats_out is None and \
+            sum(int(r["df"]) for r in rows) < min_rows:
+        return neural_sparse_topk(sx, toks, k)
+    ub = {r["term"]: toks[r["term"]] * float(r["max_weight"])
+          for r in rows}
+    present = list(ub)
+
+    # θ: k-th best single-token score of the best token (exact lower
+    # bound on the final k-th best total — all contributions are > 0)
+    best = max(present, key=lambda t: ub[t])
+    best_scores = (
+        sx.features.filter(F.col("term") == best)
+        .select((F.lit(toks[best]) * F.col("weight")).alias("_s"))
+        .orderBy(F.desc("_s")).limit(k).collect()
+    )
+    theta = float(best_scores[-1]["_s"]) if len(best_scores) >= k \
+        else 0.0
+
+    nonessential: list[str] = []
+    acc = 0.0
+    for t in sorted(present, key=lambda t: ub[t]):
+        if acc + ub[t] < theta and len(nonessential) < len(present) - 1:
+            acc += ub[t]
+            nonessential.append(t)
+        else:
+            break
+    essential = [t for t in present if t not in nonessential]
+    if stats_out is not None:
+        stats_out["theta"] = theta
+        stats_out["essential"] = list(essential)
+
+    contrib = _weight_map(toks)[F.col("term")] * F.col("weight")
+    ess = sx.features.filter(F.col("term").isin(essential))
+    if nonessential:
+        cand = ess.select("doc_id").distinct()
+        non = (sx.features.filter(F.col("term").isin(nonessential))
+               .join(cand, "doc_id"))
+        hits = ess.unionByName(non)
+    else:
+        hits = ess
+    return (hits.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 # ---------------------------------------------------------------------------
 # rank_features map-field scoring
 # ---------------------------------------------------------------------------

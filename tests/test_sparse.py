@@ -210,3 +210,36 @@ def test_neural_sparse_body_and_hybrid(spark, sx):
     assert fused and all(r.score > 0 for r in fused)
     # doc 0 matches both rankings near the top -> must lead the fusion
     assert fused[0].doc_id == 0
+
+
+def test_pruned_rank_identical(spark):
+    # stopword-laden sparse query over a Zipfian synthetic corpus:
+    # the pruned plan must be rank+score identical to exhaustive
+    from siem_on_amazon_opensearch_service_spark import corpus
+    from siem_on_amazon_opensearch_service_spark.index.sparse import (
+        neural_sparse_topk_pruned,
+    )
+
+    pages = corpus.pages_df(spark, 600, seed=11, partitions=4)
+    docs = pages.selectExpr(
+        "cast(row_number() over (order by url) - 1 as long) as doc_id",
+        "text")
+    sx2 = build_sparse_index(sparse_encode(docs), n_docs=600)
+    sx2.features = sx2.features.persist()
+    sx2.features.count()
+    # w00001/w00002 are the Zipf head (stopword analog); w01xxx tail
+    q = {"w00001": 0.2, "w00002": 0.15, "w00412": 2.0, "w00733": 1.5}
+    stats = {}
+    ex = [(r.doc_id, round(r.score, 9)) for r in
+          neural_sparse_topk(sx2, q, k=10).collect()]
+    pr = [(r.doc_id, round(r.score, 9)) for r in
+          neural_sparse_topk_pruned(sx2, q, k=10,
+                                    stats_out=stats).collect()]
+    assert pr == ex
+    assert stats["theta"] > 0
+    # absent tokens and tiny corpora stay correct via dispatch
+    assert neural_sparse_topk_pruned(sx2, {"zz": 1.0}, k=3).count() == 0
+    small = [(r.doc_id, round(r.score, 9)) for r in
+             neural_sparse_topk_pruned(sx2, q, k=10).collect()]
+    assert small == ex  # cost dispatch routes to exhaustive, same rows
+    sx2.features.unpersist()
