@@ -2117,6 +2117,41 @@ def search_body(
                 matched = ix.docs
         res["aggs"] = run_aggs(matched, aggs_spec, text_field,
                                background=ix.docs)
+    sug_spec = body.get("suggest")
+    if sug_spec:
+        # the body's suggest block rides along with the search (the
+        # wire shape dashboards use); each named entry dispatches to
+        # the matching suggester — all dictionary-sized work
+        from .boolquery import completion_suggest, term_suggest
+        from .suggest import phrase_suggest
+
+        res["suggest"] = {}
+        for sname, entry in sug_spec.items():
+            text = entry.get("text", entry.get("prefix", ""))
+            if "term" in entry:
+                p = entry["term"]
+                res["suggest"][sname] = term_suggest(
+                    ix, text, max_edits=int(p.get("max_edits", 2)),
+                    size=int(p.get("size", 5)))
+            elif "completion" in entry:
+                p = entry["completion"]
+                res["suggest"][sname] = completion_suggest(
+                    ix, text, size=int(p.get("size", 5)))
+            elif "phrase" in entry:
+                p = entry["phrase"]
+                if "model" not in p:
+                    raise ValueError(
+                        "phrase suggester needs a prebuilt bigram "
+                        "model handle under 'model' (the mapping's "
+                        "shingle-field analog; suggest.build_bigram_"
+                        "model)")
+                res["suggest"][sname] = phrase_suggest(
+                    p["model"], text, size=int(p.get("size", 3)),
+                    max_errors=int(p.get("max_errors", 2)))
+            else:
+                raise ValueError(
+                    f"suggest entry {sname!r}: expected term / "
+                    "completion / phrase")
     if body.get("profile"):
         # the ``profile: true`` body flag — here the honest profile
         # is the Catalyst physical plan (scan pushdowns, exchanges,

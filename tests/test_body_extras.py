@@ -202,3 +202,30 @@ def test_rare_terms_bucket(ev_ix):
     out = run_aggs(ev_ix.docs, {"rare": {"rare_terms": {
         "field": "grp", "max_doc_count": 1}}}, "text")["rare"].collect()
     assert [(r.key, r.n) for r in out] == [("b", 1), ("c", 1)]
+
+
+def test_suggest_block_in_body(spark, ev_ix):
+    from siem_on_amazon_opensearch_service_spark.index.boolquery import (
+        completion_suggest, term_suggest,
+    )
+
+    body = {"query": {"match": {"text": "spark"}}, "size": 2,
+            "suggest": {
+                "fix": {"text": "spakr", "term": {"size": 3}},
+                "auto": {"prefix": "al", "completion": {"size": 3}},
+            }}
+    res = search_body(ev_ix, body)
+    assert res["hits"].count() == 2
+    got_fix = res["suggest"]["fix"].collect()
+    twin_fix = term_suggest(ev_ix, "spakr", size=3).collect()
+    assert got_fix == twin_fix and got_fix  # 'spark' suggested
+    got_auto = [r[0] for r in res["suggest"]["auto"].collect()]
+    assert got_auto == [r[0] for r in
+                        completion_suggest(ev_ix, "al", size=3).collect()]
+    assert "alpha" in got_auto
+    with pytest.raises(ValueError):
+        search_body(ev_ix, {"suggest": {"x": {"text": "a",
+                                              "phrase": {}}}})
+    with pytest.raises(ValueError):
+        search_body(ev_ix, {"suggest": {"x": {"text": "a",
+                                              "banana": {}}}})
