@@ -1100,11 +1100,12 @@ def _vector_scored(
     from ..operators.similarity import cosine_topk
 
     kind, params = _one(qnode)
-    if vecs is None and kind != "hybrid":
-        raise ValueError(f"{kind} query needs the embeddings table "
-                         "(vecs=...)")
     if kind == "knn":
         field, spec = _one(params)
+        if vecs is None and (spec.get("method") or {}).get("name") \
+                not in ("hnsw", "ivf"):
+            raise ValueError(f"{kind} query needs the embeddings "
+                             "table (vecs=...)")
         if field != vec_col:
             raise ValueError(
                 f"knn targets the embeddings column {vec_col!r}; "
@@ -1132,6 +1133,18 @@ def _vector_scored(
                 min_score=spec.get("min_score"),
                 max_distance=spec.get("max_distance"),
                 id_col=vec_id_col, vec_col=vec_col)
+        elif method.get("name") == "ivf" and "filter" not in spec:
+            # IVF path: the method block carries the materialized
+            # partitionBy(cell) layout path + centroid table (the
+            # mapping's FAISS-IVF method analog); probing is literal
+            # `cell IN` directory pruning, never a full scan.
+            from ..operators.similarity import ivf_topk_materialized
+
+            top = ivf_topk_materialized(
+                ix.docs.sparkSession, method["path"],
+                method["centroids"], spec["vector"], k=k,
+                nprobe=int(method.get("nprobe", 4)),
+            ).select(F.col("vec_id").alias(vec_id_col), "cosine")
         elif method.get("name") == "hnsw" and "filter" not in spec:
             # graph ANN path: the method block carries the prebuilt
             # sharded HNSW graph (the mapping's method analog). A

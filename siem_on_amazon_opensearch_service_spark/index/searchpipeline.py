@@ -147,10 +147,41 @@ def _resp_sort(hits: DataFrame, params: dict, ctx: dict) -> DataFrame:
     return hits.orderBy(*cols)
 
 
+def _resp_rerank(hits: DataFrame, params: dict, ctx: dict) -> DataFrame:
+    """The 2.12 ``rerank`` response processor (cross-encoder
+    reranking): re-score the hits page with a caller-supplied model.
+
+    ``score_fn(query_text, list[str]) -> list[float]`` is the
+    model-inference seam (the actual cross-encoder checkpoint is not
+    in this container; tests pass a deterministic fake). The page is
+    ``size``-bounded — standard practice pairs this with
+    ``oversample`` so the expensive model sees ``size × factor``
+    candidates, never the corpus — so inference runs ONCE on the
+    driver over collected page rows; at cluster scale the page is
+    still k rows, not data."""
+    fn = params.get("score_fn")
+    if fn is None:
+        raise ValueError(
+            "rerank needs score_fn (the cross-encoder seam: "
+            "score_fn(query_text, [doc_text, ...]) -> [float, ...])")
+    field = params.get("document_field", "text")
+    qtext = params.get("query_text", ctx.get("query_text", ""))
+    rows = hits.collect()
+    if not rows:
+        return hits
+    scores = [float(s) for s in fn(qtext, [r[field] for r in rows])]
+    spark = hits.sparkSession
+    out = spark.createDataFrame(
+        [r.asDict() | {"score": s} for r, s in zip(rows, scores)],
+        schema=hits.schema)
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 _RESPONSE = {"rename_field": _resp_rename_field,
              "truncate_hits": _resp_truncate_hits,
              "collapse": _resp_collapse,
-             "sort": _resp_sort}
+             "sort": _resp_sort,
+             "rerank": _resp_rerank}
 
 
 # ---------------------------------------------------------------------------
@@ -216,6 +247,12 @@ def search_with_pipeline(ix, body: dict,
         # (normalized_fuse); nothing to do at this layer.
     ctx: dict = {}
     body = apply_request(pipeline, body, ctx)
+    q = body.get("query", {})
+    if isinstance(q, dict) and "match" in q:
+        # default rerank query text from a simple match body
+        (_, v), = q["match"].items()
+        ctx["query_text"] = v if isinstance(v, str) \
+            else str(v.get("query", ""))
     res = search_body(ix, body, **search_kwargs)
     res["hits"] = apply_response(pipeline, res["hits"], ctx)
     return res

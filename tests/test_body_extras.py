@@ -229,3 +229,30 @@ def test_suggest_block_in_body(spark, ev_ix):
     with pytest.raises(ValueError):
         search_body(ev_ix, {"suggest": {"x": {"text": "a",
                                               "banana": {}}}})
+
+
+def test_knn_body_ivf_method(spark, tmp_path, ev_ix):
+    import numpy as np
+
+    from siem_on_amazon_opensearch_service_spark.operators.similarity import (
+        cosine_topk, ivf_save,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in rng.randn(8)]) for c in range(4)],
+        "cent_id long, cent_vec array<double>")
+    path = str(tmp_path / "ivf")
+    ivf_save(vecs, cents, path)
+    qv = [float(x) for x in rng.randn(8)]
+    body = {"query": {"knn": {"embedding": {
+        "vector": qv, "k": 5,
+        "method": {"name": "ivf", "path": path, "centroids": cents,
+                   "nprobe": 4}}}}, "size": 5}
+    # nprobe == n_cells probes everything -> exact; vecs NOT passed
+    exp = [r.vec_id for r in cosine_topk(vecs, qv, k=5).collect()]
+    hits = search_body(ev_ix, body)["hits"].select("doc_id").collect()
+    assert [r.doc_id for r in hits] == exp

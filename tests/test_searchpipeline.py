@@ -107,3 +107,34 @@ def test_from_body_and_phase_results_accepted(ix):
     with pytest.raises(ValueError):
         search_with_pipeline(ix, body, SearchPipeline(
             phase_results_processors=[{"other": {}}]))
+
+
+def test_rerank_processor(spark):
+    # rerank reads the document text off the page, so the index must
+    # keep the text column (the _source-enabled mapping analog)
+    docs = spark.createDataFrame(
+        TEXTS, "doc_id long, text string, lang string")
+    ix = build_index(spark, docs, text_col="text", id_col="doc_id",
+                     keep_cols=["text"])
+
+    # deterministic fake cross-encoder: score = overlap of query and
+    # doc token sets (a real model would be the same seam)
+    def fake_ce(qtext, texts):
+        q = set(qtext.split())
+        return [float(len(q & set(t.split()))) for t in texts]
+
+    pipe = SearchPipeline(
+        request_processors=[{"oversample": {"sample_factor": 3}}],
+        response_processors=[
+            {"rerank": {"score_fn": fake_ce, "document_field": "text"}},
+            {"truncate_hits": {}}])
+    body = {"query": {"match": {"text": "spark stream join"}}, "size": 2}
+    got = search_with_pipeline(ix, body, pipe)["hits"].collect()
+    assert len(got) == 2
+    # doc 0 ("spark table join stream") overlaps 3 query tokens — the
+    # rerank must put it first regardless of BM25 order
+    assert got[0].doc_id == 0 and got[0].score == 3.0
+    assert got[0].score >= got[1].score
+    with pytest.raises(ValueError):
+        search_with_pipeline(ix, body, SearchPipeline(
+            response_processors=[{"rerank": {}}]))
