@@ -96,3 +96,27 @@ def search_template(ix: PostingsIndex, params: dict,
             raise ValueError("need source, or template_id + registry")
         source = registry.get(template_id)
     return search_body(ix, render_template(source, params), **kw)
+
+
+def msearch_template(ix, entries: list[dict],
+                     registry: TemplateRegistry | None = None,
+                     **kw):
+    """``_msearch/template``: each entry is ``{"source": ...}`` or
+    ``{"id": "<stored>"}`` plus ``{"params": {...}}``. Rendering is
+    driver-side text work; the rendered bodies then execute through
+    the ``_msearch`` forest — ONE shared postings scan + shuffle for
+    the whole template batch, exactly like plain ``_msearch``."""
+    from .msearch import msearch
+
+    bodies = []
+    for e in entries:
+        src = e.get("source")
+        if src is None:
+            tid = e.get("id")
+            if tid is None or registry is None:
+                raise ValueError(
+                    "msearch_template entry needs source, or "
+                    "id + registry")
+            src = registry.get(tid)
+        bodies.append(render_template(src, e.get("params", {})))
+    return msearch(ix, bodies, **kw)

@@ -147,3 +147,36 @@ def test_rate_rejects_variable_calendar(spark):
                                "calendar_interval": "month"},
             "aggs": {"r": {"rate": {"unit": "day"}}},
         }})["per_m"].collect()
+
+
+def test_msearch_template_matches_search_template(spark, ix):
+    from siem_on_amazon_opensearch_service_spark.index.msearch import (
+        msearch,
+    )
+    from siem_on_amazon_opensearch_service_spark.index.templates import (
+        TemplateRegistry, msearch_template, render_template,
+    )
+
+    reg = TemplateRegistry()
+    reg.put("q", '{"query": {"match": {"text": "{{q}}"}}, '
+                 '"size": {{size}}}')
+    entries = [
+        {"id": "q", "params": {"q": "w00001 w00057", "size": 3}},
+        {"source": '{"query": {"term": {"lang": "{{l}}"}}, "size": 2}',
+         "params": {"l": "en"}},
+    ]
+    res = msearch_template(ix, entries, registry=reg)
+    bodies = [render_template(reg.get("q"),
+                              {"q": "w00001 w00057", "size": 3}),
+              render_template(entries[1]["source"], {"l": "en"})]
+    twin = msearch(ix, bodies)
+    try:
+        for got, exp in zip(res.responses, twin.responses):
+            assert [(r.doc_id, r.score) for r in got["hits"].collect()] \
+                == [(r.doc_id, r.score) for r in exp["hits"].collect()]
+    finally:
+        res.release()
+        twin.release()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        msearch_template(ix, [{"id": "q"}])
