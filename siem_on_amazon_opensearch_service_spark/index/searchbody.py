@@ -1301,6 +1301,28 @@ def _bucket_expr(kind: str, params: dict, text_field: str,
         key = F.col(params["field"]).cast("string")
         if "missing" in params:
             key = F.coalesce(key, F.lit(str(params["missing"])))
+        # include / exclude: regex (RE2-anchored, Lucene semantics:
+        # the WHOLE key must match) or explicit value list; the
+        # partitioned form {"partition": p, "num_partitions": n}
+        # pages a high-cardinality keyset by key hash — all native
+        # predicates folded into the same key expression, so the
+        # groupBy only ever sees surviving keys
+        inc = params.get("include")
+        if isinstance(inc, dict):
+            n = int(inc["num_partitions"])
+            p = int(inc["partition"])
+            key = F.when(
+                F.pmod(F.xxhash64(key), F.lit(n)) == F.lit(p), key)
+        elif isinstance(inc, (list, tuple)):
+            key = F.when(key.isin([str(x) for x in inc]), key)
+        elif inc is not None:
+            key = F.when(key.rlike(f"^(?:{inc})$"), key)
+        exc = params.get("exclude")
+        if isinstance(exc, (list, tuple)):
+            key = F.when(key.isin([str(x) for x in exc]), None) \
+                .otherwise(key)
+        elif exc is not None:
+            key = F.when(key.rlike(f"^(?:{exc})$"), None).otherwise(key)
         order = params.get("order", {"_count": "desc"})
         if isinstance(order, list):
             order = order[0]

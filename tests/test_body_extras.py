@@ -256,3 +256,27 @@ def test_knn_body_ivf_method(spark, tmp_path, ev_ix):
     exp = [r.vec_id for r in cosine_topk(vecs, qv, k=5).collect()]
     hits = search_body(ev_ix, body)["hits"].select("doc_id").collect()
     assert [r.doc_id for r in hits] == exp
+
+
+def test_terms_include_exclude_partition(ev_ix):
+    base = {"field": "grp"}
+    # regex include: whole-key match (Lucene semantics)
+    out = run_aggs(ev_ix.docs, {"t": {"terms": {**base,
+        "include": "a|b"}}}, "text")["t"].collect()
+    assert {r.t for r in out} == {"a", "b"}
+    # list include / exclude
+    out = run_aggs(ev_ix.docs, {"t": {"terms": {**base,
+        "include": ["a", "c"], "exclude": ["c"]}}}, "text")["t"].collect()
+    assert {r.t for r in out} == {"a"}
+    # regex exclude
+    out = run_aggs(ev_ix.docs, {"t": {"terms": {**base,
+        "exclude": "a"}}}, "text")["t"].collect()
+    assert {r.t for r in out} == {"b", "c"}
+    # partitioned paging: the partitions tile the keyset disjointly
+    seen = []
+    for p in range(3):
+        out = run_aggs(ev_ix.docs, {"t": {"terms": {**base,
+            "include": {"partition": p, "num_partitions": 3}}}},
+            "text")["t"].collect()
+        seen.extend(r.t for r in out)
+    assert sorted(seen) == ["a", "b", "c"]
