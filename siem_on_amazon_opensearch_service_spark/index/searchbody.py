@@ -1806,6 +1806,37 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                 out[">".join(path + [name])] = _materialize_hits(
                     levels, node["top_hits"], frame)
                 continue
+            if pk in ("sampler", "diversified_sampler"):
+                # score-ordered sample restrictors: the subtree runs
+                # over the top shard_size matched docs (diversified:
+                # at most max_docs_per_value per key first) — the
+                # cost-control agg dashboards put over significant_*
+                if levels:
+                    raise ValueError(
+                        f"{pk} agg is supported at the top level of "
+                        "the aggs tree")
+                p = node[pk]
+                n = int(p.get("shard_size", 100))
+                if "score" in frame.columns:
+                    ordered = [F.desc("score"), F.asc("doc_id")]
+                else:
+                    ordered = [F.asc("doc_id")]
+                samp = frame
+                if pk == "diversified_sampler":
+                    dw = Window.partitionBy(p["field"]).orderBy(*ordered)
+                    samp = (samp.withColumn("_dr",
+                                            F.row_number().over(dw))
+                            .filter(F.col("_dr") <= int(
+                                p.get("max_docs_per_value", 1)))
+                            .drop("_dr"))
+                samp = samp.orderBy(*ordered).limit(n)
+                subs = node.get("aggs", node.get("aggregations", {}))
+                if subs:
+                    walk(path + [name], [], subs, samp)
+                if ">".join(path + [name]) not in out:
+                    out[">".join(path + [name])] = samp.agg(
+                        F.count(F.lit(1)).alias("doc_count"))
+                continue
             if pk in ("filter", "global", "missing"):
                 # single-bucket restrictors: the subtree re-runs over
                 # the restricted frame (filter = extra predicate;

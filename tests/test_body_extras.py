@@ -280,3 +280,22 @@ def test_terms_include_exclude_partition(ev_ix):
             "text")["t"].collect()
         seen.extend(r.t for r in out)
     assert sorted(seen) == ["a", "b", "c"]
+
+
+def test_sampler_buckets_in_body(ev_ix):
+    res = search_body(ev_ix, {
+        "query": {"match": {"text": "spark"}},
+        "aggs": {"samp": {"sampler": {"shard_size": 3}, "aggs": {
+            "g": {"terms": {"field": "grp"}}}}}})
+    assert res["aggs"]["samp"].collect()[0].doc_count == 3
+    total = sum(r.doc_count for r in res["aggs"]["samp>g"].collect())
+    assert total <= 3
+    # diversified: at most 1 doc per grp before the cut
+    res2 = search_body(ev_ix, {
+        "query": {"match": {"text": "spark"}},
+        "aggs": {"d": {"diversified_sampler": {
+            "field": "grp", "shard_size": 10,
+            "max_docs_per_value": 1}, "aggs": {
+            "g": {"terms": {"field": "grp"}}}}}})
+    counts = {r.g: r.doc_count for r in res2["aggs"]["d>g"].collect()}
+    assert all(c == 1 for c in counts.values())
