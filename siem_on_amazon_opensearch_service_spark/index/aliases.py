@@ -20,6 +20,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
 from .build import PostingsIndex
 from .searchbody import search_body
 
@@ -28,6 +31,7 @@ from .searchbody import search_body
 class AliasEntry:
     ix: PostingsIndex
     filter: dict | None = None
+    name: str | None = None
 
 
 @dataclass
@@ -37,8 +41,9 @@ class AliasRegistry:
     _store: dict[str, list[AliasEntry]] = dc_field(default_factory=dict)
 
     def add(self, alias: str, ix: PostingsIndex,
-            filter: dict | None = None) -> None:
-        self._store.setdefault(alias, []).append(AliasEntry(ix, filter))
+            filter: dict | None = None, name: str | None = None) -> None:
+        self._store.setdefault(alias, []).append(
+            AliasEntry(ix, filter, name))
 
     def remove(self, alias: str) -> None:
         self._store.pop(alias, None)
@@ -70,18 +75,65 @@ def alias_search(registry: AliasRegistry, alias: str, body: dict,
     use each index's own stats — the per-shard semantics OpenSearch
     has by default with dfs_query_then_fetch off)."""
     entries = registry.entries(alias)
+    boosts = _indices_boosts(body)
+    body = {k: v for k, v in body.items() if k != "indices_boost"}
     if len(entries) == 1:
         e = entries[0]
-        return search_body(e.ix, filtered_body(body, e.filter), **kw)
+        res = search_body(e.ix, filtered_body(body, e.filter), **kw)
+        b = boosts.get(e.name or "", None)
+        if b is not None:
+            # a positive multiplier is rank-preserving within one
+            # index, so the already-cut page stays valid
+            res["hits"] = res["hits"].withColumn(
+                "score", F.col("score") * F.lit(b))
+        return res
     if body.get("aggs") or body.get("aggregations"):
         raise ValueError(
             "multi-index alias aggregations are not supported -- "
             "query the indices separately or merge with rotation.py")
+    if boosts and body.get("sort"):
+        raise ValueError(
+            "indices_boost re-ranks by _score; a custom sort makes "
+            "the boost a no-op -- drop one of the two")
+    frm = int(body.get("from", 0))
+    size = int(body.get("size", 10))
     frames = []
     for e in entries:
-        frames.append(search_body(
-            e.ix, filtered_body(body, e.filter), **kw)["hits"])
+        # each index contributes its own top (from+size) page; the
+        # coordinator cut below merges them -- exactly the per-shard
+        # fetch contract (per-index BM25 stats, as documented)
+        sub = dict(body, **{"from": 0, "size": frm + size}) if boosts \
+            else body
+        f = search_body(e.ix, filtered_body(sub, e.filter), **kw)["hits"]
+        b = boosts.get(e.name or "", None)
+        if b is not None:
+            f = f.withColumn("score", F.col("score") * F.lit(b))
+        frames.append(f)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
+    if boosts:
+        # global re-rank over the union of per-index pages (bounded:
+        # n_indices * (from+size) rows), then the request's page cut
+        out = (out.orderBy(F.desc("score"), F.asc("doc_id"))
+               .limit(frm + size))
+        if frm:
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            out = (out.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") > frm).drop("_rn"))
     return {"hits": out}
+
+
+def _indices_boosts(body: dict) -> dict[str, float]:
+    """``indices_boost``: list of single-key dicts (the modern form)
+    or one flat dict (the legacy form) mapping index name -> score
+    multiplier."""
+    spec = body.get("indices_boost")
+    if not spec:
+        return {}
+    out: dict[str, float] = {}
+    items = spec.items() if isinstance(spec, dict) else (
+        kv for d in spec for kv in d.items())
+    for name, b in items:
+        out[str(name)] = float(b)
+    return out

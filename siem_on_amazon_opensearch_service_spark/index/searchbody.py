@@ -782,6 +782,12 @@ def search_hits(
                              with_docs=True)
         if scored is None:  # empty tree == match_all
             scored = ix.docs.withColumn("score", F.lit(1.0))
+    if body.get("terminate_after"):
+        # early termination: cap doc COLLECTION at terminate_after
+        # (like the per-shard collector cap -- which subset is
+        # collection-order-dependent there too). Spark's limit
+        # short-circuits the scan, so the cap genuinely bounds cost.
+        scored = scored.limit(int(body["terminate_after"]))
     if "rescore" in body:
         scored = apply_rescore(ix, scored, body, text_field,
                                positional_ix)
@@ -860,6 +866,13 @@ def hits_page(
         scored = scored.filter(
             _filter_pred(body["post_filter"], text_field))
 
+    if "min_score" in body:
+        # top-level min_score: drop hits below the floor BEFORE
+        # pagination (aggs still see the full matched set, like the
+        # wire contract -- this runs on the hits path only)
+        scored = scored.filter(
+            F.col("score") >= float(body["min_score"]))
+
     spec = _sort_spec(body.get("sort", [])) + [(F.col("doc_id"), False)]
     order = [c.desc() if d else c.asc() for c, d in spec]
 
@@ -903,8 +916,31 @@ def hits_page(
                 parse_script(src), {"_score": F.col("score")}))
 
     src = body.get("_source")
-    if src is not None:
-        keep = ["doc_id"] + [c for c in src if c in out.columns]
+    flds = body.get("fields") or []
+    dvf = body.get("docvalue_fields") or []
+    stored = body.get("stored_fields")
+    if (src is not None or flds or dvf or stored is not None):
+        keep = ["doc_id"]
+        if stored == "_none_" or src is False:
+            # metadata-only hits (the wire's stored_fields:_none_ /
+            # _source:false): doc_id + score, plus whatever the body
+            # explicitly computed (fields / script_fields / highlight)
+            pass
+        elif isinstance(src, (list, tuple)):
+            keep += [c for c in src if c in out.columns]
+        # ``fields`` (the modern retrieval option) and
+        # ``docvalue_fields`` both read columns -- in this engine every
+        # column IS a doc value (parquet columnar), so they share one
+        # resolution path; wildcard patterns per the wire contract.
+        for group in (flds, dvf):
+            keep += [c for c in _resolve_field_patterns(
+                group, out.columns) if c not in keep]
+        if isinstance(stored, (list, tuple)):
+            missing = [s for s in stored if s not in out.columns]
+            if missing:
+                raise ValueError(
+                    f"stored_fields not stored on the hits: {missing}")
+            keep += [c for c in stored if c not in keep]
         if "score" not in keep:
             keep.append("score")
         if "highlight" in body:
@@ -915,6 +951,32 @@ def hits_page(
                  if c not in keep]
         out = out.select(*keep)
     return out
+
+
+def _resolve_field_patterns(patterns, columns) -> list[str]:
+    """Resolve a ``fields`` / ``docvalue_fields`` list (names,
+    ``{"field": name}`` objects, ``*``/``?`` wildcards) against the
+    hit columns.  Wildcard expansion is sorted for determinism; a
+    pattern matching nothing contributes nothing (the wire contract:
+    unknown fields are silently absent from the response)."""
+    import fnmatch
+
+    cols = list(columns)
+    out: list[str] = []
+    for p in patterns:
+        name = p["field"] if isinstance(p, dict) else str(p)
+        if "*" in name or "?" in name:
+            out += [c for c in sorted(cols)
+                    if fnmatch.fnmatchcase(c, name)]
+        elif name in cols:
+            out.append(name)
+    seen: set[str] = set()
+    uniq = []
+    for c in out:
+        if c not in seen:
+            seen.add(c)
+            uniq.append(c)
+    return uniq
 
 
 def _with_highlight(page: DataFrame, body: dict, text_field: str,
@@ -2164,23 +2226,58 @@ def search_body(
     res: dict = {"hits": search_hits(ix, body, positional_ix, text_field,
                                      vecs=vecs, source_docs=source_docs,
                                      sparse=sparse)}
-    aggs_spec = body.get("aggs", body.get("aggregations"))
-    if aggs_spec:
+
+    _m_cache: list = []
+
+    def matched_frame() -> DataFrame:
+        """The full query-matched set, built at most once and shared
+        by aggs / track_total_hits / terminated_early."""
+        if _m_cache:
+            return _m_cache[0]
         qnode = expand_mlt(body.get("query", {"match_all": {}}), ix,
                            source_docs, text_field)
         qkind, _ = _one(qnode)
         if qkind in ("knn", "hybrid"):
-            matched = _vector_scored(ix, qnode, positional_ix,
-                                     text_field, vecs, "vec_id",
-                                     "embedding", sparse=sparse)
+            m = _vector_scored(ix, qnode, positional_ix,
+                               text_field, vecs, "vec_id",
+                               "embedding", sparse=sparse)
         elif qkind == "neural_sparse":
-            matched = _sparse_scored(ix, qnode, sparse)
+            m = _sparse_scored(ix, qnode, sparse)
         else:
             tree = compile_query(qnode, text_field)
-            matched = tree_scores(ix, tree, positional_ix=positional_ix,
-                                  with_docs=True)
-            if matched is None:
-                matched = ix.docs
+            m = tree_scores(ix, tree, positional_ix=positional_ix,
+                            with_docs=True)
+            if m is None:
+                m = ix.docs
+        _m_cache.append(m)
+        return m
+
+    tth = body.get("track_total_hits")
+    if tth is not None and tth is not False:
+        # true = exact total; an int = count accurately UP TO that
+        # threshold, then report a lower bound (the wire's
+        # {value, relation} shape). The bounded form costs a
+        # limit(threshold+1) job, never a full count.
+        if tth is True:
+            res["total"] = {"value": matched_frame().count(),
+                            "relation": "eq"}
+        else:
+            thr = int(tth)
+            n = matched_frame().limit(thr + 1).count()
+            res["total"] = ({"value": n, "relation": "eq"} if n <= thr
+                            else {"value": thr, "relation": "gte"})
+    if body.get("terminate_after"):
+        cap = int(body["terminate_after"])
+        n = matched_frame().limit(cap + 1).count()
+        res["terminated_early"] = n > cap
+
+    aggs_spec = body.get("aggs", body.get("aggregations"))
+    if aggs_spec:
+        matched = matched_frame()
+        if body.get("terminate_after"):
+            # the collector cap applies to aggregations too (they
+            # share the terminated collection)
+            matched = matched.limit(int(body["terminate_after"]))
         res["aggs"] = run_aggs(matched, aggs_spec, text_field,
                                background=ix.docs)
     sug_spec = body.get("suggest")
