@@ -363,6 +363,11 @@ def ft_corpus_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m JOIN sizes USING (query_id)
       WHERE (op = 'and' AND n_matched = n_terms)
          OR (op = 'or' AND n_matched >= msm))
+    UNION ALL
+    SELECT 'startree', event_type, count(*),
+           round(sum(value), 4) FROM events
+    WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-15'
+    GROUP BY event_type
     """,
 )
 def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,7 +387,11 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, doc-frequency semantics, foreground = one source); (h) the
     percolator — four stored match rules (and / or+minimum_should_
     match / no-match vocab) reverse-matched against every document in
-    one broadcast term join (operators/percolate.py)."""
+    one broadcast term join (operators/percolate.py); (i) star-tree
+    routing — the same terms+sum answered from the pre-aggregated
+    dimension cube (operators/startree.py): the body's range filter
+    and terms bucket both resolve to cube dims, so the answer reads
+    ONE grouping_id slice of bucket rows, zero document I/O."""
     from .operators.aggs import (composite_page, rare_terms,
                                  significant_terms, significant_text,
                                  terms_with_other, top_hits)
@@ -445,8 +454,23 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "event_type", "user_id").alias("key"),
         "n", F.lit(0.0).alias("score"),
     )
+    from .operators.startree import startree_build, startree_route
+
+    st = startree_build(
+        ev,
+        ["event_type",
+         {"date_histogram": {"field": "ts", "calendar_interval": "day"}}],
+        {"value": ["sum", "value_count"]})
+    routed = startree_route(st, {
+        "query": {"range": {"ts__day": {"gte": "2024-01-15"}}},
+        "aggs": {"by_type": {"terms": {"field": "event_type", "size": 10},
+                             "aggs": {"v": {"sum": {"field": "value"}}}}}})
+    st_rows = routed["by_type"].select(
+        F.lit("startree").alias("chk"), F.col("event_type").alias("key"),
+        F.col("doc_count").alias("n"), F.round("v", 4).alias("score"))
     return (top.unionByName(hits).unionByName(sig).unionByName(rare)
-            .unionByName(page2).unionByName(sig_text).unionByName(perc))
+            .unionByName(page2).unionByName(sig_text).unionByName(perc)
+            .unionByName(st_rows))
 
 
 @register(
