@@ -20,7 +20,8 @@ from .operators import dedup, multimodal, packing, scrub, similarity, textstats
 @register(
     "dedup_exact_stats",
     f"""
-    WITH k AS (
+    WITH spans_cte AS ({dedup.duckdb_spans_sql(window=20)}),
+    k AS (
       SELECT md5(array_to_string({duckdb_tokens_sql('text')}, ' ')) AS k
       FROM documents
     ), g AS (SELECT k, count(*) AS n FROM k GROUP BY k)
@@ -30,17 +31,36 @@ from .operators import dedup, multimodal, packing, scrub, similarity, textstats
              sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::BIGINT
                AS n_removable
       FROM g
-    ), ({dedup.duckdb_substring_stats_sql(window=20)})
+    ), ({dedup.duckdb_substring_stats_sql(window=20)}),
+       ({dedup.duckdb_strip_stats_sql(window=20)})
     """,
 )
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (hash-groupBy on normalized text): corpus stats —
     plus the exact-substring pass (duplicated 20-token spans via
     window hashing, the shuffle-friendly restatement of the Lee et
-    al. suffix-array dedup) folded in as a 1x1 stats cross join."""
+    al. suffix-array dedup) folded in as a 1x1 stats cross join. The
+    third fold pins the REMOVAL output: merged maximal spans
+    (operators/dedup.py:duplicate_spans, native interval-merge
+    aggregate) and the stripped corpus (strip_duplicate_spans) —
+    span count, tokens removed, docs touched, and the total cleaned
+    text length, all hash-matched against the gaps-and-islands SQL
+    twin."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.exact_dup_stats(docs).crossJoin(
-        dedup.substring_dup_stats(docs, window=20))
+    spans = dedup.duplicate_spans(docs, window=20)
+    strip = dedup.strip_duplicate_spans(docs, window=20)
+    span_stats = spans.agg(
+        F.count("*").cast("long").alias("n_merged_spans"),
+        F.coalesce(F.sum(F.col("e") - F.col("s")), F.lit(0)).cast("long")
+        .alias("n_tokens_removed"),
+        F.countDistinct("id").cast("long").alias("n_docs_stripped"),
+    )
+    strip_stats = strip.agg(
+        F.coalesce(F.sum(F.length("text_clean")), F.lit(0)).cast("long")
+        .alias("n_clean_chars"))
+    return (dedup.exact_dup_stats(docs)
+            .crossJoin(dedup.substring_dup_stats(docs, window=20))
+            .crossJoin(span_stats).crossJoin(strip_stats))
 
 
 @register("dedup_minhash_lsh_pairs", dedup.duckdb_lsh_pairs_sql())

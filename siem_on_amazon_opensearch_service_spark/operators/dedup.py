@@ -190,6 +190,134 @@ def duckdb_substring_stats_sql(window: int = 20,
     """
 
 
+def duplicate_spans(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 20,
+                    min_count: int = 2) -> DataFrame:
+    """Maximal duplicated token spans per doc: every ``window``-token
+    span whose hash occurs >= ``min_count`` times corpus-wide, with
+    overlapping/adjacent windows MERGED into (id, s, e) intervals
+    (1-based token positions, ``e`` exclusive) — the output of the
+    Lee-et-al. suffix-array dedup restated over window hashes.
+
+    Plan: the one digest shuffle from :func:`substring_windows`'s
+    groupBy, a left-semi join back, then a per-doc sort+fold. The
+    interval merge is a native ``aggregate`` over each doc's sorted
+    duplicate starts (bounded by that doc's duplicated content, never
+    the corpus), zero Python."""
+    win = substring_windows(docs, text_col, id_col, window)
+    per_hash = win.groupBy("wh").agg(F.count("*").alias("n"))
+    dup = win.join(
+        per_hash.filter(F.col("n") >= min_count).select("wh"),
+        "wh", "left_semi")
+    starts = dup.groupBy("id").agg(
+        F.sort_array(F.collect_list("p")).alias("ps"))
+    L = window
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+
+    def step(acc, x):
+        last = F.element_at(acc, -1)
+        merged = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(last["s"].alias("s"),
+                             F.greatest(last["e"], x + L).alias("e"))))
+        fresh = F.concat(acc, F.array(
+            F.struct(x.alias("s"), (x + L).alias("e"))))
+        # windows at x <= last.e overlap or touch the running span
+        return F.when((F.size(acc) > 0) & (x <= last["e"]),
+                      merged).otherwise(fresh)
+
+    return (starts
+            .select("id", F.aggregate("ps", empty, step).alias("iv"))
+            .select("id", F.explode("iv").alias("iv"))
+            .select("id", F.col("iv.s").alias("s"),
+                    F.col("iv.e").alias("e")))
+
+
+def strip_duplicate_spans(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", window: int = 20,
+                          min_count: int = 2) -> DataFrame:
+    """Remove every duplicated span (ALL occurrences — the paper's
+    policy: spans frequent enough to dedup are frequent enough that
+    dropping all copies is safe) and re-join the surviving tokens.
+    Returns (id, text_clean, n_tokens, n_removed). Token-level, so
+    original inter-token whitespace is normalized to single spaces —
+    the same canonicalization the exact-dedup key uses."""
+    spans = (duplicate_spans(docs, text_col, id_col, window, min_count)
+             .groupBy("id")
+             .agg(F.collect_list(F.struct("s", "e")).alias("iv")))
+    toks = F.expr(tokens_sql(text_col))
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("_tk"))
+    j = base.join(spans, "id", "left").withColumn(
+        "iv", F.coalesce("iv", F.array().cast(
+            "array<struct<s:int,e:int>>")))
+    idx = F.transform(
+        "_tk", lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p")))
+    keep = F.filter(idx, lambda s: ~F.exists(
+        F.col("iv"), lambda v: (s["p"] >= v["s"]) & (s["p"] < v["e"])))
+    return j.select(
+        "id",
+        F.concat_ws(" ", F.transform(keep, lambda s: s["t"]))
+        .alias("text_clean"),
+        F.size("_tk").alias("n_tokens"),
+        (F.size("_tk") - F.size(keep)).alias("n_removed"),
+    )
+
+
+def duckdb_spans_sql(window: int = 20, table: str = "documents",
+                     min_count: int = 2) -> str:
+    """DuckDB twin of :func:`duplicate_spans` — the classic
+    gaps-and-islands formulation (break when a start exceeds the
+    running max span end, cumulative-sum the breaks, group)."""
+    return f"""
+    WITH tk AS (
+      SELECT doc_id AS id, {duckdb_tokens_sql('text')} AS toks
+      FROM {table}
+    ), w AS (
+      SELECT id, p, md5(array_to_string(
+               list_slice(toks, p, p + {window} - 1), ' ')) AS wh
+      FROM tk, unnest(generate_series(1, len(toks) - {window} + 1)) AS u(p)
+      WHERE len(toks) >= {window}
+    ), g AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= {min_count}),
+    d AS (SELECT id, p FROM w JOIN g USING (wh)),
+    m AS (
+      SELECT id, p, CASE WHEN p <= coalesce(
+               max(p) OVER (PARTITION BY id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               + {window}, -1) THEN 0 ELSE 1 END AS brk
+      FROM d),
+    i AS (SELECT id, p, sum(brk) OVER (PARTITION BY id ORDER BY p
+            ROWS UNBOUNDED PRECEDING) AS isl FROM m)
+    SELECT id, min(p)::INT AS s, (max(p) + {window})::INT AS e
+    FROM i GROUP BY id, isl
+    """
+
+
+def duckdb_strip_stats_sql(window: int = 20,
+                           table: str = "documents") -> str:
+    """DuckDB twin of the strip pass, reduced to corpus stats:
+    merged-span count, tokens removed, docs touched, and the total
+    cleaned-text length (pins the reconstructed output, not just the
+    span arithmetic)."""
+    return f"""
+    SELECT
+      (SELECT count(*) FROM spans_cte)::BIGINT AS n_merged_spans,
+      (SELECT coalesce(sum(e - s), 0) FROM spans_cte)::BIGINT
+        AS n_tokens_removed,
+      (SELECT count(DISTINCT id) FROM spans_cte)::BIGINT
+        AS n_docs_stripped,
+      (SELECT coalesce(sum(length(clean)), 0) FROM (
+         SELECT t.id, string_agg(t.tok, ' ' ORDER BY t.p) AS clean
+         FROM (
+           SELECT id, p, toks[p] AS tok
+           FROM (SELECT doc_id AS id, {duckdb_tokens_sql('text')} AS toks
+                 FROM {table}) tk,
+                unnest(generate_series(1, len(toks))) AS u(p)
+         ) t LEFT JOIN spans_cte s
+           ON t.id = s.id AND t.p >= s.s AND t.p < s.e
+         WHERE s.id IS NULL GROUP BY t.id))::BIGINT AS n_clean_chars
+    """
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id doc per normalized-text group (the canonical
