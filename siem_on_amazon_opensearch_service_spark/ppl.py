@@ -19,7 +19,9 @@ Supported commands (each a pipe stage):
                                      tie-break on all key cols only
     stats <agg> [as x] [, ...] [by f1, f2]
         aggs: count(), count(f), sum(f), avg(f), min(f), max(f),
-              distinct_count(f)
+              distinct_count(f), stddev_samp(f), stddev_pop(f),
+              var_samp(f), var_pop(f), percentile(f, p) (exact
+              interpolated -- quantile_cont in the oracle)
         a by-item may be span(ts_col, Nu) with u in s/m/h/d — the
         PPL date_histogram: epoch-floored fixed buckets, emitted as
         'yyyy-MM-dd HH:mm:ss' strings under the name <ts_col>_span
@@ -29,6 +31,14 @@ Supported commands (each a pipe stage):
     parse <field> '<regex>' as f1 [, f2]
                                      regex extract: capture group i
                                      binds to the i-th name
+    grok <field> '<grok pattern>'    %{SYNTAX:name} references from
+                                     the public grok dictionary
+                                     (GROK_PATTERNS: IP, HOSTNAME,
+                                     NUMBER, LOGLEVEL, TIMESTAMP_
+                                     ISO8601, UUID, ...) — desugars
+                                     onto the parse stage, one
+                                     compiled regex, dual-dialect
+                                     (Java + RE2) safe
     eventstats <agg> [as x] [, ...] [by f1, f2]
                                      window aggregates APPENDED as
                                      columns (no row reduction) —
@@ -286,8 +296,76 @@ def _to_sql(n) -> str:
 # ---------------------------------------------------------------------------
 
 _AGG_RE = re.compile(
-    r"^(count|sum|avg|min|max|distinct_count)\s*\(\s*([A-Za-z0-9_.]*)\s*\)"
+    r"^(count|sum|avg|min|max|distinct_count|stddev_samp|stddev_pop|"
+    r"var_samp|var_pop)\s*\(\s*([A-Za-z0-9_.]*)\s*\)"
     r"(?:\s+as\s+([A-Za-z_][A-Za-z0-9_]*))?$", re.I)
+_PCT_RE = re.compile(
+    r"^percentile\s*\(\s*([A-Za-z0-9_.]+)\s*,\s*(\d+(?:\.\d+)?)\s*\)"
+    r"(?:\s+as\s+([A-Za-z_][A-Za-z0-9_]*))?$", re.I)
+
+# grok base patterns (the public logstash/OpenSearch grok dictionary,
+# restricted to definitions that are valid in BOTH Java regex (Spark)
+# and RE2 (DuckDB): no backreferences, no lookaround, and every
+# internal group non-capturing so binding indices stay aligned.
+_GROK_IPV4 = r"(?:\d{1,3}\.){3}\d{1,3}"
+_GROK_HOST = (r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})"
+              r"(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b")
+_GROK_NUM = r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)"
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "POSINT": r"\d+",
+    "NUMBER": _GROK_NUM,
+    "BASE10NUM": _GROK_NUM,
+    "IPV4": _GROK_IPV4,
+    "IP": _GROK_IPV4,
+    "HOSTNAME": _GROK_HOST,
+    "IPORHOST": f"(?:{_GROK_IPV4}|{_GROK_HOST})",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[A-Za-z0-9.-]+",
+    "UUID": r"[0-9A-Fa-f]{8}-(?:[0-9A-Fa-f]{4}-){3}[0-9A-Fa-f]{12}",
+    "LOGLEVEL": (r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|"
+                 r"[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|"
+                 r"WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|"
+                 r"[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|"
+                 r"[Ss]evere|SEVERE|[Ee]merg(?:ency)?|EMERG(?:ENCY)?)"),
+    "TIMESTAMP_ISO8601": (r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}"
+                          r"(?::\d{2}(?:\.\d+)?)?"
+                          r"(?:Z|[+-]\d{2}:?\d{2})?"),
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    # simplified vs logstash (which uses a backreference): no escapes
+    "QUOTEDSTRING": r'"[^"]*"',
+    "QS": r'"[^"]*"',
+}
+_GROK_REF = re.compile(r"%\{(\w+)(?::([A-Za-z_][A-Za-z0-9_]*))?\}")
+
+
+def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """Expand ``%{SYNTAX:name}`` / ``%{SYNTAX}`` references: named
+    bindings become capture groups (in order), anonymous ones
+    non-capturing. The literal remainder is passed through as regex —
+    write any literal groups as ``(?:...)`` so indices stay aligned
+    (the same caveat logstash documents)."""
+    names: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        syntax, name = m.group(1), m.group(2)
+        if syntax not in GROK_PATTERNS:
+            raise PPLError(
+                f"unknown grok pattern %{{{syntax}}} (have "
+                f"{sorted(GROK_PATTERNS)})")
+        body = GROK_PATTERNS[syntax]
+        if name:
+            names.append(name)
+            return f"({body})"
+        return f"(?:{body})"
+
+    return _GROK_REF.sub(sub, pattern), names
 
 
 @dataclass
@@ -299,8 +377,16 @@ class PPLQuery:
 def _parse_aggs(aggpart: str) -> list[tuple[str, str, str]]:
     """Parse 'fn(col) [as alias], ...' into (fn, col, alias) triples."""
     aggs = []
-    for item in aggpart.split(","):
-        mm = _AGG_RE.match(item.strip())
+    # split on commas OUTSIDE parens so percentile(f, 95) survives
+    for item in re.split(r",(?![^(]*\))", aggpart):
+        item = item.strip()
+        pm = _PCT_RE.match(item)
+        if pm:
+            col, p, alias = pm.group(1), pm.group(2), pm.group(3)
+            aggs.append((f"percentile:{p}", col,
+                         alias or f"percentile_{p}({col})"))
+            continue
+        mm = _AGG_RE.match(item)
         if not mm:
             raise PPLError(f"bad agg {item!r}")
         fn, col, alias = mm.group(1).lower(), mm.group(2), mm.group(3)
@@ -435,6 +521,19 @@ def parse_ppl(text: str) -> PPLQuery:
             q.stages.append(
                 ("parse", mm.group(1), mm.group(2).replace("\\'", "'"),
                  names))
+        elif cmd == "grok":
+            mm = re.match(
+                r"^([A-Za-z_][A-Za-z0-9_.]*)\s+'((?:[^'\\]|\\.)*)'\s*$",
+                rest, re.I | re.S)
+            if not mm:
+                raise PPLError(f"bad grok stage {rest!r}")
+            pat, names = grok_to_regex(
+                mm.group(2).replace("\\'", "'"))
+            if not names:
+                raise PPLError(
+                    "grok pattern binds no fields -- use %{SYNTAX:name}")
+            # desugar onto the parse stage: one regex, group i -> name i
+            q.stages.append(("parse", mm.group(1), pat, names))
         elif cmd == "sort":
             keys = []
             for item in rest.split(","):
@@ -491,7 +590,31 @@ _AGG_FN = {
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),
     "distinct_count": lambda c: F.countDistinct(c),
+    "stddev_samp": lambda c: F.stddev_samp(c),
+    "stddev_pop": lambda c: F.stddev_pop(c),
+    "var_samp": lambda c: F.var_samp(c),
+    "var_pop": lambda c: F.var_pop(c),
 }
+
+
+def _agg_col(fn: str, col: str):
+    """fn may be a plain name or ``percentile:<p>`` (exact
+    interpolated percentile -- quantile_cont in the oracle)."""
+    if fn.startswith("percentile:"):
+        frac = float(fn.split(":", 1)[1]) / 100.0
+        return F.expr(f"percentile({col}, {frac!r})")
+    return _AGG_FN[fn](col)
+
+
+def _agg_sql(fn: str, col: str) -> str:
+    if fn.startswith("percentile:"):
+        frac = float(fn.split(":", 1)[1]) / 100.0
+        return f"quantile_cont({col}, {frac!r})"
+    if fn == "distinct_count":
+        return f"count(DISTINCT {col})"
+    if fn == "count" and not col:
+        return "count(*)"
+    return f"{fn}({col})"
 
 
 def ppl_query(spark: SparkSession, text: str,
@@ -521,7 +644,7 @@ def ppl_query(spark: SparkSession, text: str,
             df = df.select(*st[1]).distinct()
         elif kind == "stats":
             _, aggs, by = st
-            exprs = [_AGG_FN[fn](col).alias(alias)
+            exprs = [_agg_col(fn, col).alias(alias)
                      for fn, col, alias in aggs]
             keys = []
             for b in by:
@@ -564,6 +687,10 @@ def ppl_query(spark: SparkSession, text: str,
             _, aggs, by = st
             w = Window.partitionBy(*by) if by else Window.partitionBy()
             for fn, col, alias in aggs:
+                if fn.startswith("percentile:"):
+                    raise PPLError(
+                        "percentile is a stats agg, not an eventstats "
+                        "window function here")
                 if fn == "distinct_count":
                     e = F.size(F.collect_set(col).over(w))
                 else:
@@ -676,14 +803,8 @@ def ppl_to_sql(text: str) -> str:
             sql = f"SELECT DISTINCT {', '.join(st[1])} FROM ({sql})"
         elif kind == "stats":
             _, aggs, by = st
-            sel = []
-            for fn, col, alias in aggs:
-                if fn == "distinct_count":
-                    sel.append(f'count(DISTINCT {col}) AS "{alias}"')
-                elif fn == "count" and not col:
-                    sel.append(f'count(*) AS "{alias}"')
-                else:
-                    sel.append(f'{fn}({col}) AS "{alias}"')
+            sel = [f'{_agg_sql(fn, col)} AS "{alias}"'
+                   for fn, col, alias in aggs]
             keys = []
             for b in by:
                 if isinstance(b, tuple) and b[0] == "span":
@@ -727,6 +848,10 @@ def ppl_to_sql(text: str) -> str:
             over = f"OVER (PARTITION BY {', '.join(by)})" if by else "OVER ()"
             sel = []
             for fn, col, alias in aggs:
+                if fn.startswith("percentile:"):
+                    raise PPLError(
+                        "percentile is a stats agg, not an eventstats "
+                        "window function here")
                 if fn == "distinct_count":
                     sel.append(
                         f'len(list_distinct(list({col}) {over}))'
