@@ -83,18 +83,39 @@ class IngestError(ValueError):
 # ---------------------------------------------------------------------------
 
 GROK_PATTERNS: dict[str, str] = {
+    # every definition valid in BOTH Java regex (Spark) and RE2
+    # (DuckDB oracle): no backreferences / lookaround, internal
+    # groups all non-capturing so binding indices stay aligned
     "WORD": r"\w+",
     "INT": r"[+-]?\d+",
+    "POSINT": r"\d+",
     "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
     "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
     "DATA": r".*?",
     "GREEDYDATA": r".*",
     "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
-    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
-    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:[.,]\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "IPV4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "HOSTNAME": (r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})"
+                 r"(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b"),
+    "IPORHOST": "(?:%{IP}|%{HOSTNAME})",
+    "LOGLEVEL": (r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|"
+                 r"[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|"
+                 r"WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|"
+                 r"[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|"
+                 r"[Ss]evere|SEVERE|[Ee]merg(?:ency)?|EMERG(?:ENCY)?)"),
+    "TIMESTAMP_ISO8601": (r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}"
+                          r"(?::\d{2}(?:[.,]\d+)?)?"
+                          r"(?:Z|[+-]\d{2}:?\d{2})?"),
     "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2}(?: [+-]\d{4})?",
-    "QUOTEDSTRING": r"\"[^\"]*\"",
+    "QUOTEDSTRING": r"\"[^\"]*\"",   # simplified: no escape handling
+    "QS": r"\"[^\"]*\"",
     "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[A-Za-z0-9.-]+",
+    "UUID": r"[0-9A-Fa-f]{8}-(?:[0-9A-Fa-f]{4}-){3}[0-9A-Fa-f]{12}",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")

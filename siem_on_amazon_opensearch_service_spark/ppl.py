@@ -303,69 +303,19 @@ _PCT_RE = re.compile(
     r"^percentile\s*\(\s*([A-Za-z0-9_.]+)\s*,\s*(\d+(?:\.\d+)?)\s*\)"
     r"(?:\s+as\s+([A-Za-z_][A-Za-z0-9_]*))?$", re.I)
 
-# grok base patterns (the public logstash/OpenSearch grok dictionary,
-# restricted to definitions that are valid in BOTH Java regex (Spark)
-# and RE2 (DuckDB): no backreferences, no lookaround, and every
-# internal group non-capturing so binding indices stay aligned.
-_GROK_IPV4 = r"(?:\d{1,3}\.){3}\d{1,3}"
-_GROK_HOST = (r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})"
-              r"(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b")
-_GROK_NUM = r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)"
-GROK_PATTERNS: dict[str, str] = {
-    "WORD": r"\b\w+\b",
-    "NOTSPACE": r"\S+",
-    "SPACE": r"\s*",
-    "DATA": r".*?",
-    "GREEDYDATA": r".*",
-    "INT": r"[+-]?\d+",
-    "POSINT": r"\d+",
-    "NUMBER": _GROK_NUM,
-    "BASE10NUM": _GROK_NUM,
-    "IPV4": _GROK_IPV4,
-    "IP": _GROK_IPV4,
-    "HOSTNAME": _GROK_HOST,
-    "IPORHOST": f"(?:{_GROK_IPV4}|{_GROK_HOST})",
-    "USERNAME": r"[a-zA-Z0-9._-]+",
-    "USER": r"[a-zA-Z0-9._-]+",
-    "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[A-Za-z0-9.-]+",
-    "UUID": r"[0-9A-Fa-f]{8}-(?:[0-9A-Fa-f]{4}-){3}[0-9A-Fa-f]{12}",
-    "LOGLEVEL": (r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|"
-                 r"[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|"
-                 r"WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|"
-                 r"[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|"
-                 r"[Ss]evere|SEVERE|[Ee]merg(?:ency)?|EMERG(?:ENCY)?)"),
-    "TIMESTAMP_ISO8601": (r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}"
-                          r"(?::\d{2}(?:\.\d+)?)?"
-                          r"(?:Z|[+-]\d{2}:?\d{2})?"),
-    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
-    # simplified vs logstash (which uses a backreference): no escapes
-    "QUOTEDSTRING": r'"[^"]*"',
-    "QS": r'"[^"]*"',
-}
-_GROK_REF = re.compile(r"%\{(\w+)(?::([A-Za-z_][A-Za-z0-9_]*))?\}")
-
-
 def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
-    """Expand ``%{SYNTAX:name}`` / ``%{SYNTAX}`` references: named
-    bindings become capture groups (in order), anonymous ones
-    non-capturing. The literal remainder is passed through as regex —
-    write any literal groups as ``(?:...)`` so indices stay aligned
-    (the same caveat logstash documents)."""
-    names: list[str] = []
+    """PPL ``grok`` shares the ingest-pipeline grok engine
+    (``ingest.GROK_PATTERNS`` / ``ingest.grok_to_regex`` — one
+    dictionary, both surfaces): named bindings become capture groups
+    in order, anonymous refs non-capturing; write literal groups as
+    ``(?:...)`` so indices stay aligned (the logstash caveat)."""
+    from .ingest import IngestError
+    from .ingest import grok_to_regex as _grok
 
-    def sub(m: re.Match) -> str:
-        syntax, name = m.group(1), m.group(2)
-        if syntax not in GROK_PATTERNS:
-            raise PPLError(
-                f"unknown grok pattern %{{{syntax}}} (have "
-                f"{sorted(GROK_PATTERNS)})")
-        body = GROK_PATTERNS[syntax]
-        if name:
-            names.append(name)
-            return f"({body})"
-        return f"(?:{body})"
-
-    return _GROK_REF.sub(sub, pattern), names
+    try:
+        return _grok(pattern)
+    except IngestError as e:
+        raise PPLError(str(e)) from None
 
 
 @dataclass
