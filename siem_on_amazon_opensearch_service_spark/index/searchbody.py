@@ -926,8 +926,21 @@ def hits_page(
             # _source:false): doc_id + score, plus whatever the body
             # explicitly computed (fields / script_fields / highlight)
             pass
+        elif isinstance(src, str):
+            # single pattern shorthand ("obj.*" in the wire contract)
+            keep += _resolve_field_patterns([src], out.columns)
+        elif isinstance(src, dict):
+            # {"includes": [...], "excludes": [...]} object form,
+            # wildcards in both lists
+            inc = src.get("includes") or ["*"]
+            cand = _resolve_field_patterns(inc, out.columns)
+            exc = set(_resolve_field_patterns(
+                src.get("excludes") or [], out.columns))
+            keep += [c for c in cand
+                     if c not in exc and c not in ("doc_id", "score")]
         elif isinstance(src, (list, tuple)):
-            keep += [c for c in src if c in out.columns]
+            keep += [c for c in _resolve_field_patterns(src, out.columns)
+                     if c not in keep]
         # ``fields`` (the modern retrieval option) and
         # ``docvalue_fields`` both read columns -- in this engine every
         # column IS a doc value (parquet columnar), so they share one
@@ -1297,6 +1310,7 @@ _BUCKET_KINDS = ("terms", "date_histogram", "auto_date_histogram",
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
                  "cardinality", "stats", "percentiles",
                  "percentile_ranks", "string_stats",
+                 "median_absolute_deviation",
                  "weighted_avg", "extended_stats", "scripted_metric",
                  "rate", "geo_bounds", "geo_centroid", "top_metrics")
 
@@ -2040,17 +2054,49 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                 df = df.withColumn(name, key)
             keys.append(name)
         mexprs = []
+        mads: list[tuple[str, dict]] = []
         for mn, mk, mp in metrics:
             if mk == "rate":
                 mexprs.append(_rate_expr(mn, mp, levels, bucket_meta))
+            elif mk == "median_absolute_deviation":
+                # exact MAD needs the bucket median first -- pass 1
+                # carries it as a hidden column, pass 2 (below) joins
+                # the bucket-sized medians back and reduces the
+                # absolute deviations. Two doc passes, bucket-sized
+                # join sides (AQE broadcasts them), never approximate
+                # (the wire API's TDigest is; exactness documented).
+                mads.append((mn, mp))
+                mexprs.append(
+                    F.expr(f"percentile({mp['field']}, 0.5)")
+                    .alias(f"_med_{mn}"))
             else:
                 mexprs.extend(_metric_exprs(mn, mk, mp))
+
+        def attach_mad(g: DataFrame, kdf: DataFrame) -> DataFrame:
+            for mn, mp in mads:
+                fld = mp["field"]
+                dev = F.expr(
+                    f"percentile(abs({fld} - _med_{mn}), 0.5)")
+                if keys:
+                    med = g.select(*keys, f"_med_{mn}")
+                    m2 = (kdf.join(med, keys)
+                          .groupBy(*keys).agg(dev.alias(mn)))
+                    g = g.join(m2, keys, "left").drop(f"_med_{mn}")
+                else:
+                    m2 = (kdf.crossJoin(g.select(f"_med_{mn}"))
+                          .agg(dev.alias(mn)))
+                    g = g.crossJoin(m2).drop(f"_med_{mn}")
+            return g
+
         if not keys:
-            return df.agg(F.count(F.lit(1)).alias("doc_count"), *mexprs)
+            return attach_mad(
+                df.agg(F.count(F.lit(1)).alias("doc_count"), *mexprs),
+                df)
         g = (df.filter(reduce(Column.__and__,
                               [F.col(k).isNotNull() for k in keys]))
              .groupBy(*keys)
              .agg(F.count(F.lit(1)).alias("doc_count"), *mexprs))
+        g = attach_mad(g, df)
         # per-level terms-size pruning: top-N keys by the level's
         # order spec (_count default, _key, or a metric -- metric
         # ordering needs the metric in THIS groupBy, i.e. the terms

@@ -299,3 +299,26 @@ def test_sampler_buckets_in_body(ev_ix):
             "g": {"terms": {"field": "grp"}}}}}})
     counts = {r.g: r.doc_count for r in res2["aggs"]["d>g"].collect()}
     assert all(c == 1 for c in counts.values())
+
+
+def test_median_absolute_deviation_metric(ev_ix):
+    import statistics
+
+    def mad(xs):
+        m = statistics.median(xs)
+        return statistics.median(abs(x - m) for x in xs)
+
+    # matched docs (text: spark) grouped by grp; doc 3 has grp=None
+    vals = {"a": [1.0, 2.0, 6.0], "b": [3.0]}
+    res = search_body(ev_ix, {
+        "query": {"match": {"text": "spark"}},
+        "aggs": {"g": {"terms": {"field": "grp"},
+                       "aggs": {"m": {"median_absolute_deviation":
+                                      {"field": "value"}}}},
+                 "overall": {"median_absolute_deviation":
+                             {"field": "value"}}}})
+    got = {r["g"]: r["m"] for r in res["aggs"]["g"].collect()}
+    assert got == {k: pytest.approx(mad(v)) for k, v in vals.items()}
+    [row] = res["aggs"]["_metrics"].collect()
+    assert row["overall"] == pytest.approx(
+        mad([1.0, 2.0, 3.0, 4.0, 6.0]))

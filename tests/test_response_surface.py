@@ -74,6 +74,19 @@ def test_source_false_metadata_only(ix):
     assert sorted(page.columns) == ["doc_id", "score"]
 
 
+def test_source_object_form_includes_excludes(ix):
+    page = _hits(ix, {"query": {"match": {"text": "spark"}},
+                      "_source": {"includes": ["*"],
+                                  "excludes": ["url", "val*"]},
+                      "size": 10})
+    assert "value" not in page.columns and "url" not in page.columns
+    assert "grp" in page.columns and "score" in page.columns
+    # string shorthand
+    page2 = _hits(ix, {"query": {"match": {"text": "spark"}},
+                       "_source": "gr*", "size": 10})
+    assert sorted(page2.columns) == ["doc_id", "grp", "score"]
+
+
 def test_source_list_plus_fields_union(ix):
     page = _hits(ix, {"query": {"match": {"text": "spark"}},
                       "_source": ["grp"], "fields": ["value"],
