@@ -207,6 +207,9 @@ def span_scores(ix: PostingsIndex, node: dict) -> DataFrame:
     (``build_positional_index``)."""
     spark = ix.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
+    node = rewrite_span_multi(node, ix)
+    if node is None:
+        return empty          # a span_multi expanded to no vocabulary
     terms = _all_terms(node)
     if not terms:
         return empty
@@ -240,6 +243,113 @@ def span_scores(ix: PostingsIndex, node: dict) -> DataFrame:
 def span_topk(ix: PostingsIndex, node: dict, k: int = 10) -> DataFrame:
     return (span_scores(ix, node)
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# span_multi: multi-term query wrapped as a span clause
+# ---------------------------------------------------------------------------
+
+_SPAN_MULTI_MAX = 128
+
+
+def _wc_regex(pat: str) -> str:
+    """Lucene wildcard (* any run, ? one char) -> anchored regex,
+    everything else literal."""
+    import re as _re
+
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
+def _span_or_of(terms: list[str]) -> dict | None:
+    if not terms:
+        return None
+    if len(terms) == 1:
+        return {"span_term": {"text": terms[0]}}
+    return {"span_or": {"clauses": [
+        {"span_term": {"text": t}} for t in terms]}}
+
+
+def rewrite_span_multi(node: dict | None, ix: PostingsIndex,
+                       max_expansions: int = _SPAN_MULTI_MAX
+                       ) -> dict | None:
+    """Desugar every ``span_multi`` in the tree into a ``span_or`` of
+    ``span_term`` clauses — Lucene's SpanMultiTermQueryWrapper with
+    the top-terms rewrite: the wrapped prefix / wildcard / regexp /
+    fuzzy query expands against the term DICTIONARY (term_stats,
+    tiny vs postings), capped at ``max_expansions`` highest-df terms.
+    A span_multi that expands to nothing poisons its conjunctive
+    ancestors (None propagates like the intervals desugar): span_near
+    / span_within / span_containing / span_first become None, span_or
+    drops the arm, a span_not keeps its include side."""
+    if node is None:
+        return None
+    kind, p = _one(node)
+    if kind == "span_multi":
+        ikind, ip = _one(p["match"])
+        (field, spec), = ip.items()
+        val = spec["value"] if isinstance(spec, dict) else spec
+        val = str(val).lower()
+        if ikind == "fuzzy":
+            from .querystring import _fuzzy_variants
+            fz = (spec.get("fuzziness", "AUTO")
+                  if isinstance(spec, dict) else "AUTO")
+            if isinstance(fz, str) and fz.upper().startswith("AUTO"):
+                fz = 0 if len(val) < 3 else (1 if len(val) <= 5 else 2)
+            terms = sorted(_fuzzy_variants(ix, val, int(fz)))
+            return _span_or_of(terms[:max_expansions])
+        if ikind == "prefix":
+            cond = F.col("term").startswith(val)
+        elif ikind == "wildcard":
+            cond = F.col("term").rlike(f"^(?:{_wc_regex(val)})$")
+        elif ikind == "regexp":
+            cond = F.col("term").rlike(f"^(?:{val})$")
+        else:
+            raise ValueError(
+                f"span_multi wraps prefix/wildcard/regexp/fuzzy, "
+                f"got {ikind!r}")
+        terms = [r["term"] for r in ix.term_stats.filter(cond)
+                 .orderBy(F.desc("df"), F.asc("term"))
+                 .limit(max_expansions).select("term").collect()]
+        return _span_or_of(sorted(terms))
+    if kind in ("span_near", "span_or"):
+        kids = [rewrite_span_multi(c, ix, max_expansions)
+                for c in p["clauses"]]
+        if kind == "span_or":
+            kids = [k for k in kids if k is not None]
+            if not kids:
+                return None
+            return {"span_or": {**p, "clauses": kids}}
+        if any(k is None for k in kids):
+            return None
+        return {"span_near": {**p, "clauses": kids}}
+    if kind == "span_not":
+        inc = rewrite_span_multi(p["include"], ix, max_expansions)
+        exc = rewrite_span_multi(p["exclude"], ix, max_expansions)
+        if inc is None:
+            return None
+        if exc is None:
+            return inc
+        return {"span_not": {**p, "include": inc, "exclude": exc}}
+    if kind in ("span_within", "span_containing"):
+        little = rewrite_span_multi(p["little"], ix, max_expansions)
+        big = rewrite_span_multi(p["big"], ix, max_expansions)
+        if little is None or big is None:
+            return None
+        return {kind: {**p, "little": little, "big": big}}
+    if kind == "span_first":
+        m = rewrite_span_multi(p["match"], ix, max_expansions)
+        if m is None:
+            return None
+        return {"span_first": {**p, "match": m}}
+    return node
 
 
 # ---------------------------------------------------------------------------

@@ -226,3 +226,68 @@ def test_span_within_and_containing(spark, pos_ix, toks):
                        pos_ix.n_docs, pos_ix.avgdl)
     assert set(w) == set(c)          # same matching docs...
     assert any(abs(w[d] - c[d]) > 1e-12 for d in w)  # ...different scores
+
+
+# ---------------------------------------------------------------------------
+# span_multi: multi-term wrapper rewrite
+# ---------------------------------------------------------------------------
+
+
+def _vocab(toks):
+    return sorted({t for ts in toks.values() for t in ts})
+
+
+def test_span_multi_prefix_equals_manual_or(pos_ix, toks):
+    # a prefix whose expansion fits under the rewrite cap, so the
+    # manual OR and the capped top-df rewrite see the same term set
+    pre = "w0000"
+    terms = sorted(t for t in _vocab(toks) if t.startswith(pre))
+    assert 0 < len(terms) <= 128, "prefix must fit the rewrite cap"
+    manual = {"span_or": {"clauses": [
+        {"span_term": {"text": t}} for t in terms]}}
+    multi = {"span_multi": {"match": {"prefix": {"text": {"value": pre}}}}}
+    a = sorted((r["doc_id"], round(r["score"], 9))
+               for r in span_scores(pos_ix, manual).collect())
+    b = sorted((r["doc_id"], round(r["score"], 9))
+               for r in span_scores(pos_ix, multi).collect())
+    assert a == b and a
+
+
+def test_span_multi_inside_near_and_wildcard(pos_ix, toks):
+    # a near clause whose second leg is a wildcard expansion
+    some_doc = next(ts for ts in toks.values() if len(ts) >= 2)
+    t1, t2 = some_doc[0], some_doc[1]
+    pat = t2[:-1] + "?" if len(t2) > 1 else t2
+    node = {"span_near": {"clauses": [
+        {"span_term": {"text": t1}},
+        {"span_multi": {"match": {"wildcard": {"text": pat}}}},
+    ], "slop": 0, "in_order": True}}
+    got = {r["doc_id"] for r in span_scores(pos_ix, node).collect()}
+    # every doc with t1 immediately followed by a token matching pat
+    import re
+    rx = re.compile("^" + pat.replace("?", ".") + "$")
+    want = {i for i, ts in toks.items()
+            if any(a == t1 and rx.match(b)
+                   for a, b in zip(ts, ts[1:]))}
+    assert got == want and want
+
+
+def test_span_multi_no_expansion_poisons_near(pos_ix):
+    node = {"span_near": {"clauses": [
+        {"span_term": {"text": "w00001"}},
+        {"span_multi": {"match": {"prefix": {"text": "zzzznope"}}}},
+    ], "slop": 2, "in_order": False}}
+    assert span_scores(pos_ix, node).count() == 0
+    # but span_or just drops the empty arm
+    node2 = {"span_or": {"clauses": [
+        {"span_term": {"text": "w00001"}},
+        {"span_multi": {"match": {"prefix": {"text": "zzzznope"}}}}]}}
+    assert span_scores(pos_ix, node2).count() > 0
+
+
+def test_span_multi_fuzzy_auto(pos_ix, toks):
+    base = next(t for t in _vocab(toks) if len(t) >= 6)
+    node = {"span_multi": {"match": {"fuzzy": {
+        "text": {"value": base, "fuzziness": 1}}}}}
+    got = {r["doc_id"] for r in span_scores(pos_ix, node).collect()}
+    assert got >= {i for i, ts in toks.items() if base in ts}
