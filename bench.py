@@ -368,6 +368,42 @@ def main() -> None:
 
     timed("sigma_correlate", run_sigma)
 
+    # --- star-tree agg acceleration: the same terms+sum body answered
+    # from the pre-aggregated cube (one grouping slice of bucket rows)
+    # vs the ordinary document path ---
+    from pyspark.sql import functions as F
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        run_aggs,
+    )
+    from siem_on_amazon_opensearch_service_spark.operators.startree import (
+        startree_build, startree_route,
+    )
+
+    st = startree_build(
+        events,
+        ["event_type",
+         {"date_histogram": {"field": "ts", "calendar_interval": "day"}}],
+        {"value": ["sum", "value_count"]})
+    st.cube = st.cube.persist()
+
+    def st_build():
+        return st.cube.count()
+
+    timed("startree_build", st_build, warm=False)
+    st_body = {
+        "query": {"range": {"ts__day": {"gte": "2024-01-15"}}},
+        "aggs": {"by_type": {"terms": {"field": "event_type", "size": 10},
+                             "aggs": {"v": {"sum": {"field": "value"}}}}}}
+    timed("startree_terms",
+          lambda: startree_route(st, st_body)["by_type"].collect())
+
+    def doc_path_terms():
+        matched = events.filter(
+            F.date_trunc("day", F.col("ts")) >= "2024-01-15")
+        return run_aggs(matched, st_body["aggs"])["by_type"].collect()
+
+    timed("docscan_terms", doc_path_terms)
+
     # --- representative reference-workload queries from the registry ---
     reg = entry_queries.registry()
     for name in ("agg_terms_topn", "agg_date_histogram", "join_broadcast_dim",
