@@ -2258,12 +2258,21 @@ def search_body(
     vecs: DataFrame | None = None,
     source_docs: DataFrame | None = None,
     sparse=None,
+    startree=None,
 ) -> dict:
     """Full ``_search`` execution: returns ``{"hits": DataFrame,
     "aggs": {path: DataFrame}}``.  Aggregations run over the complete
     matched doc set (not the hits page), exactly like OpenSearch --
     except knn/hybrid queries, whose matched set IS the top-k/fused
-    cut."""
+    cut.
+
+    ``startree=``: an ``operators.startree.StarTree`` handle makes
+    covered aggregation bodies (dim-only query, terms/date_histogram
+    buckets with algebraic metrics) answer from the pre-aggregated
+    cube -- one grouping slice of bucket rows, zero document I/O --
+    with automatic fallback to the document path when not coverable
+    (the OpenSearch star-tree contract: routing is transparent,
+    results identical)."""
     if body.get("runtime_mappings"):
         # derive once; strip the key so search_hits doesn't re-apply
         # (declarative ops like ``inc`` are not idempotent)
@@ -2319,13 +2328,21 @@ def search_body(
 
     aggs_spec = body.get("aggs", body.get("aggregations"))
     if aggs_spec:
-        matched = matched_frame()
-        if body.get("terminate_after"):
-            # the collector cap applies to aggregations too (they
-            # share the terminated collection)
-            matched = matched.limit(int(body["terminate_after"]))
-        res["aggs"] = run_aggs(matched, aggs_spec, text_field,
-                               background=ix.docs)
+        routed = None
+        if startree is not None and not body.get("terminate_after"):
+            from ..operators.startree import startree_route
+
+            routed = startree_route(startree, body)
+        if routed is not None:
+            res["aggs"] = routed
+        else:
+            matched = matched_frame()
+            if body.get("terminate_after"):
+                # the collector cap applies to aggregations too (they
+                # share the terminated collection)
+                matched = matched.limit(int(body["terminate_after"]))
+            res["aggs"] = run_aggs(matched, aggs_spec, text_field,
+                                   background=ix.docs)
     sug_spec = body.get("suggest")
     if sug_spec:
         # the body's suggest block rides along with the search (the

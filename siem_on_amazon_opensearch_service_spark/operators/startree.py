@@ -77,6 +77,8 @@ class StarTree:
     dims: list[str]          # resolved dim column names, cube order
     metrics: dict[str, list[str]]   # field -> materialized kinds
     date_dims: dict[str, str]       # dim name -> calendar_interval
+    dim_specs: list | None = None   # build-time dims (for sync)
+    watermark: object = None        # high-water mark (for sync)
 
     def gid_for(self, needed: set[str]) -> int:
         """The grouping_id whose rows retain exactly ``needed`` dims
@@ -88,24 +90,48 @@ class StarTree:
         return sum(1 << (n - 1 - i) for i, d in enumerate(self.dims)
                    if d not in needed)
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, watermark=None) -> None:
+        """Layout: bucket rows under ``{path}/data`` partitioned by
+        ``_gid`` (the query path's partition pruning), metadata as a
+        plain JSON file -- the shape :func:`startree_sync` maintains
+        with temp-sibling + atomic swap."""
         import json
+        import os
+
         (self.cube.write.mode("overwrite").partitionBy("_gid")
-         .parquet(path))
+         .parquet(os.path.join(path, "data")))
+        if watermark is not None:
+            self.watermark = watermark
         meta = {"dims": self.dims, "metrics": self.metrics,
-                "date_dims": self.date_dims}
-        spark = self.cube.sparkSession
-        (spark.createDataFrame([(json.dumps(meta),)], "meta string")
-         .coalesce(1).write.mode("overwrite").json(path + "/_startree"))
+                "date_dims": self.date_dims,
+                "dim_specs": self.dim_specs,
+                "watermark": _wm_json(self.watermark)}
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "StarTree":
         import json
-        meta = json.loads(
-            spark.read.json(path + "/_startree").head()["meta"])
-        return cls(spark.read.parquet(path), meta["dims"],
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(spark.read.parquet(os.path.join(path, "data")),
+                   meta["dims"],
                    {k: list(v) for k, v in meta["metrics"].items()},
-                   dict(meta["date_dims"]))
+                   dict(meta["date_dims"]),
+                   meta.get("dim_specs"), meta.get("watermark"))
+
+
+def _wm_json(wm):
+    """Watermarks serialize as ISO strings (timestamps) or pass
+    through (numbers/strings); comparison back in Spark relies on the
+    string form casting cleanly."""
+    import datetime
+
+    if isinstance(wm, datetime.datetime):
+        return wm.isoformat(sep=" ")
+    return wm
 
 
 def startree_build(docs: DataFrame, dims: list,
@@ -139,7 +165,7 @@ def startree_build(docs: DataFrame, dims: list,
     cube = (df.cube(*names)
             .agg(F.grouping_id().alias("_gid"), *aggs))
     return StarTree(cube, names, {k: list(v) for k, v in metrics.items()},
-                    date_dims)
+                    date_dims, dim_specs=list(dims))
 
 
 def _where_pred(st: StarTree, where: dict):
@@ -191,6 +217,60 @@ def startree_query(st: StarTree, group_by: list[str],
     if group_by:
         return rows.groupBy(*group_by).agg(*merged)
     return rows.agg(*merged)
+
+
+def startree_sync(spark: SparkSession, path: str, docs: DataFrame,
+                  watermark_col: str) -> dict:
+    """Incremental cube maintenance (the reason the cube is algebraic
+    in the first place): aggregate only source rows past the stored
+    watermark into a DELTA cube, merge it into the persisted cube with
+    each metric's merge op (sum of sums, min of mins, sum of counts),
+    temp-sibling write + atomic swap, advance the watermark.
+
+    Contract: the source is APPEND-ONLY on ``watermark_col`` (min/max
+    cannot un-merge a delete -- the same restriction the transform
+    plugin documents).  Pinned property: any sync sequence over a
+    growing source equals one full build.  At 100 TB a sync costs the
+    delta's aggregation (delta-sized Expand + one shuffle) plus a
+    bucket-rows merge -- the corpus is never rescanned."""
+    import json
+    import os
+    import shutil
+
+    st = StarTree.load(spark, path)
+    if st.dim_specs is None:
+        raise ValueError("cube was saved without dim_specs; rebuild "
+                         "with startree_build().save() to enable sync")
+    src = docs
+    if st.watermark is not None:
+        src = src.filter(F.col(watermark_col) > F.lit(st.watermark))
+    hi_row = src.agg(F.max(watermark_col).alias("hi")).head()
+    if hi_row["hi"] is None:
+        return {"delta_docs": 0, "watermark": st.watermark}
+    n_delta = src.count()
+    delta = startree_build(src, st.dim_specs, st.metrics)
+
+    merged_aggs = [F.sum("doc_count").alias("doc_count")]
+    for field, kinds in st.metrics.items():
+        for k in kinds:
+            merged_aggs.append(
+                _ALGEBRAIC[k][1](f"{field}__{k}")
+                .alias(f"{field}__{k}"))
+    merged = (st.cube.unionByName(delta.cube)
+              .groupBy(*st.dims, "_gid").agg(*merged_aggs))
+
+    data_dir = os.path.join(path, "data")
+    tmp = os.path.join(path, "_data.sync.tmp")
+    merged.write.mode("overwrite").partitionBy("_gid").parquet(tmp)
+    shutil.rmtree(data_dir)
+    os.replace(tmp, data_dir)
+    new_wm = _wm_json(hi_row["hi"])
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    meta["watermark"] = new_wm
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return {"delta_docs": int(n_delta), "watermark": new_wm}
 
 
 # -- search-body routing ------------------------------------------------

@@ -138,3 +138,70 @@ def test_save_load_partition_pruning(spark, docs, st, tmp_path_factory):
     # non-queried cube slices are never read
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_gid" in plan
+
+
+def test_sync_sequence_equals_full_build(spark, docs, tmp_path_factory):
+    from pyspark.sql import functions as F
+    from siem_on_amazon_opensearch_service_spark.operators.startree import (
+        startree_sync,
+    )
+
+    path = str(tmp_path_factory.mktemp("startree") / "sync")
+    dims = ["grp", "src",
+            {"date_histogram": {"field": "ts",
+                                "calendar_interval": "month"}}]
+    mets = {"value": ["sum", "min", "max", "value_count"]}
+    first = docs.filter(F.col("ts") < "2024-02-10")
+    wm0 = first.agg(F.max("ts")).head()[0]
+    startree_build(first, dims, mets).save(path, watermark=wm0)
+
+    res = startree_sync(spark, path, docs, "ts")
+    assert res["delta_docs"] == docs.filter(
+        F.col("ts") > F.lit(wm0)).count()
+
+    synced = StarTree.load(spark, path)
+    full = startree_build(docs, dims, mets)
+
+    def canon(st):
+        cols = sorted(set(st.cube.columns))
+        return sorted(
+            tuple(str(r[c]) for c in cols) for r in st.cube.collect())
+
+    assert canon(synced) == canon(full)
+    # idempotent: nothing past the new watermark
+    res2 = startree_sync(spark, path, docs, "ts")
+    assert res2["delta_docs"] == 0
+    assert canon(StarTree.load(spark, path)) == canon(full)
+
+
+def test_search_body_routes_through_startree(spark):
+    from siem_on_amazon_opensearch_service_spark.index import build_index
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_body,
+    )
+
+    rows = [(0, "spark a", "a", "s1", 10.0), (1, "spark b", "a", "s2", 20.0),
+            (2, "spark c", "b", "s1", 30.0), (3, "other d", "b", "s2", 40.0)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, grp string, src string, "
+        "value double")
+    ix = build_index(spark, d, text_col="text", id_col="doc_id",
+                     keep_cols=["grp", "src", "value"])
+    st = startree_build(d, ["grp", "src"], {"value": ["sum",
+                                                      "value_count"]})
+    covered = {"query": {"term": {"src": "s1"}}, "size": 0,
+               "aggs": {"g": {"terms": {"field": "grp"},
+                              "aggs": {"v": {"sum": {"field": "value"}}}}}}
+    via_st = search_body(ix, covered, startree=st)
+    plain = search_body(ix, covered)
+    a = {r["grp"]: (r["doc_count"], r["v"])
+         for r in via_st["aggs"]["g"].collect()}
+    b = {r["g"]: (r["doc_count"], r["v"])
+         for r in plain["aggs"]["g"].collect()}
+    assert a == b == {"a": (1, 10.0), "b": (1, 30.0)}
+    # uncovered (full-text query) falls back to the document path
+    uncov = {"query": {"match": {"text": "spark"}}, "size": 0,
+             "aggs": {"g": {"terms": {"field": "grp"}}}}
+    via_st2 = search_body(ix, uncov, startree=st)
+    assert {r["g"]: r["doc_count"]
+            for r in via_st2["aggs"]["g"].collect()} == {"a": 2, "b": 1}
