@@ -695,6 +695,10 @@ def _nbq_oracle() -> str:
     SELECT 'nbq', id::VARCHAR, round(logit * 1e6)::BIGINT,
            keep::VARCHAR
     FROM ({{NBQ}})
+    UNION ALL
+    SELECT 'chunk', id::VARCHAR || '#' || start::VARCHAR,
+           n_tokens::BIGINT, md5(text_chunk)
+    FROM ({packing.duckdb_chunk_sql('documents', chunk=64, overlap=16)})
     """.replace("{DSIR}", _dsir_oracle()).replace("{NBQ}", _nbq_oracle()),
 )
 def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,9 +796,19 @@ def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("logit") * 1e6).cast("long").alias("n"),
         F.col("keep").cast("string").alias("detail"),
     )
+    # 'chunk' rows: sliding-window chunking (64-token windows, 16
+    # overlap) — per-chunk md5 in `detail` pins the reconstructed
+    # chunk TEXT, not just the window arithmetic
+    chunks = packing.chunk_documents(d, chunk=64, overlap=16).select(
+        F.lit("chunk").alias("chk"),
+        F.concat_ws("#", F.col("id").cast("string"),
+                    F.col("start").cast("string")).alias("key"),
+        F.col("n_tokens").cast("long").alias("n"),
+        F.md5("text_chunk").alias("detail"),
+    )
     return (pack.unionByName(sample).unionByName(shard)
             .unionByName(contam).unionByName(rep).unionByName(dsir)
-            .unionByName(nbq))
+            .unionByName(nbq).unionByName(chunks))
 
 
 _Q_SQL = textstats.duckdb_quality_sql()

@@ -195,3 +195,67 @@ def write_training_shards(df: DataFrame, path: str, key_col: str,
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy("shard").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# document chunking (sliding token windows)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs: DataFrame, chunk: int, overlap: int = 0,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window chunking: split each document into ``chunk``-
+    token windows advancing by ``chunk - overlap`` tokens — the
+    context-window assembly step every retrieval / training pipeline
+    needs (fixed windows with overlap so no boundary-spanning content
+    is lost; the trailing chunk may be shorter).
+
+    Returns (id, chunk_id, start, n_tokens, text_chunk) with 1-based
+    token ``start``.  Pure narrow work: tokens derive in place, the
+    explode multiplies rows per doc by its chunk count — no shuffle
+    at all, so the pass is scan-bound at any corpus size. Zero-token
+    docs emit no chunks. Tokenization is the ONE shared analyzer, so
+    chunk text re-tokenizes byte-identically downstream."""
+    from ..analysis import tokens_sql
+
+    if not 0 <= overlap < chunk:
+        raise ValueError(f"need 0 <= overlap < chunk, got "
+                         f"overlap={overlap} chunk={chunk}")
+    stride = chunk - overlap
+    base = (docs.select(F.col(id_col).alias("id"),
+                        F.expr(tokens_sql(text_col)).alias("_tk"))
+            .withColumn("_n", F.size("_tk"))
+            .filter(F.col("_n") > 0))
+    ex = base.select(
+        "id", "_tk",
+        F.explode(F.sequence(F.lit(1), F.col("_n"),
+                             F.lit(stride))).alias("start"))
+    piece = F.slice("_tk", F.col("start"), chunk)
+    return ex.select(
+        "id",
+        ((F.col("start") - 1) / stride).cast("int").alias("chunk_id"),
+        "start",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("text_chunk"),
+    )
+
+
+def duckdb_chunk_sql(table: str, chunk: int, overlap: int = 0,
+                     text_expr: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`chunk_documents` (same analyzer, same
+    window arithmetic)."""
+    from ..analysis import duckdb_tokens_sql
+
+    stride = chunk - overlap
+    return f"""
+    SELECT {id_col} AS id, ((s - 1) // {stride})::INT AS chunk_id,
+           s::INT AS start,
+           len(list_slice(toks, s, s + {chunk} - 1))::INT AS n_tokens,
+           array_to_string(list_slice(toks, s, s + {chunk} - 1), ' ')
+             AS text_chunk
+    FROM (SELECT {id_col}, {duckdb_tokens_sql(text_expr)} AS toks
+          FROM {table}) t,
+         unnest(generate_series(1, len(toks), {stride})) AS u(s)
+    WHERE len(toks) > 0
+    """
