@@ -183,6 +183,53 @@ def cmd_query_rotated(args: argparse.Namespace) -> None:
         print(json.dumps(r.asDict()))
 
 
+def cmd_chunk(args: argparse.Namespace) -> None:
+    spark = _spark()
+    from siem_on_amazon_opensearch_service_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(args.input)
+    out = chunk_documents(docs, args.chunk, args.overlap,
+                          text_col=args.text_col, id_col=args.id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"status": "ok", "chunks": int(n),
+                      "chunk": args.chunk, "overlap": args.overlap}))
+
+
+def cmd_startree(args: argparse.Namespace) -> None:
+    spark = _spark()
+    from siem_on_amazon_opensearch_service_spark.operators.startree import (
+        startree_build, startree_sync,
+    )
+
+    docs = spark.read.parquet(args.input)
+    dims: list = []
+    for d in args.dim:
+        name, _, interval = d.partition(":")
+        dims.append({"date_histogram": {
+            "field": name, "calendar_interval": interval}}
+            if interval else name)
+    metrics: dict[str, list[str]] = {}
+    for m in args.metric:
+        field, _, kind = m.partition(":")
+        metrics.setdefault(field, []).append(kind or "sum")
+    if args.sync:
+        res = startree_sync(spark, args.output, docs, args.watermark_col)
+        print(json.dumps({"status": "ok", "mode": "sync", **res}))
+        return
+    st = startree_build(docs, dims, metrics)
+    wm = None
+    if args.watermark_col:
+        from pyspark.sql import functions as F
+
+        wm = docs.agg(F.max(args.watermark_col)).head()[0]
+    st.save(args.output, watermark=wm)
+    print(json.dumps({"status": "ok", "mode": "build",
+                      "dims": st.dims, "metrics": st.metrics}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="spark-webtext-index")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -251,6 +298,31 @@ def main(argv: list[str] | None = None) -> None:
     qr.add_argument("--end", default=None)
     qr.add_argument("--k", type=int, default=10)
     qr.set_defaults(fn=cmd_query_rotated)
+
+    ch = sub.add_parser("chunk",
+                        help="sliding-window document chunking")
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--output", required=True)
+    ch.add_argument("--chunk", type=int, default=512)
+    ch.add_argument("--overlap", type=int, default=64)
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--id-col", default="doc_id")
+    ch.set_defaults(fn=cmd_chunk)
+
+    stp = sub.add_parser(
+        "startree", help="build or sync a star-tree aggregation cube")
+    stp.add_argument("--input", required=True)
+    stp.add_argument("--output", required=True)
+    stp.add_argument("--dim", action="append", required=True,
+                     help="repeatable: column, or col:interval for a "
+                          "date_histogram dim (e.g. ts:day)")
+    stp.add_argument("--metric", action="append", required=True,
+                     help="repeatable: field:kind "
+                          "(sum/min/max/value_count)")
+    stp.add_argument("--watermark-col", default=None)
+    stp.add_argument("--sync", action="store_true",
+                     help="incremental merge past the stored watermark")
+    stp.set_defaults(fn=cmd_startree)
 
     args = p.parse_args(argv)
     args.fn(args)

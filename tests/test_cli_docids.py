@@ -137,3 +137,30 @@ def test_release_doc_ids_unpersists(spark):
     assert pinned.is_cached
     release_doc_ids(out)
     assert not pinned.is_cached
+
+
+def test_cli_chunk_and_startree(spark, tmp_path, capsys):
+    pages = corpus.pages_df(spark, 120, seed=5, partitions=2)
+    inp = str(tmp_path / "pages")
+    pages.write.parquet(inp)
+
+    cli.main(["chunk", "--input", inp, "--output",
+              str(tmp_path / "chunks"), "--chunk", "16",
+              "--overlap", "4", "--id-col", "url"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "ok" and out["chunks"] > 0
+
+    stp = str(tmp_path / "st")
+    cli.main(["startree", "--input", inp, "--output", stp,
+              "--dim", "lang", "--dim", "warc_ts:month",
+              "--metric", "url:value_count",
+              "--watermark-col", "warc_ts"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "build" and out["dims"] == [
+        "lang", "warc_ts__month"]
+
+    cli.main(["startree", "--input", inp, "--output", stp, "--sync",
+              "--dim", "lang", "--metric", "url:value_count",
+              "--watermark-col", "warc_ts"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "sync" and out["delta_docs"] == 0
