@@ -247,3 +247,76 @@ def parse_kql(text: str, default_field: str = DEFAULT_TEXT_FIELD,
     if not text:
         return {"match_all": {}}
     return _Parser(_tokenize(text), default_field, now).parse()
+
+
+# ---------------------------------------------------------------------------
+# Kibana filter pills (the other half of a saved search)
+# ---------------------------------------------------------------------------
+
+def kibana_filters_to_query(filters, query: dict | None = None,
+                            text_field: str = DEFAULT_TEXT_FIELD) -> dict:
+    """Assemble Kibana/Dashboards filter PILLS (the
+    ``searchSourceJSON.filter`` array: meta.type phrase / phrases /
+    exists / range / custom, with negate and disabled flags) plus an
+    optional search-bar query into one bool node — the request the
+    dashboards actually send: pills in FILTER context, negated pills
+    in must_not, disabled pills skipped.
+
+    ``match_phrase`` on a non-text field rewrites to ``term`` (a
+    keyword column holds ONE token, where phrase == equality — this
+    engine reserves positional phrase matching for the analyzed text
+    field)."""
+    must: list = []
+    must_not: list = []
+    for f in filters or []:
+        meta = f.get("meta", {}) or {}
+        if meta.get("disabled"):
+            continue
+        node = _pill_node(f, meta, text_field)
+        (must_not if meta.get("negate") else must).append(node)
+    b: dict = {}
+    if query is not None and query != {"match_all": {}}:
+        b["must"] = [query]
+    if must:
+        b["filter"] = must
+    if must_not:
+        b["must_not"] = must_not
+    return {"bool": b} if b else {"match_all": {}}
+
+
+def _pill_node(f: dict, meta: dict, text_field: str) -> dict:
+    if f.get("query"):
+        return _keywordize(f["query"], text_field)
+    if "exists" in f or meta.get("type") == "exists":
+        field = (f.get("exists") or {}).get("field", meta.get("key"))
+        return {"exists": {"field": field}}
+    t = meta.get("type")
+    if t == "phrase":
+        return _phrase_node(meta["key"], meta["params"]["query"],
+                            text_field)
+    if t == "phrases":
+        return {"bool": {"should": [
+            _phrase_node(meta["key"], v, text_field)
+            for v in meta["params"]], "minimum_should_match": 1}}
+    if t == "range":
+        return {"range": {meta["key"]: dict(meta["params"])}}
+    raise KQLError(f"unsupported filter pill type {t!r}")
+
+
+def _phrase_node(field: str, value, text_field: str) -> dict:
+    if field == text_field:
+        return {"match_phrase": {field: value}}
+    return {"term": {field: value}}
+
+
+def _keywordize(node, text_field: str):
+    if isinstance(node, dict):
+        if len(node) == 1 and "match_phrase" in node:
+            (field, v), = node["match_phrase"].items()
+            if isinstance(v, dict):
+                v = v.get("query")
+            return _phrase_node(field, v, text_field)
+        return {k: _keywordize(v, text_field) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_keywordize(x, text_field) for x in node]
+    return node
