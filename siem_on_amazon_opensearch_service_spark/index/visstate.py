@@ -1,0 +1,171 @@
+"""Classic visState -> search-body translator: run a reference
+dashboard PANEL, not just its query string.
+
+A saved visualization (``attributes.visState`` in
+``source/saved_objects/each-dashboard/*.ndjson``) stores its
+aggregations as a flat list of Kibana agg configs (id / type /
+schema / params). The dashboards' courier nests the bucket configs in
+array order and attaches metrics at the deepest level, then POSTs an
+ordinary ``_search`` body — this module performs the same assembly
+onto ``search_body``'s aggs spec, so every panel shape the reference
+ships (315 visualizations: count / terms / filters / date_histogram
+buckets; cardinality / sum / max / avg / percentiles / top_hits
+metrics; avg_bucket / max_bucket / min_bucket / sum_bucket sibling
+pipelines with inline custom buckets) compiles to a runnable body.
+
+Translation notes (each mirrors what the courier sends):
+
+* agg ``id`` becomes the agg name — ``orderBy: "<id>"`` then resolves
+  naturally; orderBy of the count metric is ``_count``.
+* ``interval: "auto"`` becomes ``auto_date_histogram`` (the courier
+  picks a concrete interval from the time range client-side; the
+  server-side auto agg is the engine equivalent).
+* filters-agg arms keep stored query STRINGS for lucene and
+  pre-compile ``kuery`` arms through :mod:`index.kql` (the arm
+  language is part of the saved object).
+* ``otherBucket`` / ``missingBucket`` params are dropped (the terms
+  response decoration, not a different aggregation).
+"""
+
+from __future__ import annotations
+
+from .kql import DEFAULT_TEXT_FIELD, KQLError, kibana_filters_to_query, parse_kql
+
+_SIBLING = ("avg_bucket", "max_bucket", "min_bucket", "sum_bucket")
+
+
+class VisStateError(ValueError):
+    pass
+
+
+def _metric_spec(a: dict) -> dict | None:
+    t, p = a["type"], a.get("params", {}) or {}
+    if t == "count":
+        return None                      # implicit doc_count
+    if t == "percentiles":
+        return {t: {"field": p["field"],
+                    "percents": list(p.get("percents", [50, 95, 99]))}}
+    if t == "top_hits":
+        sf = p.get("sortField", "doc_id")
+        return {"top_hits": {"size": int(p.get("size", 1)),
+                             "sort": [{sf: {"order":
+                                            p.get("sortOrder", "desc")}}]}}
+    if t in ("sum", "max", "min", "avg", "cardinality"):
+        return {t: {"field": p["field"]}}
+    raise VisStateError(f"unsupported visState metric type {t!r}")
+
+
+def _bucket_spec(a: dict, default_field: str, now) -> tuple[str, dict]:
+    t, p = a["type"], a.get("params", {}) or {}
+    if t == "terms":
+        return "terms", {"field": p["field"],
+                         "size": int(p.get("size", 10))}
+    if t == "date_histogram":
+        iv = p.get("interval", "auto")
+        if iv == "auto":
+            return "auto_date_histogram", {"field": p["field"],
+                                           "buckets": 30}
+        return "date_histogram", {"field": p["field"],
+                                  "calendar_interval": iv}
+    if t == "histogram":
+        return "histogram", {"field": p["field"],
+                             "interval": p.get("interval", 1)}
+    if t == "filters":
+        arms: dict = {}
+        for i, fl in enumerate(p.get("filters", [])):
+            inp = fl.get("input", {}) or {}
+            q = inp.get("query", "")
+            label = fl.get("label") or q or f"arm{i}"
+            if inp.get("language", "lucene") == "kuery":
+                arms[label] = parse_kql(q, default_field, now=now)
+            else:
+                arms[label] = q
+        return "filters", {"filters": arms}
+    raise VisStateError(f"unsupported visState bucket type {t!r}")
+
+
+def visstate_to_aggs(vis: dict,
+                     default_field: str = DEFAULT_TEXT_FIELD,
+                     now=None) -> dict:
+    """The aggs half: nested search-body aggs from the flat visState
+    agg list (buckets nest in array order, metrics attach at the
+    deepest level, sibling pipelines expand their inline custom
+    bucket next to themselves)."""
+    aggs = [a for a in vis.get("aggs", []) if a.get("enabled", True)]
+    buckets = [a for a in aggs
+               if a.get("schema") in ("segment", "group", "split",
+                                      "bucket")]
+    metrics = [a for a in aggs if a.get("schema") == "metric"]
+    metric_types = {a["id"]: a["type"] for a in aggs}
+
+    leaf: dict = {}
+    for m in metrics:
+        t = m["type"]
+        if t == "count":
+            continue
+        if t in _SIBLING:
+            cb = m["params"]["customBucket"]
+            cm = m["params"].get("customMetric",
+                                 {"id": "m", "type": "count"})
+            bkind, bspec = _bucket_spec(cb, default_field, now)
+            sub: dict = {bkind: bspec}
+            mspec = _metric_spec(cm)
+            if mspec is None:
+                path = "doc_count"
+            else:
+                path = str(cm.get("id", "m"))
+                sub["aggs"] = {path: mspec}
+            bname = f"{m['id']}-bucket"
+            leaf[bname] = sub
+            leaf[m["id"]] = {t: {"buckets_path": f"{bname}>{path}"}}
+            continue
+        spec = _metric_spec(m)
+        if spec is not None:
+            leaf[m["id"]] = spec
+
+    node: dict | None = leaf or None
+    for a in reversed(buckets):
+        kind, spec = _bucket_spec(a, default_field, now)
+        if kind == "terms":
+            p = a.get("params", {}) or {}
+            ob, odir = p.get("orderBy", "1"), p.get("order", "desc")
+            if ob == "_key":
+                target = "_key"
+            elif ob in metric_types and metric_types[ob] != "count":
+                target = str(ob)
+            else:
+                target = "_count"   # count metric id / "custom" /
+                # missing: the courier's effective default
+            spec = dict(spec, order={target: odir})
+        entry: dict = {kind: spec}
+        if node:
+            entry["aggs"] = node
+        node = {str(a["id"]): entry}
+    return node or {}
+
+
+def visstate_to_body(vis: dict, query=None, filters=None,
+                     default_field: str = DEFAULT_TEXT_FIELD,
+                     now=None, size: int = 0) -> dict:
+    """The whole panel: search-bar query (``(text, language)`` tuple,
+    a raw KQL string, or a ready DSL dict) + filter pills + translated
+    aggs -> one ``search_body`` request (``size: 0`` — panels render
+    aggregations, not hits)."""
+    qnode = None
+    if isinstance(query, tuple):
+        text, lang = query
+        qnode = (parse_kql(text, default_field, now=now)
+                 if lang == "kuery"
+                 else {"query_string": {"query": text}})
+    elif isinstance(query, str):
+        qnode = parse_kql(query, default_field, now=now)
+    elif isinstance(query, dict):
+        qnode = query
+    body: dict = {
+        "query": kibana_filters_to_query(filters, qnode, default_field),
+        "size": size,
+    }
+    aggs = visstate_to_aggs(vis, default_field, now)
+    if aggs:
+        body["aggs"] = aggs
+    return body
