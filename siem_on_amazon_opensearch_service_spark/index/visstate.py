@@ -169,3 +169,109 @@ def visstate_to_body(vis: dict, query=None, filters=None,
     if aggs:
         body["aggs"] = aggs
     return body
+
+
+# ---------------------------------------------------------------------------
+# TSVB ("metrics" visualizations) and timelion expressions
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+def tsvb_to_bodies(params: dict,
+                   default_field: str = DEFAULT_TEXT_FIELD,
+                   now=None) -> dict:
+    """TSVB panel (visState type ``metrics``) -> one search body per
+    series, the way the TSVB backend fans out: panel filter AND series
+    filter in must, a date_histogram timeseries (``>=60m``-style
+    intervals become fixed intervals; empty/auto becomes
+    auto_date_histogram), metrics at the bucket level named by their
+    ids, the ``math`` metric as a ``bucket_script`` over its named
+    variables, and a terms split as an enclosing terms level."""
+    tf = params.get("time_field", "@timestamp")
+    panel_iv = (params.get("interval") or "auto").strip()
+    out: dict = {}
+    for idx, s in enumerate(params.get("series", [])):
+        label = (s.get("label") or "").strip() or s.get("id", str(idx))
+        parts = []
+        for f in (params.get("filter"), s.get("filter")):
+            if isinstance(f, dict) and (f.get("query") or "").strip():
+                if f.get("language", "kuery") == "kuery":
+                    parts.append(parse_kql(f["query"], default_field,
+                                           now=now))
+                else:
+                    parts.append({"query_string": {"query": f["query"]}})
+        q = (parts[0] if len(parts) == 1
+             else {"bool": {"must": parts}} if parts
+             else {"match_all": {}})
+        m = _re.fullmatch(r">?=?(\d+)([smhdw])", panel_iv)
+        if m:
+            dh_entry: dict = {"date_histogram": {
+                "field": tf, "fixed_interval": m.group(1) + m.group(2)}}
+        else:
+            dh_entry = {"auto_date_histogram": {"field": tf,
+                                                "buckets": 30}}
+        inner: dict = {}
+        for mt in s.get("metrics", []):
+            t = mt["type"]
+            if t == "count":
+                continue
+            if t == "math":
+                paths = {v["name"]: str(v["field"])
+                         for v in mt.get("variables", [])}
+                inner[mt["id"]] = {"bucket_script": {
+                    "buckets_path": paths,
+                    "script": mt.get("script", "")}}
+                continue
+            if t in ("sum", "min", "max", "avg", "cardinality"):
+                inner[mt["id"]] = {t: {"field": mt["field"]}}
+                continue
+            raise VisStateError(f"unsupported TSVB metric {t!r}")
+        if inner:
+            dh_entry["aggs"] = inner
+        aggs: dict = {"timeseries": dh_entry}
+        if s.get("split_mode") == "terms":
+            aggs = {"split": {"terms": {
+                "field": s["terms_field"],
+                "size": int(s.get("terms_size") or 10),
+                "order": {"_count": "desc"}}, "aggs": aggs}}
+        out[label] = {"query": q, "size": 0, "aggs": aggs}
+    return out
+
+
+_TIMELION_ES = _re.compile(
+    r"\.es\(([^)]*)\)((?:\.\w+\([^)]*\))*)")
+_TIMELION_CHAIN = _re.compile(r"\.(\w+)\(([^)]*)\)")
+
+
+def timelion_to_bodies(expression: str, time_field: str = "@timestamp",
+                       default_field: str = DEFAULT_TEXT_FIELD) -> dict:
+    """Timelion ``.es(...)`` chains -> one search body per series:
+    the ``q=`` argument is a Lucene query_string (timelion's default),
+    ``index=`` routing is the caller's concern, cosmetic chain
+    functions (.label/.color/...) decorate — only .label is read."""
+    out: dict = {}
+    for i, m in enumerate(_TIMELION_ES.finditer(expression)):
+        args, chain = m.group(1), m.group(2)
+        q: dict = {"match_all": {}}
+        for am in _re.finditer(
+                r"(?:(\w+)\s*=\s*)?('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"|[^,]+)",
+                args):
+            key = am.group(1)
+            val = am.group(2).strip()
+            if val[:1] in "'\"":
+                val = val[1:-1]
+            if key == "q" or (key is None and val and "=" not in val):
+                if val and val != "*":
+                    q = {"query_string": {"query": val}}
+        label = f"series{i}"
+        for cm in _TIMELION_CHAIN.finditer(chain):
+            if cm.group(1) == "label":
+                lv = cm.group(2).strip()
+                if lv[:1] in "'\"":
+                    lv = lv[1:-1]
+                label = lv
+        out[label] = {"query": q, "size": 0, "aggs": {
+            "timeseries": {"auto_date_histogram": {
+                "field": time_field, "buckets": 30}}}}
+    return out
