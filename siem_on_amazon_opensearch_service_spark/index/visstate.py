@@ -275,3 +275,61 @@ def timelion_to_bodies(expression: str, time_field: str = "@timestamp",
             "timeseries": {"auto_date_histogram": {
                 "field": time_field, "buckets": 30}}}}
     return out
+
+
+# ---------------------------------------------------------------------------
+# saved-objects export loader (the .ndjson a user downloads)
+# ---------------------------------------------------------------------------
+
+def saved_objects_bodies(lines, default_field: str = DEFAULT_TEXT_FIELD,
+                         now=None) -> dict:
+    """An exported saved-objects ``.ndjson`` (the file Dashboards'
+    "Export objects" produces, and what the reference ships under
+    ``source/saved_objects/``) -> ``{title: body-or-bodies}`` for
+    every DATA panel: classic agg visualizations through
+    :func:`visstate_to_body` (search-bar query + filter pills +
+    aggs), TSVB through :func:`tsvb_to_bodies` (dict of per-series
+    bodies), timelion through :func:`timelion_to_bodies`. Markdown /
+    input-control panels carry no data and are skipped. Lines may be
+    raw strings or parsed dicts."""
+    import json as _json
+
+    out: dict = {}
+    for line in lines:
+        obj = _json.loads(line) if isinstance(line, str) else line
+        if obj.get("type") != "visualization":
+            continue
+        attrs = obj.get("attributes", {})
+        try:
+            vis = _json.loads(attrs.get("visState") or "{}")
+        except ValueError:
+            continue
+        title = attrs.get("title") or obj.get("id", "")
+        vtype = vis.get("type")
+        if vtype == "metrics":
+            out[title] = tsvb_to_bodies(vis.get("params", {}),
+                                        default_field, now=now)
+            continue
+        if vtype == "timelion":
+            out[title] = timelion_to_bodies(
+                vis.get("params", {}).get("expression", ""),
+                default_field=default_field)
+            continue
+        if not vis.get("aggs"):
+            continue            # markdown / input controls: no data
+        query = filters = None
+        ss = attrs.get("kibanaSavedObjectMeta", {}).get(
+            "searchSourceJSON")
+        if ss:
+            try:
+                src = _json.loads(ss)
+                q = src.get("query") or {}
+                if (q.get("query") or "").strip():
+                    query = (q["query"], q.get("language", "lucene"))
+                filters = src.get("filter")
+            except ValueError:
+                pass
+        out[title] = visstate_to_body(vis, query=query, filters=filters,
+                                      default_field=default_field,
+                                      now=now)
+    return out

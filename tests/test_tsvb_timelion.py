@@ -353,3 +353,49 @@ def test_tsvb_body_executes(spark):
     assert rows_out == [
         ("2024-01-01 00:00:00", 1, 4.0, 2.0),
         ("2024-01-01 01:00:00", 1, 6.0, 3.0)]
+
+
+def test_saved_objects_export_loader():
+    from siem_on_amazon_opensearch_service_spark.index.visstate import (
+        saved_objects_bodies,
+    )
+
+    vis_line = _json.dumps({
+        "type": "visualization", "id": "v1",
+        "attributes": {
+            "title": "Top services",
+            "visState": _json.dumps({"type": "pie", "aggs": [
+                {"id": "1", "enabled": True, "type": "count",
+                 "schema": "metric", "params": {}},
+                {"id": "2", "enabled": True, "type": "terms",
+                 "schema": "segment",
+                 "params": {"field": "svc", "size": 5,
+                            "orderBy": "1", "order": "desc"}}]}),
+            "kibanaSavedObjectMeta": {"searchSourceJSON": _json.dumps({
+                "query": {"query": "region: us", "language": "kuery"},
+                "filter": [{"meta": {"type": "phrase", "key": "svc",
+                                     "negate": True,
+                                     "params": {"query": "cache"}}}],
+            })}}})
+    md_line = _json.dumps({
+        "type": "visualization", "id": "v2",
+        "attributes": {"title": "Notes", "visState": _json.dumps(
+            {"type": "markdown", "params": {"markdown": "hi"}})}})
+    tl_line = _json.dumps({
+        "type": "visualization", "id": "v3",
+        "attributes": {"title": "Requests", "visState": _json.dumps(
+            {"type": "timelion", "params": {
+                "expression": ".es(q='action:BLOCK').label(\"b\")"}})}})
+    dash_line = _json.dumps({"type": "dashboard", "id": "d1",
+                             "attributes": {"title": "D"}})
+
+    bodies = saved_objects_bodies([vis_line, md_line, tl_line,
+                                   dash_line])
+    assert set(bodies) == {"Top services", "Requests"}
+    top = bodies["Top services"]
+    assert top["size"] == 0 and "2" in top["aggs"]
+    b = top["query"]["bool"]
+    assert b["must"] == [{"term": {"region": "us"}}]
+    assert b["must_not"] == [{"term": {"svc": "cache"}}]
+    assert bodies["Requests"]["b"]["query"] == {
+        "query_string": {"query": "action:BLOCK"}}
