@@ -132,3 +132,32 @@ def test_auto_interval_becomes_auto_date_histogram():
     spec = visstate_to_aggs(vis)
     assert spec == {"2": {"auto_date_histogram":
                           {"field": "ts", "buckets": 30}}}
+
+
+def test_real_cloudtrail_panel_over_nested_ecs_structs(spark):
+    """The reference's flagship saved search (cloudtrail.ndjson: Root
+    user activity) executed end-to-end: KQL with dotted ECS paths over
+    nested struct columns, field:* existence negation, terms panel."""
+    rows = [(0, "ev one", ("Root", None), "ConsoleLogin"),
+            (1, "ev two", ("IAMUser", "svc"), "ConsoleLogin"),
+            (2, "ev three", ("Root", None), "CreateVpc"),
+            (3, "ev four", ("Root", "aws"), "DeleteVpc")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, "
+        "userIdentity struct<type:string,invokedBy:string>, "
+        "eventName string")
+    ix2 = build_index(spark, docs, text_col="text", id_col="doc_id",
+                      keep_cols=["userIdentity", "eventName"])
+    vis = {"aggs": [
+        {"id": "1", "enabled": True, "type": "count", "schema": "metric",
+         "params": {}},
+        {"id": "2", "enabled": True, "type": "terms", "schema": "segment",
+         "params": {"field": "eventName", "size": 10, "orderBy": "1",
+                    "order": "desc"}}]}
+    body = visstate_to_body(
+        vis, query=("userIdentity.type:Root AND NOT "
+                    "userIdentity.invokedBy:*", "kuery"))
+    res = search_body(ix2, body)
+    got = {r["2"]: r["doc_count"] for r in res["aggs"]["2"].collect()}
+    # docs 0 and 2: Root with NO invokedBy; doc 3 has invokedBy set
+    assert got == {"ConsoleLogin": 1, "CreateVpc": 1}
