@@ -1317,6 +1317,16 @@ ltr_top AS (
   ORDER BY s DESC, doc_id LIMIT 15
 )
 SELECT 'qs' AS chk, '' AS k, doc_id, score FROM qs_top
+UNION ALL
+-- KQL twin (index/kql.py, Kibana's filter-context translation —
+-- constant 1.0 scores): text:table and lang:(en or de) and
+-- n_chars >= 150 and not source:*1
+SELECT 'kql', '', doc_id, 1.0 FROM (
+  SELECT a.doc_id FROM agg a JOIN documents d USING (doc_id)
+  WHERE a.c_table IS NOT NULL
+    AND d.lang IN ('en', 'de') AND d.n_chars >= 150
+    AND d.source NOT LIKE '%1'
+  ORDER BY a.doc_id LIMIT 20)
 UNION ALL SELECT 'sayt', '', doc_id, score FROM qs_top
 UNION ALL SELECT 'body', '', doc_id, score FROM body_top
 UNION ALL SELECT 'agg', k, doc_id, score FROM agg_buckets
@@ -1418,6 +1428,22 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = query_string_topk(ix2, _QS_QUERY, k=20).select(
         F.lit("qs").alias("chk"), F.lit("").alias("k"),
+        "doc_id", F.round("score", 4).alias("score"),
+    )
+    # chk='kql': the dashboards' DEFAULT search-bar language
+    # (index/kql.py) — grouped value list, comparison range, negated
+    # wildcard — compiled to Kibana's exact filter-context translation
+    # and executed by the same body executor (constant 1.0 scores,
+    # doc_id order).
+    from .index.kql import parse_kql
+    from .index.searchbody import search_hits
+
+    kql_hits = search_hits(ix2, {
+        "query": parse_kql("text:table and lang:(en or de) and "
+                           "n_chars >= 150 and not source:*1"),
+        "size": 20,
+    }).select(
+        F.lit("kql").alias("chk"), F.lit("").alias("k"),
         "doc_id", F.round("score", 4).alias("score"),
     )
     # chk='sayt': the SAME query through an index_prefixes handle
@@ -1569,7 +1595,7 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
                     intercept=-0.1),
         k=15))
 
-    return (qs.unionByName(sayt)
+    return (qs.unionByName(kql_hits).unionByName(sayt)
             .unionByName(body).unionByName(agg).unionByName(ms)
             .unionByName(rt).unionByName(rtagg)
             .unionByName(sqlhits).unionByName(sqlagg)

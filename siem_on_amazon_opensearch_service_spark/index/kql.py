@@ -148,7 +148,10 @@ class _Parser:
             kids.append(self._not())
         if len(kids) == 1:
             return kids[0]
-        return {"bool": {"must": kids}}
+        # Kibana's KQL-to-DSL translation puts conjunctions in FILTER
+        # context (non-scoring) -- the dashboards sort by time, not
+        # relevance; we reproduce the exact translation
+        return {"bool": {"filter": kids}}
 
     def _not(self) -> dict:
         if self._kw("not"):
