@@ -297,6 +297,41 @@ def saved_objects_bodies(lines, default_field: str = DEFAULT_TEXT_FIELD,
     out: dict = {}
     for line in lines:
         obj = _json.loads(line) if isinstance(line, str) else line
+        if obj.get("type") == "search":
+            # a Discover saved search: columns projection + sort +
+            # search-bar query + pills -> a HITS body (size 500, the
+            # Discover page default)
+            attrs = obj.get("attributes", {})
+            title = attrs.get("title") or obj.get("id", "")
+            query = filters = None
+            ss = attrs.get("kibanaSavedObjectMeta", {}).get(
+                "searchSourceJSON")
+            if ss:
+                try:
+                    src = _json.loads(ss)
+                    q = src.get("query") or {}
+                    if (q.get("query") or "").strip():
+                        query = parse_kql(
+                            q["query"], default_field, now=now) \
+                            if q.get("language", "lucene") == "kuery" \
+                            else {"query_string": {"query": q["query"]}}
+                    filters = src.get("filter")
+                except ValueError:
+                    pass
+            body = {"query": kibana_filters_to_query(
+                        filters, query, default_field),
+                    "size": 500}
+            cols = [c for c in (attrs.get("columns") or [])
+                    if c != "_source"]
+            if cols:
+                body["_source"] = cols
+            sort = attrs.get("sort") or []
+            if sort and not isinstance(sort[0], (list, tuple)):
+                sort = [sort]      # ["ts","desc"] shorthand
+            if sort:
+                body["sort"] = [{c: {"order": d}} for c, d in sort]
+            out[title] = body
+            continue
         if obj.get("type") != "visualization":
             continue
         attrs = obj.get("attributes", {})

@@ -399,3 +399,39 @@ def test_saved_objects_export_loader():
     assert b["must_not"] == [{"term": {"svc": "cache"}}]
     assert bodies["Requests"]["b"]["query"] == {
         "query_string": {"query": "action:BLOCK"}}
+
+
+def test_saved_objects_discover_search(spark):
+    from siem_on_amazon_opensearch_service_spark.index import build_index
+    from siem_on_amazon_opensearch_service_spark.index.visstate import (
+        saved_objects_bodies,
+    )
+
+    line = _json.dumps({
+        "type": "search", "id": "s1",
+        "attributes": {
+            "title": "Recent errors",
+            "columns": ["level", "msg"],
+            "sort": [["ts", "desc"]],
+            "kibanaSavedObjectMeta": {"searchSourceJSON": _json.dumps({
+                "query": {"query": "level: ERROR", "language": "kuery"},
+                "filter": []})}}})
+    [body] = saved_objects_bodies([line]).values()
+    assert body["size"] == 500
+    assert body["_source"] == ["level", "msg"]
+    assert body["sort"] == [{"ts": {"order": "desc"}}]
+
+    rows = [(0, "boom", "ERROR", "a", "2024-01-02"),
+            (1, "fine", "INFO", "b", "2024-01-03"),
+            (2, "bang", "ERROR", "c", "2024-01-04")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, level string, msg string, "
+        "ts_s string").selectExpr(
+            "doc_id", "text", "level", "msg",
+            "cast(ts_s as timestamp) as ts")
+    ix = build_index(spark, docs, text_col="text", id_col="doc_id",
+                     keep_cols=["level", "msg", "ts"])
+    page = search_body(ix, body)["hits"].collect()
+    assert [r["doc_id"] for r in page] == [2, 0]   # ts desc
+    assert sorted(page[0].asDict()) == ["doc_id", "level", "msg",
+                                        "score"]
