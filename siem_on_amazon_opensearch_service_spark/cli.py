@@ -205,6 +205,17 @@ def cmd_startree(args: argparse.Namespace) -> None:
     )
 
     docs = spark.read.parquet(args.input)
+    if args.sync:
+        # sync reads dims/metrics from the cube's own meta.json --
+        # --dim/--metric are build-time arguments
+        if not args.watermark_col:
+            raise SystemExit(
+                "startree --sync requires --watermark-col")
+        res = startree_sync(spark, args.output, docs, args.watermark_col)
+        print(json.dumps({"status": "ok", "mode": "sync", **res}))
+        return
+    if not args.dim or not args.metric:
+        raise SystemExit("startree build requires --dim and --metric")
     dims: list = []
     for d in args.dim:
         name, _, interval = d.partition(":")
@@ -215,10 +226,6 @@ def cmd_startree(args: argparse.Namespace) -> None:
     for m in args.metric:
         field, _, kind = m.partition(":")
         metrics.setdefault(field, []).append(kind or "sum")
-    if args.sync:
-        res = startree_sync(spark, args.output, docs, args.watermark_col)
-        print(json.dumps({"status": "ok", "mode": "sync", **res}))
-        return
     st = startree_build(docs, dims, metrics)
     wm = None
     if args.watermark_col:
@@ -313,11 +320,11 @@ def main(argv: list[str] | None = None) -> None:
         "startree", help="build or sync a star-tree aggregation cube")
     stp.add_argument("--input", required=True)
     stp.add_argument("--output", required=True)
-    stp.add_argument("--dim", action="append", required=True,
-                     help="repeatable: column, or col:interval for a "
-                          "date_histogram dim (e.g. ts:day)")
-    stp.add_argument("--metric", action="append", required=True,
-                     help="repeatable: field:kind "
+    stp.add_argument("--dim", action="append", default=None,
+                     help="repeatable (build): column, or col:interval "
+                          "for a date_histogram dim (e.g. ts:day)")
+    stp.add_argument("--metric", action="append", default=None,
+                     help="repeatable (build): field:kind "
                           "(sum/min/max/value_count)")
     stp.add_argument("--watermark-col", default=None)
     stp.add_argument("--sync", action="store_true",

@@ -466,7 +466,7 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggs": {"by_type": {"terms": {"field": "event_type", "size": 10},
                              "aggs": {"v": {"sum": {"field": "value"}}}}}})
     st_rows = routed["by_type"].select(
-        F.lit("startree").alias("chk"), F.col("event_type").alias("key"),
+        F.lit("startree").alias("chk"), F.col("by_type").alias("key"),
         F.col("doc_count").alias("n"), F.round("v", 4).alias("score"))
     return (top.unionByName(hits).unionByName(sig).unionByName(rare)
             .unionByName(page2).unionByName(sig_text).unionByName(perc)

@@ -179,8 +179,14 @@ class _Parser:
                 vkind, vval = self.take()
                 if vkind not in ("word", "str"):
                     raise KQLError(f"bad comparison value after {op}")
-                v = _resolve_date_math(vval, self.now) if vkind == "str" \
-                    else _typed(vval)
+                # date math resolves whether or not the value was
+                # quoted (Kibana accepts both now-7d and "now-7d")
+                if vkind == "str":
+                    v = _resolve_date_math(vval, self.now)
+                else:
+                    v = _typed(vval)
+                    if isinstance(v, str):
+                        v = _resolve_date_math(v, self.now)
                 opname = {">": "gt", ">=": "gte",
                           "<": "lt", "<=": "lte"}[op]
                 return {"range": {field: {opname: v}}}

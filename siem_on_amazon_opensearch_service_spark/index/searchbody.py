@@ -919,8 +919,14 @@ def hits_page(
     flds = body.get("fields") or []
     dvf = body.get("docvalue_fields") or []
     stored = body.get("stored_fields")
+    if src is True and not (flds or dvf or stored is not None):
+        # "_source": true alone == the default full-source hits
+        src = None
     if (src is not None or flds or dvf or stored is not None):
         keep = ["doc_id"]
+        if src is True:
+            # full source, with fields/stored_fields riding along
+            keep += [c for c in out.columns if c not in keep]
         if stored == "_none_" or src is False:
             # metadata-only hits (the wire's stored_fields:_none_ /
             # _source:false): doc_id + score, plus whatever the body
@@ -2278,10 +2284,6 @@ def search_body(
         # (declarative ops like ``inc`` are not idempotent)
         ix = with_runtime_mappings(ix, body["runtime_mappings"])
         body = {k: v for k, v in body.items() if k != "runtime_mappings"}
-    res: dict = {"hits": search_hits(ix, body, positional_ix, text_field,
-                                     vecs=vecs, source_docs=source_docs,
-                                     sparse=sparse)}
-
     _m_cache: list = []
 
     def matched_frame() -> DataFrame:
@@ -2304,8 +2306,35 @@ def search_body(
                             with_docs=True)
             if m is None:
                 m = ix.docs
+        if "score" not in m.columns:
+            m = m.withColumn("score", F.lit(1.0))
+        if "min_score" in body:
+            # min_score wraps the whole collector chain on the wire:
+            # sub-floor docs are excluded from totals AND aggs (unlike
+            # post_filter)
+            m = m.filter(F.col("score") >= float(body["min_score"]))
         _m_cache.append(m)
         return m
+
+    res: dict = {}
+    capped = None
+    if body.get("terminate_after"):
+        # ONE terminated collection shared by hits, aggs, and the
+        # terminated_early flag (on the wire they all see the same
+        # collector output; three independent limit() jobs could each
+        # pick a different subset). localCheckpoint materializes the
+        # <= cap+1 rows once, deterministically.
+        cap = int(body["terminate_after"])
+        probe = (matched_frame().limit(cap + 1)
+                 .localCheckpoint(eager=True))
+        res["terminated_early"] = probe.count() > cap
+        capped = probe.limit(cap)
+        sub = {k: v for k, v in body.items() if k != "terminate_after"}
+        res["hits"] = hits_page(capped, sub, text_field, source_docs)
+    else:
+        res["hits"] = search_hits(ix, body, positional_ix, text_field,
+                                  vecs=vecs, source_docs=source_docs,
+                                  sparse=sparse)
 
     tth = body.get("track_total_hits")
     if tth is not None and tth is not False:
@@ -2321,26 +2350,20 @@ def search_body(
             n = matched_frame().limit(thr + 1).count()
             res["total"] = ({"value": n, "relation": "eq"} if n <= thr
                             else {"value": thr, "relation": "gte"})
-    if body.get("terminate_after"):
-        cap = int(body["terminate_after"])
-        n = matched_frame().limit(cap + 1).count()
-        res["terminated_early"] = n > cap
 
     aggs_spec = body.get("aggs", body.get("aggregations"))
     if aggs_spec:
         routed = None
-        if startree is not None and not body.get("terminate_after"):
+        if startree is not None and capped is None:
             from ..operators.startree import startree_route
 
             routed = startree_route(startree, body)
         if routed is not None:
             res["aggs"] = routed
         else:
-            matched = matched_frame()
-            if body.get("terminate_after"):
-                # the collector cap applies to aggregations too (they
-                # share the terminated collection)
-                matched = matched.limit(int(body["terminate_after"]))
+            # the collector cap applies to aggregations too -- the
+            # SAME materialized collection the hits came from
+            matched = capped if capped is not None else matched_frame()
             res["aggs"] = run_aggs(matched, aggs_spec, text_field,
                                    background=ix.docs)
     sug_spec = body.get("suggest")

@@ -295,8 +295,13 @@ def rewrite_span_multi(node: dict | None, ix: PostingsIndex,
     if kind == "span_multi":
         ikind, ip = _one(p["match"])
         (field, spec), = ip.items()
-        val = spec["value"] if isinstance(spec, dict) else spec
-        val = str(val).lower()
+        val = str(spec["value"] if isinstance(spec, dict) else spec)
+        if ikind != "regexp":
+            # terms are analyzer-lowercased; literal prefix/wildcard/
+            # fuzzy values lower to match. A REGEXP must keep its
+            # case: lowercasing would invert uppercase metaclasses
+            # (\\D -> \\d matches the complement).
+            val = val.lower()
         if ikind == "fuzzy":
             from .querystring import _fuzzy_variants
             fz = (spec.get("fuzziness", "AUTO")

@@ -309,12 +309,7 @@ def saved_objects_bodies(lines, default_field: str = DEFAULT_TEXT_FIELD,
             if ss:
                 try:
                     src = _json.loads(ss)
-                    q = src.get("query") or {}
-                    if (q.get("query") or "").strip():
-                        query = parse_kql(
-                            q["query"], default_field, now=now) \
-                            if q.get("language", "lucene") == "kuery" \
-                            else {"query_string": {"query": q["query"]}}
+                    query = _source_query(src, default_field, now)
                     filters = src.get("filter")
                 except ValueError:
                     pass
@@ -358,9 +353,7 @@ def saved_objects_bodies(lines, default_field: str = DEFAULT_TEXT_FIELD,
         if ss:
             try:
                 src = _json.loads(ss)
-                q = src.get("query") or {}
-                if (q.get("query") or "").strip():
-                    query = (q["query"], q.get("language", "lucene"))
+                query = _source_query(src, default_field, now)
                 filters = src.get("filter")
             except ValueError:
                 pass
@@ -368,3 +361,21 @@ def saved_objects_bodies(lines, default_field: str = DEFAULT_TEXT_FIELD,
                                       default_field=default_field,
                                       now=now)
     return out
+
+
+def _source_query(src: dict, default_field: str, now) -> dict | None:
+    """searchSourceJSON's query half -> a DSL node. The stored query
+    may be a string (kuery/lucene text) or already a DSL OBJECT (some
+    exports carry the raw query) -- both forms are legal on the
+    wire."""
+    q = src.get("query") or {}
+    if not isinstance(q, dict):
+        return None
+    inner = q.get("query")
+    if isinstance(inner, dict):
+        return inner                       # raw DSL object
+    if isinstance(inner, str) and inner.strip():
+        if q.get("language", "lucene") == "kuery":
+            return parse_kql(inner, default_field, now=now)
+        return {"query_string": {"query": inner}}
+    return None

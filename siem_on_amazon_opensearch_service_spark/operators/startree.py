@@ -52,11 +52,36 @@ _ALGEBRAIC = {
 }
 
 
+#: OpenSearch calendar-interval aliases -> Spark date_trunc units.
+#: date_trunc returns NULL for unknown fmt strings, so passing "1d"
+#: through verbatim would silently collapse the dimension -- normalize
+#: here and REJECT anything unrecognized.
+_CAL_UNITS = {
+    "minute": "minute", "1m": "minute", "m": "minute",
+    "hour": "hour", "1h": "hour", "h": "hour",
+    "day": "day", "1d": "day", "d": "day",
+    "week": "week", "1w": "week", "w": "week",
+    "month": "month", "1M": "month", "M": "month",
+    "quarter": "quarter", "1q": "quarter", "q": "quarter",
+    "year": "year", "1y": "year", "y": "year",
+}
+
+
+def _cal_unit(interval: str) -> str:
+    unit = _CAL_UNITS.get(str(interval))
+    if unit is None:
+        raise ValueError(
+            f"unsupported calendar_interval {interval!r} "
+            f"(have {sorted(set(_CAL_UNITS.values()))} and their "
+            "1x aliases)")
+    return unit
+
+
 def _dim_name(d) -> str:
     if isinstance(d, dict):
         spec = d["date_histogram"]
         return spec.get(
-            "name", f"{spec['field']}__{spec['calendar_interval']}")
+            "name", f"{spec['field']}__{_cal_unit(spec['calendar_interval'])}")
     return str(d)
 
 
@@ -67,7 +92,7 @@ def _dim_col(d):
     if isinstance(d, dict):
         spec = d["date_histogram"]
         return F.date_trunc(
-            spec["calendar_interval"], F.col(spec["field"]))
+            _cal_unit(spec["calendar_interval"]), F.col(spec["field"]))
     return F.col(d)
 
 
@@ -150,8 +175,8 @@ def startree_build(docs: DataFrame, dims: list,
     for d in dims:
         if isinstance(d, dict):
             df = df.withColumn(_dim_name(d), _dim_col(d))
-            date_dims[_dim_name(d)] = d["date_histogram"][
-                "calendar_interval"]
+            date_dims[_dim_name(d)] = _cal_unit(
+                d["date_histogram"]["calendar_interval"])
     aggs = [F.count(F.lit(1)).alias("doc_count")]
     for field, kinds in metrics.items():
         for k in kinds:
@@ -283,6 +308,8 @@ def _body_where(st: StarTree, qnode: dict) -> dict | None:
     touches anything the cube doesn't carry."""
     if not qnode or qnode == {"match_all": {}}:
         return {}
+    if len(qnode) != 1:
+        return None
     (kind, spec), = qnode.items()
     if kind == "bool":
         extra = {k: v for k, v in spec.items() if k != "filter"}
@@ -296,9 +323,13 @@ def _body_where(st: StarTree, qnode: dict) -> dict | None:
             out.update(w)
         return out
     if kind in ("term", "terms", "range"):
-        (field, val), = spec.items()
-        if field not in st.dims:
+        # the wire allows decoration keys next to the field (range
+        # boost etc.) -- anything beyond ONE dim key means fallback,
+        # never a crash
+        fields = [k for k in spec if k in st.dims]
+        if len(fields) != 1 or len(spec) != 1:
             return None
+        field, val = fields[0], spec[fields[0]]
         if kind == "term" and isinstance(val, dict):
             val = val.get("value")
         if kind == "range":
@@ -331,7 +362,11 @@ def startree_route(st: StarTree, body: dict) -> dict | None:
             size = int(spec["terms"].get("size", 10))
         elif "date_histogram" in spec:
             dh = spec["date_histogram"]
-            iv = dh.get("calendar_interval", dh.get("interval"))
+            try:
+                iv = _cal_unit(dh.get("calendar_interval",
+                                      dh.get("interval")))
+            except ValueError:
+                return None
             cand = [n for n, v in st.date_dims.items()
                     if n.split("__")[0] == dh["field"] and v == iv]
             if not cand:
@@ -343,10 +378,12 @@ def startree_route(st: StarTree, body: dict) -> dict | None:
             return None
         wanted: list[tuple[str, str, str]] = []  # (alias, field, kind)
         for mname, mspec in sub.items():
-            (mkind, mdef), = mspec.items()
-            if mkind not in _METRIC_KINDS:
+            if not isinstance(mspec, dict) or len(mspec) != 1:
                 return None
-            field = mdef["field"]
+            (mkind, mdef), = mspec.items()
+            if mkind not in _METRIC_KINDS or not isinstance(mdef, dict):
+                return None
+            field = mdef.get("field")
             have = set(st.metrics.get(field, []))
             need = {"sum", "value_count"} if mkind == "avg" else {mkind}
             if not need <= have:
@@ -361,5 +398,8 @@ def startree_route(st: StarTree, body: dict) -> dict | None:
                   .limit(size))
         else:
             df = df.orderBy(F.asc(dim))
-        out[name] = df
+        # run_aggs names the bucket-key column after the AGG NAME --
+        # the routed answer must be schema-identical so callers never
+        # see which path served them
+        out[name] = df.withColumnRenamed(dim, name)
     return out

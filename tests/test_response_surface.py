@@ -180,3 +180,34 @@ def test_indices_boost_single_index_and_sort_conflict(two_ix):
         alias_search(reg, "both", dict(
             body, indices_boost=[{"logs-a": 2.0}],
             sort=[{"doc_id": {"order": "asc"}}]))
+
+
+def test_source_true_returns_full_source(ix):
+    page = _hits(ix, {"query": {"match": {"text": "spark"}},
+                      "_source": True, "size": 10})
+    assert {"grp", "value", "doc_id", "score"} <= set(page.columns)
+
+
+def test_min_score_applies_to_total_and_aggs(ix):
+    full = _hits(ix, {"query": {"match": {"text": "spark"}},
+                      "size": 10}).collect()
+    scores = sorted((r["score"] for r in full), reverse=True)
+    floor = (scores[0] + scores[1]) / 2.0
+    res = search_body(ix, {"query": {"match": {"text": "spark"}},
+                           "min_score": floor,
+                           "track_total_hits": True, "size": 10,
+                           "aggs": {"n": {"value_count":
+                                          {"field": "doc_id"}}}})
+    assert res["total"] == {"value": 1, "relation": "eq"}
+    assert res["aggs"]["_metrics"].collect()[0]["n"] == 1
+
+
+def test_terminate_after_hits_and_aggs_share_one_collection(ix):
+    res = search_body(ix, {"query": {"match": {"text": "spark"}},
+                           "terminate_after": 2, "size": 10,
+                           "aggs": {"vals": {"sum": {"field": "value"}}}})
+    hit_ids = {r["doc_id"] for r in res["hits"].collect()}
+    [m] = res["aggs"]["_metrics"].collect()
+    by_id = {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0}
+    assert m["doc_count"] == 2
+    assert m["vals"] == pytest.approx(sum(by_id[i] for i in hit_ids))

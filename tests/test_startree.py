@@ -100,12 +100,12 @@ def test_route_answers_covered_body(docs, st):
                          "field": "ts", "calendar_interval": "month"}}}}
     res = startree_route(st, body)
     assert res is not None
-    byg = {r["grp"]: (r["doc_count"], r["v"])
+    byg = {r["by_grp"]: (r["doc_count"], r["v"])
            for r in res["by_grp"].collect()}
     want = _truth(docs, ["grp"], F.col("src") == "s1")
     assert byg == {None if k == ("None",) else k[0]:
                    (n, pytest.approx(s)) for k, (n, s) in want.items()}
-    months = [str(r["ts__month"])[:7] for r in res["by_month"].collect()]
+    months = [str(r["by_month"])[:7] for r in res["by_month"].collect()]
     assert months == ["2024-01", "2024-02", "2024-03"]
 
 
@@ -194,7 +194,7 @@ def test_search_body_routes_through_startree(spark):
                               "aggs": {"v": {"sum": {"field": "value"}}}}}}
     via_st = search_body(ix, covered, startree=st)
     plain = search_body(ix, covered)
-    a = {r["grp"]: (r["doc_count"], r["v"])
+    a = {r["g"]: (r["doc_count"], r["v"])
          for r in via_st["aggs"]["g"].collect()}
     b = {r["g"]: (r["doc_count"], r["v"])
          for r in plain["aggs"]["g"].collect()}
@@ -205,3 +205,30 @@ def test_search_body_routes_through_startree(spark):
     via_st2 = search_body(ix, uncov, startree=st)
     assert {r["g"]: r["doc_count"]
             for r in via_st2["aggs"]["g"].collect()} == {"a": 2, "b": 1}
+
+
+def test_interval_aliases_and_decorated_specs(docs, st):
+    from siem_on_amazon_opensearch_service_spark.operators.startree import (
+        startree_route,
+    )
+
+    # "1M" alias must bucket identically to "month" (not NULL-collapse)
+    st2 = startree_build(
+        docs, [{"date_histogram": {"field": "ts",
+                                   "calendar_interval": "1M"}}],
+        {"value": ["sum"]})
+    rows = {str(r["ts__month"])[:7]: r["doc_count"]
+            for r in startree_query(st2, ["ts__month"]).collect()}
+    assert rows == {"2024-01": 2, "2024-02": 3, "2024-03": 2}
+    with pytest.raises(ValueError, match="calendar_interval"):
+        startree_build(docs, [{"date_histogram": {
+            "field": "ts", "calendar_interval": "90m"}}], {})
+    # decorated range spec (boost next to the field) falls back, never
+    # crashes
+    assert startree_route(st, {
+        "query": {"range": {"ts__month": {"gte": "2024-02-01"},
+                            "boost": 2.0}},
+        "aggs": {"g": {"terms": {"field": "grp"}}}}) is None
+    # routed bucket key column is named after the AGG, like run_aggs
+    res = startree_route(st, {"aggs": {"g": {"terms": {"field": "grp"}}}})
+    assert "g" in res["g"].columns and "grp" not in res["g"].columns
