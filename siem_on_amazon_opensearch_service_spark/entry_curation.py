@@ -699,6 +699,13 @@ def _nbq_oracle() -> str:
     SELECT 'chunk', id::VARCHAR || '#' || start::VARCHAR,
            n_tokens::BIGINT, md5(text_chunk)
     FROM ({packing.duckdb_chunk_sql('documents', chunk=64, overlap=16)})
+    UNION ALL
+    SELECT 'domcap', doc_id::VARCHAR, (doc_id % 7)::BIGINT, '' FROM (
+      SELECT doc_id, row_number() OVER (
+        PARTITION BY (doc_id % 7)
+        ORDER BY 'https://host' || (doc_id % 7)::VARCHAR
+                 || '.example.com/p/' || doc_id::VARCHAR) AS rn
+      FROM documents) WHERE rn <= 10
     """.replace("{DSIR}", _dsir_oracle()).replace("{NBQ}", _nbq_oracle()),
 )
 def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,9 +813,23 @@ def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n"),
         F.md5("text_chunk").alias("detail"),
     )
+    # 'domcap' rows: per-domain quota (operators/scrub.py:
+    # cap_per_domain, the C4/RefinedWeb host cap) over synthetic
+    # doc_id-derived urls (7 hosts) so both engines build the same
+    # input — kept docs after capping at 10/host
+    durl = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+    domcap = scrub.cap_per_domain(
+        d.withColumn("url", durl), 10).select(
+        F.lit("domcap").alias("chk"),
+        F.col("doc_id").cast("string").alias("key"),
+        (F.col("doc_id") % 7).cast("long").alias("n"),
+        F.lit("").alias("detail"),
+    )
     return (pack.unionByName(sample).unionByName(shard)
             .unionByName(contam).unionByName(rep).unionByName(dsir)
-            .unionByName(nbq).unionByName(chunks))
+            .unionByName(nbq).unionByName(chunks).unionByName(domcap))
 
 
 _Q_SQL = textstats.duckdb_quality_sql()

@@ -263,3 +263,58 @@ def duckdb_strip_boilerplate_sql(
            coalesce(a.text_clean, '') AS text_clean
     FROM _lx l LEFT JOIN _agg a USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# per-domain quotas (C4 / RefinedWeb-style host caps)
+# ---------------------------------------------------------------------------
+
+def url_host(url_col) -> Column:
+    """Lowercased host (port and leading ``www.`` stripped) — the
+    domain-quota key. Pure regexp, codegen."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.lower(F.regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
+    host = F.regexp_replace(host, ":[0-9]+$", "")
+    return F.regexp_replace(host, "^www\\.", "")
+
+
+def duckdb_url_host_sql(url_expr: str) -> str:
+    return (
+        "regexp_replace(regexp_replace(lower(coalesce(regexp_extract("
+        f"{url_expr}, '^[^:/?#]+://([^/?#]*)', 1), ''))"
+        ", ':[0-9]+$', ''), '^www\\.', '')"
+    )
+
+
+def cap_per_domain(docs: DataFrame, max_per_domain: int,
+                   url_col: str = "url",
+                   order_col: str | None = None) -> DataFrame:
+    """Keep at most ``max_per_domain`` docs per host — the domain
+    quota every web-corpus recipe applies so mega-hosts can't dominate
+    the training mix (C4 keeps per-domain caps; RefinedWeb documents
+    the same step). Survivors are the FIRST ``max_per_domain`` by
+    ``order_col`` (default: the url itself — deterministic without
+    any quality model; pass a quality score to keep the best instead).
+
+    Plan: one window partitioned by host (shuffle keyed by host,
+    row_number rank, filter) — group size is per-host traffic; a
+    pathological mega-host is one hot partition, which is exactly the
+    salting discussion in `index/build.py` (quotas are usually applied
+    AFTER per-host sampling at 100 TB, where the window input is
+    already bounded)."""
+    from pyspark.sql import Window
+
+    order = F.col(order_col) if order_col else F.col(url_col)
+    w = (Window.partitionBy(url_host(url_col))
+         .orderBy(order.asc(), F.col(url_col).asc()))
+    return (docs.withColumn("_dr", F.row_number().over(w))
+            .filter(F.col("_dr") <= int(max_per_domain)).drop("_dr"))
+
+
+def domain_stats(docs: DataFrame, url_col: str = "url",
+                 top_n: int = 20) -> DataFrame:
+    """Per-host doc counts, top-N — the quota-tuning report."""
+    return (docs.groupBy(url_host(url_col).alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("host"))
+            .limit(top_n))
