@@ -520,3 +520,47 @@ def explain_doc(ix: PostingsIndex, query: str, doc_id: int) -> dict:
         out["score"] += contribution
     out["matched"] = True
     return out
+
+
+def explain_for_docs(ix: PostingsIndex, query: str,
+                     doc_ids: list[int]) -> DataFrame:
+    """Per-(doc, term) contributions for an EXPLICIT id list — the
+    request-body ``explain: true`` path, where the ids are the hits
+    page (page-sized, never the corpus). Same construction as
+    :func:`bm25_explain` with the id restriction replacing the top-k
+    cut; ``sum(contribution) over doc == the hit's score`` holds by
+    construction."""
+    from ..bm25 import idf as _idf
+
+    weights = _query_weights(query)
+    terms = list(weights)
+    spark = ix.postings.sparkSession
+    empty_schema = ("doc_id long, term string, idf double, qtf int, "
+                    "contribution double")
+    if not terms or not doc_ids:
+        return spark.createDataFrame([], empty_schema)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in ix.term_stats.filter(F.col("term").isin(terms))
+        .select("term", "df").collect()
+    }
+    present = [t for t in terms if t in dfs]
+    if not present:
+        return spark.createDataFrame([], empty_schema)
+    idf_map = F.create_map(
+        *[F.lit(x) for t in present for x in (t, _idf(ix.n_docs, dfs[t]))])
+    qtf_map = F.create_map(
+        *[F.lit(x) for t in present for x in (t, weights[t])])
+    decoded = decode_blocks(
+        ix.postings.filter(F.col("term").isin(present))
+    ).filter(F.col("doc_id").isin([int(i) for i in doc_ids]))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    tf_norm = tf / (tf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl)))
+    return decoded.select(
+        "doc_id", "term",
+        idf_map[F.col("term")].alias("idf"),
+        qtf_map[F.col("term")].alias("qtf"),
+        (idf_map[F.col("term")] * qtf_map[F.col("term")].cast("double")
+         * tf_norm).alias("contribution"),
+    )

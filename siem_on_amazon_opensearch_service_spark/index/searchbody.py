@@ -2401,6 +2401,38 @@ def search_body(
                 raise ValueError(
                     f"suggest entry {sname!r}: expected term / "
                     "completion / phrase")
+    if body.get("explain"):
+        # per-hit Explanation (the wire's explain:true): join a
+        # term->contribution map onto the PAGE rows. Page-sized work:
+        # the ids collect (<= size rows), the contribution pass
+        # decodes only the query terms' blocks restricted to those
+        # ids. Supported for text-scoring query kinds (match /
+        # match_phrase text, query_string) -- the shapes whose score
+        # is a per-term BM25 sum.
+        qnode = body.get("query", {"match_all": {}})
+        qkind2, qspec2 = _one(qnode)
+        qtext = None
+        if qkind2 == "match":
+            (_f, v), = qspec2.items()
+            qtext = v.get("query") if isinstance(v, dict) else str(v)
+        elif qkind2 == "query_string":
+            qtext = qspec2.get("query")
+        if qtext is None:
+            raise ValueError(
+                "explain: true is supported for match / query_string "
+                "bodies (per-term BM25 breakdowns); use _explain for "
+                "single docs of other query kinds")
+        from .query import explain_for_docs
+
+        page_ids = [r["doc_id"] for r in
+                    res["hits"].select("doc_id").collect()]
+        exp = (explain_for_docs(ix, qtext, page_ids)
+               .groupBy("doc_id")
+               .agg(F.map_from_entries(
+                   F.collect_list(F.struct("term", "contribution")))
+                   .alias("_explanation")))
+        res["hits"] = res["hits"].join(exp, "doc_id", "left")
+
     if body.get("profile"):
         # the ``profile: true`` body flag — here the honest profile
         # is the Catalyst physical plan (scan pushdowns, exchanges,

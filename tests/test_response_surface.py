@@ -211,3 +211,17 @@ def test_terminate_after_hits_and_aggs_share_one_collection(ix):
     by_id = {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0}
     assert m["doc_count"] == 2
     assert m["vals"] == pytest.approx(sum(by_id[i] for i in hit_ids))
+
+
+def test_explain_true_attaches_per_term_breakdown(ix):
+    res = search_body(ix, {"query": {"match": {"text": "spark engine"}},
+                           "explain": True, "size": 3})
+    rows = res["hits"].collect()
+    assert rows and all("_explanation" in r.asDict() for r in rows)
+    for r in rows:
+        exp = r["_explanation"] or {}
+        assert set(exp) <= {"spark", "engine"}
+        assert sum(exp.values()) == pytest.approx(r["score"], rel=1e-9)
+    with pytest.raises(ValueError, match="explain"):
+        search_body(ix, {"query": {"term": {"grp": "a"}},
+                         "explain": True, "size": 3})
