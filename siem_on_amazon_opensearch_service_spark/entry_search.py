@@ -1092,27 +1092,80 @@ most AS (SELECT doc_id, sum(fs) AS sc FROM per_field GROUP BY doc_id),
 best AS (
   SELECT doc_id, max(fs) + 0.3 * (sum(fs) - max(fs)) AS sc
   FROM per_field GROUP BY doc_id
+),
+-- cross_fields: blended statistics (df = max over fields per term,
+-- N = max per-field docCount), per-TERM dis_max over fields
+dfb AS (SELECT term, max(df) AS df FROM dft JOIN q USING (term) GROUP BY 1),
+nb AS (SELECT max(n) AS n FROM stats),
+xcontrib AS (
+  SELECT tf.doc_id, tf.term,
+    b.boost * ln(1 + (nb.n - dfb.df + 0.5) / (dfb.df + 0.5)) * tf.tf
+      / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN dfb ON dfb.term = tf.term
+       JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+       JOIN stats s ON s.field = tf.field
+       JOIN boosts b ON b.field = tf.field, nb
+),
+xterm AS (
+  SELECT doc_id, term, max(c) + 0.1 * (sum(c) - max(c)) AS tc
+  FROM xcontrib GROUP BY 1, 2
+),
+crossf AS (SELECT doc_id, sum(tc) AS sc FROM xterm GROUP BY doc_id),
+-- combined_fields (BM25F): weighted tf/dl folded BEFORE saturation,
+-- union docCount, blended df
+nu AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM dl),
+av AS (
+  SELECT sum(b.boost * dl.dl) / nu.n AS avgdl
+  FROM dl JOIN boosts b USING (field), nu GROUP BY nu.n
+),
+wtf AS (
+  SELECT tf.doc_id, tf.term, sum(b.boost * tf.tf) AS wtf
+  FROM tf JOIN q USING (term) JOIN boosts b ON b.field = tf.field
+  GROUP BY 1, 2
+),
+wdl AS (
+  SELECT dl.doc_id, sum(b.boost * dl.dl) AS wdl
+  FROM dl JOIN boosts b USING (field) GROUP BY 1
+),
+comb AS (
+  SELECT w.doc_id,
+    sum(ln(1 + (nu.n - dfb.df + 0.5) / (dfb.df + 0.5)) * w.wtf
+        / (w.wtf + {K1} * (1 - {B} + {B} * d.wdl / av.avgdl))) AS sc
+  FROM wtf w JOIN dfb USING (term) JOIN wdl d USING (doc_id), nu, av
+  GROUP BY w.doc_id
 )
 SELECT 'most' AS chk, doc_id, round(sc, 4) AS score FROM (
   SELECT * FROM most ORDER BY sc DESC, doc_id LIMIT 20)
 UNION ALL
 SELECT 'best', doc_id, round(sc, 4) FROM (
   SELECT * FROM best ORDER BY sc DESC, doc_id LIMIT 20)
+UNION ALL
+SELECT 'cross', doc_id, round(sc, 4) FROM (
+  SELECT * FROM crossf ORDER BY sc DESC, doc_id LIMIT 20)
+UNION ALL
+SELECT 'combined', doc_id, round(sc, 4) FROM (
+  SELECT * FROM comb ORDER BY sc DESC, doc_id LIMIT 20)
 """
 
 
 @register("ft_multi_match", _MM_SQL)
 def ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_match with per-field boosts over the reference's
-    multi-fields mapping (deploy_es/data.ini:314), BOTH types in one
-    gated entry: `most_fields` (score = sum_field boost_f * BM25_f)
-    and `best_fields` (the OpenSearch default: per-doc dis_max,
-    max_f + tie_breaker * sum(others), tie_breaker 0.3). Fields here:
-    body = full text (boost 1), title = first 8 tokens (boost 2) --
-    independently-built scoring spaces with their own df/avgdl,
-    through the field-columned postings layout (index/multifield.py)."""
+    multi-fields mapping (deploy_es/data.ini:314), ALL FOUR scoring
+    models in one gated entry: `most_fields` (sum_field boost_f *
+    BM25_f), `best_fields` (the OpenSearch default: per-doc dis_max,
+    max_f + tie_breaker * sum(others), tb 0.3), `cross_fields`
+    (blended term statistics + per-term dis_max, tb 0.1 -- Lucene
+    BlendedTermQuery), and `combined_fields` (BM25F: weighted tf/dl
+    folded before saturation over a union pseudo-field -- Lucene
+    CombinedFieldQuery). Fields here: body = full text (boost 1),
+    title = first 8 tokens (boost 2) -- independently-built scoring
+    spaces with their own df/avgdl, through the field-columned
+    postings layout (index/multifield.py)."""
     from .analysis import tokens_col
-    from .index.multifield import build_multi_index, multi_match_topk
+    from .index.multifield import (
+        build_multi_index, combined_fields_topk, multi_match_topk,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     title = F.array_join(F.slice(tokens_col("text"), 1, 8), " ")
@@ -1120,18 +1173,28 @@ def ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs, {"body": "text", "title": title},
         id_col="doc_id", salt_threshold=200,
     )
-    most = multi_match_topk(mix, _MM_QUERY, _MM_BOOSTS, k=20).select(
-        F.lit("most").alias("chk"), "doc_id",
-        F.round("score", 4).alias("score"),
+
+    def _cut(df, tag):
+        return df.select(
+            F.lit(tag).alias("chk"), "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+
+    most = _cut(multi_match_topk(mix, _MM_QUERY, _MM_BOOSTS, k=20), "most")
+    best = _cut(
+        multi_match_topk(mix, _MM_QUERY, _MM_BOOSTS, k=20,
+                         mode="best_fields", tie_breaker=0.3),
+        "best",
     )
-    best = multi_match_topk(
-        mix, _MM_QUERY, _MM_BOOSTS, k=20,
-        mode="best_fields", tie_breaker=0.3,
-    ).select(
-        F.lit("best").alias("chk"), "doc_id",
-        F.round("score", 4).alias("score"),
+    cross = _cut(
+        multi_match_topk(mix, _MM_QUERY, _MM_BOOSTS, k=20,
+                         mode="cross_fields", tie_breaker=0.1),
+        "cross",
     )
-    return most.unionByName(best)
+    comb = _cut(
+        combined_fields_topk(mix, _MM_QUERY, _MM_BOOSTS, k=20), "combined"
+    )
+    return most.unionByName(best).unionByName(cross).unionByName(comb)
 
 
 _QS_QUERY = ("+table value^2 -slow st* (join AND stream) "

@@ -60,13 +60,23 @@ class MultiFieldIndex:
 
     ``field_stats``: field -> (n_docs_f, avgdl_f) where n_docs_f counts
     docs with >=1 token in the field (the Lucene per-field docCount
-    analog) and avgdl_f averages doc length over those docs.
+    analog) and avgdl_f averages doc length over those docs.  The
+    reserved pseudo-field ``"*"`` carries (n_union, 0.0) -- the number
+    of docs with >=1 token in ANY field, the docCount of the combined
+    pseudo-field that ``combined_fields`` scores against.
+
+    ``doc_lens``: (doc_id, field, doclen) -- per-doc per-field lengths.
+    ``combined_fields`` needs the weighted length of EVERY indexed
+    field of a matched doc (a field contributes length even when the
+    query term never occurs in it), which the norms-in-postings trick
+    cannot provide; this table is the Lucene norms file analog.
     """
 
     docs: DataFrame        # doc_id + presentation cols
     postings: DataFrame    # field + POSTINGS_SCHEMA columns
     term_stats: DataFrame  # field, term, df
     field_stats: dict[str, tuple[int, float]]
+    doc_lens: DataFrame | None = None
 
     def save(self, spark: SparkSession, path: str, buckets: int = 32) -> None:
         (
@@ -80,6 +90,9 @@ class MultiFieldIndex:
         spark.createDataFrame(
             rows, "field string, n_docs long, avgdl double"
         ).write.mode("overwrite").parquet(f"{path}/field_stats")
+        if self.doc_lens is not None:
+            self.doc_lens.write.mode("overwrite").parquet(
+                f"{path}/doc_lens")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "MultiFieldIndex":
@@ -87,11 +100,16 @@ class MultiFieldIndex:
             r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
             for r in spark.read.parquet(f"{path}/field_stats").collect()
         }
+        try:  # older layouts have no norms table; combined_fields
+            dls = spark.read.parquet(f"{path}/doc_lens")  # will say so
+        except Exception:
+            dls = None
         return cls(
             docs=spark.read.parquet(f"{path}/docs"),
             postings=spark.read.parquet(f"{path}/postings"),
             term_stats=spark.read.parquet(f"{path}/term_stats"),
             field_stats=fs,
+            doc_lens=dls,
         )
 
 
@@ -148,10 +166,14 @@ def build_multi_index(
 
     # per-field corpus stats from tf (no re-tokenize): docs with >=1
     # token and their average length.
+    doc_lens = (
+        tf.select("doc_id", "field", "doclen")
+        .dropDuplicates(["doc_id", "field"])
+        .withColumnRenamed("doclen", "dl")
+    )
     srows = (
-        tf.select("field", "doc_id", "doclen").dropDuplicates(["field", "doc_id"])
-        .groupBy("field")
-        .agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl"))
+        doc_lens.groupBy("field")
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
         .collect()
     )
     field_stats = {
@@ -159,6 +181,10 @@ def build_multi_index(
     }
     for name in fields:
         field_stats.setdefault(name, (0, 0.0))
+    # union docCount for the combined_fields pseudo-field "*": docs
+    # with >=1 token in ANY field (one count over the norms table).
+    n_union = doc_lens.select("doc_id").distinct().count()
+    field_stats["*"] = (int(n_union), 0.0)
 
     # composite shuffle key -> reuse single-field salting + encoder.
     ckey = tf.withColumn("term", F.concat_ws(SEP, "field", "term")).drop("field")
@@ -192,7 +218,7 @@ def build_multi_index(
     docs = base.select("doc_id", *keep)
     return MultiFieldIndex(
         docs=docs, postings=postings, term_stats=term_stats,
-        field_stats=field_stats,
+        field_stats=field_stats, doc_lens=doc_lens,
     )
 
 
@@ -234,7 +260,10 @@ def multi_match_scores(
     terms = list(weights)
     spark = mix.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
-    use_fields = [f for f, b in boosts.items() if b and f in mix.field_stats]
+    use_fields = [
+        f for f, b in boosts.items()
+        if b and f != "*" and f in mix.field_stats
+    ]
     if not terms or not use_fields:
         return empty
 
@@ -310,6 +339,140 @@ def multi_match_scores(
     return per_field.groupBy("doc_id").agg(
         (F.max("_fs") + F.lit(tb) * (F.sum("_fs") - F.max("_fs")))
         .alias("score")
+    )
+
+
+def combined_fields_scores(
+    mix: MultiFieldIndex, query: str, weights: dict[str, float],
+) -> DataFrame:
+    """(doc_id, score): the ``combined_fields`` query type.
+
+    OpenSearch's ``combined_fields`` (Lucene CombinedFieldQuery,
+    LUCENE-9341) scores as if the fields were ONE concatenated
+    pseudo-field, with per-field multipliers folded into the term
+    frequencies and lengths *before* BM25 saturation -- principled
+    BM25F (Robertson et al., "Simple BM25 extension to multiple
+    weighted fields", CIKM 2004) rather than a score-space mix:
+
+        tf_c(t, d)  = sum_f w_f * tf_f(t, d)
+        dl_c(d)     = sum_f w_f * dl_f(d)      (ALL fields of d, even
+                                                ones never matching t)
+        avgdl_c     = sum_f w_f * n_f * avgdl_f / n_union
+        idf_c(t)    = idf(n_union, max_f df_f(t))   (blended stats,
+                                                Lucene BlendedTermQuery)
+        score(q, d) = sum_t qtf_t * idf_c(t) *
+                      tf_c / (tf_c + K1 * (1 - B + B * dl_c / avgdl_c))
+
+    n_union is the "*" pseudo-field docCount persisted at build.
+
+    Plan: postings filtered to (query terms x fields) -- parquet
+    ``In`` pushdown -- decode once, one groupBy(doc_id, term) folds
+    the weighted tf sum; the per-doc combined length comes from the
+    norms table (doc_lens) filtered to the query fields and reduced
+    per doc, joined on doc_id.  The norms side is corpus-wide but
+    2-column (doc_id, weighted dl); AQE picks the join strategy --
+    at 100 TB this is the one shuffle Lucene avoids by reading norms
+    per-hit, and the match-set side arrives already reduced.
+    """
+    weights = {
+        f: w for f, w in weights.items()
+        if w and f != "*" and f in mix.field_stats
+    }
+    qtf: dict[str, int] = {}
+    for t in tokenize_py(query):
+        qtf[t] = qtf.get(t, 0) + 1
+    spark = mix.postings.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not qtf or not weights:
+        return empty
+    if mix.doc_lens is None:
+        raise ValueError(
+            "combined_fields needs the per-field norms table; this "
+            "index was built/saved before doc_lens existed -- rebuild"
+        )
+    if "*" not in mix.field_stats:
+        raise ValueError("index lacks the '*' union docCount -- rebuild")
+
+    use_fields = list(weights)
+    terms = list(qtf)
+    stats = (
+        mix.term_stats.filter(
+            F.col("term").isin(terms) & F.col("field").isin(use_fields)
+        )
+        .select("field", "term", "df")
+        .collect()
+    )
+    if not stats:
+        return empty
+    n_union = mix.field_stats["*"][0]
+    avgdl_c = sum(
+        w * mix.field_stats[f_][0] * mix.field_stats[f_][1]
+        for f_, w in weights.items()
+    ) / float(n_union)
+    df_blend: dict[str, int] = {}
+    for r in stats:
+        df_blend[r["term"]] = max(df_blend.get(r["term"], 0), int(r["df"]))
+    # literal maps: field:term -> w_f (tf multiplier), term -> qtf*idf
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for r in stats
+            for x in (r["field"] + SEP + r["term"], float(weights[r["field"]]))
+        ]
+    )
+    imap = F.create_map(
+        *[
+            F.lit(x)
+            for t_, d_ in df_blend.items()
+            for x in (t_, float(qtf[t_] * _idf(n_union, d_)))
+        ]
+    )
+    fmap = F.create_map(
+        *[F.lit(x) for f_, w in weights.items() for x in (f_, float(w))]
+    )
+
+    present_terms = sorted(df_blend)
+    blocks = mix.postings.filter(
+        F.col("term").isin(present_terms) & F.col("field").isin(use_fields)
+    )
+    composite = blocks.withColumn("term", F.concat_ws(SEP, "field", "term"))
+    decoded = decode_blocks(composite)
+    wtf = (
+        decoded.withColumn(
+            "_wtf", wmap[F.col("term")] * F.col("tf").cast("double")
+        )
+        .filter(F.col("_wtf").isNotNull())
+        .groupBy(
+            "doc_id",
+            F.split_part("term", F.lit(SEP), F.lit(2)).alias("_t"),
+        )
+        .agg(F.sum("_wtf").alias("wtf"))
+    )
+    wdl = (
+        mix.doc_lens.filter(F.col("field").isin(use_fields))
+        .groupBy("doc_id")
+        .agg(F.sum(fmap[F.col("field")] * F.col("dl")).alias("wdl"))
+    )
+    joined = wtf.join(wdl, "doc_id")
+    tf_c = F.col("wtf")
+    sat = tf_c / (
+        tf_c + K1 * (1.0 - B + B * F.col("wdl") / F.lit(avgdl_c))
+    )
+    return (
+        joined.withColumn("_s", imap[F.col("_t")] * sat)
+        .groupBy("doc_id")
+        .agg(F.sum("_s").alias("score"))
+    )
+
+
+def combined_fields_topk(
+    mix: MultiFieldIndex, query: str, weights: dict[str, float], k: int = 10,
+) -> DataFrame:
+    """Top-k combined_fields, (score desc, doc_id asc) tie-break."""
+    return (
+        combined_fields_scores(mix, query, weights)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )
 
 

@@ -209,3 +209,117 @@ def test_cross_fields_blended_twin(spark, pages, mix, tb):
 def test_unknown_mode_raises(mix):
     with pytest.raises(ValueError):
         multi_match_scores(mix, QUERY, BOOSTS, mode="phrase_prefixy")
+
+
+def _py_combined_fields(pages, mix, weights):
+    """Pure-python BM25F twin (Lucene CombinedFieldQuery model):
+    weighted tf / dl folded BEFORE saturation, blended idf, union N."""
+    import math
+
+    from siem_on_amazon_opensearch_service_spark.analysis import tokenize_py
+    from siem_on_amazon_opensearch_service_spark.bm25 import B, K1
+
+    url2id = {r["url"]: int(r["doc_id"]) for r in mix.docs.collect()}
+    raw = pages.select("url", "text", "title").collect()
+    toks = {
+        url2id[r["url"]]: {"body": tokenize_py(r["text"]),
+                           "title": tokenize_py(r["title"])}
+        for r in raw
+    }
+    qtf: dict[str, int] = {}
+    for t in tokenize_py(QUERY):
+        qtf[t] = qtf.get(t, 0) + 1
+
+    n_union = sum(1 for v in toks.values() if any(v[f] for f in weights))
+    sum_wdl = sum(
+        w * len(v[f]) for v in toks.values() for f, w in weights.items()
+    )
+    avgdl_c = sum_wdl / n_union
+    df_blend = {
+        t: max(
+            sum(1 for v in toks.values() if t in v[f]) for f in weights
+        )
+        for t in qtf
+    }
+
+    want = {}
+    for d, v in toks.items():
+        dl_c = sum(w * len(v[f]) for f, w in weights.items())
+        total = 0.0
+        for t, q in qtf.items():
+            if df_blend[t] == 0:
+                continue
+            tf_c = sum(w * v[f].count(t) for f, w in weights.items())
+            if not tf_c:
+                continue
+            idf = math.log(1 + (n_union - df_blend[t] + 0.5)
+                           / (df_blend[t] + 0.5))
+            total += q * idf * tf_c / (
+                tf_c + K1 * (1 - B + B * dl_c / avgdl_c))
+        if total:
+            want[d] = total
+    return want
+
+
+def test_combined_fields_python_twin(spark, pages, mix):
+    from siem_on_amazon_opensearch_service_spark.index.multifield import (
+        combined_fields_scores,
+    )
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields_scores(mix, QUERY, BOOSTS).collect()
+    }
+    want = _py_combined_fields(pages, mix, BOOSTS)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9), d
+
+
+def test_combined_fields_single_field_is_plain_bm25(spark, pages, mix):
+    """With one field at weight 1 (and every doc non-empty in it, so
+    the union docCount equals the field docCount), combined_fields
+    collapses to the single-field engine exactly."""
+    from siem_on_amazon_opensearch_service_spark.index.multifield import (
+        combined_fields_scores,
+    )
+
+    assert mix.field_stats["*"][0] == mix.field_stats["body"][0]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields_scores(mix, QUERY, {"body": 1.0}).collect()
+    }
+    body = _single_field_scores(spark, pages, "text")
+    assert got.keys() == body.keys()
+    for d, s in body.items():
+        assert got[d] == pytest.approx(s, abs=1e-9), d
+
+
+def test_combined_fields_save_load_roundtrip(spark, mix, tmp_path):
+    from siem_on_amazon_opensearch_service_spark.index.multifield import (
+        combined_fields_topk,
+    )
+
+    top = combined_fields_topk(mix, QUERY, BOOSTS, k=10).collect()
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    mix.save(spark, str(tmp_path / "cmix"), buckets=2)
+    re = MultiFieldIndex.load(spark, str(tmp_path / "cmix"))
+    assert re.doc_lens is not None
+    top2 = combined_fields_topk(re, QUERY, BOOSTS, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in top] == [
+        (r["doc_id"], round(r["score"], 9)) for r in top2
+    ]
+
+
+def test_combined_fields_requires_norms(spark, mix):
+    from siem_on_amazon_opensearch_service_spark.index.multifield import (
+        MultiFieldIndex as MFI,
+        combined_fields_scores,
+    )
+
+    bare = MFI(docs=mix.docs, postings=mix.postings,
+               term_stats=mix.term_stats, field_stats=mix.field_stats,
+               doc_lens=None)
+    with pytest.raises(ValueError, match="norms"):
+        combined_fields_scores(bare, QUERY, BOOSTS)
