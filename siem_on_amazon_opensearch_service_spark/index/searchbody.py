@@ -731,6 +731,7 @@ def search_hits(
     vec_col: str = "embedding",
     source_docs: DataFrame | None = None,
     sparse=None,
+    multi_ix=None,
 ) -> DataFrame:
     """Execute the body's query + sort/from/size/_source, returning
     the hits page.  Default sort is (_score desc, doc_id asc); a
@@ -776,6 +777,8 @@ def search_hits(
                                 vecs, vec_id_col, vec_col, sparse=sparse)
     elif qkind == "neural_sparse":
         scored = _sparse_scored(ix, qnode, sparse)
+    elif qkind in ("multi_match", "combined_fields"):
+        scored = _multi_scored(ix, qkind, qnode[qkind], multi_ix)
     else:
         tree = compile_query(qnode, text_field)
         scored = tree_scores(ix, tree, positional_ix=positional_ix,
@@ -1155,6 +1158,40 @@ def _sparse_scored(ix: PostingsIndex, qnode: dict,
     else:
         top = neural_sparse_topk(sparse, toks, k=k)
     return top.join(ix.docs, "doc_id", "left").select(
+        *[c for c in ix.docs.columns], "score")
+
+
+def _multi_scored(ix: PostingsIndex, qkind: str, params: dict,
+                  multi_ix) -> DataFrame:
+    """Top-level ``multi_match`` / ``combined_fields`` body query over
+    a MultiFieldIndex (pass ``multi_ix=``).  ``fields`` entries take
+    the wire ``name^boost`` form; multi_match ``type`` selects
+    best_fields (default) / most_fields / cross_fields, with
+    ``tie_breaker``; ``combined_fields`` is the BM25F scorer
+    (index/multifield.py)."""
+    from .multifield import combined_fields_scores, multi_match_scores
+
+    if multi_ix is None:
+        raise ValueError(f"{qkind} queries need the multi-field index "
+                         "(multi_ix=...)")
+    boosts: dict[str, float] = {}
+    for f in params.get("fields", []):
+        name, _, b = str(f).partition("^")
+        boosts[name] = float(b) if b else 1.0
+    if not boosts:
+        raise ValueError(f"{qkind} needs a non-empty 'fields' list")
+    query = str(params.get("query", ""))
+    if qkind == "combined_fields":
+        scores = combined_fields_scores(multi_ix, query, boosts)
+    else:
+        mtype = str(params.get("type", "best_fields"))
+        if mtype == "combined_fields":
+            scores = combined_fields_scores(multi_ix, query, boosts)
+        else:
+            scores = multi_match_scores(
+                multi_ix, query, boosts, mode=mtype,
+                tie_breaker=float(params.get("tie_breaker", 0.0)))
+    return scores.join(ix.docs, "doc_id", "left").select(
         *[c for c in ix.docs.columns], "score")
 
 
@@ -1751,9 +1788,16 @@ def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
 
 _PARENT_PIPE_KINDS = ("derivative", "cumulative_sum", "moving_avg",
                       "moving_fn", "serial_diff", "bucket_script",
-                      "bucket_selector", "bucket_sort")
+                      "bucket_selector", "bucket_sort", "normalize")
 _SIBLING_PIPE_KINDS = ("avg_bucket", "sum_bucket", "min_bucket",
-                       "max_bucket", "stats_bucket")
+                       "max_bucket", "stats_bucket",
+                       "percentiles_bucket", "extended_stats_bucket")
+
+
+def _pct_label(p: float) -> str:
+    """99 -> 'p99', 99.9 -> 'p99_9' (column-name-safe)."""
+    s = f"{p:g}".replace(".", "_")
+    return f"p{s}"
 
 
 def _pipe_window(levels: list[tuple]):
@@ -1797,6 +1841,25 @@ def _parent_pipe(frame: DataFrame, levels: list[tuple], name: str,
         return out.limit(int(size)) if size is not None else out
     col = F.col("doc_count" if bp in (None, "_count") else str(bp))
     col = col.cast("double")
+    if kind == "normalize":
+        # whole-partition rescale of a bucket metric (OpenSearch
+        # normalize pipeline); the frame is the reduced bucket list
+        full = w.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+        method = str(params.get("method", "rescale_0_1"))
+        mn, mx = F.min(col).over(full), F.max(col).over(full)
+        exprs = {
+            "rescale_0_1": (col - mn) / (mx - mn),
+            "rescale_0_100": F.lit(100.0) * (col - mn) / (mx - mn),
+            "percent_of_sum": col / F.sum(col).over(full),
+            "mean": (col - F.avg(col).over(full)) / (mx - mn),
+            "z-score": (col - F.avg(col).over(full))
+            / F.stddev_pop(col).over(full),
+            "softmax": F.exp(col) / F.sum(F.exp(col)).over(full),
+        }
+        if method not in exprs:
+            raise ValueError(f"unsupported normalize method {method!r}")
+        return frame.withColumn(name, exprs[method])
     if kind == "derivative":
         return frame.withColumn(name, col - F.lag(col).over(w))
     if kind == "cumulative_sum":
@@ -2044,7 +2107,26 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                        F.min(vcol).alias(f"{name}_min"),
                        F.max(vcol).alias(f"{name}_max"),
                        F.avg(vcol).alias(f"{name}_avg"),
-                       F.sum(vcol).alias(f"{name}_sum")]}[kind]
+                       F.sum(vcol).alias(f"{name}_sum")],
+                   "extended_stats_bucket": [
+                       F.count(vcol).alias(f"{name}_count"),
+                       F.min(vcol).alias(f"{name}_min"),
+                       F.max(vcol).alias(f"{name}_max"),
+                       F.avg(vcol).alias(f"{name}_avg"),
+                       F.sum(vcol).alias(f"{name}_sum"),
+                       F.sum(vcol * vcol)
+                       .alias(f"{name}_sum_of_squares"),
+                       F.var_pop(vcol).alias(f"{name}_variance"),
+                       F.stddev_pop(vcol)
+                       .alias(f"{name}_std_deviation")],
+                   # exact over the reduced bucket list, like the
+                   # coordinator (the wire API's TDigest is doc-level)
+                   "percentiles_bucket": [
+                       F.percentile(vcol, F.lit(p / 100.0))
+                       .alias(f"{name}_{_pct_label(p)}")
+                       for p in params.get(
+                           "percents", [1, 5, 25, 50, 75, 95, 99])
+                   ]}[kind]
             red = (child.groupBy(*pkeys).agg(*fns) if pkeys
                    else child.agg(*fns))
             out[">".join(path + [name])] = red

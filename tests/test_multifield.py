@@ -323,3 +323,52 @@ def test_combined_fields_requires_norms(spark, mix):
                doc_lens=None)
     with pytest.raises(ValueError, match="norms"):
         combined_fields_scores(bare, QUERY, BOOSTS)
+
+
+def test_body_multi_match_and_combined_fields(spark, pages, mix):
+    """search_hits dispatches multi_match / combined_fields body
+    kinds onto the MultiFieldIndex (wire field^boost syntax)."""
+    from siem_on_amazon_opensearch_service_spark.index.multifield import (
+        combined_fields_topk,
+    )
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_hits,
+    )
+
+    ix = build_index(spark, pages, salt_threshold=50)
+    fields = ["body", "title^2.5"]
+
+    body = {"query": {"multi_match": {
+        "query": QUERY, "fields": fields, "type": "most_fields"}},
+        "size": 10}
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in search_hits(ix, body, multi_ix=mix)
+           .select("doc_id", "score").collect()]
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in multi_match_topk(mix, QUERY, BOOSTS, k=10).collect()]
+    assert got == want
+
+    # default type is best_fields
+    bbody = {"query": {"multi_match": {"query": QUERY, "fields": fields,
+                                       "tie_breaker": 0.3}}, "size": 10}
+    got_b = [(r["doc_id"], round(r["score"], 9))
+             for r in search_hits(ix, bbody, multi_ix=mix)
+             .select("doc_id", "score").collect()]
+    want_b = [(r["doc_id"], round(r["score"], 9))
+              for r in multi_match_topk(
+                  mix, QUERY, BOOSTS, k=10, mode="best_fields",
+                  tie_breaker=0.3).collect()]
+    assert got_b == want_b
+
+    cbody = {"query": {"combined_fields": {
+        "query": QUERY, "fields": fields}}, "size": 10}
+    got_c = [(r["doc_id"], round(r["score"], 9))
+             for r in search_hits(ix, cbody, multi_ix=mix)
+             .select("doc_id", "score").collect()]
+    want_c = [(r["doc_id"], round(r["score"], 9))
+              for r in combined_fields_topk(mix, QUERY, BOOSTS, k=10)
+              .collect()]
+    assert got_c == want_c
+
+    with pytest.raises(ValueError, match="multi-field index"):
+        search_hits(ix, body).collect()

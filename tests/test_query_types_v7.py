@@ -646,3 +646,70 @@ def test_percentile_ranks_and_string_stats(ix, pages_pdf, doclen):
         assert got[lang]["ss_max_length"] == ln.max()
         assert math.isclose(got[lang]["ss_avg_length"], ln.mean(),
                             rel_tol=1e-9)
+
+
+def test_body_normalize_and_bucket_stats_pipelines(ix, pages_pdf, doclen):
+    """normalize (parent) + percentiles_bucket / extended_stats_bucket
+    (sibling) vs a pandas twin over the same bucket frame."""
+    aggs = {"hist": {"histogram": {"field": "doclen", "interval": 100},
+                     "aggs": {
+        "sales": {"sum": {"field": "doclen"}},
+        "pct": {"normalize": {"buckets_path": "sales",
+                              "method": "percent_of_sum"}},
+        "r01": {"normalize": {"buckets_path": "sales",
+                              "method": "rescale_0_1"}},
+        "z": {"normalize": {"buckets_path": "sales",
+                            "method": "z-score"}},
+        "sm": {"normalize": {"buckets_path": "_count",
+                             "method": "softmax"}},
+    }},
+        "pb": {"percentiles_bucket": {"buckets_path": "hist>sales",
+                                      "percents": [25, 50, 99.9]}},
+        "es": {"extended_stats_bucket": {"buckets_path": "hist>sales"}},
+    }
+    res = run_aggs(ix.docs, aggs)
+    got = {r["hist"]: r for r in res["hist"].collect()}
+
+    pdf = pages_pdf.copy()
+    pdf["doclen"] = [doclen[i] for i in range(N)]
+    pdf["bucket"] = (pdf["doclen"] // 100) * 100
+    grp = (pdf.groupby("bucket").agg(sales=("doclen", "sum"))
+           .reset_index().sort_values("bucket"))
+    vals = grp["sales"].astype(float)
+    assert len(grp) > 2, "too few buckets -- vacuous"
+    import numpy as np
+    lo, hi, tot = vals.min(), vals.max(), vals.sum()
+    mean, std = vals.mean(), vals.std(ddof=0)
+    counts = pdf.groupby("bucket")["doclen"].size().reindex(
+        grp["bucket"]).astype(float)
+    sm_den = float(np.exp(counts).sum())
+    for b, v, c in zip(grp["bucket"], vals, counts):
+        r = got[float(b)]
+        assert math.isclose(r["pct"], v / tot, rel_tol=1e-9)
+        assert math.isclose(r["r01"], (v - lo) / (hi - lo), rel_tol=1e-9)
+        assert math.isclose(r["z"], (v - mean) / std, rel_tol=1e-9)
+        assert math.isclose(r["sm"], math.exp(c) / sm_den, rel_tol=1e-9)
+
+    pb = res["pb"].collect()[0]
+    assert math.isclose(pb["pb_p25"], float(np.percentile(vals, 25)),
+                        rel_tol=1e-9)
+    assert math.isclose(pb["pb_p50"], float(np.percentile(vals, 50)),
+                        rel_tol=1e-9)
+    assert math.isclose(pb["pb_p99_9"], float(np.percentile(vals, 99.9)),
+                        rel_tol=1e-9)
+    es = res["es"].collect()[0]
+    assert es["es_count"] == len(vals)
+    assert math.isclose(es["es_sum_of_squares"], float((vals ** 2).sum()),
+                        rel_tol=1e-9)
+    assert math.isclose(es["es_variance"], float(vals.var(ddof=0)),
+                        rel_tol=1e-9)
+    assert math.isclose(es["es_std_deviation"], std, rel_tol=1e-9)
+
+
+def test_unsupported_normalize_method_raises(ix):
+    aggs = {"hist": {"histogram": {"field": "doclen", "interval": 100},
+                     "aggs": {"bad": {"normalize": {
+                         "buckets_path": "_count",
+                         "method": "rescale_minus_1_1"}}}}}
+    with pytest.raises(ValueError, match="normalize method"):
+        run_aggs(ix.docs, aggs)["hist"].collect()
