@@ -1174,10 +1174,20 @@ def _multi_scored(ix: PostingsIndex, qkind: str, params: dict,
     if multi_ix is None:
         raise ValueError(f"{qkind} queries need the multi-field index "
                          "(multi_ix=...)")
+    import fnmatch
+
+    indexed = [f for f in multi_ix.field_stats if f != "*"]
     boosts: dict[str, float] = {}
     for f in params.get("fields", []):
         name, _, b = str(f).partition("^")
-        boosts[name] = float(b) if b else 1.0
+        w = float(b) if b else 1.0
+        # wire field patterns ("*", "user.*") expand against the
+        # indexed fields; exact names pass through even if unknown
+        # (scoring skips them, like an unmapped field)
+        targets = (fnmatch.filter(indexed, name) if "*" in name
+                   else [name])
+        for t in targets:
+            boosts[t] = w
     if not boosts:
         raise ValueError(f"{qkind} needs a non-empty 'fields' list")
     query = str(params.get("query", ""))

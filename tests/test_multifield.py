@@ -372,3 +372,23 @@ def test_body_multi_match_and_combined_fields(spark, pages, mix):
 
     with pytest.raises(ValueError, match="multi-field index"):
         search_hits(ix, body).collect()
+
+
+def test_body_fields_wildcard_expansion(spark, pages, mix):
+    """fields: ["*^2"] expands to every indexed field (never the
+    reserved "*" stats row) with the pattern's boost."""
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_hits,
+    )
+
+    ix = build_index(spark, pages, salt_threshold=50)
+    body = {"query": {"multi_match": {
+        "query": QUERY, "fields": ["*^2"], "type": "most_fields"}},
+        "size": 10}
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in search_hits(ix, body, multi_ix=mix)
+           .select("doc_id", "score").collect()]
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in multi_match_topk(
+                mix, QUERY, {"body": 2.0, "title": 2.0}, k=10).collect()]
+    assert got == want
