@@ -218,6 +218,33 @@ def main() -> None:
     timed("script_score", lambda: search_hits(ix, ss_body)
           .select("doc_id", "score").collect())
 
+    # --- multi-field: BM25F combined_fields over body+title spaces ---
+    from siem_on_amazon_opensearch_service_spark.analysis import tokens_col
+    from siem_on_amazon_opensearch_service_spark.index.multifield import (
+        build_multi_index, combined_fields_topk,
+    )
+
+    def do_multi_build():
+        m = build_multi_index(
+            spark,
+            docs.withColumn(
+                "title", F.array_join(F.slice(tokens_col("text"), 1, 8), " ")
+            ),
+            {"body": "text", "title": F.col("title")},
+            id_col="doc_id", salt_threshold=max(1000, n_docs // 10),
+        )
+        m.postings = m.postings.persist()
+        m.doc_lens = m.doc_lens.persist()
+        m.postings.count()
+        m.doc_lens.count()
+        return m
+
+    mix = timed("multifield_build", do_multi_build, warm=False)
+    timed("combined_fields", lambda: combined_fields_topk(
+        mix, FT_QUERIES[0], {"body": 1.0, "title": 2.0}, k=20).collect())
+    mix.postings.unpersist()
+    mix.doc_lens.unpersist()
+
     # --- _msearch: a 6-panel dashboard batch vs the same panels
     # sequentially -- the batch shares ONE postings scan + shuffle ---
     from siem_on_amazon_opensearch_service_spark.index.msearch import (
