@@ -884,9 +884,44 @@ def hits_page(
         # sort) per collapse-key value.  One window partitioned by
         # the key -- the shuffle carries matched docs hashed by key,
         # never a global sort.
-        cw = Window.partitionBy(body["collapse"]["field"]).orderBy(*order)
+        cspec = body["collapse"]
+        ckey = cspec["field"]
+        pre_collapse = scored
+        cw = Window.partitionBy(ckey).orderBy(*order)
         scored = (scored.withColumn("_crn", F.row_number().over(cw))
                   .filter(F.col("_crn") == 1).drop("_crn"))
+        if "inner_hits" in cspec:
+            # per-group top hits riding on each collapsed hit as an
+            # ordered array<struct(doc_id, score)> column. The ranked
+            # window + per-key fold run over the SAME key-hashed
+            # shuffle the collapse itself needs (WindowGroupLimit
+            # bounds the fold input to size rows/key); the join back
+            # is collapsed-keys-sized.
+            ih = cspec["inner_hits"]
+            # flat column model: the wire default name (the collapse
+            # field itself) would collide with the key column
+            iname = str(ih.get("name", "inner_hits"))
+            isize = int(ih.get("size", 3))
+            ispec = (_sort_spec(ih["sort"]) + [(F.col("doc_id"), False)]
+                     if ih.get("sort") else spec)
+            iorder = [c.desc() if d else c.asc() for c, d in ispec]
+            iw = Window.partitionBy(ckey).orderBy(*iorder)
+            inner = (
+                pre_collapse
+                .withColumn("_irn", F.row_number().over(iw))
+                .filter(F.col("_irn") <= isize)
+                .groupBy(ckey)
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct(
+                            F.col("_irn").alias("rank"),
+                            F.col("doc_id").alias("doc_id"),
+                            F.col("score").alias("score"),
+                        ))
+                    ).alias(iname)
+                )
+            )
+            scored = scored.join(inner, ckey, "left")
 
     if "search_after" in body:
         # deep-pagination cursor: a filter, not an offset -- page N
@@ -966,7 +1001,13 @@ def hits_page(
         if "score" not in keep:
             keep.append("score")
         if "highlight" in body:
-            keep.append("highlight")
+            keep += [c for c in out.columns
+                     if c == "highlight" or c.startswith("highlight_")]
+        ih = body.get("collapse", {}).get("inner_hits")
+        if ih:
+            iname = str(ih.get("name", "inner_hits"))
+            if iname not in keep:
+                keep.append(iname)
         # script fields ride alongside _source (the wire contract
         # returns them in a separate "fields" section)
         keep += [c for c in body.get("script_fields", {})
@@ -1003,18 +1044,25 @@ def _resolve_field_patterns(patterns, columns) -> list[str]:
 
 def _with_highlight(page: DataFrame, body: dict, text_field: str,
                     source_docs: DataFrame | None) -> DataFrame:
-    """Unified-highlighter subset over the (bounded) hits page: one
-    fragment around the first query-term occurrence, every term
-    occurrence inside it wrapped in pre/post tags.  Pure native
-    expressions (regexp_instr/substring/regexp_replace) over
-    page-size rows -- never the corpus."""
+    """Unified-highlighter subset over the (bounded) hits page, pure
+    native expressions over page-size rows -- never the corpus.
+
+    Default shape (one field = ``text_field``, no
+    ``number_of_fragments``): a single ``highlight`` string column --
+    one fragment around the first query-term occurrence, every term
+    occurrence inside it wrapped in pre/post tags.
+
+    Extended shape (any other ``fields`` entry, or
+    ``number_of_fragments`` set): per-field ``highlight_<field>``
+    array<string> columns of up to N non-overlapping fragments
+    (context windows captured by one regexp_extract_all pass), with
+    ``no_match_size`` falling back to the text head.  Terms match in
+    every requested field (``require_field_match: false`` semantics
+    -- the engine's scoring fields live in the index, not the page)."""
     import re as _re
 
     hl = body["highlight"]
-    fspec = hl.get("fields", {}).get(text_field, {})
-    frag_size = int(fspec.get("fragment_size", 100))
-    pre = (hl.get("pre_tags") or fspec.get("pre_tags") or ["<em>"])[0]
-    post = (hl.get("post_tags") or fspec.get("post_tags") or ["</em>"])[0]
+    fields: dict = hl.get("fields") or {text_field: {}}
 
     from .querystring import _walk
     leaves: list = []
@@ -1022,34 +1070,81 @@ def _with_highlight(page: DataFrame, body: dict, text_field: str,
                         text_field), leaves)
     terms = sorted({l.text for l in leaves
                     if isinstance(l, TermLeaf) and l.kind == "term"})
+
+    legacy = (list(fields) == [text_field]
+              and "number_of_fragments" not in hl
+              and "number_of_fragments" not in fields[text_field])
+
     if not terms:
-        return page.withColumn("highlight", F.lit(None).cast("string"))
+        if legacy:
+            return page.withColumn(
+                "highlight", F.lit(None).cast("string"))
+        out = page
+        for fname in fields:
+            out = out.withColumn(
+                f"highlight_{fname}",
+                F.lit(None).cast("array<string>"))
+        return out
 
-    if source_docs is not None:
-        cols = page.columns
+    need = [f for f in fields if f not in page.columns]
+    cols = list(page.columns)
+    if need:
+        if source_docs is None:
+            raise ValueError(
+                "highlight needs the document text: pass source_docs= "
+                f"(the docs table does not carry {need!r})"
+            )
         page = page.join(
-            source_docs.select("doc_id", F.col(text_field).alias("_txt")),
+            source_docs.select(
+                "doc_id", *[F.col(f).alias(f"_hl_{f}") for f in need]),
             "doc_id", "left")
-    elif text_field in page.columns:
-        cols = [c for c in page.columns]
-        page = page.withColumn("_txt", F.col(text_field))
-    else:
-        raise ValueError(
-            "highlight needs the document text: pass source_docs= "
-            f"(the docs table does not carry {text_field!r})"
-        )
+    srccol = {f: F.col(f"_hl_{f}") if f in need else F.col(f)
+              for f in fields}
 
-    pat = "(?i)\\b(" + "|".join(_re.escape(t) for t in terms) + ")\\b"
-    pos = F.regexp_instr(F.col("_txt"), F.lit(pat))
-    frag = F.substring(
-        F.col("_txt"),
-        F.greatest(pos - frag_size // 4, F.lit(1)).cast("int"),
-        frag_size,
-    )
-    snippet = F.when(
-        pos > 0, F.regexp_replace(frag, pat, f"{pre}$1{post}")
-    ).otherwise(F.lit(None).cast("string"))
-    return page.select(*cols, snippet.alias("highlight"))
+    alts = "|".join(_re.escape(t) for t in terms)
+    pat = f"(?i)\\b({alts})\\b"
+
+    out = page
+    new_cols = []
+    for fname, fspec in fields.items():
+        fspec = fspec or {}
+        frag_size = int(fspec.get("fragment_size",
+                                  hl.get("fragment_size", 100)))
+        pre = (fspec.get("pre_tags") or hl.get("pre_tags")
+               or ["<em>"])[0]
+        post = (fspec.get("post_tags") or hl.get("post_tags")
+                or ["</em>"])[0]
+        txt = srccol[fname]
+        if legacy:
+            pos = F.regexp_instr(txt, F.lit(pat))
+            frag = F.substring(
+                txt,
+                F.greatest(pos - frag_size // 4, F.lit(1)).cast("int"),
+                frag_size,
+            )
+            snippet = F.when(
+                pos > 0, F.regexp_replace(frag, pat, f"{pre}$1{post}")
+            ).otherwise(F.lit(None).cast("string"))
+            new_cols.append(snippet.alias("highlight"))
+            continue
+        nfrags = int(fspec.get("number_of_fragments",
+                               hl.get("number_of_fragments", 5)))
+        ctx = max(frag_size // 4, 1)
+        # one pass captures non-overlapping context windows around
+        # each surviving occurrence; slice bounds them to N
+        fragpat = f"(?is).{{0,{ctx}}}\\b(?:{alts})\\b.{{0,{ctx}}}"
+        frags = F.slice(
+            F.regexp_extract_all(txt, F.lit(fragpat), 0), 1,
+            max(nfrags, 1))
+        frags = F.transform(
+            frags, lambda s: F.regexp_replace(s, pat, f"{pre}$1{post}"))
+        nms = int(fspec.get("no_match_size",
+                            hl.get("no_match_size", 0)))
+        if nms > 0:
+            frags = F.when(F.size(frags) > 0, frags).otherwise(
+                F.array(F.substring(txt, 1, nms)))
+        new_cols.append(frags.alias(f"highlight_{fname}"))
+    return out.select(*cols, *new_cols)
 
 
 def _sort_spec(sort_list: list) -> list[tuple[Column, bool]]:

@@ -913,3 +913,63 @@ def test_terms_lookup_query(spark):
     assert search_hits(ix, {"query": {"terms": {
         "lang": {"id": 99999, "path": "allowed"}}}, "size": 10}
     ).count() == 0
+
+
+def test_collapse_inner_hits(ix, oracle, meta):
+    """collapse + inner_hits: each collapsed hit carries its group's
+    ranked top-k (doc_id, score) array, matching the python twin."""
+    body = {"query": {"match": {"text": QUERY}}, "size": 10,
+            "collapse": {"field": "lang",
+                         "inner_hits": {"name": "grp", "size": 3}}}
+    rows = search_hits(ix, body).select("doc_id", "lang", "grp").collect()
+    base = _clause_scores(oracle, QUERY)
+    groups = {}
+    for d, s in sorted(base.items(), key=lambda kv: (-kv[1], kv[0])):
+        groups.setdefault(meta[d][0], []).append((d, s))
+    assert rows, "no collapsed hits -- vacuous"
+    for r in rows:
+        want = groups[r["lang"]][:3]
+        got = [(ih["doc_id"], ih["score"]) for ih in r["grp"]]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (gd, gs), (ed, es) in zip(got, want):
+            assert math.isclose(gs, es, rel_tol=1e-9)
+        assert [ih["rank"] for ih in r["grp"]] == list(
+            range(1, len(want) + 1))
+
+
+def test_highlight_multi_fragment_and_fields(ix, spark, pages_pdf):
+    """number_of_fragments -> array of tagged context windows; a
+    second field with no term hit falls back via no_match_size."""
+    src = spark.createDataFrame(
+        pages_pdf.assign(doc_id=range(N))[["doc_id", "text", "lang"]])
+    body = {
+        "query": {"match": {"text": QUERY}},
+        "size": 5,
+        "highlight": {"fields": {
+            "text": {"number_of_fragments": 3, "fragment_size": 60},
+            "lang": {"number_of_fragments": 2, "no_match_size": 2},
+        }},
+    }
+    rows = search_hits(ix, body, source_docs=src).collect()
+    assert len(rows) == 5
+    qterms = set(tokenize_py(QUERY))
+    for r in rows:
+        frags = r["highlight_text"]
+        assert frags and 1 <= len(frags) <= 3
+        for f in frags:
+            assert "<em>" in f and "</em>" in f
+            inner = f.split("<em>")[1].split("</em>")[0].lower()
+            assert inner in qterms
+        # lang never contains the query terms -> head fallback
+        assert r["highlight_lang"] == [r["lang"][:2]]
+
+
+def test_highlight_legacy_shape_unchanged(ix, spark, pages_pdf):
+    """single text-field highlight without number_of_fragments keeps
+    the original scalar `highlight` column."""
+    src = spark.createDataFrame(
+        pages_pdf.assign(doc_id=range(N))[["doc_id", "text"]])
+    body = {"query": {"match": {"text": QUERY}}, "size": 3,
+            "highlight": {"fields": {"text": {}}}}
+    rows = search_hits(ix, body, source_docs=src).collect()
+    assert all(isinstance(r["highlight"], str) for r in rows)
