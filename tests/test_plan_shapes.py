@@ -368,3 +368,37 @@ def test_classifier_scoring_no_corpus_rejoin(spark):
     plan = _plan(nb_score(docs, model))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_combined_fields_plan_pushed_no_cartesian(spark, tmp_path):
+    """combined_fields: term+field predicates pushed at the postings
+    scan; the norms join is a hash join on doc_id (never cartesian,
+    never a global sort); TakeOrdered top-k."""
+    from siem_on_amazon_opensearch_service_spark.analysis import tokens_col
+    from siem_on_amazon_opensearch_service_spark.index.multifield import (
+        MultiFieldIndex,
+        build_multi_index,
+        combined_fields_topk,
+    )
+
+    pdf = corpus.make_pages_pdf(200, seed=5)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    pages = spark.createDataFrame(pdf)
+    title = F.array_join(F.slice(tokens_col("text"), 1, 6), " ")
+    mix = build_multi_index(
+        spark, pages, {"body": "text", "title": title},
+        id_col="doc_id", salt_threshold=60,
+    )
+    path = str(tmp_path / "cfx")
+    mix.save(spark, path, buckets=2)
+    mix = MultiFieldIndex.load(spark, path)
+
+    plan = _plan(
+        combined_fields_topk(mix, "w00001 w00057",
+                             {"body": 1.0, "title": 2.0}, k=10)
+    )
+    flat = plan.replace(" ", "")
+    assert "In(term" in flat and "In(field" in flat
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Sort " not in plan  # no global sort node
