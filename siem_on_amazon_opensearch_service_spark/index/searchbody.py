@@ -1512,6 +1512,19 @@ _CAL_TRUNC = {"second": "second", "minute": "minute", "hour": "hour",
               "1w": "week", "1M": "month", "1q": "quarter", "1y": "year"}
 
 
+def _dur_secs(s: str) -> int:
+    """'+6h' / '-30m' / '90s' / '1d' -> signed seconds (the wire's
+    fixed-duration grammar; ms and calendar units are rejected)."""
+    s = str(s).strip()
+    sign = -1 if s.startswith("-") else 1
+    s = s.lstrip("+-")
+    unit = s[-1]
+    if unit not in ("s", "m", "h", "d"):
+        raise ValueError(f"unsupported duration unit in {s!r}")
+    return sign * int(s[:-1]) * {"s": 1, "m": 60, "h": 3600,
+                                 "d": 86400}[unit]
+
+
 def _bucket_expr(kind: str, params: dict, text_field: str,
                  df: DataFrame | None = None
                  ) -> tuple[Column, bool, dict | None]:
@@ -1557,13 +1570,23 @@ def _bucket_expr(kind: str, params: dict, text_field: str,
         interval = params.get("calendar_interval",
                               params.get("fixed_interval", "day"))
         col = F.col(params["field"])
+        tz = params.get("time_zone")
+        off = _dur_secs(params["offset"]) if params.get("offset") else 0
+        base = F.from_utc_timestamp(col, tz) if tz else col
+        if off:
+            base = base - F.make_interval(secs=F.lit(off))
         if interval in _CAL_TRUNC:
-            key = F.date_trunc(_CAL_TRUNC[interval], col)
+            key = F.date_trunc(_CAL_TRUNC[interval], base)
         else:  # fixed_interval like "30m" / "6h" / "90s"
-            n, unit = int(interval[:-1]), interval[-1]
-            secs = n * {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
-            epoch = col.cast("timestamp").cast("long")
+            secs = _dur_secs(interval)
+            epoch = base.cast("timestamp").cast("long")
             key = F.timestamp_seconds((epoch / secs).cast("long") * secs)
+        if off:
+            key = key + F.make_interval(secs=F.lit(off))
+        if tz:
+            # back to the UTC instant of the local bucket start (the
+            # wire returns epoch-millis keys in UTC)
+            key = F.to_utc_timestamp(key, tz)
         return key, False, None
     if kind == "auto_date_histogram":
         # interval rung chosen from the data span: a 1-row min/max

@@ -973,3 +973,61 @@ def test_highlight_legacy_shape_unchanged(ix, spark, pages_pdf):
             "highlight": {"fields": {"text": {}}}}
     rows = search_hits(ix, body, source_docs=src).collect()
     assert all(isinstance(r["highlight"], str) for r in rows)
+
+
+def test_date_histogram_time_zone_and_offset(spark, ix):
+    """time_zone shifts bucket boundaries to local midnight (keys
+    back in UTC); offset slides them by a fixed duration — both vs a
+    zoneinfo-computed python twin."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    rows = [(i, dt.datetime(2024, 3, 9, h, 30, tzinfo=dt.timezone.utc))
+            for i, h in enumerate([0, 5, 11, 17, 23, 23])]
+    rows += [(10 + i, dt.datetime(2024, 3, 10, h, 30,
+                                  tzinfo=dt.timezone.utc))
+             for i, h in enumerate([2, 9, 10, 22])]  # DST jump in NY
+    docs = spark.createDataFrame(
+        [(d, t.replace(tzinfo=None)) for d, t in rows],
+        "doc_id long, ts timestamp")
+
+    def twin(tz_name, off_secs=0):
+        tz = ZoneInfo(tz_name)
+        out = {}
+        for _, t in rows:
+            loc = t.astimezone(tz) - dt.timedelta(seconds=off_secs)
+            day = loc.replace(hour=0, minute=0, second=0, microsecond=0)
+            key = (day + dt.timedelta(seconds=off_secs)).astimezone(
+                dt.timezone.utc).replace(tzinfo=None)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    for tz_name, off in [("America/New_York", None),
+                         ("Asia/Tokyo", None),
+                         ("America/New_York", "+6h"),
+                         (None, "-2h")]:
+        spec = {"field": "ts", "calendar_interval": "day"}
+        if tz_name:
+            spec["time_zone"] = tz_name
+        if off:
+            spec["offset"] = off
+        got = {r["d"]: r["doc_count"]
+               for r in run_aggs(docs, {"d": {"date_histogram": spec}})
+               ["d"].collect()}
+        off_secs = {"+6h": 21600, "-2h": -7200}.get(off, 0)
+        if tz_name:
+            want = twin(tz_name, off_secs)
+        else:
+            want = twin("UTC", off_secs)
+        assert got == want, (tz_name, off, got, want)
+
+
+def test_duration_parse_rejects_unknown_unit():
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        _dur_secs,
+    )
+
+    assert _dur_secs("+6h") == 21600
+    assert _dur_secs("-30m") == -1800
+    with pytest.raises(ValueError):
+        _dur_secs("10x")
