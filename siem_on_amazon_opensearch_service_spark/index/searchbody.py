@@ -1525,6 +1525,169 @@ def _dur_secs(s: str) -> int:
                                  "d": 86400}[unit]
 
 
+#: ladder cap for min_doc_count:0 filling -- the wire's
+#: search.max_buckets analog (a mis-sized interval over a wide range
+#: must error, not OOM the driver)
+_MAX_FILLED_BUCKETS = 10_000
+
+
+def _fill_empty_buckets(g: DataFrame, name: str, kind: str,
+                        params: dict, metrics: list[tuple]) -> DataFrame:
+    """Left-join the full bucket ladder into a single-level
+    (date_)histogram frame: absent rungs get doc_count 0 (sum /
+    value_count metrics coalesce to 0 like the wire; other metrics
+    stay null). Bounds = extended_bounds if given (snapped to the
+    grid), else the observed key range."""
+    import datetime as dt
+
+    spark = g.sparkSession
+    row = g.agg(F.min(name).alias("lo"), F.max(name).alias("hi")) \
+        .collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    eb = params.get("extended_bounds") or {}
+
+    if kind == "histogram":
+        step = float(params["interval"])
+
+        def snap(v):
+            import math
+            return math.floor(float(v) / step) * step
+
+        if eb.get("min") is not None:
+            lo = snap(eb["min"]) if lo is None else min(lo, snap(eb["min"]))
+        if eb.get("max") is not None:
+            hi = snap(eb["max"]) if hi is None else max(hi, snap(eb["max"]))
+        if lo is None:
+            return g
+        n = int(round((hi - lo) / step)) + 1
+        if n > _MAX_FILLED_BUCKETS:
+            raise ValueError(
+                f"min_doc_count:0 would fill {n} buckets "
+                f"(cap {_MAX_FILLED_BUCKETS}) -- widen the interval")
+        keys = [(lo + i * step,) for i in range(n)]
+        ladder = spark.createDataFrame(keys, f"{name} double")
+    else:
+        interval = params.get("calendar_interval",
+                              params.get("fixed_interval", "day"))
+        tzname = params.get("time_zone")
+        off = _dur_secs(params["offset"]) if params.get("offset") else 0
+
+        def parse_bound(v):
+            if isinstance(v, (int, float)):  # epoch millis
+                return dt.datetime.utcfromtimestamp(float(v) / 1000.0)
+            return dt.datetime.fromisoformat(str(v))
+
+        def snap_ts(t: dt.datetime) -> dt.datetime:
+            # same composition as the scan-side bucket expr: to local,
+            # minus offset, truncate, plus offset, back to UTC
+            if tzname:
+                from zoneinfo import ZoneInfo
+                t = t.replace(tzinfo=dt.timezone.utc).astimezone(
+                    ZoneInfo(tzname)).replace(tzinfo=None)
+            t = t - dt.timedelta(seconds=off)
+            unit = _CAL_TRUNC.get(interval)
+            if unit == "second":
+                t = t.replace(microsecond=0)
+            elif unit == "minute":
+                t = t.replace(second=0, microsecond=0)
+            elif unit == "hour":
+                t = t.replace(minute=0, second=0, microsecond=0)
+            elif unit == "day":
+                t = t.replace(hour=0, minute=0, second=0, microsecond=0)
+            elif unit == "week":
+                t = t.replace(hour=0, minute=0, second=0, microsecond=0)
+                t -= dt.timedelta(days=t.weekday())
+            elif unit == "month":
+                t = t.replace(day=1, hour=0, minute=0, second=0,
+                              microsecond=0)
+            elif unit == "quarter":
+                t = t.replace(month=t.month - (t.month - 1) % 3, day=1,
+                              hour=0, minute=0, second=0, microsecond=0)
+            elif unit == "year":
+                t = t.replace(month=1, day=1, hour=0, minute=0,
+                              second=0, microsecond=0)
+            else:  # fixed interval
+                secs = _dur_secs(interval)
+                e = int(t.replace(tzinfo=dt.timezone.utc).timestamp())
+                t = dt.datetime.utcfromtimestamp(e // secs * secs)
+            t = t + dt.timedelta(seconds=off)
+            if tzname:
+                from zoneinfo import ZoneInfo
+                t = t.replace(tzinfo=ZoneInfo(tzname)).astimezone(
+                    dt.timezone.utc).replace(tzinfo=None)
+            return t
+
+        def step_local(t: dt.datetime) -> dt.datetime:
+            unit = _CAL_TRUNC.get(interval)
+            if unit == "month":
+                y, m = divmod(t.month, 12)
+                return t.replace(year=t.year + y, month=m + 1)
+            if unit == "quarter":
+                m0 = t.month + 2
+                return t.replace(year=t.year + m0 // 12,
+                                 month=m0 % 12 + 1)
+            if unit == "year":
+                return t.replace(year=t.year + 1)
+            if unit == "week":
+                return t + dt.timedelta(days=7)
+            if unit == "day":
+                return t + dt.timedelta(days=1)
+            if unit == "hour":
+                return t + dt.timedelta(hours=1)
+            if unit == "minute":
+                return t + dt.timedelta(minutes=1)
+            if unit == "second":
+                return t + dt.timedelta(seconds=1)
+            return t + dt.timedelta(seconds=_dur_secs(interval))
+
+        def to_local(t: dt.datetime) -> dt.datetime:
+            if not tzname:
+                return t
+            from zoneinfo import ZoneInfo
+            return t.replace(tzinfo=dt.timezone.utc).astimezone(
+                ZoneInfo(tzname)).replace(tzinfo=None)
+
+        def to_utc(t: dt.datetime) -> dt.datetime:
+            if not tzname:
+                return t
+            from zoneinfo import ZoneInfo
+            return t.replace(tzinfo=ZoneInfo(tzname)).astimezone(
+                dt.timezone.utc).replace(tzinfo=None)
+
+        if eb.get("min") is not None:
+            b = snap_ts(parse_bound(eb["min"]))
+            lo = b if lo is None else min(lo, b)
+        if eb.get("max") is not None:
+            b = snap_ts(parse_bound(eb["max"]))
+            hi = b if hi is None else max(hi, b)
+        if lo is None:
+            return g
+        # step in LOCAL bucket space (calendar units stay calendar
+        # across DST), emit UTC instants like the scan-side keys
+        keys = []
+        cur = to_local(lo)
+        end = to_local(hi)
+        while cur <= end:
+            keys.append((to_utc(cur),))
+            if len(keys) > _MAX_FILLED_BUCKETS:
+                raise ValueError(
+                    f"min_doc_count:0 would fill >{_MAX_FILLED_BUCKETS} "
+                    "buckets -- widen the interval")
+            cur = step_local(cur)
+        ladder = spark.createDataFrame(keys, f"{name} timestamp")
+
+    zero_metrics = [mn for mn, mk, _mp in metrics
+                    if mk in ("sum", "value_count")]
+    joined = ladder.join(g, name, "left")
+    joined = joined.withColumn(
+        "doc_count", F.coalesce(F.col("doc_count"), F.lit(0)))
+    for mn in zero_metrics:
+        if mn in joined.columns:
+            joined = joined.withColumn(
+                mn, F.coalesce(F.col(mn), F.lit(0.0)))
+    return joined.select(*g.columns)
+
+
 def _bucket_expr(kind: str, params: dict, text_field: str,
                  df: DataFrame | None = None
                  ) -> tuple[Column, bool, dict | None]:
@@ -2375,6 +2538,18 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
             g = (g.withColumn("_rk", F.dense_rank().over(wrank))
                  .filter(F.col("_rk") <= size)
                  .drop("_rk", *( ["_lvl_total"] if by == "_count" else [])))
+        # min_doc_count: 0 -- fill the empty rungs of the histogram
+        # ladder (dashboards need a continuous time axis). Single
+        # level only; bounds from extended_bounds or the observed key
+        # range (a bucket-sized driver probe); the ladder is generated
+        # driver-side (bounded by a 10k-bucket cap, the wire's
+        # soft-limit analog) and left-joined -- never a corpus scan.
+        if len(levels) == 1:
+            lname = levels[0][0]
+            lkind, lparams = bucket_meta.get(lname, (None, {}))
+            if (lkind in ("date_histogram", "histogram")
+                    and int(lparams.get("min_doc_count", 1)) == 0):
+                g = _fill_empty_buckets(g, lname, lkind, lparams, metrics)
         # response-order contract (single level only): OpenSearch
         # returns terms buckets sorted by the order spec and
         # histogram-family buckets by key.  The sort runs AFTER

@@ -1031,3 +1031,61 @@ def test_duration_parse_rejects_unknown_unit():
     assert _dur_secs("-30m") == -1800
     with pytest.raises(ValueError):
         _dur_secs("10x")
+
+
+def test_min_doc_count_zero_fills_ladder(spark):
+    """date_histogram/histogram min_doc_count:0 emit the FULL bucket
+    ladder: gaps get doc_count 0, sum metrics 0, avg metrics null;
+    extended_bounds widen the range beyond the data."""
+    import datetime as dt
+
+    docs = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), 4.0),
+         (2, dt.datetime(2024, 1, 1, 11), 6.0),
+         (3, dt.datetime(2024, 1, 4, 3), 10.0)],
+        "doc_id long, ts timestamp, v double")
+
+    res = run_aggs(docs, {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day",
+                           "min_doc_count": 0},
+        "aggs": {"s": {"sum": {"field": "v"}},
+                 "a": {"avg": {"field": "v"}}}}})["d"].collect()
+    got = {r["d"].date().isoformat(): (r["doc_count"], r["s"], r["a"])
+           for r in res}
+    assert got == {
+        "2024-01-01": (2, 10.0, 5.0),
+        "2024-01-02": (0, 0.0, None),
+        "2024-01-03": (0, 0.0, None),
+        "2024-01-04": (1, 10.0, 10.0),
+    }
+    # ordered by key (response contract holds over filled rungs)
+    assert [r["d"].day for r in res] == [1, 2, 3, 4]
+
+    # extended_bounds stretch past the data on both sides
+    res2 = run_aggs(docs, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day", "min_doc_count": 0,
+        "extended_bounds": {"min": "2023-12-30", "max": "2024-01-05"},
+    }}})["d"].collect()
+    assert [r["d"].date().isoformat() for r in res2] == [
+        "2023-12-30", "2023-12-31", "2024-01-01", "2024-01-02",
+        "2024-01-03", "2024-01-04", "2024-01-05"]
+    assert sum(r["doc_count"] for r in res2) == 3
+
+    # numeric histogram
+    nres = run_aggs(docs, {"h": {"histogram": {
+        "field": "v", "interval": 2.0, "min_doc_count": 0}}})["h"] \
+        .collect()
+    assert [(r["h"], r["doc_count"]) for r in nres] == [
+        (4.0, 1), (6.0, 1), (8.0, 0), (10.0, 1)]
+
+
+def test_min_doc_count_zero_ladder_cap(spark):
+    import datetime as dt
+
+    docs = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1)), (2, dt.datetime(2024, 1, 1))],
+        "doc_id long, ts timestamp")
+    with pytest.raises(ValueError, match="widen the interval"):
+        run_aggs(docs, {"d": {"date_histogram": {
+            "field": "ts", "fixed_interval": "30m",
+            "min_doc_count": 0}}})["d"].collect()
