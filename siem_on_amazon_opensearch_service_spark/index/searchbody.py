@@ -2547,9 +2547,14 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
         if len(levels) == 1:
             lname = levels[0][0]
             lkind, lparams = bucket_meta.get(lname, (None, {}))
-            if (lkind in ("date_histogram", "histogram")
-                    and int(lparams.get("min_doc_count", 1)) == 0):
+            mdc = int(lparams.get("min_doc_count", 1))
+            if lkind in ("date_histogram", "histogram") and mdc == 0:
                 g = _fill_empty_buckets(g, lname, lkind, lparams, metrics)
+            elif mdc > 1:
+                # floor on the reduced bucket rows (the coordinator
+                # filter; for terms this runs after the size cut --
+                # identical under the default _count ordering)
+                g = g.filter(F.col("doc_count") >= mdc)
         # response-order contract (single level only): OpenSearch
         # returns terms buckets sorted by the order spec and
         # histogram-family buckets by key.  The sort runs AFTER

@@ -1089,3 +1089,13 @@ def test_min_doc_count_zero_ladder_cap(spark):
         run_aggs(docs, {"d": {"date_histogram": {
             "field": "ts", "fixed_interval": "30m",
             "min_doc_count": 0}}})["d"].collect()
+
+
+def test_min_doc_count_threshold(spark):
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 5 else ("b" if i < 7 else "c"))
+         for i in range(8)], "doc_id long, k string")
+    got = {r["t"]: r["doc_count"] for r in run_aggs(docs, {"t": {
+        "terms": {"field": "k", "size": 10, "min_doc_count": 2}}})["t"]
+        .collect()}
+    assert got == {"a": 5, "b": 2}
