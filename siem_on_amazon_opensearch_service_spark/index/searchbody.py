@@ -678,6 +678,8 @@ def _join_field_scored(ix: PostingsIndex, qkind: str, body: dict,
     if matched is None:    # match_all inner query
         matched = ix.docs.withColumn("score", F.lit(1.0))
 
+    ih = body.get("inner_hits")
+    iname = str(ih.get("name", "inner_hits")) if ih is not None else None
     if qkind == "has_child":
         child_type = str(body["type"])
         mode = str(body.get("score_mode", "none"))
@@ -686,14 +688,32 @@ def _join_field_scored(ix: PostingsIndex, qkind: str, body: dict,
                "avg": F.avg("score")}
         if mode not in agg:
             raise ValueError(f"bad score_mode {mode!r}")
+        kids_m = matched.filter(
+            (F.col(name_col) == child_type)
+            & F.col(parent_col).isNotNull())
+        extra = []
+        if ih is not None:
+            # top-k matching children per parent, collected in the
+            # SAME family groupBy (WindowGroupLimit bounds the ranked
+            # rows; score_mode still aggregates over ALL children)
+            isize = int(ih.get("size", 3))
+            iw = Window.partitionBy(parent_col).orderBy(
+                F.desc("score"), F.asc("doc_id"))
+            kids_m = kids_m.withColumn("_irn", F.row_number().over(iw))
+            extra = [
+                F.array_sort(F.collect_list(F.when(
+                    F.col("_irn") <= isize,
+                    F.struct(F.col("_irn").alias("rank"),
+                             F.col("doc_id").alias("doc_id"),
+                             F.col("score").alias("score"))
+                ))).alias(iname)
+            ]
         fam = (
-            matched
-            .filter((F.col(name_col) == child_type)
-                    & F.col(parent_col).isNotNull())
+            kids_m
             .groupBy(F.col(parent_col).alias("doc_id"))
             .agg(F.count("*").alias("_n_children"),
                  (agg[mode] if mode != "none" else F.first(F.lit(1.0)))
-                 .alias("score"))
+                 .alias("score"), *extra)
             .filter(F.col("_n_children")
                     >= int(body.get("min_children", 1)))
         )
@@ -713,7 +733,13 @@ def _join_field_scored(ix: PostingsIndex, qkind: str, body: dict,
                     kids[parent_col] == parents["_parent_id"])
     score = (F.col("_parent_score") if keep_score
              else F.lit(1.0)).alias("score")
-    return out.select(*[kids[c] for c in kids.columns], score)
+    cols = [*[kids[c] for c in kids.columns], score]
+    if ih is not None:
+        cols.append(F.array(F.struct(
+            F.lit(1).alias("rank"),
+            F.col("_parent_id").alias("doc_id"),
+            F.col("_parent_score").alias("score"))).alias(iname))
+    return out.select(*cols)
 
 
 # ---------------------------------------------------------------------------
@@ -1003,11 +1029,14 @@ def hits_page(
         if "highlight" in body:
             keep += [c for c in out.columns
                      if c == "highlight" or c.startswith("highlight_")]
-        ih = body.get("collapse", {}).get("inner_hits")
-        if ih:
-            iname = str(ih.get("name", "inner_hits"))
-            if iname not in keep:
-                keep.append(iname)
+        qn = body.get("query", {})
+        for ih in (body.get("collapse", {}).get("inner_hits"),
+                   *(qn.get(jk, {}).get("inner_hits")
+                     for jk in ("has_child", "has_parent"))):
+            if ih:
+                iname = str(ih.get("name", "inner_hits"))
+                if iname not in keep:
+                    keep.append(iname)
         # script fields ride alongside _source (the wire contract
         # returns them in a separate "fields" section)
         keep += [c for c in body.get("script_fields", {})

@@ -713,3 +713,54 @@ def test_unsupported_normalize_method_raises(ix):
                          "method": "rescale_minus_1_1"}}}}}
     with pytest.raises(ValueError, match="normalize method"):
         run_aggs(ix.docs, aggs)["hist"].collect()
+
+
+def test_has_child_inner_hits(family_ix, oracle):
+    """inner_hits on has_child: each parent carries its ranked top-k
+    matching children; score_mode still aggregates ALL children."""
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_hits as _sh,
+    )
+
+    body = {"query": {"has_child": {
+        "type": "answer", "query": {"match": {"text": QUERY}},
+        "score_mode": "sum", "min_children": 2,
+        "inner_hits": {"size": 2}}}, "size": 100}
+    rows = _sh(family_ix, body).select(
+        "doc_id", "score", "inner_hits").collect()
+    base = _clause_scores(oracle, QUERY)
+    fam = {}
+    for d, s in base.items():
+        if d >= 60:
+            fam.setdefault(d % 60, []).append((d, s))
+    assert rows, "no parents -- vacuous"
+    for r in rows:
+        kids = fam[r["doc_id"]]
+        assert len(kids) >= 2
+        assert math.isclose(r["score"], sum(s for _, s in kids),
+                            rel_tol=1e-9)
+        want = sorted(kids, key=lambda ds: (-ds[1], ds[0]))[:2]
+        got = [(ih["doc_id"], ih["score"]) for ih in r["inner_hits"]]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (gd, gs), (ed, es) in zip(got, want):
+            assert math.isclose(gs, es, rel_tol=1e-9)
+
+
+def test_has_parent_inner_hits(family_ix, oracle):
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_hits as _sh,
+    )
+
+    body = {"query": {"has_parent": {
+        "parent_type": "question", "query": {"match": {"text": QUERY}},
+        "score": True, "inner_hits": {"name": "parent"}}},
+        "size": 1000}
+    rows = _sh(family_ix, body).select(
+        "doc_id", "score", "parent").collect()
+    base = _clause_scores(oracle, QUERY)
+    assert rows, "no children -- vacuous"
+    for r in rows:
+        assert len(r["parent"]) == 1
+        p = r["parent"][0]
+        assert p["doc_id"] == r["doc_id"] % 60
+        assert math.isclose(p["score"], base[p["doc_id"]], rel_tol=1e-9)
