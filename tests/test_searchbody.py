@@ -1099,3 +1099,31 @@ def test_min_doc_count_threshold(spark):
         "terms": {"field": "k", "size": 10, "min_doc_count": 2}}})["t"]
         .collect()}
     assert got == {"a": 5, "b": 2}
+
+
+@pytest.mark.parametrize("interval,kind,keys", [
+    ("week", "calendar_interval",
+     ["2024-01-01", "2024-01-08", "2024-01-15"]),
+    ("month", "calendar_interval",
+     ["2024-01-01", "2024-02-01", "2024-03-01"]),
+    ("12h", "fixed_interval",
+     ["2024-01-01 00:00", "2024-01-01 12:00", "2024-01-02 00:00",
+      "2024-01-02 12:00"]),
+])
+def test_ladder_fill_interval_units(spark, interval, kind, keys):
+    import datetime as dt
+
+    lo = dt.datetime(2024, 1, 1, 3)
+    hi = {"week": dt.datetime(2024, 1, 16),
+          "month": dt.datetime(2024, 3, 2),
+          "12h": dt.datetime(2024, 1, 2, 13)}[interval]
+    docs = spark.createDataFrame([(1, lo), (2, hi)],
+                                 "doc_id long, ts timestamp")
+    res = run_aggs(docs, {"d": {"date_histogram": {
+        "field": "ts", kind: interval, "min_doc_count": 0}}})["d"] \
+        .collect()
+    got = [r["d"].strftime("%Y-%m-%d %H:%M") for r in res]
+    want = [k if " " in k else f"{k} 00:00" for k in keys]
+    assert got == want, (interval, got)
+    assert [r["doc_count"] for r in res] == \
+        [1] + [0] * (len(keys) - 2) + [1]
