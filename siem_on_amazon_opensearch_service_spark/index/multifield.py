@@ -344,6 +344,7 @@ def multi_match_scores(
 
 def combined_fields_scores(
     mix: MultiFieldIndex, query: str, weights: dict[str, float],
+    operator: str = "or", minimum_should_match: int = 0,
 ) -> DataFrame:
     """(doc_id, score): the ``combined_fields`` query type.
 
@@ -458,11 +459,22 @@ def combined_fields_scores(
     sat = tf_c / (
         tf_c + K1 * (1.0 - B + B * F.col("wdl") / F.lit(avgdl_c))
     )
-    return (
+    # operator / minimum_should_match gate on the count of DISTINCT
+    # query terms matched (any field), folded into the same groupBy --
+    # the wire's combined_fields operator semantics, no extra pass
+    if str(operator).lower() == "and":
+        need = len(qtf)
+    else:
+        need = int(minimum_should_match)
+    scored = (
         joined.withColumn("_s", imap[F.col("_t")] * sat)
         .groupBy("doc_id")
-        .agg(F.sum("_s").alias("score"))
+        .agg(F.sum("_s").alias("score"),
+             F.count("*").alias("_n_terms"))
     )
+    if need > 1:
+        scored = scored.filter(F.col("_n_terms") >= need)
+    return scored.drop("_n_terms")
 
 
 def combined_fields_topk(

@@ -1316,7 +1316,11 @@ def _multi_scored(ix: PostingsIndex, qkind: str, params: dict,
         raise ValueError(f"{qkind} needs a non-empty 'fields' list")
     query = str(params.get("query", ""))
     if qkind == "combined_fields":
-        scores = combined_fields_scores(multi_ix, query, boosts)
+        scores = combined_fields_scores(
+            multi_ix, query, boosts,
+            operator=str(params.get("operator", "or")),
+            minimum_should_match=int(
+                params.get("minimum_should_match", 0)))
     else:
         mtype = str(params.get("type", "best_fields"))
         if mtype == "combined_fields":

@@ -392,3 +392,45 @@ def test_body_fields_wildcard_expansion(spark, pages, mix):
             for r in multi_match_topk(
                 mix, QUERY, {"body": 2.0, "title": 2.0}, k=10).collect()]
     assert got == want
+
+
+def test_combined_fields_operator_and_mnm(spark, pages, mix):
+    """operator=and keeps only docs matching EVERY query term in some
+    field; minimum_should_match thresholds the distinct-term count;
+    surviving scores are unchanged from the OR run."""
+    from siem_on_amazon_opensearch_service_spark.analysis import tokenize_py
+    from siem_on_amazon_opensearch_service_spark.index.multifield import (
+        combined_fields_scores,
+    )
+
+    base = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields_scores(mix, QUERY, BOOSTS).collect()
+    }
+    toks = {}
+    for r in pages.select("url", "text", "title").collect():
+        toks[r["url"]] = tokenize_py(r["text"]) + tokenize_py(r["title"])
+    url2id = {r["url"]: int(r["doc_id"]) for r in mix.docs.collect()}
+    nmatch = {
+        url2id[u]: sum(1 for t in set(tokenize_py(QUERY)) if t in tk)
+        for u, tk in toks.items()
+    }
+    qn = len(set(tokenize_py(QUERY)))
+
+    got_and = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields_scores(
+            mix, QUERY, BOOSTS, operator="and").collect()
+    }
+    want_and = {d for d, n in nmatch.items() if n == qn}
+    assert set(got_and) == want_and and want_and
+    for d, s in got_and.items():
+        assert s == pytest.approx(base[d], abs=1e-9)
+
+    got_2 = {
+        r["doc_id"]
+        for r in combined_fields_scores(
+            mix, QUERY, BOOSTS, minimum_should_match=2).collect()
+    }
+    assert got_2 == {d for d, n in nmatch.items() if n >= 2}
+    assert got_2 > want_and  # strictly wider -- not vacuous
