@@ -1,0 +1,90 @@
+"""index.sort analog: range-bucketed sorted docs layout with
+manifest-driven early termination — results must equal a full
+orderBy/limit, and the read path must provably touch only the
+boundary buckets."""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from siem_on_amazon_opensearch_service_spark.index.sortedindex import (
+    SortedDocs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=rng.randrange(0, 500_000)),
+         rng.choice(["en", "de", "fr"]), float(rng.randrange(1000)))
+        for i in range(5000)
+    ]
+    # sprinkle nulls in the sort field
+    rows += [(5000 + i, None, "en", 1.0) for i in range(7)]
+    return spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, lang string, v double")
+
+
+@pytest.fixture(scope="module")
+def sdocs(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sorted"))
+    SortedDocs.save(spark, docs, path, "ts", buckets=16)
+    return SortedDocs.load(spark, path)
+
+
+def _ids(df):
+    return [r["doc_id"] for r in df.collect()]
+
+
+@pytest.mark.parametrize("desc", [False, True])
+def test_topk_matches_full_sort_and_prunes(spark, docs, sdocs, desc):
+    got = sdocs.topk(50, desc=desc).select("doc_id", "ts").collect()
+    c = F.col("ts")
+    want = (docs.filter(c.isNotNull())
+            .orderBy(c.desc() if desc else c.asc())
+            .limit(50).select("doc_id", "ts").collect())
+    # sort keys identical rank-by-rank (doc ties within equal ts are
+    # order-free; minute-resolution timestamps can collide)
+    assert [r["ts"] for r in got] == [r["ts"] for r in want]
+    assert [r["doc_id"] for r in got]  # non-vacuous
+    # early termination: the read touched a strict subset of buckets
+    assert sdocs.last_read_buckets is not None
+    assert 0 < len(sdocs.last_read_buckets) < len(sdocs.buckets)
+
+
+def test_topk_with_predicate_widens_until_k(spark, docs, sdocs):
+    pred = F.col("lang") == "de"
+    got = sdocs.topk(30, desc=True, predicate=pred) \
+        .select("doc_id", "ts", "lang").collect()
+    want = (docs.filter(pred & F.col("ts").isNotNull())
+            .orderBy(F.col("ts").desc()).limit(30)
+            .select("doc_id", "ts", "lang").collect())
+    assert [r["ts"] for r in got] == [r["ts"] for r in want]
+    assert all(r["lang"] == "de" for r in got)
+
+
+def test_nulls_fill_tail_only_when_needed(spark, docs, sdocs):
+    total = docs.count()
+    got = sdocs.topk(total, desc=False).collect()
+    assert len(got) == total
+    # nulls come last
+    tail = [r["ts"] for r in got[-7:]]
+    assert all(t is None for t in tail)
+    assert all(r["ts"] is not None for r in got[:-7])
+    # a k within the non-null range never reads the null bucket
+    sdocs.topk(10).collect()
+    assert "__null" not in sdocs.last_read_buckets
+
+
+def test_selective_predicate_exhausts_layout(spark, docs, sdocs):
+    pred = F.col("v") < 0  # matches nothing
+    assert sdocs.topk(5, predicate=pred).count() == 0
+
+
+def test_unknown_sort_field_raises(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="sort field"):
+        SortedDocs.save(spark, docs, str(tmp_path / "x"), "nope")
