@@ -2679,6 +2679,40 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
     return out
 
 
+def _sorted_route(sorted_docs, body: dict):
+    """Transparent index-sort routing (the star-tree pattern for the
+    hits page): a match_all body whose single sort field IS the
+    sorted layout's field answers from the boundary buckets via
+    SortedDocs.topk -- reading only the dirs the manifest walk picks.
+    Anything the layout cannot answer identically returns None (the
+    document path runs instead): scoring queries, _score/multi-field
+    sorts, from/search_after cursors, collapse, post_filter."""
+    q = body.get("query", {"match_all": {}})
+    if list(q) != ["match_all"]:
+        return None
+    sort = body.get("sort")
+    if not isinstance(sort, list) or len(sort) != 1:
+        return None
+    ent = sort[0]
+    if isinstance(ent, str):
+        fld, order = ent, "asc"
+    elif isinstance(ent, dict) and len(ent) == 1:
+        (fld, spec), = ent.items()
+        order = (spec.get("order", "asc")
+                 if isinstance(spec, dict) else str(spec))
+    else:
+        return None
+    if fld != sorted_docs.sort_field:
+        return None
+    for blocked in ("from", "search_after", "collapse", "post_filter",
+                    "min_score"):
+        if body.get(blocked):
+            return None
+    k = int(body.get("size", 10))
+    out = sorted_docs.topk(k, desc=(str(order).lower() == "desc"))
+    return out.withColumn("score", F.lit(1.0))
+
+
 def search_body(
     ix: PostingsIndex,
     body: dict,
@@ -2688,6 +2722,7 @@ def search_body(
     source_docs: DataFrame | None = None,
     sparse=None,
     startree=None,
+    sorted_docs=None,
 ) -> dict:
     """Full ``_search`` execution: returns ``{"hits": DataFrame,
     "aggs": {path: DataFrame}}``.  Aggregations run over the complete
@@ -2755,9 +2790,15 @@ def search_body(
         sub = {k: v for k, v in body.items() if k != "terminate_after"}
         res["hits"] = hits_page(capped, sub, text_field, source_docs)
     else:
-        res["hits"] = search_hits(ix, body, positional_ix, text_field,
-                                  vecs=vecs, source_docs=source_docs,
-                                  sparse=sparse)
+        routed_hits = (_sorted_route(sorted_docs, body)
+                       if sorted_docs is not None else None)
+        if routed_hits is not None:
+            res["hits"] = routed_hits
+        else:
+            res["hits"] = search_hits(ix, body, positional_ix,
+                                      text_field, vecs=vecs,
+                                      source_docs=source_docs,
+                                      sparse=sparse)
 
     tth = body.get("track_total_hits")
     if tth is not None and tth is not False:

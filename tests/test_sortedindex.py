@@ -88,3 +88,34 @@ def test_selective_predicate_exhausts_layout(spark, docs, sdocs):
 def test_unknown_sort_field_raises(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="sort field"):
         SortedDocs.save(spark, docs, str(tmp_path / "x"), "nope")
+
+
+def test_search_body_routes_sorted_layout(spark, docs, sdocs):
+    """A match_all + single-field sort body answers from the sorted
+    layout (subset read), identical sort keys to the document path;
+    ineligible bodies fall back transparently."""
+    from siem_on_amazon_opensearch_service_spark.index import build_index
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_body,
+    )
+
+    ix = build_index(
+        spark,
+        docs.filter(F.col("ts").isNotNull())
+            .withColumn("text", F.concat(F.lit("w"), "doc_id")),
+        id_col="doc_id", salt_threshold=60,
+        keep_cols=["ts", "lang", "v"],
+    )
+    body = {"query": {"match_all": {}}, "size": 20,
+            "sort": [{"ts": {"order": "desc"}}]}
+    routed = search_body(ix, body, sorted_docs=sdocs)["hits"].collect()
+    plain = search_body(ix, body)["hits"].collect()
+    assert [r["ts"] for r in routed] == [r["ts"] for r in plain]
+    assert 0 < len(sdocs.last_read_buckets) < len(sdocs.buckets)
+
+    # a scoring query is NOT routed (falls back to the doc path)
+    sdocs.last_read_buckets = None
+    qbody = {"query": {"match": {"text": "w1 w2"}}, "size": 5,
+             "sort": [{"ts": {"order": "desc"}}]}
+    search_body(ix, qbody, sorted_docs=sdocs)["hits"].collect()
+    assert sdocs.last_read_buckets is None
