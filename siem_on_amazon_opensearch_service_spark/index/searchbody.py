@@ -2688,7 +2688,25 @@ def _sorted_route(sorted_docs, body: dict):
     document path runs instead): scoring queries, _score/multi-field
     sorts, from/search_after cursors, collapse, post_filter."""
     q = body.get("query", {"match_all": {}})
-    if list(q) != ["match_all"]:
+    lo = hi = None
+    if list(q) == ["range"] and list(q["range"]) == [
+            sorted_docs.sort_field]:
+        # the dashboards' time-range shape: a single range filter ON
+        # the sorted field -> manifest split-point pruning
+        spec = q["range"][sorted_docs.sort_field]
+        if not set(spec) <= {"gte", "lte"}:
+            return None    # gt/lt strictness: document path
+
+        def _num(x):
+            if isinstance(x, (int, float)):
+                return float(x)
+            import datetime as _dt
+            return _dt.datetime.fromisoformat(str(x)).replace(
+                tzinfo=_dt.timezone.utc).timestamp()
+
+        lo = _num(spec["gte"]) if "gte" in spec else None
+        hi = _num(spec["lte"]) if "lte" in spec else None
+    elif list(q) != ["match_all"]:
         return None
     sort = body.get("sort")
     if not isinstance(sort, list) or len(sort) != 1:
@@ -2709,7 +2727,11 @@ def _sorted_route(sorted_docs, body: dict):
         if body.get(blocked):
             return None
     k = int(body.get("size", 10))
-    out = sorted_docs.topk(k, desc=(str(order).lower() == "desc"))
+    desc = str(order).lower() == "desc"
+    if lo is not None or hi is not None:
+        out = sorted_docs.topk_range(k, lo=lo, hi=hi, desc=desc)
+    else:
+        out = sorted_docs.topk(k, desc=desc)
     return out.withColumn("score", F.lit(1.0))
 
 

@@ -53,6 +53,10 @@ class SortedDocs:
         self.buckets: list[tuple[str, int]] = [
             (str(b), int(n)) for b, n in manifest["buckets"]]
         self.null_count = int(manifest.get("null_count", 0))
+        #: quantile split points (double space: numeric value or epoch
+        #: seconds) -- bucket b{i} covers (splits[i-1], splits[i]]
+        self.splits: list[float] = [float(s) for s in
+                                    manifest.get("splits", [])]
         #: read-path bookkeeping for tests/operators: bucket dirs
         #: touched by the most recent topk() call
         self.last_read_buckets: list[str] | None = None
@@ -166,3 +170,46 @@ class SortedDocs:
             if width >= len(walk) or df.limit(k).count() >= k:
                 return df.orderBy(ordc).limit(k)
             width *= 2
+
+    def topk_range(self, k: int, lo: float | None = None,
+                   hi: float | None = None,
+                   desc: bool = False) -> DataFrame:
+        """Top-k within a [lo, hi] range of the sort field (double
+        space: numeric value or epoch seconds) -- the dashboards'
+        time-range + newest-first shape.  The manifest split points
+        pick ONLY the overlapping buckets (bucket b{i} covers
+        (splits[i-1], splits[i]]); inside them the residual range
+        filter and the k-walk run as in :meth:`topk`.
+        """
+        import bisect
+
+        labels = [b for b, _ in self.buckets]
+        first = 0 if lo is None else bisect.bisect_left(self.splits, lo)
+        last = (len(labels) - 1 if hi is None
+                else bisect.bisect_left(self.splits, hi))
+        # bucket ids are positional over the FULL ladder; empty
+        # buckets were dropped from the manifest, so map by label
+        want = {f"b{i:05d}" for i in range(first, last + 1)}
+        overlap = [(b, n) for b, n in self.buckets if b in want]
+        walk = list(reversed(overlap)) if desc else overlap
+        c = F.col(self.sort_field)
+        ordc = c.desc_nulls_last() if desc else c.asc_nulls_last()
+        v = c.cast("double")
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (v >= lo)
+        if hi is not None:
+            pred = pred & (v <= hi)
+        take, acc = [], 0
+        for b, n in walk:
+            take.append(b)
+            acc += n   # counts are an upper bound under the filter
+            if acc >= k:
+                break
+        df = self._read(take).filter(pred)
+        got = df.limit(k).count()
+        if got < k and len(take) < len(walk):
+            # boundary buckets were only partially in range: widen to
+            # the full overlap set (still range-pruned) and finish
+            df = self._read([b for b, _ in walk]).filter(pred)
+        return df.orderBy(ordc).limit(k)

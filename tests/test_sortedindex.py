@@ -119,3 +119,46 @@ def test_search_body_routes_sorted_layout(spark, docs, sdocs):
              "sort": [{"ts": {"order": "desc"}}]}
     search_body(ix, qbody, sorted_docs=sdocs)["hits"].collect()
     assert sdocs.last_read_buckets is None
+
+
+def test_topk_range_matches_filtered_sort(spark, docs, sdocs):
+    """time-range + newest-first: topk_range equals the full
+    filter+sort and reads only split-point-overlapping buckets."""
+    import datetime as dt
+
+    lo = dt.datetime(2024, 3, 1).replace(
+        tzinfo=dt.timezone.utc).timestamp()
+    hi = dt.datetime(2024, 5, 1).replace(
+        tzinfo=dt.timezone.utc).timestamp()
+    got = sdocs.topk_range(40, lo=lo, hi=hi, desc=True) \
+        .select("doc_id", "ts").collect()
+    v = F.col("ts").cast("double")
+    want = (docs.filter((v >= lo) & (v <= hi))
+            .orderBy(F.col("ts").desc()).limit(40)
+            .select("doc_id", "ts").collect())
+    assert [r["ts"] for r in got] == [r["ts"] for r in want]
+    assert want, "empty range -- vacuous"
+    assert 0 < len(sdocs.last_read_buckets) < len(sdocs.buckets)
+
+
+def test_search_body_routes_range_on_sort_field(spark, docs, sdocs):
+    from siem_on_amazon_opensearch_service_spark.index import build_index
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_body,
+    )
+
+    ix = build_index(
+        spark,
+        docs.filter(F.col("ts").isNotNull())
+            .withColumn("text", F.concat(F.lit("w"), "doc_id")),
+        id_col="doc_id", salt_threshold=60,
+        keep_cols=["ts", "lang", "v"],
+    )
+    body = {"query": {"range": {"ts": {
+                "gte": "2024-02-01", "lte": "2024-06-01"}}},
+            "size": 15, "sort": [{"ts": {"order": "desc"}}]}
+    routed = search_body(ix, body, sorted_docs=sdocs)["hits"].collect()
+    assert 0 < len(sdocs.last_read_buckets) < len(sdocs.buckets)
+    plain = search_body(ix, body)["hits"].collect()
+    assert [r["ts"] for r in routed] == [r["ts"] for r in plain]
+    assert routed, "no rows in range -- vacuous"
