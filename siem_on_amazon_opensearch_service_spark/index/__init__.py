@@ -3,8 +3,10 @@ from .docids import assign_doc_ids  # noqa: F401
 from .multifield import (  # noqa: F401
     MultiFieldIndex,
     build_multi_index,
+    combined_fields_topk,
     multi_match_topk,
 )
+from .sortedindex import SortedDocs  # noqa: F401
 from .msearch import MSearchResponse, msearch  # noqa: F401
 from .query import bm25_topk, bm25_topk_batch  # noqa: F401
 from .aliases import AliasRegistry, alias_search  # noqa: F401
