@@ -237,6 +237,43 @@ def cmd_startree(args: argparse.Namespace) -> None:
                       "dims": st.dims, "metrics": st.metrics}))
 
 
+def cmd_sort_build(args: argparse.Namespace) -> None:
+    spark = _spark()
+    from siem_on_amazon_opensearch_service_spark.index import SortedDocs
+
+    sd = SortedDocs.save(spark, spark.read.parquet(args.input),
+                         args.out, args.sort_field,
+                         buckets=args.buckets)
+    print(json.dumps({"status": "ok", "buckets": len(sd.buckets),
+                      "null_count": sd.null_count}))
+
+
+def cmd_sort_topk(args: argparse.Namespace) -> None:
+    spark = _spark()
+    from siem_on_amazon_opensearch_service_spark.index import SortedDocs
+
+    def _num(x):
+        if x is None:
+            return None
+        try:
+            return float(x)
+        except ValueError:
+            import datetime as dt
+            return dt.datetime.fromisoformat(x).replace(
+                tzinfo=dt.timezone.utc).timestamp()
+
+    sd = SortedDocs.load(spark, args.layout)
+    lo, hi = _num(args.gte), _num(args.lte)
+    if lo is not None or hi is not None:
+        rows = sd.topk_range(args.k, lo=lo, hi=hi, desc=args.desc)
+    else:
+        rows = sd.topk(args.k, desc=args.desc)
+    for r in rows.collect():
+        print(json.dumps(r.asDict(), default=str))
+    print(json.dumps({"buckets_read": sd.last_read_buckets}),
+          file=sys.stderr)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="spark-webtext-index")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -330,6 +367,26 @@ def main(argv: list[str] | None = None) -> None:
     stp.add_argument("--sync", action="store_true",
                      help="incremental merge past the stored watermark")
     stp.set_defaults(fn=cmd_startree)
+
+    sb = sub.add_parser(
+        "sort-build",
+        help="materialize the index.sort layout (range-bucketed, "
+             "sorted runs + manifest)")
+    sb.add_argument("--input", required=True, help="docs parquet path")
+    sb.add_argument("--out", required=True)
+    sb.add_argument("--sort-field", required=True)
+    sb.add_argument("--buckets", type=int, default=32)
+    sb.set_defaults(fn=cmd_sort_build)
+
+    sq = sub.add_parser(
+        "sort-topk",
+        help="top-k by the sorted field, boundary-bucket reads only")
+    sq.add_argument("--layout", required=True)
+    sq.add_argument("--k", type=int, default=10)
+    sq.add_argument("--desc", action="store_true")
+    sq.add_argument("--gte", help="range lower bound (number or ISO date)")
+    sq.add_argument("--lte", help="range upper bound (number or ISO date)")
+    sq.set_defaults(fn=cmd_sort_topk)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -162,3 +162,35 @@ def test_search_body_routes_range_on_sort_field(spark, docs, sdocs):
     plain = search_body(ix, body)["hits"].collect()
     assert [r["ts"] for r in routed] == [r["ts"] for r in plain]
     assert routed, "no rows in range -- vacuous"
+
+
+def test_cli_sort_build_and_topk(spark, docs, tmp_path, capsys):
+    """the spark-submit entry: sort-build emits the manifest summary,
+    sort-topk prints rank-ordered JSON rows (range + plain)."""
+    import json
+
+    from siem_on_amazon_opensearch_service_spark.cli import main
+
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    out = str(tmp_path / "layout")
+    main(["sort-build", "--input", src, "--out", out,
+          "--sort-field", "ts", "--buckets", "8"])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["status"] == "ok" and built["buckets"] > 1
+    assert built["null_count"] == 7
+
+    main(["sort-topk", "--layout", out, "--k", "5", "--desc"])
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 5
+    ts = [x["ts"] for x in lines]
+    assert ts == sorted(ts, reverse=True)
+
+    main(["sort-topk", "--layout", out, "--k", "3",
+          "--gte", "2024-02-01", "--lte", "2024-03-01"])
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(lines) <= 3
+    for x in lines:
+        assert "2024-02-01" <= x["ts"] <= "2024-03-01 00:00:00"
