@@ -1486,12 +1486,14 @@ def _vector_scored(
 
 _BUCKET_KINDS = ("terms", "date_histogram", "auto_date_histogram",
                  "histogram", "range", "filters", "multi_terms",
-                 "date_range", "ip_range",
+                 "date_range", "ip_range", "adjacency_matrix",
+                 "variable_width_histogram",
                  "geohash_grid", "geotile_grid", "geo_distance")
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
                  "cardinality", "stats", "percentiles",
                  "percentile_ranks", "string_stats",
-                 "median_absolute_deviation",
+                 "median_absolute_deviation", "boxplot",
+                 "matrix_stats", "geo_line",
                  "weighted_avg", "extended_stats", "scripted_metric",
                  "rate", "geo_bounds", "geo_centroid", "top_metrics")
 
@@ -1838,6 +1840,54 @@ def _bucket_expr(kind: str, params: dict, text_field: str,
             pred = _filter_pred(q, text_field)
             arms.append(F.when(pred, F.lit(label)))
         return F.array_compact(F.array(*arms)), True, None
+    if kind == "adjacency_matrix":
+        # named filters -> one bucket per filter plus one per
+        # intersecting PAIR ("a&b", keys in sorted order, as
+        # upstream).  Same array+explode shape as `filters`: every
+        # arm is a native predicate evaluated once per doc, one
+        # groupBy carries singles and pairs together.  Arm count is
+        # n + n(n-1)/2 -- query metadata, bounded by the upstream
+        # 100-filter cap.
+        sep = str(params.get("separator", "&"))
+        preds = {str(label): _filter_pred(q, text_field)
+                 for label, q in params["filters"].items()}
+        if len(preds) > 100:
+            raise ValueError("adjacency_matrix: >100 filters")
+        labels = sorted(preds)
+        arms = [F.when(preds[l], F.lit(l)) for l in labels]
+        for i, a in enumerate(labels):
+            for b in labels[i + 1:]:
+                arms.append(F.when(preds[a] & preds[b],
+                                   F.lit(f"{a}{sep}{b}")))
+        return F.array_compact(F.array(*arms)), True, None
+    if kind == "variable_width_histogram":
+        # upstream is an order-dependent approximate 1-D clustering
+        # (collector-phase nearest-centroid merge); the deterministic
+        # Spark-first restatement is equal-depth bucketing: a driver
+        # probe computes exact (buckets-1) interpolated split points
+        # -- one tiny agg job, metadata-sized like the
+        # auto_date_histogram min/max probe -- and the key expression
+        # is a closed-form split-point fold, so the scan side stays
+        # one ordinary hash agg.  Bucket key = ordinal; add min/max/
+        # avg sub-metrics for the wire's per-bucket bounds.
+        n = int(params.get("buckets", 10))
+        fld = params["field"]
+        vv = F.col(fld).cast("double")
+        qs = ",".join(str(i / n) for i in range(1, n))
+        splits: list[float] = []
+        if n > 1 and df is not None:
+            row = df.agg(F.expr(
+                f"percentile({fld}, array({qs}))").alias("sp")).collect()[0]
+            if row["sp"] is not None:
+                seen = set()
+                for s in row["sp"]:
+                    if s is not None and s not in seen:
+                        seen.add(s)
+                        splits.append(float(s))
+        key = F.lit(0)
+        for s in splits:
+            key = key + F.when(vv > F.lit(s), 1).otherwise(0)
+        return F.when(vv.isNotNull(), key), False, None
     if kind == "multi_terms":
         # composite key over N fields; a doc missing ANY field drops
         # out of the agg (upstream multi_terms semantics) — the
@@ -2059,8 +2109,65 @@ def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
         return [F.avg(la).alias(f"{name}_lat"),
                 F.avg(lo).alias(f"{name}_lon"),
                 F.count(la).alias(f"{name}_count")]
+    if kind == "matrix_stats":
+        # multi-field moments + pairwise covariance/correlation in
+        # ONE hash aggregate.  Upstream (aggs-matrix-stats module)
+        # excludes a document missing ANY of the fields; the same
+        # gate here.  Conventions pinned by the numpy-twin test:
+        # variance/covariance sample (ddof=1), skewness/kurtosis the
+        # population-moment forms Spark streams natively (kurtosis
+        # excess), correlation Pearson.
+        fields = list(params["fields"])
+        allp = reduce(Column.__and__,
+                      [F.col(f).isNotNull() for f in fields])
+        cols = {f: F.when(allp, F.col(f).cast("double")) for f in fields}
+        out = []
+        for f in fields:
+            c = cols[f]
+            out += [F.count(c).alias(f"{name}_{f}_count"),
+                    F.avg(c).alias(f"{name}_{f}_mean"),
+                    F.var_samp(c).alias(f"{name}_{f}_variance"),
+                    F.skewness(c).alias(f"{name}_{f}_skewness"),
+                    F.kurtosis(c).alias(f"{name}_{f}_kurtosis")]
+        for i, fa in enumerate(fields):
+            for fb in fields[i + 1:]:
+                out += [F.covar_samp(cols[fa], cols[fb])
+                        .alias(f"{name}_{fa}_{fb}_covariance"),
+                        F.corr(cols[fa], cols[fb])
+                        .alias(f"{name}_{fa}_{fb}_correlation")]
+        return out
+    if kind == "geo_line":
+        # per-bucket path: points ordered by the sort field, capped
+        # at size, emitted as a GeoJSON LineString coordinates array
+        # (the wire's geometry.coordinates).  One collect_list in the
+        # same hash agg -- the sort is a per-group array_sort, no
+        # window, no extra shuffle; size caps the carried array.
+        pt = params["point"]["field"]
+        srt = params["sort"]["field"]
+        size = int(params.get("size", 10000))
+        order = str(params.get("sort_order", "asc")).lower()
+        sk = F.col(srt).cast("double")
+        if order == "desc":
+            sk = -sk
+        pts = F.collect_list(F.when(
+            F.col(f"{pt}.lat").isNotNull() & sk.isNotNull(),
+            F.struct(sk.alias("s"),
+                     F.col(f"{pt}.lon").cast("double").alias("lon"),
+                     F.col(f"{pt}.lat").cast("double").alias("lat"))))
+        line = F.slice(F.array_sort(pts), 1, size)
+        return [F.to_json(F.transform(
+            line, lambda e: F.array(e["lon"], e["lat"]))).alias(name)]
     v = F.col(params["field"])
     num = v.cast("double")
+    if kind == "boxplot":
+        # exact interpolated quartiles (upstream is TDigest-
+        # approximate; exact is a strict upgrade and oracle-able)
+        f = params["field"]
+        return [F.min(num).alias(f"{name}_min"),
+                F.expr(f"percentile({f}, 0.25)").alias(f"{name}_q1"),
+                F.expr(f"percentile({f}, 0.5)").alias(f"{name}_q2"),
+                F.expr(f"percentile({f}, 0.75)").alias(f"{name}_q3"),
+                F.max(num).alias(f"{name}_max")]
     if kind == "extended_stats":
         return [F.count(v).alias(f"{name}_count"),
                 F.min(num).alias(f"{name}_min"),
