@@ -632,35 +632,12 @@ def _duration_seconds(s: str) -> float:
     return float(m.group(1)) * _DURATION_SECONDS[m.group(2)]
 
 
-class _Compiler:
-    """Turns the parsed tree into native Columns over the per-doc hit
-    array (posting leaves) + docs columns (field leaves)."""
 
-    def __init__(self, hits_col: Column):
-        self.hits = hits_col
-
-    def leaf_matched(self, leaf: TermLeaf) -> Column:
-        return F.exists(self.hits, lambda e: e["leaf"] == leaf.leaf_id)
-
-    def leaf_contrib(self, leaf: TermLeaf) -> Column:
-        return F.aggregate(
-            F.filter(self.hits, lambda e: e["leaf"] == leaf.leaf_id),
-            F.lit(0.0),
-            lambda acc, e: acc + e["contrib"],
-        )
-
-    def field_matched(self, leaf: FieldLeaf) -> Column:
-        if leaf.op == "script":
-            from .painless import parse_script, to_column
-            pred = to_column(parse_script(leaf.value)).cast("boolean")
-            return F.coalesce(pred, F.lit(False))
-        if leaf.op == "sql_expr":
-            # closed-form shared-dialect SQL predicate (geo queries:
-            # operators/geo.py emits ONE text both engines parse);
-            # codegen on the Spark side, verbatim oracle on the other.
-            return F.coalesce(F.expr(leaf.value).cast("boolean"),
-                              F.lit(False))
-        col = F.col(leaf.field)
+def field_leaf_pred(col: Column, leaf: FieldLeaf) -> Column:
+        """Predicate for a term-level FieldLeaf op against an already
+        RESOLVED column — a docs column (``field_matched``) or a
+        nested-element field (``element_pred``).  Shared so the two
+        contexts cannot drift."""
         if leaf.op == "exists":
             pred = col.isNotNull()
         elif leaf.op == "exact":
@@ -713,6 +690,129 @@ class _Compiler:
         # the reference's missing-key behavior.
         return F.coalesce(pred, F.lit(False))
 
+
+def group_pred(node: Group, rec) -> Column:
+    """Boolean combiner for one Group level, with ``rec`` supplying
+    the child predicate — shared by the docs-column compiler
+    (``_Compiler.matched``) and the nested-element compiler
+    (``element_pred``) so minimum_should_match / pure-negative
+    semantics cannot drift between the two contexts."""
+    musts = [c for occ, c in node.clauses if occ in ("must", "filter")]
+    shoulds = [c for occ, c in node.clauses if occ == "should"]
+    nots = [c for occ, c in node.clauses if occ == "must_not"]
+    conds = [rec(c) for c in musts]
+    msm = node.minimum_should_match
+    if msm is None:
+        msm = 0 if musts else 1
+    if shoulds and msm == 1:
+        conds.append(reduce(Column.__or__, [rec(c) for c in shoulds]))
+    elif shoulds and msm > 1:
+        n_match = reduce(Column.__add__,
+                         [rec(c).cast("int") for c in shoulds])
+        conds.append(n_match >= msm)
+    # no must and no should: match_all minus exclusions (the
+    # OpenSearch pure-negative query behavior)
+    conds.extend(~rec(c) for c in nots)
+    if not conds:
+        return F.lit(True)
+    return reduce(Column.__and__, conds)
+
+
+def element_pred(node, path: str, elem: Column) -> Column:
+    """Per-ELEMENT predicate for a ``nested`` query's inner tree: the
+    OpenSearch nested semantic (upstream: Lucene
+    ToParentBlockJoinQuery; reference mapping deploy_es/data.ini:280
+    declares 15 nested fields) requires a SINGLE array element to
+    satisfy ALL inner clauses.  ``elem`` is the lambda variable of a
+    native higher-order function, so the whole inner tree evaluates
+    inside whole-stage codegen — no explode, no join, no shuffle.
+
+    Inner clauses are term-level (FieldLeaf) filters; field names are
+    resolved relative to ``path`` (``path.sub.field`` → element field
+    ``sub.field``), and a field outside the path falls back to the
+    parent doc column (lenient).  Full-text (posting-backed) inner
+    clauses would need per-element positions and are rejected."""
+    if isinstance(node, TermLeaf):
+        raise ValueError(
+            "nested inner queries support term-level (element-column) "
+            f"clauses only, not full-text {node.kind!r}")
+    if isinstance(node, FieldLeaf):
+        rel = node.field
+        if rel == path or rel.startswith(path + "."):
+            sub = rel[len(path) + 1:] if rel != path else ""
+            col = reduce(lambda c, s: c[s],
+                         [s for s in sub.split(".") if s], elem)
+        else:
+            col = F.col(rel)
+        if node.op == "nested":
+            # nested-in-nested: recurse with the element's sub-array
+            return F.coalesce(
+                F.exists(col, lambda e2: element_pred(node.values[0],
+                                                      node.field, e2)),
+                F.lit(False))
+        if node.op in ("script", "sql_expr"):
+            raise ValueError(
+                f"{node.op} clauses are not supported inside nested "
+                "queries (they reference doc columns, not elements)")
+        return field_leaf_pred(col, node)
+    if isinstance(node, DisMax):
+        if not node.children:
+            return F.lit(True)
+        return reduce(Column.__or__,
+                      [element_pred(c, path, elem)
+                       for c in node.children])
+    if isinstance(node, ConstScore):
+        return element_pred(node.child, path, elem)
+    if isinstance(node, Boosting):
+        return element_pred(node.positive, path, elem)
+    if isinstance(node, (FuncScore, ScriptScore)):
+        return element_pred(node.child, path, elem)
+    return group_pred(node, lambda c: element_pred(c, path, elem))
+
+
+class _Compiler:
+    """Turns the parsed tree into native Columns over the per-doc hit
+    array (posting leaves) + docs columns (field leaves)."""
+
+    def __init__(self, hits_col: Column):
+        self.hits = hits_col
+
+    def leaf_matched(self, leaf: TermLeaf) -> Column:
+        return F.exists(self.hits, lambda e: e["leaf"] == leaf.leaf_id)
+
+    def leaf_contrib(self, leaf: TermLeaf) -> Column:
+        return F.aggregate(
+            F.filter(self.hits, lambda e: e["leaf"] == leaf.leaf_id),
+            F.lit(0.0),
+            lambda acc, e: acc + e["contrib"],
+        )
+
+    def field_matched(self, leaf: FieldLeaf) -> Column:
+        if leaf.op == "script":
+            from .painless import parse_script, to_column
+            pred = to_column(parse_script(leaf.value)).cast("boolean")
+            return F.coalesce(pred, F.lit(False))
+        if leaf.op == "sql_expr":
+            # closed-form shared-dialect SQL predicate (geo queries:
+            # operators/geo.py emits ONE text both engines parse);
+            # codegen on the Spark side, verbatim oracle on the other.
+            return F.coalesce(F.expr(leaf.value).cast("boolean"),
+                              F.lit(False))
+        if leaf.op == "nested":
+            # nested query as a filter clause: ONE element of the
+            # array<struct> column must satisfy ALL inner clauses
+            # (Lucene block-join semantics; the inner AST rides in
+            # values[0]).  Native higher-order `exists` -- per-row
+            # codegen, no join, no explode.
+            arr = F.col(leaf.field)
+            inner = leaf.values[0]
+            return F.coalesce(
+                F.exists(arr, lambda e: element_pred(inner, leaf.field,
+                                                     e)),
+                F.lit(False))
+        return field_leaf_pred(F.col(leaf.field), leaf)
+
+
     def matched(self, node) -> Column:
         if isinstance(node, TermLeaf):
             return self.leaf_matched(node)
@@ -732,30 +832,7 @@ class _Compiler:
             if node.min_score is not None:
                 m = m & (self.score(node) >= float(node.min_score))
             return m
-        musts = [c for occ, c in node.clauses
-                 if occ in ("must", "filter")]
-        shoulds = [c for occ, c in node.clauses if occ == "should"]
-        nots = [c for occ, c in node.clauses if occ == "must_not"]
-        conds = [self.matched(c) for c in musts]
-        msm = node.minimum_should_match
-        if msm is None:
-            msm = 0 if musts else 1
-        if shoulds and msm == 1:
-            conds.append(
-                reduce(Column.__or__, [self.matched(c) for c in shoulds])
-            )
-        elif shoulds and msm > 1:
-            n_match = reduce(
-                Column.__add__,
-                [self.matched(c).cast("int") for c in shoulds],
-            )
-            conds.append(n_match >= msm)
-        # no must and no should: match_all minus exclusions (the
-        # OpenSearch pure-negative query behavior)
-        conds.extend(~self.matched(c) for c in nots)
-        if not conds:
-            return F.lit(True)
-        return reduce(Column.__and__, conds)
+        return group_pred(node, self.matched)
 
     def score(self, node) -> Column:
         if isinstance(node, TermLeaf):

@@ -59,6 +59,7 @@ from .querystring import (
     Group,
     ScriptScore,
     TermLeaf,
+    element_pred,
     parse_query_string,
     tree_scores,
 )
@@ -363,6 +364,29 @@ def compile_query(spec: dict,
         vals = tuple(str(v) for v in body.get("values", []))
         return FieldLeaf("doc_id", "in", values=vals)
 
+    if kind == "nested":
+        # filter-context nested clause: a single element of the
+        # array<struct> column at `path` must satisfy ALL inner
+        # clauses (block-join semantics).  The inner AST rides in
+        # FieldLeaf.values; _Compiler.field_matched evaluates it with
+        # a native higher-order `exists` — per-row codegen, no
+        # explode, no join.  Scored top-level nested queries route
+        # through _nested_scored instead (score_mode, inner_hits).
+        inner = compile_query(body["query"], text_field)
+        return FieldLeaf(str(body["path"]), "nested", values=(inner,))
+
+    if kind == "parent_id":
+        # join-field child lookup: children of `type` whose routed
+        # parent doc is `id`.  Pure docs-column conjunction (the
+        # join-field layout stores join_name/join_parent on every
+        # row), so it composes inside bool and the aggs path alike.
+        return Group(clauses=[
+            ("filter", FieldLeaf("join_name", "exact",
+                                 str(body["type"]))),
+            ("filter", FieldLeaf("join_parent", "exact",
+                                 str(body["id"]))),
+        ])
+
     if kind == "match":
         field, params = _field_params(body, "query")
         _require_text(kind, field, text_field)
@@ -642,6 +666,54 @@ def _require_text(kind: str, field: str, text_field: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# nested queries (array<struct> element scope)
+# ---------------------------------------------------------------------------
+
+
+def _nested_scored(ix: PostingsIndex, body: dict,
+                   text_field: str) -> DataFrame:
+    """Top-level ``nested`` query: docs where ONE element of the
+    ``array<struct>`` column at ``path`` satisfies ALL inner clauses
+    (reference mapping deploy_es/data.ini:280 declares 15 nested
+    fields — threat.enrichments etc.; upstream executes this as a
+    Lucene block join).
+
+    Spark-first: the element scan is a native higher-order
+    ``filter`` over the array column — per-row whole-stage codegen,
+    no explode, no join, no shuffle; exactly the right shape at
+    100 TB where a child table would force a parent-child shuffle
+    join per query.  Inner clauses are term-level filters (constant
+    element score 1.0), so score_mode sum = matching-element count
+    and none/avg/max/min = 1.0, matching the upstream constant-score
+    case.  ``inner_hits`` attaches the first ``size`` matching
+    elements as an array column named by ``inner_hits.name``
+    (default: the path)."""
+    path = str(body["path"])
+    mode = str(body.get("score_mode", "avg"))
+    if mode not in ("none", "avg", "sum", "max", "min"):
+        raise ValueError(f"nested: bad score_mode {mode!r}")
+    root = path.split(".")[0]
+    if root not in ix.docs.columns:
+        if body.get("ignore_unmapped"):
+            return (ix.docs.filter(F.lit(False))
+                    .withColumn("score", F.lit(1.0)))
+        raise ValueError(f"nested path {path!r} is not mapped "
+                         "(no such docs column)")
+    inner = compile_query(body["query"], text_field)
+    arr = F.col(path)
+    matches = F.filter(arr, lambda e: element_pred(inner, path, e))
+    n = F.size(matches)          # NULL array -> -1: never matches
+    score = (n.cast("double") if mode == "sum" else F.lit(1.0))
+    out = ix.docs.filter(n > 0).withColumn("score", score)
+    ih = body.get("inner_hits")
+    if ih is not None:
+        iname = str(ih.get("name", path))
+        out = out.withColumn(
+            iname, F.slice(matches, 1, int(ih.get("size", 3))))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # join fields: has_child / has_parent
 # ---------------------------------------------------------------------------
 
@@ -798,6 +870,11 @@ def search_hits(
     elif qkind in ("has_child", "has_parent"):
         scored = _join_field_scored(ix, qkind, qnode[qkind],
                                     positional_ix, text_field)
+    elif qkind == "nested":
+        # top-level nested gets the dedicated path (score_mode,
+        # inner_hits, ignore_unmapped); nested INSIDE bool flows
+        # through compile_query as a filter clause
+        scored = _nested_scored(ix, qnode["nested"], text_field)
     elif qkind in ("knn", "hybrid"):
         scored = _vector_scored(ix, qnode, positional_ix, text_field,
                                 vecs, vec_id_col, vec_col, sparse=sparse)
@@ -1493,7 +1570,7 @@ _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
                  "cardinality", "stats", "percentiles",
                  "percentile_ranks", "string_stats",
                  "median_absolute_deviation", "boxplot",
-                 "matrix_stats", "geo_line",
+                 "matrix_stats", "geo_line", "reverse_nested",
                  "weighted_avg", "extended_stats", "scripted_metric",
                  "rate", "geo_bounds", "geo_centroid", "top_metrics")
 
@@ -2057,6 +2134,19 @@ def _scripted_metric_parts(params: dict) -> tuple[str, str]:
 
 
 def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
+    if kind == "reverse_nested":
+        # back to PARENT scope from a nested-agg element frame: the
+        # bucket's doc_count counts unique parent docs (an element
+        # frame repeats doc_id per element).  One distinct aggregate
+        # in the SAME groupBy — no re-join to the parent table.
+        # Sub-aggs under reverse_nested would need per-parent dedup
+        # of metric inputs; the dashboards only read its doc_count.
+        if params:
+            raise ValueError(
+                "reverse_nested supports the root form {} with no "
+                "sub-aggs (doc_count = unique parents per bucket)")
+        return [F.countDistinct(F.col("doc_id"))
+                .alias(f"{name}_doc_count")]
     if kind == "scripted_metric":
         from .painless import parse_script, to_column
         src, red = _scripted_metric_parts(params)
@@ -2336,6 +2426,34 @@ def _split_agg_node(node: dict) -> tuple[tuple | None, list, dict]:
     return bucket, metrics, subs
 
 
+def _nested_element_frame(frame: DataFrame, path: str) -> DataFrame:
+    """The ``nested`` aggregation's bucket-context switch: one row
+    per ARRAY ELEMENT of the nested field at ``path``, with the
+    element struct grafted back in place of the array so every
+    sub-agg field reference (``path.sub.field``) resolves through
+    the ordinary column-path machinery.  Parent columns (doc_id,
+    keywords) stay on the row — repeated per element — which is what
+    lets ``reverse_nested`` recover parent counts without a join.
+
+    One explode per nested agg; at 100 TB the fan-out is bounded by
+    elements-per-doc (enrichment arrays are small), and no shuffle is
+    introduced — the explode is map-side."""
+    segs = path.split(".")
+    ex = frame.withColumn("_nested_elem", F.explode(F.col(path)))
+
+    def graft(col: Column, rest: list[str]) -> Column:
+        if len(rest) == 1:
+            return col.withField(rest[0], F.col("_nested_elem"))
+        return col.withField(
+            rest[0], graft(col[rest[0]], rest[1:]))
+
+    if len(segs) == 1:
+        ex = ex.withColumn(segs[0], F.col("_nested_elem"))
+    else:
+        ex = ex.withColumn(segs[0], graft(F.col(segs[0]), segs[1:]))
+    return ex.drop("_nested_elem")
+
+
 def run_aggs(docs: DataFrame, aggs_spec: dict,
              text_field: str = DEFAULT_TEXT_FIELD,
              background: DataFrame | None = None) -> dict[str, DataFrame]:
@@ -2413,13 +2531,15 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                     out[">".join(path + [name])] = samp.agg(
                         F.count(F.lit(1)).alias("doc_count"))
                 continue
-            if pk in ("filter", "global", "missing"):
+            if pk in ("filter", "global", "missing", "nested"):
                 # single-bucket restrictors: the subtree re-runs over
                 # the restricted frame (filter = extra predicate;
                 # missing = field-is-null; global = escape the query
-                # to the background corpus). Top level only — nested
-                # single-bucket restriction under a key fan-out would
-                # need key-carrying filters; no dashboard uses it.
+                # to the background corpus; nested = switch the
+                # bucket context from parents to array ELEMENTS).
+                # Top level only — single-bucket restriction under a
+                # key fan-out would need key-carrying filters; no
+                # dashboard uses it.
                 if levels:
                     raise ValueError(
                         f"{pk} agg is supported at the top level of "
@@ -2430,6 +2550,14 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                 elif pk == "missing":
                     sub_frame = frame.filter(
                         F.col(node["missing"]["field"]).isNull())
+                elif pk == "nested":
+                    # one explode (the agg DOES fan out to elements,
+                    # unlike the nested QUERY); the exploded element
+                    # struct is grafted back onto its path so
+                    # sub-agg field names resolve unchanged, and
+                    # doc_id still rides along for reverse_nested
+                    sub_frame = _nested_element_frame(
+                        frame, str(node["nested"]["path"]))
                 else:
                     if background is None:
                         raise ValueError(

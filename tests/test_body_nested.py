@@ -1,0 +1,133 @@
+"""Search-body surface for the ``nested`` field type and the
+join-field ``parent_id`` lookup.
+
+Reference semantics: the index template maps 15 fields as ``nested``
+(deploy_es/data.ini:280 ``threat.enrichments`` etc., written by the
+IOC enrichment join es_loader/siem/ioc.py:259-284); a nested query
+matches a parent only when a SINGLE element satisfies ALL inner
+clauses, the nested aggregation switches the bucket context to
+elements, and reverse_nested switches back to parents.
+"""
+
+import pytest
+
+from siem_on_amazon_opensearch_service_spark.index import build_index
+from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+    search_body,
+)
+
+# doc 0: ip/0.9 + domain/0.2  -> strict match for (typ=ip AND conf>=.5)
+# doc 1: ip/0.2 + domain/0.9  -> object-semantics trap: clauses match
+#                                DIFFERENT elements; nested must reject
+# doc 2: ip/0.8 + ip/0.6      -> two matching elements (score_mode sum)
+# doc 3: no enrichments (empty array)
+# doc 4: NULL threat struct
+ROWS = [
+    (0, "alpha spark", [("i0", "ip", 0.9), ("i1", "domain", 0.2)],
+     "answer", "0"),
+    (1, "beta spark", [("i2", "ip", 0.2), ("i3", "domain", 0.9)],
+     "answer", "0"),
+    (2, "gamma spark", [("i4", "ip", 0.8), ("i5", "ip", 0.6)],
+     "question", None),
+    (3, "delta spark", [], "question", None),
+    (4, "epsilon spark", None, "answer", "2"),
+]
+
+_SCHEMA = (
+    "doc_id long, text string, "
+    "threat struct<enrichments:array<struct<"
+    "ind:string,typ:string,conf:double>>>, "
+    "join_name string, join_parent string"
+)
+
+
+@pytest.fixture(scope="module")
+def ix(spark):
+    docs = spark.createDataFrame(
+        [(i, t, {"enrichments": e} if e is not None else None, jn, jp)
+         for i, t, e, jn, jp in ROWS], _SCHEMA)
+    return build_index(spark, docs, text_col="text", id_col="doc_id",
+                       keep_cols=["threat", "join_name", "join_parent"])
+
+
+_NESTED_Q = {"nested": {
+    "path": "threat.enrichments",
+    "query": {"bool": {"must": [
+        {"term": {"threat.enrichments.typ": "ip"}},
+        {"range": {"threat.enrichments.conf": {"gte": 0.5}}},
+    ]}}}}
+
+
+def test_nested_single_element_semantics(ix):
+    got = sorted(r.doc_id for r in
+                 search_body(ix, {"query": _NESTED_Q, "size": 10})
+                 ["hits"].collect())
+    # doc 1 has typ=ip (elem 0) and conf>=.5 (elem 1) but no single
+    # element with both -- the flattened/object mapping would match it
+    assert got == [0, 2]
+
+
+def test_nested_composes_inside_bool(ix):
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [_NESTED_Q],
+        "must_not": [{"term": {"join_name": "question"}}],
+    }}, "size": 10}
+    got = sorted(r.doc_id for r in
+                 search_body(ix, body)["hits"].collect())
+    assert got == [0]
+
+
+def test_nested_score_mode_sum_and_inner_hits(ix):
+    q = {"nested": dict(_NESTED_Q["nested"], score_mode="sum",
+                        inner_hits={"name": "enr_hits", "size": 5})}
+    rows = {r.doc_id: r for r in
+            search_body(ix, {"query": q, "size": 10})
+            ["hits"].collect()}
+    assert set(rows) == {0, 2}
+    assert rows[2].score == pytest.approx(2.0)   # two matching elems
+    assert rows[0].score == pytest.approx(1.0)
+    assert [e.ind for e in rows[2].enr_hits] == ["i4", "i5"]
+    assert [e.ind for e in rows[0].enr_hits] == ["i0"]
+
+
+def test_nested_ignore_unmapped(ix):
+    q = {"nested": {"path": "nope", "query": {"match_all": {}},
+                    "ignore_unmapped": True}}
+    assert search_body(ix, {"query": q})["hits"].count() == 0
+    with pytest.raises(ValueError, match="not mapped"):
+        search_body(ix, {"query": {"nested": {
+            "path": "nope", "query": {"match_all": {}}}}})
+
+
+def test_parent_id_query(ix):
+    body = {"query": {"parent_id": {"type": "answer", "id": "0"}},
+            "size": 10}
+    got = sorted(r.doc_id for r in
+                 search_body(ix, body)["hits"].collect())
+    assert got == [0, 1]
+
+
+def test_nested_agg_and_reverse_nested(ix):
+    body = {"query": {"match_all": {}}, "size": 0, "aggs": {
+        "enr": {"nested": {"path": "threat.enrichments"}, "aggs": {
+            "types": {"terms": {"field": "threat.enrichments.typ"},
+                      "aggs": {"parents": {"reverse_nested": {}}}},
+        }},
+    }}
+    res = search_body(ix, body)["aggs"]
+    # element-context doc_count: total elements across the corpus
+    top = res["enr"].collect()[0]
+    n_elems = sum(len(e) for _, _, e, _, _ in ROWS if e)
+    assert top.doc_count == n_elems
+    by_typ = {r.types: r for r in res["enr>types"].collect()}
+    # elements per typ vs python
+    exp_elem = {}
+    exp_parents = {}
+    for i, _, e, _, _ in ROWS:
+        for _, typ, _c in (e or []):
+            exp_elem[typ] = exp_elem.get(typ, 0) + 1
+            exp_parents.setdefault(typ, set()).add(i)
+    assert {k: v.doc_count for k, v in by_typ.items()} == exp_elem
+    assert {k: v.parents_doc_count for k, v in by_typ.items()} == {
+        k: len(v) for k, v in exp_parents.items()}
