@@ -979,7 +979,8 @@ def hits_page(
         scored = scored.filter(
             F.col("score") >= float(body["min_score"]))
 
-    spec = _sort_spec(body.get("sort", [])) + [(F.col("doc_id"), False)]
+    spec = (_sort_spec(body.get("sort", []), text_field)
+            + [(F.col("doc_id"), False)])
     order = [c.desc() if d else c.asc() for c, d in spec]
 
     if "collapse" in body:
@@ -1253,12 +1254,67 @@ def _with_highlight(page: DataFrame, body: dict, text_field: str,
     return out.select(*cols, *new_cols)
 
 
-def _sort_spec(sort_list: list) -> list[tuple[Column, bool]]:
+def _multi_value_sort_col(fname: str, opts: dict,
+                          text_field: str) -> Column:
+    """Sort ``mode`` + ``nested`` options: reduce a multi-valued
+    field (plain array, or a nested ``array<struct>`` element field,
+    optionally restricted by the sort's ``nested.filter``) to ONE
+    sort key per doc — upstream's MultiValueMode.  All native array
+    folds, per-row codegen: min/max/sum/avg, and median averaging the
+    two middle values on even counts exactly like Lucene's
+    MultiValueMode.MEDIAN.  Docs with no (matching) values sort as
+    NULL (the missing bucket)."""
+    nopts = opts.get("nested")
+    if nopts:
+        path = str(nopts["path"])
+        if not fname.startswith(path + "."):
+            raise ValueError(
+                f"sort field {fname!r} is outside nested path {path!r}")
+        arr = F.col(path)
+        if nopts.get("filter") is not None:
+            inner = compile_query(nopts["filter"], text_field)
+            arr = F.filter(arr,
+                           lambda e: element_pred(inner, path, e))
+        rel = [s for s in fname[len(path) + 1:].split(".") if s]
+        vals = F.transform(
+            arr,
+            lambda e: reduce(lambda c, s: c[s], rel, e).cast("double"))
+    else:
+        vals = F.col(fname).cast("array<double>")
+    vals = F.filter(vals, lambda v: v.isNotNull())
+    n = F.size(vals)
+    mode = str(opts.get("mode") or (
+        "max" if str(opts.get("order", "asc")).lower() == "desc"
+        else "min"))
+    if mode == "min":
+        out = F.array_min(vals)
+    elif mode == "max":
+        out = F.array_max(vals)
+    elif mode in ("sum", "avg"):
+        out = F.aggregate(vals, F.lit(0.0), lambda a, v: a + v)
+        if mode == "avg":
+            out = out / n
+    elif mode == "median":
+        s = F.array_sort(vals)
+        mid = ((n + 1) / 2).cast("int")
+        lo = F.element_at(s, mid)
+        hi = F.element_at(
+            s, F.when(n % 2 == 0, mid + 1).otherwise(mid))
+        out = (lo + hi) / 2
+    else:
+        raise ValueError(f"unsupported sort mode {mode!r}")
+    return F.when(n > 0, out)
+
+
+def _sort_spec(sort_list: list,
+               text_field: str = DEFAULT_TEXT_FIELD
+               ) -> list[tuple[Column, bool]]:
     """OpenSearch ``sort`` entries -> [(column, is_desc)] (``_score``
     maps to the score column; default is score desc; ``_script``
     sorts by a restricted-Painless expression over docs columns;
     ``_geo_distance`` by haversine distance to a reference point —
-    a map-side expression, never a join)."""
+    a map-side expression, never a join; a ``mode`` / ``nested``
+    options block reduces multi-valued fields per doc)."""
     spec = []
     for s in sort_list:
         if isinstance(s, str):
@@ -1299,6 +1355,9 @@ def _sort_spec(sort_list: list) -> list[tuple[Column, bool]]:
             src = opts["script"]
             src = src["source"] if isinstance(src, dict) else str(src)
             col = to_column(parse_script(src))
+        elif isinstance(opts, dict) and ("nested" in opts
+                                         or "mode" in opts):
+            col = _multi_value_sort_col(fname, opts, text_field)
         else:
             col = F.col("score" if fname == "_score" else fname)
         spec.append((col, direction == "desc"))
@@ -2531,7 +2590,8 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                     out[">".join(path + [name])] = samp.agg(
                         F.count(F.lit(1)).alias("doc_count"))
                 continue
-            if pk in ("filter", "global", "missing", "nested"):
+            if pk in ("filter", "global", "missing", "nested",
+                      "children", "parent"):
                 # single-bucket restrictors: the subtree re-runs over
                 # the restricted frame (filter = extra predicate;
                 # missing = field-is-null; global = escape the query
@@ -2558,6 +2618,49 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                     # doc_id still rides along for reverse_nested
                     sub_frame = _nested_element_frame(
                         frame, str(node["nested"]["path"]))
+                elif pk in ("children", "parent"):
+                    # join-field context switch: from the MATCHED
+                    # docs to their children of `type` (children
+                    # agg) / their parents of `parent_type` (parent
+                    # agg), both drawn from the full index.  One
+                    # semi-join on the routing key — the distinct
+                    # id side is matched-set-sized, AQE broadcasts
+                    # it when selective; at scale both sides
+                    # co-locate on the routing-key bucketing the
+                    # join-field layout prescribes.
+                    if background is None:
+                        raise ValueError(
+                            f"{pk} agg needs background= (the full "
+                            "docs table with the join-field columns)")
+                    p = node[pk]
+                    for c in ("join_name", "join_parent"):
+                        if c not in background.columns:
+                            raise ValueError(
+                                f"{pk} agg needs docs column {c!r}")
+                    if pk == "children":
+                        ids = (frame.select(F.col("doc_id")
+                                            .alias("_jid")).distinct())
+                        sub_frame = (
+                            background
+                            .filter((F.col("join_name")
+                                     == str(p["type"]))
+                                    & F.col("join_parent").isNotNull())
+                            .join(ids, F.col("join_parent")
+                                  .cast("string")
+                                  == F.col("_jid").cast("string"),
+                                  "left_semi"))
+                    else:
+                        ids = (frame
+                               .filter(F.col("join_parent").isNotNull())
+                               .select(F.col("join_parent")
+                                       .alias("_jid")).distinct())
+                        sub_frame = (
+                            background
+                            .filter(F.col("join_name")
+                                    == str(p["parent_type"]))
+                            .join(ids, F.col("doc_id").cast("string")
+                                  == F.col("_jid").cast("string"),
+                                  "left_semi"))
                 else:
                     if background is None:
                         raise ValueError(

@@ -131,3 +131,41 @@ def test_nested_agg_and_reverse_nested(ix):
     assert {k: v.doc_count for k, v in by_typ.items()} == exp_elem
     assert {k: v.parents_doc_count for k, v in by_typ.items()} == {
         k: len(v) for k, v in exp_parents.items()}
+
+
+def test_nested_sort_modes(ix):
+    # sum of ip-element conf per doc: d0=.9, d1=.2, d2=1.4 (desc)
+    body = {"query": {"ids": {"values": [0, 1, 2]}},
+            "sort": [{"threat.enrichments.conf": {
+                "order": "desc", "mode": "sum",
+                "nested": {"path": "threat.enrichments",
+                           "filter": {"term": {
+                               "threat.enrichments.typ": "ip"}}}}}],
+            "size": 10}
+    got = [r.doc_id for r in search_body(ix, body)["hits"].collect()]
+    assert got == [2, 0, 1]
+    # median over ALL elements (no filter): d0=.55, d1=.55, d2=.7 asc
+    body = {"query": {"ids": {"values": [0, 1, 2]}},
+            "sort": [{"threat.enrichments.conf": {
+                "order": "asc", "mode": "median",
+                "nested": {"path": "threat.enrichments"}}}],
+            "size": 10}
+    got = [r.doc_id for r in search_body(ix, body)["hits"].collect()]
+    assert got == [0, 1, 2]   # .55 tie broken by doc_id asc
+
+
+def test_children_and_parent_aggs(ix):
+    # matched parents {2,3}: children of type "answer" -> doc 4 only
+    body = {"query": {"ids": {"values": [2, 3]}}, "size": 0,
+            "aggs": {"kids": {"children": {"type": "answer"}}}}
+    res = search_body(ix, body)["aggs"]
+    assert res["kids"].collect()[0].doc_count == 1
+    # matched children {0,1,4} reference parents {"0","2"}; of those
+    # only doc 2 has join_name == "question"
+    body = {"query": {"ids": {"values": [0, 1, 4]}}, "size": 0,
+            "aggs": {"par": {"parent": {"parent_type": "question"},
+                             "aggs": {"n": {"value_count": {
+                                 "field": "doc_id"}}}}}}
+    res = search_body(ix, body)["aggs"]
+    row = res["par"].collect()[0]
+    assert row.doc_count == 1 and row.n == 1
