@@ -1378,6 +1378,33 @@ ltr_scored AS (
 ltr_top AS (
   SELECT doc_id, round(s, 4) AS score FROM ltr_scored
   ORDER BY s DESC, doc_id LIMIT 15
+),
+-- nested twin: per-doc 2-element array<struct(typ,conf)> built from
+-- (lang, n_chars%10) and (lang-or-source by n_chars%3, n_chars%7);
+-- a doc matches when ONE element has typ='en' AND conf>=5
+-- (block-join semantics), score_mode=sum = matching-element count
+nested_elems AS (
+  SELECT d.doc_id, unnest([
+    struct_pack(typ := d.lang, conf := (d.n_chars % 10)::DOUBLE),
+    struct_pack(typ := CASE WHEN d.n_chars % 3 = 0 THEN d.lang
+                            ELSE d.source END,
+                conf := (d.n_chars % 7)::DOUBLE)]) AS e
+  FROM documents d
+),
+nested_hits AS (
+  SELECT doc_id,
+    count(*) FILTER (WHERE e.typ = 'en' AND e.conf >= 5)::DOUBLE
+      AS score
+  FROM nested_elems GROUP BY doc_id
+  HAVING count(*) FILTER (WHERE e.typ = 'en' AND e.conf >= 5) > 0
+),
+-- nested agg + reverse_nested twin: element-context terms buckets
+-- (doc_count = elements) with unique-parent counts, top 5
+nestagg AS (
+  SELECT e.typ AS k, count(*)::BIGINT AS n,
+         count(DISTINCT doc_id)::DOUBLE AS par
+  FROM nested_elems WHERE e.typ IS NOT NULL
+  GROUP BY 1 ORDER BY n DESC, k LIMIT 5
 )
 SELECT 'qs' AS chk, '' AS k, doc_id, score FROM qs_top
 UNION ALL
@@ -1404,6 +1431,8 @@ UNION ALL SELECT 'pinned', '', doc_id, score FROM pin_top
 UNION ALL SELECT 'tset', '', doc_id, score FROM tset
 UNION ALL SELECT 'haschild', '', doc_id, score FROM haschild_top
 UNION ALL SELECT 'ltr', '', doc_id, score FROM ltr_top
+UNION ALL SELECT 'nested', '', doc_id, score FROM nested_hits
+UNION ALL SELECT 'nestagg', k, n, par FROM nestagg
 """
 
 _RT_BODY = {
@@ -1596,7 +1625,19 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .otherwise(F.lit("answer")))
               .withColumn("join_parent",
                           F.when(F.col("doc_id") >= 50,
-                                 F.col("doc_id") % 50))),
+                                 F.col("doc_id") % 50))
+              # nested-field layout for chk='nested'/'nestagg': a
+              # 2-element array<struct(typ,conf)> per doc
+              .withColumn("ents", F.array(
+                  F.struct(
+                      F.col("lang").alias("typ"),
+                      (F.col("n_chars") % 10).cast("double")
+                      .alias("conf")),
+                  F.struct(
+                      F.when(F.col("n_chars") % 3 == 0, F.col("lang"))
+                      .otherwise(F.col("source")).alias("typ"),
+                      (F.col("n_chars") % 7).cast("double")
+                      .alias("conf"))))),
         postings=ix.postings, term_stats=ix.term_stats,
         n_docs=ix.n_docs, avgdl=ix.avgdl,
     )
@@ -1658,13 +1699,41 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
                     intercept=-0.1),
         k=15))
 
+    # chk='nested': block-join element semantics over the ents
+    # array<struct> (score_mode=sum = matching-element count);
+    # chk='nestagg': nested agg context switch + reverse_nested
+    # parent counts -- both vs plain unnest/list_filter SQL twins
+    from .index.searchbody import search_body as _sb
+
+    nested = _chk("nested", search_hits(ix3, {
+        "query": {"nested": {
+            "path": "ents",
+            "query": {"bool": {"must": [
+                {"term": {"ents.typ": "en"}},
+                {"range": {"ents.conf": {"gte": 5}}}]}},
+            "score_mode": "sum"}},
+        "size": 100000}))
+    nest_res = _sb(ix3, {"query": {"match_all": {}}, "size": 0,
+                         "aggs": {"enr": {
+                             "nested": {"path": "ents"},
+                             "aggs": {"typs": {
+                                 "terms": {"field": "ents.typ",
+                                           "size": 5},
+                                 "aggs": {"par": {
+                                     "reverse_nested": {}}}}}}}})
+    nestagg = nest_res["aggs"]["enr>typs"].select(
+        F.lit("nestagg").alias("chk"), F.col("typs").alias("k"),
+        F.col("doc_count").cast("long").alias("doc_id"),
+        F.col("par_doc_count").cast("double").alias("score"))
+
     return (qs.unionByName(kql_hits).unionByName(sayt)
             .unionByName(body).unionByName(agg).unionByName(ms)
             .unionByName(rt).unionByName(rtagg)
             .unionByName(sqlhits).unionByName(sqlagg)
             .unionByName(sscore).unionByName(dfeat)
             .unionByName(pinned).unionByName(tset)
-            .unionByName(haschild).unionByName(ltr))
+            .unionByName(haschild).unionByName(ltr)
+            .unionByName(nested).unionByName(nestagg))
 
 
 _FACET_QUERY = "spark table join stream"
