@@ -958,6 +958,26 @@ class _Compiler:
                 v = F.lit(1.0) / x
             else:
                 raise ValueError(f"bad fvf modifier {mod!r}")
+        elif "random_score" in fn:
+            # seeded deterministic per-doc uniform [0,1): a 64-bit
+            # hash of (field value, seed) — the upstream seeded mode
+            # (its exact values are hash-implementation-defined and
+            # not portable across versions there either; determinism
+            # and distribution are the contract).  Default field
+            # doc_id, like upstream's _seq_no recommendation.
+            p = fn["random_score"] or {}
+            seed = int(p.get("seed", 0))
+            fld = str(p.get("field", "doc_id"))
+            h = F.xxhash64(F.col(fld).cast("string"), F.lit(seed))
+            v = (h.cast("double") / F.lit(float(2 ** 63)) + 1.0) / 2.0
+        elif "script_score" in fn:
+            # script_score as a FUNCTION inside function_score (the
+            # wire allows it next to weight/decay): the restricted-
+            # Painless compiler emits one native Column
+            from .painless import parse_script, to_column
+            src = fn["script_score"]["script"]
+            src = src["source"] if isinstance(src, dict) else str(src)
+            v = to_column(parse_script(src))
         else:
             for kind in ("gauss", "exp", "linear"):
                 if kind not in fn:

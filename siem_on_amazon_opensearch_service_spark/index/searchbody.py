@@ -333,7 +333,8 @@ def compile_query(spec: dict,
             # directly in the function_score body
             fn = {k: v for k, v in body.items()
                   if k in ("field_value_factor", "gauss", "exp",
-                           "linear", "weight")}
+                           "linear", "weight", "random_score",
+                           "script_score")}
             fns = [fn] if fn else []
         compiled = []
         for fn in fns:

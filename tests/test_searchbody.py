@@ -1127,3 +1127,39 @@ def test_ladder_fill_interval_units(spark, interval, kind, keys):
     assert got == want, (interval, got)
     assert [r["doc_count"] for r in res] == \
         [1] + [0] * (len(keys) - 2) + [1]
+
+
+def test_function_score_random_score_seeded(ix):
+    """random_score function: seeded deterministic uniform [0,1) --
+    same seed reproduces the ranking exactly, a different seed
+    permutes it (the upstream seeded-mode contract; exact values are
+    hash-implementation-defined there too)."""
+    def run(seed):
+        body = {"query": {"function_score": {
+            "functions": [{"random_score": {
+                "seed": seed, "field": "doc_id"}}],
+            "boost_mode": "replace",
+        }}, "size": N}
+        return _rows(search_hits(ix, body).select("doc_id", "score"))
+
+    got = run(7)
+    assert len(got) == N
+    assert all(0.0 <= s < 1.0 for _, s in got)
+    assert got == run(7)                       # deterministic
+    assert [d for d, _ in got] != [d for d, _ in run(8)]
+
+
+def test_function_score_script_function(ix, meta):
+    """script_score as a FUNCTION inside function_score: the
+    restricted-Painless value replaces the score (boost_mode
+    replace), recomputed in pure Python."""
+    body = {"query": {"function_score": {
+        "functions": [{"script_score": {"script": {
+            "source": "Math.log(doc['doclen'].value + 1) * 0.5"}}}],
+        "boost_mode": "replace",
+    }}, "size": N}
+    got = _rows(search_hits(ix, body).select("doc_id", "score"))
+    assert len(got) == N
+    for d, s in got:
+        _, dl = meta[d]
+        assert math.isclose(s, 0.5 * math.log(dl + 1), rel_tol=1e-9), d
