@@ -27,8 +27,10 @@ of the engine executes, so KQL costs nothing new at runtime:
 
 Whitespace includes non-breaking spaces (several saved searches carry
 ``log.level:\\u00a0ERROR`` — pasted from rendered dashboards).
-Unsupported KQL (nested object queries ``field:{ ... }``) raises
-``KQLError``.
+Nested object groups ``field:{ a:x and b > 1 }`` compile to the DSL
+``nested`` query (single-element block-join semantics), with inner
+field names qualified against the path exactly like Kibana's
+translation.
 """
 
 from __future__ import annotations
@@ -42,18 +44,44 @@ class KQLError(ValueError):
     pass
 
 
-# token kinds: ( ) : cmp str word
+# token kinds: ( ) { } : cmp str word
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)                       # \s matches \xa0 etc. on str
   | (?P<lpar>\() | (?P<rpar>\))
+  | (?P<lbrace>\{) | (?P<rbrace>\})
   | (?P<cmp><=|>=|<|>)
   | (?P<colon>:)
   | (?P<str>"(?:[^"\\]|\\.)*")
-  | (?P<word>[^\s():<>"]+)
+  | (?P<word>[^\s():<>"{}]+)
     """,
     re.VERBOSE,
 )
+
+
+def _prefix_fields(node: dict, pfx: str) -> dict:
+    """Qualify the RELATIVE field names inside a KQL nested group
+    (``items:{ name:x and stock > 1 }``) with the nested path --
+    Kibana's nested-query translation does the same before emitting
+    the DSL ``nested`` node."""
+    (kind, body), = node.items()
+    if kind == "bool":
+        return {"bool": {occ: [_prefix_fields(c, pfx) for c in cs]
+                         if isinstance(cs, list) else cs
+                         for occ, cs in body.items()}}
+    if kind == "nested":
+        # nested-in-nested: the inner path (and the fields already
+        # qualified against it) re-qualify against the outer path
+        return {"nested": dict(
+            body, path=f"{pfx}.{body['path']}",
+            query=_prefix_fields(body["query"], pfx))}
+    if kind == "exists":
+        return {"exists": {"field": f"{pfx}.{body['field']}"}}
+    if kind in ("term", "wildcard", "range", "match", "match_phrase"):
+        (f, v), = body.items()
+        return {kind: {f"{pfx}.{f}": v}}
+    raise KQLError(f"unsupported clause {kind!r} inside a nested "
+                   "group")
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -202,6 +230,17 @@ class _Parser:
 
     def _field_value(self, field: str) -> dict:
         kind, val = self.peek()
+        if kind == "lbrace":
+            # Kibana nested-field group: field:{ a:x and b > 1 } --
+            # ONE element must satisfy the whole inner expression
+            # (block-join semantics; compiles to the DSL nested
+            # query).  Inner field names are relative to the path.
+            self.take()
+            inner = self._or()
+            if self.take()[0] != "rbrace":
+                raise KQLError("unbalanced braces in nested group")
+            return {"nested": {"path": field,
+                               "query": _prefix_fields(inner, field)}}
         if kind == "lpar":
             # grouped value list: f:(a or b), f:(a and b)
             self.take()

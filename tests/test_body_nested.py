@@ -169,3 +169,28 @@ def test_children_and_parent_aggs(ix):
     res = search_body(ix, body)["aggs"]
     row = res["par"].collect()[0]
     assert row.doc_count == 1 and row.n == 1
+
+
+def test_kql_nested_group(ix):
+    from siem_on_amazon_opensearch_service_spark.index.kql import (
+        parse_kql,
+    )
+
+    q = parse_kql("threat.enrichments:{ typ:ip and conf >= 0.5 }")
+    assert "nested" in q and q["nested"]["path"] == "threat.enrichments"
+    got = sorted(r.doc_id for r in
+                 search_body(ix, {"query": q, "size": 10})
+                 ["hits"].collect())
+    assert got == [0, 2]   # block-join semantics, not flattened AND
+    # or-mode group with wildcard + comparison inside the braces
+    q = parse_kql("threat.enrichments:{ typ:d* or conf >= 0.9 }")
+    got = sorted(r.doc_id for r in
+                 search_body(ix, {"query": q, "size": 10})
+                 ["hits"].collect())
+    # d0: conf .9 matches; d1: (domain, .9) matches; d2: neither
+    assert got == [0, 1]
+    # nested-in-nested path qualification (pure parse)
+    q = parse_kql("a:{ b:{ c:1 } }")
+    assert q == {"nested": {"path": "a", "query": {
+        "nested": {"path": "a.b",
+                   "query": {"term": {"a.b.c": 1}}}}}}
