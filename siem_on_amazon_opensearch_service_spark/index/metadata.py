@@ -179,3 +179,38 @@ def termvectors(ix: PostingsIndex, source_docs, doc_id: int,
             "field": text_field,
             "doc_count": ix.n_docs,
             "terms": terms}
+
+
+def terms_enum(ix: PostingsIndex, field: str, string: str = "",
+               size: int = 10, case_insensitive: bool = False,
+               search_after: str | None = None,
+               text_field: str = "text"):
+    """``POST /{index}/_terms_enum``: the first ``size`` terms of
+    ``field`` (sorted ascending) that start with ``string`` — the
+    keyword-autocomplete endpoint (Kibana filter-pill value
+    suggestions hit it on every keystroke).
+
+    Plan shape: for the indexed text field the walk reads the TERM
+    DICTIONARY (term_stats — vocabulary-sized, one row per term, the
+    Lucene terms-index analog), so the prefix pushes to the parquet
+    scan as StringStartsWith and the page is a TakeOrdered over
+    vocabulary rows, zero document I/O.  For any other column it is a
+    distinct over the docs projection — one pruned-column scan.
+    ``search_after`` makes deep paging a filter, not an offset."""
+    from pyspark.sql import functions as F
+
+    if field == text_field:
+        src = ix.term_stats.select(
+            F.col("term").cast("string").alias("term"))
+    else:
+        src = (ix.docs.select(F.col(field).cast("string").alias("term"))
+               .filter(F.col("term").isNotNull()).distinct())
+    if string:
+        if case_insensitive:
+            src = src.filter(
+                F.lower(F.col("term")).startswith(string.lower()))
+        else:
+            src = src.filter(F.col("term").startswith(string))
+    if search_after is not None:
+        src = src.filter(F.col("term") > str(search_after))
+    return src.orderBy("term").limit(int(size))

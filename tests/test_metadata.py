@@ -130,3 +130,25 @@ def test_termvectors(spark, saved):
 
     with pytest.raises(ValueError, match="not found"):
         termvectors(ix, source, 10_000)
+
+
+def test_terms_enum_vocab_and_keyword(spark, saved):
+    from siem_on_amazon_opensearch_service_spark.index.metadata import (
+        terms_enum,
+    )
+
+    ix = PostingsIndex.load(spark, saved)
+    # text field: term-dictionary walk, sorted, prefix-pushed
+    got = [r.term for r in terms_enum(ix, "text", string="s").collect()]
+    assert got == sorted(got) and all(t.startswith("s") for t in got)
+    assert 0 < len(got) <= 10
+    # search_after pages strictly past the cursor
+    nxt = [r.term for r in terms_enum(ix, "text", string="s",
+                                      search_after=got[-1]).collect()]
+    assert all(t > got[-1] for t in nxt)
+    # keyword column: distinct values, case-insensitive prefix
+    langs = [r.term for r in
+             terms_enum(ix, "lang", string="E",
+                        case_insensitive=True, size=5).collect()]
+    assert langs == sorted(set(langs))
+    assert all(v.lower().startswith("e") for v in langs)
