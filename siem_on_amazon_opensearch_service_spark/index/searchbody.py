@@ -243,6 +243,20 @@ def _one(spec: dict) -> tuple[str, object]:
     return next(iter(spec.items()))
 
 
+def _fuzzy_edits(fz, term: str) -> int:
+    """``fuzziness`` param -> max edit distance.  ``AUTO[:low,high]``
+    is the upstream length ladder: 0 edits below ``low`` (default 3)
+    characters, 1 below ``high`` (default 6), else 2."""
+    if isinstance(fz, str) and fz.upper().startswith("AUTO"):
+        lo, hi = 3, 6
+        if ":" in fz:
+            a, b = fz.split(":", 1)[1].split(",")
+            lo, hi = int(a), int(b)
+        n = len(term)
+        return 0 if n < lo else (1 if n < hi else 2)
+    return int(fz)
+
+
 def _field_params(body, value_key: str = "value") -> tuple[str, dict]:
     """``{"field": X}`` or ``{"field": {value_key: X, ...opts}}``."""
     field, params = _one(body)
@@ -399,7 +413,8 @@ def compile_query(spec: dict,
         for t in terms:
             if params.get("fuzziness"):
                 g.clauses.append((occ, TermLeaf(
-                    "fuzzy", t, max_edits=int(params["fuzziness"]))))
+                    "fuzzy", t,
+                    max_edits=_fuzzy_edits(params["fuzziness"], t))))
             else:
                 g.clauses.append((occ, TermLeaf("term", t)))
         if "minimum_should_match" in params:
@@ -575,10 +590,11 @@ def compile_query(spec: dict,
     if kind == "fuzzy":
         field, params = _field_params(body)
         _require_text(kind, field, text_field)
-        fz = params.get("fuzziness", 1)
-        return TermLeaf("fuzzy", str(params["value"]).lower(),
+        val = str(params["value"]).lower()
+        return TermLeaf("fuzzy", val,
                         boost=float(params.get("boost", 1.0)),
-                        max_edits=2 if fz == "AUTO" else int(fz))
+                        max_edits=_fuzzy_edits(
+                            params.get("fuzziness", 1), val))
 
     if kind == "script_score":
         ms = body.get("min_score")

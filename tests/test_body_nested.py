@@ -194,3 +194,27 @@ def test_kql_nested_group(ix):
     assert q == {"nested": {"path": "a", "query": {
         "nested": {"path": "a.b",
                    "query": {"term": {"a.b.c": 1}}}}}}
+
+
+def test_fuzziness_auto_ladder(ix):
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        _fuzzy_edits,
+    )
+
+    assert _fuzzy_edits("AUTO", "ab") == 0
+    assert _fuzzy_edits("AUTO", "abcde") == 1
+    assert _fuzzy_edits("AUTO", "abcdef") == 2
+    assert _fuzzy_edits("AUTO:2,4", "ab") == 1
+    assert _fuzzy_edits(1, "whatever") == 1
+    # end-to-end: AUTO on a 5-char term allows 1 edit ("alpha" from
+    # "alpja"), and a match query with AUTO fuzziness finds it too
+    got = sorted(r.doc_id for r in search_body(ix, {
+        "query": {"fuzzy": {"text": {"value": "alpja",
+                                     "fuzziness": "AUTO"}}},
+        "size": 10})["hits"].collect())
+    assert got == [0]
+    got = sorted(r.doc_id for r in search_body(ix, {
+        "query": {"match": {"text": {"query": "alpja",
+                                     "fuzziness": "AUTO"}}},
+        "size": 10})["hits"].collect())
+    assert got == [0]
