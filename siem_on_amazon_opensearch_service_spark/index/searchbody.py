@@ -997,8 +997,8 @@ def hits_page(
             F.col("score") >= float(body["min_score"]))
 
     spec = (_sort_spec(body.get("sort", []), text_field)
-            + [(F.col("doc_id"), False)])
-    order = [c.desc() if d else c.asc() for c, d in spec]
+            + [(F.col("doc_id"), False, False)])
+    order = _ordered(spec)
 
     if "collapse" in body:
         # field collapsing: keep only the best hit (by the request's
@@ -1023,9 +1023,10 @@ def hits_page(
             # field itself) would collide with the key column
             iname = str(ih.get("name", "inner_hits"))
             isize = int(ih.get("size", 3))
-            ispec = (_sort_spec(ih["sort"]) + [(F.col("doc_id"), False)]
+            ispec = (_sort_spec(ih["sort"])
+                     + [(F.col("doc_id"), False, False)]
                      if ih.get("sort") else spec)
-            iorder = [c.desc() if d else c.asc() for c, d in ispec]
+            iorder = _ordered(ispec)
             iw = Window.partitionBy(ckey).orderBy(*iorder)
             inner = (
                 pre_collapse
@@ -1325,13 +1326,20 @@ def _multi_value_sort_col(fname: str, opts: dict,
 
 def _sort_spec(sort_list: list,
                text_field: str = DEFAULT_TEXT_FIELD
-               ) -> list[tuple[Column, bool]]:
-    """OpenSearch ``sort`` entries -> [(column, is_desc)] (``_score``
-    maps to the score column; default is score desc; ``_script``
-    sorts by a restricted-Painless expression over docs columns;
-    ``_geo_distance`` by haversine distance to a reference point —
-    a map-side expression, never a join; a ``mode`` / ``nested``
-    options block reduces multi-valued fields per doc)."""
+               ) -> list[tuple[Column, bool, bool]]:
+    """OpenSearch ``sort`` entries -> [(column, is_desc,
+    nulls_first)] (``_score`` maps to the score column; default is
+    score desc; ``_script`` sorts by a restricted-Painless expression
+    over docs columns; ``_geo_distance`` by haversine distance to a
+    reference point — a map-side expression, never a join; a
+    ``mode`` / ``nested`` options block reduces multi-valued fields
+    per doc).
+
+    ``missing`` follows the wire contract: the DEFAULT is ``_last``
+    in BOTH directions (upstream sorts absent values after present
+    ones — Spark's asc() NULLS FIRST default would silently front-run
+    every page with the null docs); ``_first`` flips it; any other
+    value substitutes a literal for missing docs (coalesce)."""
     spec = []
     for s in sort_list:
         if isinstance(s, str):
@@ -1361,7 +1369,7 @@ def _sort_spec(sort_list: list,
             col = haversine_km(F.col(gfield + ".lat"),
                                F.col(gfield + ".lon"),
                                qlat, qlon) * F.lit(scale)
-            spec.append((col, direction == "desc"))
+            spec.append((col, direction == "desc", False))
             continue
         # _score defaults desc, fields default asc (OpenSearch)
         default = "desc" if fname == "_score" else "asc"
@@ -1377,14 +1385,35 @@ def _sort_spec(sort_list: list,
             col = _multi_value_sort_col(fname, opts, text_field)
         else:
             col = F.col("score" if fname == "_score" else fname)
-        spec.append((col, direction == "desc"))
+        nulls_first = False        # the wire's missing: _last default
+        missing = (opts.get("missing")
+                   if isinstance(opts, dict) else None)
+        if missing == "_first":
+            nulls_first = True
+        elif missing is not None and missing != "_last":
+            col = F.coalesce(col, F.lit(missing))
+        spec.append((col, direction == "desc", nulls_first))
     if not spec:
-        spec = [(F.col("score"), True)]
+        spec = [(F.col("score"), True, False)]
     return spec
 
 
+def _ordered(spec: list[tuple[Column, bool, bool]]) -> list[Column]:
+    """Spec -> orderBy columns with explicit null placement (Spark's
+    asc() NULLS FIRST default never leaks through)."""
+    out = []
+    for c, d, nf in spec:
+        if d:
+            out.append(c.desc_nulls_first() if nf
+                       else c.desc_nulls_last())
+        else:
+            out.append(c.asc_nulls_first() if nf
+                       else c.asc_nulls_last())
+    return out
+
+
 def _order_cols(sort_list: list) -> list[Column]:
-    return [c.desc() if d else c.asc() for c, d in _sort_spec(sort_list)]
+    return _ordered(_sort_spec(sort_list))
 
 
 def _after_pred(spec: list[tuple[Column, bool]],
@@ -1399,7 +1428,7 @@ def _after_pred(spec: list[tuple[Column, bool]],
         )
     pred = F.lit(False)
     for i in range(len(spec) - 1, -1, -1):
-        col, is_desc = spec[i]
+        col, is_desc = spec[i][0], spec[i][1]
         v = F.lit(after[i])
         strict = (col < v) if is_desc else (col > v)
         pred = strict | ((col == v) & pred)

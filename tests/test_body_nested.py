@@ -218,3 +218,24 @@ def test_fuzziness_auto_ladder(ix):
                                      "fuzziness": "AUTO"}}},
         "size": 10})["hits"].collect())
     assert got == [0]
+
+
+def test_sort_missing_last_default_and_overrides(spark, ix):
+    # doc 2 has a NULL join_parent (docs 0/1 carry "0"); upstream
+    # sorts missing LAST by default in both directions — Spark's
+    # asc() NULLS FIRST default would front-run doc 2
+    def run(sort):
+        return [r.doc_id for r in search_body(
+            ix, {"query": {"ids": {"values": [0, 1, 2]}},
+                 "sort": [sort], "size": 10})["hits"].collect()]
+
+    assert run({"join_parent": {"order": "asc"}}) == [0, 1, 2]
+    assert run({"join_parent": {"order": "desc"}}) == [0, 1, 2]
+    assert run({"join_parent": {"order": "asc",
+                                "missing": "_first"}}) == [2, 0, 1]
+    # literal missing value slots the doc at its substituted key:
+    # "1" sorts after the real "0"s asc, before them desc
+    assert run({"join_parent": {"order": "asc",
+                                "missing": "1"}}) == [0, 1, 2]
+    assert run({"join_parent": {"order": "desc",
+                                "missing": "1"}}) == [2, 0, 1]
