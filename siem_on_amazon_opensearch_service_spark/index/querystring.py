@@ -634,61 +634,61 @@ def _duration_seconds(s: str) -> float:
 
 
 def field_leaf_pred(col: Column, leaf: FieldLeaf) -> Column:
-        """Predicate for a term-level FieldLeaf op against an already
-        RESOLVED column — a docs column (``field_matched``) or a
-        nested-element field (``element_pred``).  Shared so the two
-        contexts cannot drift."""
-        if leaf.op == "exists":
-            pred = col.isNotNull()
-        elif leaf.op == "exact":
-            pred = col.cast("string") == leaf.value
-        elif leaf.op == "wildcard":
-            pred = col.cast("string").like(_wild_to_like(leaf.value))
-        elif leaf.op == "in":
-            pred = col.cast("string").isin([str(v) for v in leaf.values])
-        elif leaf.op == "terms_set":
-            # multi-valued keyword semantics: the doc's array column
-            # must share >= msm elements with the query terms; the
-            # per-doc minimum comes from minimum_should_match_field.
-            # One array_intersect per row -- codegen, no join.
-            overlap = F.size(F.array_intersect(
-                col.cast("array<string>"),
-                F.array(*[F.lit(str(v)) for v in leaf.values]),
-            ))
-            msm = (F.col(leaf.msm_field).cast("int")
-                   if leaf.msm_field is not None
-                   else F.lit(int(leaf.msm_const or 1)))
-            pred = (overlap >= msm) & (msm > 0)
-        elif leaf.op == "range":
-            iso_re = re.compile(
-                r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?)?$")
+    """Predicate for a term-level FieldLeaf op against an already
+    RESOLVED column — a docs column (``field_matched``) or a
+    nested-element field (``element_pred``).  Shared so the two
+    contexts cannot drift."""
+    if leaf.op == "exists":
+        pred = col.isNotNull()
+    elif leaf.op == "exact":
+        pred = col.cast("string") == leaf.value
+    elif leaf.op == "wildcard":
+        pred = col.cast("string").like(_wild_to_like(leaf.value))
+    elif leaf.op == "in":
+        pred = col.cast("string").isin([str(v) for v in leaf.values])
+    elif leaf.op == "terms_set":
+        # multi-valued keyword semantics: the doc's array column
+        # must share >= msm elements with the query terms; the
+        # per-doc minimum comes from minimum_should_match_field.
+        # One array_intersect per row -- codegen, no join.
+        overlap = F.size(F.array_intersect(
+            col.cast("array<string>"),
+            F.array(*[F.lit(str(v)) for v in leaf.values]),
+        ))
+        msm = (F.col(leaf.msm_field).cast("int")
+               if leaf.msm_field is not None
+               else F.lit(int(leaf.msm_const or 1)))
+        pred = (overlap >= msm) & (msm > 0)
+    elif leaf.op == "range":
+        iso_re = re.compile(
+            r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?)?$")
 
-            def side(v, incl, cmp_i, cmp_e):
-                if v is None:
-                    return F.lit(True)
-                try:
-                    float(v)
-                    c, b = col.cast("double"), F.lit(float(v))
-                except ValueError:
-                    if iso_re.match(v):
-                        # date bounds compare as timestamps, so
-                        # '2020-12-01' bounds a timestamp column at
-                        # midnight instead of string-ordering against
-                        # '2020-12-01 00:00:00'
-                        c = col.cast("timestamp")
-                        b = F.to_timestamp(F.lit(v))
-                    else:
-                        c, b = col.cast("string"), F.lit(v)
-                return (cmp_i if incl else cmp_e)(c, b)
+        def side(v, incl, cmp_i, cmp_e):
+            if v is None:
+                return F.lit(True)
+            try:
+                float(v)
+                c, b = col.cast("double"), F.lit(float(v))
+            except ValueError:
+                if iso_re.match(v):
+                    # date bounds compare as timestamps, so
+                    # '2020-12-01' bounds a timestamp column at
+                    # midnight instead of string-ordering against
+                    # '2020-12-01 00:00:00'
+                    c = col.cast("timestamp")
+                    b = F.to_timestamp(F.lit(v))
+                else:
+                    c, b = col.cast("string"), F.lit(v)
+            return (cmp_i if incl else cmp_e)(c, b)
 
-            pred = side(leaf.lo, leaf.lo_incl,
-                        Column.__ge__, Column.__gt__) & side(
-                leaf.hi, leaf.hi_incl, Column.__le__, Column.__lt__)
-        else:  # pragma: no cover
-            raise ValueError(f"unknown field op {leaf.op!r}")
-        # NULL field never matches positively (and thus passes NOT):
-        # the reference's missing-key behavior.
-        return F.coalesce(pred, F.lit(False))
+        pred = side(leaf.lo, leaf.lo_incl,
+                    Column.__ge__, Column.__gt__) & side(
+            leaf.hi, leaf.hi_incl, Column.__le__, Column.__lt__)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown field op {leaf.op!r}")
+    # NULL field never matches positively (and thus passes NOT):
+    # the reference's missing-key behavior.
+    return F.coalesce(pred, F.lit(False))
 
 
 def group_pred(node: Group, rec) -> Column:

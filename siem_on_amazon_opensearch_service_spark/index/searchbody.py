@@ -411,12 +411,12 @@ def compile_query(spec: dict,
                else "should")
         g = Group(boost=boost)
         for t in terms:
-            if params.get("fuzziness"):
-                g.clauses.append((occ, TermLeaf(
-                    "fuzzy", t,
-                    max_edits=_fuzzy_edits(params["fuzziness"], t))))
-            else:
-                g.clauses.append((occ, TermLeaf("term", t)))
+            edits = (_fuzzy_edits(params["fuzziness"], t)
+                     if params.get("fuzziness") else 0)
+            # 0 edits == exact: a plain term leaf skips the fuzzy
+            # path's vocabulary scan (AUTO makes short terms exact)
+            g.clauses.append((occ, TermLeaf("fuzzy", t, max_edits=edits)
+                              if edits else TermLeaf("term", t)))
         if "minimum_should_match" in params:
             g.minimum_should_match = int(params["minimum_should_match"])
         return g
@@ -591,10 +591,10 @@ def compile_query(spec: dict,
         field, params = _field_params(body)
         _require_text(kind, field, text_field)
         val = str(params["value"]).lower()
-        return TermLeaf("fuzzy", val,
+        edits = _fuzzy_edits(params.get("fuzziness", 1), val)
+        return TermLeaf("fuzzy" if edits else "term", val,
                         boost=float(params.get("boost", 1.0)),
-                        max_edits=_fuzzy_edits(
-                            params.get("fuzziness", 1), val))
+                        max_edits=edits)
 
     if kind == "script_score":
         ms = body.get("min_score")
@@ -720,11 +720,18 @@ def _nested_scored(ix: PostingsIndex, body: dict,
     arr = F.col(path)
     matches = F.filter(arr, lambda e: element_pred(inner, path, e))
     n = F.size(matches)          # NULL array -> -1: never matches
-    score = (n.cast("double") if mode == "sum" else F.lit(1.0))
+    # filter-context element scores are 1.0, so sum = element count;
+    # none carries score 0 (ToParentBlockJoinQuery ScoreMode.None)
+    score = (n.cast("double") if mode == "sum"
+             else F.lit(0.0) if mode == "none" else F.lit(1.0))
     out = ix.docs.filter(n > 0).withColumn("score", score)
     ih = body.get("inner_hits")
     if ih is not None:
-        iname = str(ih.get("name", path))
+        # default name "inner_hits", NOT the path: in the flat column
+        # model a path-named column would overwrite the source array
+        # (truncated to the matching slice) for _source and any later
+        # sort over the same field
+        iname = str(ih.get("name", "inner_hits"))
         out = out.withColumn(
             iname, F.slice(matches, 1, int(ih.get("size", 3))))
     return out
@@ -1023,7 +1030,7 @@ def hits_page(
             # field itself) would collide with the key column
             iname = str(ih.get("name", "inner_hits"))
             isize = int(ih.get("size", 3))
-            ispec = (_sort_spec(ih["sort"])
+            ispec = (_sort_spec(ih["sort"], text_field)
                      + [(F.col("doc_id"), False, False)]
                      if ih.get("sort") else spec)
             iorder = _ordered(ispec)
@@ -1295,25 +1302,28 @@ def _multi_value_sort_col(fname: str, opts: dict,
                            lambda e: element_pred(inner, path, e))
         rel = [s for s in fname[len(path) + 1:].split(".") if s]
         vals = F.transform(
-            arr,
-            lambda e: reduce(lambda c, s: c[s], rel, e).cast("double"))
+            arr, lambda e: reduce(lambda c, s: c[s], rel, e))
     else:
-        vals = F.col(fname).cast("array<double>")
+        vals = F.col(fname)
     vals = F.filter(vals, lambda v: v.isNotNull())
     n = F.size(vals)
     mode = str(opts.get("mode") or (
         "max" if str(opts.get("order", "asc")).lower() == "desc"
         else "min"))
     if mode == "min":
+        # element type preserved: min/max order strings lexically
+        # (MultiValueMode supports keyword fields); only the numeric
+        # folds cast
         out = F.array_min(vals)
     elif mode == "max":
         out = F.array_max(vals)
     elif mode in ("sum", "avg"):
+        vals = F.transform(vals, lambda v: v.cast("double"))
         out = F.aggregate(vals, F.lit(0.0), lambda a, v: a + v)
         if mode == "avg":
             out = out / n
     elif mode == "median":
-        s = F.array_sort(vals)
+        s = F.array_sort(F.transform(vals, lambda v: v.cast("double")))
         mid = ((n + 1) / 2).cast("int")
         lo = F.element_at(s, mid)
         hi = F.element_at(
@@ -1412,8 +1422,9 @@ def _ordered(spec: list[tuple[Column, bool, bool]]) -> list[Column]:
     return out
 
 
-def _order_cols(sort_list: list) -> list[Column]:
-    return _ordered(_sort_spec(sort_list))
+def _order_cols(sort_list: list,
+                text_field: str = DEFAULT_TEXT_FIELD) -> list[Column]:
+    return _ordered(_sort_spec(sort_list, text_field))
 
 
 def _after_pred(spec: list[tuple[Column, bool]],
@@ -1428,10 +1439,25 @@ def _after_pred(spec: list[tuple[Column, bool]],
         )
     pred = F.lit(False)
     for i in range(len(spec) - 1, -1, -1):
-        col, is_desc = spec[i][0], spec[i][1]
-        v = F.lit(after[i])
-        strict = (col < v) if is_desc else (col > v)
-        pred = strict | ((col == v) & pred)
+        col, is_desc, nf = spec[i][0], spec[i][1], spec[i][2]
+        v = after[i]
+        if v is None:
+            # cursor already inside the missing band: with nulls
+            # last nothing sorts after it at this level; with nulls
+            # first every present value does
+            strict = col.isNotNull() if nf else F.lit(False)
+            eq = col.isNull()
+        else:
+            lit = F.lit(v)
+            base = (col < lit) if is_desc else (col > lit)
+            # missing docs sort after any present cursor value unless
+            # the entry asked for nulls first — without this, NULL
+            # comparisons silently drop the whole missing tail from
+            # every cursor page
+            strict = (F.coalesce(base, F.lit(False))
+                      | (col.isNull() & F.lit(not nf)))
+            eq = F.coalesce(col == lit, F.lit(False))
+        pred = strict | (eq & pred)
     return pred
 
 
@@ -3040,7 +3066,7 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
         if not levels:
             raise ValueError("top_hits needs an enclosing bucket agg")
         size = int(spec.get("size", 1))
-        order = _order_cols(spec.get("sort", []))
+        order = _order_cols(spec.get("sort", []), text_field)
         order.append(F.asc("doc_id"))
         df = docs if frame is None else frame
         keys = []
@@ -3100,8 +3126,15 @@ def _sorted_route(sorted_docs, body: dict):
         fld, order = ent, "asc"
     elif isinstance(ent, dict) and len(ent) == 1:
         (fld, spec), = ent.items()
-        order = (spec.get("order", "asc")
-                 if isinstance(spec, dict) else str(spec))
+        if isinstance(spec, dict):
+            # the layout hardcodes scalar nulls-last ordering: any
+            # missing/mode/nested option changes the page -> document
+            # path (routing must stay result-identical)
+            if set(spec) - {"order"}:
+                return None
+            order = spec.get("order", "asc")
+        else:
+            order = str(spec)
     else:
         return None
     if fld != sorted_docs.sort_field:
@@ -3164,6 +3197,10 @@ def search_body(
                                "embedding", sparse=sparse)
         elif qkind == "neural_sparse":
             m = _sparse_scored(ix, qnode, sparse)
+        elif qkind == "nested":
+            # dedicated path so ignore_unmapped / score_mode hold for
+            # aggs and track_total_hits, same as the hits page
+            m = _nested_scored(ix, qnode["nested"], text_field)
         else:
             tree = compile_query(qnode, text_field)
             m = tree_scores(ix, tree, positional_ix=positional_ix,

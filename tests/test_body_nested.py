@@ -239,3 +239,58 @@ def test_sort_missing_last_default_and_overrides(spark, ix):
                                 "missing": "1"}}) == [0, 1, 2]
     assert run({"join_parent": {"order": "desc",
                                 "missing": "1"}}) == [2, 0, 1]
+
+
+def test_search_after_reaches_missing_tail(ix):
+    # docs 0/1 carry join_parent "0"; doc 2 is NULL (sorts last).
+    # the cursor page after ("0", doc 1) must return the missing-tail
+    # doc -- NULL comparisons silently dropped it before
+    base = {"query": {"ids": {"values": [0, 1, 2]}},
+            "sort": [{"join_parent": {"order": "asc"}}]}
+    p1 = [r.doc_id for r in search_body(
+        ix, dict(base, size=2))["hits"].collect()]
+    assert p1 == [0, 1]
+    p2 = [r.doc_id for r in search_body(
+        ix, dict(base, size=2, search_after=["0", 1]))
+        ["hits"].collect()]
+    assert p2 == [2]
+    # cursor already in the missing band: only later nulls qualify
+    p3 = [r.doc_id for r in search_body(
+        ix, dict(base, size=2, search_after=[None, 2]))
+        ["hits"].collect()]
+    assert p3 == []
+
+
+def test_sort_mode_on_string_elements(ix):
+    # min/max preserve the element type: lexical order on keywords
+    body = {"query": {"ids": {"values": [0, 1, 2]}},
+            "sort": [{"threat.enrichments.ind": {
+                "order": "desc", "mode": "max",
+                "nested": {"path": "threat.enrichments"}}}],
+            "size": 10}
+    got = [r.doc_id for r in search_body(ix, body)["hits"].collect()]
+    assert got == [2, 1, 0]    # maxes i5 > i3 > i1
+
+
+def test_nested_aggs_and_totals_route(ix):
+    # top-level nested + aggs + track_total_hits exercises the
+    # matched_frame path (was compile_query-only, crashing on
+    # ignore_unmapped and mis-scoring sum)
+    res = search_body(ix, {
+        "query": {"nested": {"path": "threat.enrichments",
+                             "query": {"term": {
+                                 "threat.enrichments.typ": "ip"}},
+                             "score_mode": "sum"}},
+        "track_total_hits": True, "size": 0,
+        "aggs": {"by_join": {"terms": {"field": "join_name"}}}})
+    assert res["total"] == {"value": 3, "relation": "eq"}
+    buckets = {r.by_join: r.doc_count
+               for r in res["aggs"]["by_join"].collect()}
+    assert buckets == {"answer": 2, "question": 1}
+    # unmapped + ignore_unmapped through the same path: empty, no crash
+    res = search_body(ix, {
+        "query": {"nested": {"path": "nope",
+                             "query": {"match_all": {}},
+                             "ignore_unmapped": True}},
+        "track_total_hits": True, "size": 0})
+    assert res["total"] == {"value": 0, "relation": "eq"}
