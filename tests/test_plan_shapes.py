@@ -402,3 +402,32 @@ def test_combined_fields_plan_pushed_no_cartesian(spark, tmp_path):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "Sort " not in plan  # no global sort node
+
+
+def test_nested_query_plan_is_scan_only(spark, saved_ix, tmp_path):
+    """The nested query is a per-row higher-order filter: the plan
+    over a persisted docs table must stay a single scan -- zero
+    exchanges, zero joins, no explode/Generate."""
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        _nested_scored,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, [{"t": "a", "v": float(i)}]) for i in range(10)],
+        "doc_id long, ents array<struct<t:string,v:double>>")
+    p = str(tmp_path / "nd")
+    docs.write.parquet(p)
+    ix = PostingsIndex(docs=spark.read.parquet(p),
+                       postings=saved_ix.postings,
+                       term_stats=saved_ix.term_stats,
+                       n_docs=10, avgdl=1.0)
+    df = _nested_scored(
+        ix, {"path": "ents",
+             "query": {"bool": {"must": [
+                 {"term": {"ents.t": "a"}},
+                 {"range": {"ents.v": {"gte": 2}}}]}},
+             "score_mode": "sum"}, "text")
+    plan = _plan(df)
+    assert plan.count(") Exchange") == 0
+    assert ") Generate" not in plan       # no explode
+    assert "Join" not in plan
