@@ -2265,6 +2265,11 @@ def _scripted_metric_parts(params: dict) -> tuple[str, str]:
 
 
 def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
+    if kind == "_hll_sketch":
+        # hidden mergeable-cardinality state for the
+        # cumulative_cardinality pipeline (never user-addressable)
+        return [F.hll_sketch_agg(F.col(params["field"]).cast("string"))
+                .alias(name)]
     if kind == "reverse_nested":
         # back to PARENT scope from a nested-agg element frame: the
         # bucket's doc_count counts unique parent docs (an element
@@ -2440,7 +2445,8 @@ def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
 
 _PARENT_PIPE_KINDS = ("derivative", "cumulative_sum", "moving_avg",
                       "moving_fn", "serial_diff", "bucket_script",
-                      "bucket_selector", "bucket_sort", "normalize")
+                      "bucket_selector", "bucket_sort", "normalize",
+                      "cumulative_cardinality")
 _SIBLING_PIPE_KINDS = ("avg_bucket", "sum_bucket", "min_bucket",
                        "max_bucket", "stats_bucket",
                        "percentiles_bucket", "extended_stats_bucket")
@@ -2491,6 +2497,22 @@ def _parent_pipe(frame: DataFrame, levels: list[tuple], name: str,
         size = params.get("size")
         out = frame.orderBy(*order_cols)
         return out.limit(int(size)) if size is not None else out
+    if kind == "cumulative_cardinality":
+        # running distinct count across the ordered buckets.  The
+        # per-bucket HLL sketches (hidden _hll_<name> column emitted
+        # in the SAME hash aggregate as the other metrics) merge
+        # cumulatively with hll_union_agg over an expanding window --
+        # the upstream implementation is exactly this sketch merge,
+        # and mergeability is what makes the op shard-agnostic at
+        # 100 TB (an exact running distinct would need the raw value
+        # sets per bucket).  DataSketches HLL is exact in sparse mode
+        # (small per-bucket cardinalities), ~1.6% beyond.
+        w2 = w.rowsBetween(Window.unboundedPreceding,
+                           Window.currentRow)
+        sk = F.col(f"_hll_{name}")
+        return (frame.withColumn(
+            name, F.hll_sketch_estimate(F.hll_union_agg(sk).over(w2))
+            .cast("double")).drop(f"_hll_{name}"))
     col = F.col("doc_count" if bp in (None, "_count") else str(bp))
     col = col.cast("double")
     if kind == "normalize":
@@ -2813,6 +2835,19 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
             else:
                 out[">".join(path + [name])] = _materialize(lv, [],
                                                             frame)
+        for pname, pkind, pparams in parent_pipes:
+            # cumulative_cardinality needs a MERGEABLE per-bucket
+            # state, not the reduced scalar its buckets_path names:
+            # ride a hidden HLL sketch through the same hash agg
+            if pkind != "cumulative_cardinality":
+                continue
+            ref = spec.get(str(pparams.get("buckets_path", "")), {})
+            if "cardinality" not in ref:
+                raise ValueError(
+                    "cumulative_cardinality buckets_path must name a "
+                    "sibling cardinality agg")
+            metric_cols.append((f"_hll_{pname}", "_hll_sketch",
+                                {"field": ref["cardinality"]["field"]}))
         if metric_cols or parent_pipes:
             red = _materialize(levels, metric_cols, frame)
             for name, kind, params in parent_pipes:

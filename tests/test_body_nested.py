@@ -294,3 +294,29 @@ def test_nested_aggs_and_totals_route(ix):
                              "ignore_unmapped": True}},
         "track_total_hits": True, "size": 0})
     assert res["total"] == {"value": 0, "relation": "eq"}
+
+
+def test_cumulative_cardinality_pipeline(spark):
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        run_aggs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "d1", "a"), (1, "d1", "b"), (2, "d2", "b"),
+         (3, "d2", "c"), (4, "d3", "a"), (5, "d3", "d")],
+        "doc_id long, day string, user string")
+    res = run_aggs(docs, {"days": {
+        "terms": {"field": "day", "size": 10},
+        "aggs": {
+            "users": {"cardinality": {"field": "user"}},
+            "total_users": {"cumulative_cardinality": {
+                "buckets_path": "users"}},
+        }}})
+    rows = {r.days: r for r in res["days"].collect()}
+    assert {d: r.users for d, r in rows.items()} == {
+        "d1": 2, "d2": 2, "d3": 2}
+    # running distinct across the ordered buckets: 2, 3, 4 (HLL is
+    # exact at these cardinalities — sparse mode)
+    assert {d: r.total_users for d, r in rows.items()} == {
+        "d1": 2.0, "d2": 3.0, "d3": 4.0}
+    assert "_hll_total_users" not in res["days"].columns
