@@ -218,6 +218,40 @@ def main() -> None:
     timed("script_score", lambda: search_hits(ix, ss_body)
           .select("doc_id", "score").collect())
 
+    # --- nested field surface: block-join query (per-row
+    # higher-order filter, scan-only plan) + element-context agg
+    # with reverse_nested (one map-side explode) ---
+    from siem_on_amazon_opensearch_service_spark.index.build import (
+        PostingsIndex as _PIx,
+    )
+
+    nix = _PIx(
+        docs=ix.docs.withColumn("ents", F.array(
+            F.struct(F.col("lang").alias("t"),
+                     (F.col("doclen") % 10).cast("double").alias("v")),
+            F.struct(F.col("lang").alias("t"),
+                     (F.col("doclen") % 7).cast("double").alias("v")))),
+        postings=ix.postings, term_stats=ix.term_stats,
+        n_docs=ix.n_docs, avgdl=ix.avgdl)
+    nested_body = {
+        "query": {"nested": {
+            "path": "ents",
+            "query": {"bool": {"must": [
+                {"term": {"ents.t": "en"}},
+                {"range": {"ents.v": {"gte": 5}}}]}},
+            "score_mode": "sum"}},
+        "size": 20,
+        "aggs": {"enr": {"nested": {"path": "ents"}, "aggs": {
+            "ts": {"terms": {"field": "ents.t", "size": 5},
+                   "aggs": {"par": {"reverse_nested": {}}}}}}}}
+
+    def run_nested():
+        res = search_body(nix, nested_body)
+        res["hits"].collect()
+        res["aggs"]["enr>ts"].collect()
+
+    timed("nested_body", run_nested)
+
     # --- multi-field: BM25F combined_fields over body+title spaces ---
     from siem_on_amazon_opensearch_service_spark.analysis import tokens_col
     from siem_on_amazon_opensearch_service_spark.index.multifield import (
