@@ -1135,7 +1135,8 @@ def hits_page(
         qn = body.get("query", {})
         for ih in (body.get("collapse", {}).get("inner_hits"),
                    *(qn.get(jk, {}).get("inner_hits")
-                     for jk in ("has_child", "has_parent"))):
+                     for jk in ("has_child", "has_parent",
+                                "nested"))):
             if ih:
                 iname = str(ih.get("name", "inner_hits"))
                 if iname not in keep:

@@ -89,6 +89,10 @@ def test_nested_score_mode_sum_and_inner_hits(ix):
     assert rows[0].score == pytest.approx(1.0)
     assert [e.ind for e in rows[2].enr_hits] == ["i4", "i5"]
     assert [e.ind for e in rows[0].enr_hits] == ["i0"]
+    # the inner_hits column survives _source projection
+    cols = search_body(ix, {"query": q, "_source": ["join_name"],
+                            "size": 10})["hits"].columns
+    assert "enr_hits" in cols and "join_name" in cols
 
 
 def test_nested_ignore_unmapped(ix):
