@@ -13,3 +13,4 @@ from .aliases import AliasRegistry, alias_search  # noqa: F401
 from .ltr import LinearModel, log_features, sltr_topk  # noqa: F401
 from .templates import TemplateRegistry, search_template  # noqa: F401
 from .termvectors import term_vectors  # noqa: F401
+from .metadata import field_caps, terms_enum  # noqa: F401
