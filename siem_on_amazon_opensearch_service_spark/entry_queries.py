@@ -597,6 +597,20 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*), round(avg(value), 4), NULL::BIGINT, NULL::BIGINT,
            NULL::DOUBLE
     FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'movpct:' || strftime(a.h, '%Y-%m-%d %H:%M:%S'), a.n,
+           round(quantile_cont(e.value, 0.9), 4), NULL::BIGINT,
+           NULL::BIGINT, NULL::DOUBLE
+    FROM (
+      SELECT h, n, row_number() OVER (ORDER BY h) AS r FROM (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY 1)
+    ) a JOIN (
+      SELECT h, row_number() OVER (ORDER BY h) AS r FROM (
+        SELECT date_trunc('hour', ts) AS h FROM events GROUP BY 1)
+    ) b ON b.r BETWEEN a.r - 2 AND a.r
+    JOIN events e ON date_trunc('hour', e.ts) = b.h
+    GROUP BY a.h, a.n
     """,
 )
 def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,8 +737,32 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value__avg", 4).alias("sum_value"), *nulls,
     )
 
+    # 'movpct:' rows — the moving_percentiles pipeline agg run
+    # THROUGH the body dispatcher (hidden per-bucket value lists ride
+    # the same hash aggregate; trailing-3-bucket union, exact linear
+    # interpolation — index/searchbody.py); the oracle re-derives it
+    # with a rank self-join + quantile_cont.
+    from .index.searchbody import run_aggs
+
+    mp_frame = run_aggs(ev, {"hist": {
+        "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+        "aggs": {
+            "pct": {"percentiles": {"field": "value",
+                                    "percents": [90]}},
+            "mp": {"moving_percentiles": {"buckets_path": "pct",
+                                          "window": 3}},
+        }}})["hist"]
+    movpct = mp_frame.select(
+        F.concat(F.lit("movpct:"),
+                 F.date_format("hist", "yyyy-MM-dd HH:mm:ss"))
+        .alias("bucket"),
+        F.col("doc_count").alias("n"),
+        F.round("mp_p90", 4).alias("sum_value"), *nulls,
+    )
+
     return (dense.unionByName(sparse).unionByName(anomalies)
-            .unionByName(dr).unionByName(auto).unionByName(tf))
+            .unionByName(dr).unionByName(auto).unionByName(tf)
+            .unionByName(movpct))
 
 
 @register(

@@ -994,7 +994,8 @@ def hits_page(
     # dashboards faceted-navigation contract).
     if "post_filter" in body:
         scored = scored.filter(
-            _filter_pred(body["post_filter"], text_field))
+            _filter_pred(body["post_filter"], text_field,
+                         frame=scored))
 
     if "min_score" in body:
         # top-level min_score: drop hits below the floor BEFORE
@@ -1589,7 +1590,8 @@ def _vector_scored(
 
             cand = vecs
             if "filter" in spec:
-                pred = _filter_pred(spec["filter"], text_field)
+                pred = _filter_pred(spec["filter"], text_field,
+                                    frame=ix.docs)
                 keep = ix.docs.filter(pred).select(
                     F.col("doc_id").alias(vec_id_col))
                 cand = vecs.join(keep, vec_id_col, "left_semi")
@@ -1625,7 +1627,8 @@ def _vector_scored(
         else:
             cand = vecs
             if "filter" in spec:
-                pred = _filter_pred(spec["filter"], text_field)
+                pred = _filter_pred(spec["filter"], text_field,
+                                    frame=ix.docs)
                 keep = ix.docs.filter(pred).select(
                     F.col("doc_id").alias(vec_id_col))
                 cand = vecs.join(keep, vec_id_col, "left_semi")
@@ -1697,7 +1700,8 @@ _BUCKET_KINDS = ("terms", "date_histogram", "auto_date_histogram",
                  "histogram", "range", "filters", "multi_terms",
                  "date_range", "ip_range", "adjacency_matrix",
                  "variable_width_histogram",
-                 "geohash_grid", "geotile_grid", "geo_distance")
+                 "geohash_grid", "geotile_grid", "geohex_grid",
+                 "geo_distance")
 _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count",
                  "cardinality", "stats", "percentiles",
                  "percentile_ranks", "string_stats",
@@ -2046,7 +2050,7 @@ def _bucket_expr(kind: str, params: dict, text_field: str,
     if kind == "filters":
         arms = []
         for label, q in params["filters"].items():
-            pred = _filter_pred(q, text_field)
+            pred = _filter_pred(q, text_field, frame=df)
             arms.append(F.when(pred, F.lit(label)))
         return F.array_compact(F.array(*arms)), True, None
     if kind == "adjacency_matrix":
@@ -2058,7 +2062,8 @@ def _bucket_expr(kind: str, params: dict, text_field: str,
         # n + n(n-1)/2 -- query metadata, bounded by the upstream
         # 100-filter cap.
         sep = str(params.get("separator", "&"))
-        preds = {str(label): _filter_pred(q, text_field)
+        preds = {str(label): _filter_pred(q, text_field,
+                                          frame=df)
                  for label, q in params["filters"].items()}
         if len(preds) > 100:
             raise ValueError("adjacency_matrix: >100 filters")
@@ -2176,6 +2181,14 @@ def _bucket_expr(kind: str, params: dict, text_field: str,
                       int(params.get("precision", 7)))
         return key, False, {"size": int(params.get("size", 10000)),
                             "by": "_count", "dir": "desc"}
+    if kind == "geohex_grid":
+        from ..operators.geo import geohex
+
+        f = params["field"]
+        key = geohex(f"{f}.lat", f"{f}.lon",
+                     int(params.get("precision", 4)))
+        return key, False, {"size": int(params.get("size", 10000)),
+                            "by": "_count", "dir": "desc"}
     if kind == "geo_distance":
         from ..operators.geo import haversine_km
 
@@ -2201,14 +2214,17 @@ def _bucket_expr(kind: str, params: dict, text_field: str,
     raise ValueError(f"unsupported bucket agg {kind!r}")
 
 
-def _filter_pred(q: dict | str, text_field: str) -> Column:
+def _filter_pred(q: dict | str, text_field: str,
+                 frame: DataFrame | None = None) -> Column:
     """Docs-column predicate for a filters-agg arm.  Term-level nodes
     only (the agg input already passed the top-level query).  A plain
     string arm is a query_string -- the shape the reference dashboards
     actually store (saved_objects/each-dashboard/guardduty.ndjson
     visState filters: {"input": {"query": "severitylabel:high",
-    "language": "kuery"}})."""
-    from .querystring import _Compiler
+    "language": "kuery"}}).  Pass ``frame`` (the DataFrame the
+    predicate will filter) so flat_object (map-typed) fields resolve;
+    without it, dotted paths resolve as struct columns only."""
+    from .querystring import _Compiler, map_typed_cols
 
     node = (parse_query_string(q) if isinstance(q, str)
             else compile_query(q, text_field))
@@ -2219,8 +2235,10 @@ def _filter_pred(q: dict | str, text_field: str) -> Column:
         raise ValueError(
             "filters-agg arms must be term-level (docs-column) queries"
         )
-    comp = _Compiler(F.array().cast(
-        "array<struct<leaf:int,contrib:double>>"))
+    comp = _Compiler(
+        F.array().cast("array<struct<leaf:int,contrib:double>>"),
+        flat_cols=(map_typed_cols(frame.schema)
+                   if frame is not None else frozenset()))
     return comp.matched(node)
 
 
@@ -2270,6 +2288,12 @@ def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
         # hidden mergeable-cardinality state for the
         # cumulative_cardinality pipeline (never user-addressable)
         return [F.hll_sketch_agg(F.col(params["field"]).cast("string"))
+                .alias(name)]
+    if kind == "_vals_list":
+        # hidden per-bucket value list for the moving_percentiles
+        # pipeline (never user-addressable): collect_list skips
+        # nulls, matching percentile()'s null handling
+        return [F.collect_list(F.col(params["field"]).cast("double"))
                 .alias(name)]
     if kind == "reverse_nested":
         # back to PARENT scope from a nested-agg element frame: the
@@ -2447,7 +2471,7 @@ def _metric_exprs(name: str, kind: str, params: dict) -> list[Column]:
 _PARENT_PIPE_KINDS = ("derivative", "cumulative_sum", "moving_avg",
                       "moving_fn", "serial_diff", "bucket_script",
                       "bucket_selector", "bucket_sort", "normalize",
-                      "cumulative_cardinality")
+                      "cumulative_cardinality", "moving_percentiles")
 _SIBLING_PIPE_KINDS = ("avg_bucket", "sum_bucket", "min_bucket",
                        "max_bucket", "stats_bucket",
                        "percentiles_bucket", "extended_stats_bucket")
@@ -2514,6 +2538,35 @@ def _parent_pipe(frame: DataFrame, levels: list[tuple], name: str,
         return (frame.withColumn(
             name, F.hll_sketch_estimate(F.hll_union_agg(sk).over(w2))
             .cast("double")).drop(f"_hll_{name}"))
+    if kind == "moving_percentiles":
+        # percentiles over the UNION of raw values in the trailing
+        # ``window`` buckets (incl. current — the frame convention
+        # moving_fn uses above).  Upstream merges the sibling
+        # percentiles agg's TDigest sketch states over the window;
+        # we ride exact per-bucket value lists through the same hash
+        # aggregate — exact where the wire is approximate.  The
+        # window concat runs over the REDUCED bucket frame
+        # (metadata-sized, coordinator-phase); at 100 TB a bounded
+        # percentile_approx state column would be the sketch analog.
+        win = int(params.get("window", 5))
+        merged = F.array_sort(F.flatten(
+            F.collect_list(F.col(f"_vals_{name}")).over(
+                w.rowsBetween(-(win - 1), 0))))
+        out = frame.withColumn(f"_mw_{name}", merged)
+        vals = F.col(f"_mw_{name}")
+        n = F.size(vals)
+        for p in params["percents"]:
+            # exact linear interpolation: rank = p*(n-1), the same
+            # definition SQL percentile() and numpy 'linear' use
+            rank = F.lit(float(p) / 100.0) * (n - 1).cast("double")
+            lo = F.floor(rank).cast("int")
+            hi = F.ceil(rank).cast("int")
+            frac = rank - lo.cast("double")
+            val = (F.element_at(vals, lo + 1) * (F.lit(1.0) - frac)
+                   + F.element_at(vals, hi + 1) * frac)
+            out = out.withColumn(f"{name}_{_pct_label(p)}",
+                                 F.when(n > 0, val))
+        return out.drop(f"_mw_{name}", f"_vals_{name}")
     col = F.col("doc_count" if bp in (None, "_count") else str(bp))
     col = col.cast("double")
     if kind == "normalize":
@@ -2701,7 +2754,8 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                         "the aggs tree")
                 if pk == "filter":
                     sub_frame = frame.filter(
-                        _filter_pred(node["filter"], text_field))
+                        _filter_pred(node["filter"], text_field,
+                                     frame=frame))
                 elif pk == "missing":
                     sub_frame = frame.filter(
                         F.col(node["missing"]["field"]).isNull())
@@ -2836,19 +2890,37 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
             else:
                 out[">".join(path + [name])] = _materialize(lv, [],
                                                             frame)
-        for pname, pkind, pparams in parent_pipes:
-            # cumulative_cardinality needs a MERGEABLE per-bucket
-            # state, not the reduced scalar its buckets_path names:
-            # ride a hidden HLL sketch through the same hash agg
-            if pkind != "cumulative_cardinality":
-                continue
-            ref = spec.get(str(pparams.get("buckets_path", "")), {})
-            if "cardinality" not in ref:
-                raise ValueError(
-                    "cumulative_cardinality buckets_path must name a "
-                    "sibling cardinality agg")
-            metric_cols.append((f"_hll_{pname}", "_hll_sketch",
-                                {"field": ref["cardinality"]["field"]}))
+        for i, (pname, pkind, pparams) in enumerate(parent_pipes):
+            # sketch-state pipelines need a MERGEABLE per-bucket
+            # state, not the reduced scalar their buckets_path
+            # names: ride a hidden state column through the same
+            # hash agg (HLL sketch for cumulative_cardinality, the
+            # raw value list for moving_percentiles — upstream rides
+            # the sibling percentiles agg's TDigest states)
+            if pkind == "cumulative_cardinality":
+                ref = spec.get(str(pparams.get("buckets_path", "")),
+                               {})
+                if "cardinality" not in ref:
+                    raise ValueError(
+                        "cumulative_cardinality buckets_path must "
+                        "name a sibling cardinality agg")
+                metric_cols.append(
+                    (f"_hll_{pname}", "_hll_sketch",
+                     {"field": ref["cardinality"]["field"]}))
+            elif pkind == "moving_percentiles":
+                ref = spec.get(str(pparams.get("buckets_path", "")),
+                               {})
+                if "percentiles" not in ref:
+                    raise ValueError(
+                        "moving_percentiles buckets_path must name "
+                        "a sibling percentiles agg")
+                metric_cols.append(
+                    (f"_vals_{pname}", "_vals_list",
+                     {"field": ref["percentiles"]["field"]}))
+                parent_pipes[i] = (pname, pkind, {
+                    **pparams,
+                    "percents": ref["percentiles"].get(
+                        "percents", [1, 5, 25, 50, 75, 95, 99])})
         if metric_cols or parent_pipes:
             red = _materialize(levels, metric_cols, frame)
             for name, kind, params in parent_pipes:

@@ -621,6 +621,45 @@ def test_body_bucket_selector_and_sort(ix, pages_pdf, doclen):
     assert sorted(r["hist"] for r in rows) == sorted(want)
 
 
+def test_body_moving_percentiles(ix, pages_pdf, doclen):
+    import numpy as np
+
+    aggs = {"hist": {"histogram": {"field": "doclen", "interval": 50},
+                     "aggs": {
+        "pct": {"percentiles": {"field": "doclen",
+                                "percents": [50, 90]}},
+        "mp": {"moving_percentiles": {"buckets_path": "pct",
+                                      "window": 3}},
+    }}}
+    rows = sorted(run_aggs(ix.docs, aggs)["hist"].collect(),
+                  key=lambda r: r["hist"])
+    pdf = pages_pdf.copy()
+    pdf["doclen"] = [doclen[i] for i in range(N)]
+    pdf["bucket"] = (pdf["doclen"] // 50) * 50
+    by_bucket = {float(b): list(g["doclen"].astype(float))
+                 for b, g in pdf.groupby("bucket")}
+    keys = sorted(by_bucket)
+    assert len(keys) >= 4, "too few buckets -- vacuous"
+    assert [r["hist"] for r in rows] == keys
+    for i, r in enumerate(rows):
+        merged = sum((by_bucket[k]
+                      for k in keys[max(0, i - 2):i + 1]), [])
+        # hidden state columns never reach the response frame
+        assert not [c for c in rows[0].asDict()
+                    if c.startswith(("_vals_", "_mw_"))]
+        for p, lbl in ((50, "mp_p50"), (90, "mp_p90")):
+            want = float(np.percentile(merged, p))
+            assert math.isclose(r[lbl], want, rel_tol=1e-9), (
+                i, lbl, r[lbl], want)
+    # bad buckets_path: must name a sibling percentiles agg
+    with pytest.raises(ValueError, match="moving_percentiles"):
+        run_aggs(ix.docs, {"hist": {
+            "histogram": {"field": "doclen", "interval": 50},
+            "aggs": {"s": {"sum": {"field": "doclen"}},
+                     "mp": {"moving_percentiles":
+                            {"buckets_path": "s"}}}}})
+
+
 def test_percentile_ranks_and_string_stats(ix, pages_pdf, doclen):
     aggs = {"langs": {"terms": {"field": "lang", "size": 10},
                       "aggs": {
