@@ -14,3 +14,4 @@ from .ltr import LinearModel, log_features, sltr_topk  # noqa: F401
 from .templates import TemplateRegistry, search_template  # noqa: F401
 from .termvectors import term_vectors  # noqa: F401
 from .metadata import field_caps, terms_enum  # noqa: F401
+from .flatobject import flatten_json  # noqa: F401

@@ -691,6 +691,46 @@ def field_leaf_pred(col: Column, leaf: FieldLeaf) -> Column:
     return F.coalesce(pred, F.lit(False))
 
 
+def map_typed_cols(schema) -> frozenset[str]:
+    """Top-level ``map``-typed column names — the flat_object fields.
+    (The mapping type IS the Spark schema: a ``flat_object`` field is
+    a ``map<string,array<string>>`` column of leaf-path -> values.)"""
+    from pyspark.sql.types import MapType
+
+    return frozenset(f.name for f in schema.fields
+                     if isinstance(f.dataType, MapType))
+
+
+def flat_field_pred(col: Column, subpath: str | None,
+                    leaf: FieldLeaf) -> Column:
+    """FieldLeaf predicate against a flat_object column (OpenSearch
+    ``flat_object`` mapping: arbitrary JSON indexed without mapping
+    explosion; the reference ingests exactly such free-form logs —
+    es_loader flattens nested dicts into dotted keys,
+    siem/utils.py value_from_nesteddict).  Spark shape: one
+    ``map<string, array<string>>`` column of dotted leaf path ->
+    stringified values (``flatobject.flatten_json``).
+
+    Addressing follows the wire: the ROOT name matches a value in ANY
+    leaf (``subpath is None`` -> all values), a dotted sub-path
+    matches that leaf's values only.  Multi-valued leaves use Lucene
+    any-value-matches semantics.  Ranges follow the engine's shared
+    bound dialect (``field_leaf_pred``: numeric bounds compare
+    numerically, ISO dates as timestamps, else lexically) — a strict
+    superset of the upstream type's lexical-only ranges.  All native
+    higher-order exprs — per-row codegen, no explode, no join."""
+    if subpath:
+        vals = F.element_at(col, F.lit(subpath))
+    else:
+        vals = F.flatten(F.map_values(col))
+    vals = F.coalesce(vals, F.array().cast("array<string>"))
+    if leaf.op == "exists":
+        return F.coalesce(F.size(vals) > 0, F.lit(False))
+    return F.coalesce(
+        F.exists(vals, lambda v: field_leaf_pred(v, leaf)),
+        F.lit(False))
+
+
 def group_pred(node: Group, rec) -> Column:
     """Boolean combiner for one Group level, with ``rec`` supplying
     the child predicate — shared by the docs-column compiler
@@ -772,10 +812,17 @@ def element_pred(node, path: str, elem: Column) -> Column:
 
 class _Compiler:
     """Turns the parsed tree into native Columns over the per-doc hit
-    array (posting leaves) + docs columns (field leaves)."""
+    array (posting leaves) + docs columns (field leaves).
 
-    def __init__(self, hits_col: Column):
+    ``flat_cols`` names the docs columns with flat_object (map)
+    typing, so ``field:value`` leaves whose root segment is such a
+    column route through ``flat_field_pred`` instead of a struct
+    path."""
+
+    def __init__(self, hits_col: Column,
+                 flat_cols: frozenset[str] = frozenset()):
         self.hits = hits_col
+        self.flat_cols = flat_cols
 
     def leaf_matched(self, leaf: TermLeaf) -> Column:
         return F.exists(self.hits, lambda e: e["leaf"] == leaf.leaf_id)
@@ -810,6 +857,10 @@ class _Compiler:
                 F.exists(arr, lambda e: element_pred(inner, leaf.field,
                                                      e)),
                 F.lit(False))
+        root, _, sub = leaf.field.partition(".")
+        if root in self.flat_cols and leaf.op in (
+                "exact", "wildcard", "in", "range", "exists"):
+            return flat_field_pred(F.col(root), sub or None, leaf)
         return field_leaf_pred(F.col(leaf.field), leaf)
 
 
@@ -1344,7 +1395,8 @@ def _tree_result(ix: PostingsIndex, tree, hits_df: DataFrame | None,
             base = hits_df.join(ix.docs, "doc_id", "left")
 
     comp = _Compiler(
-        F.coalesce(F.col("_hits"), F.array().cast(_EMPTY_HITS))
+        F.coalesce(F.col("_hits"), F.array().cast(_EMPTY_HITS)),
+        flat_cols=map_typed_cols(ix.docs.schema),
     )
     matched = comp.matched(tree)
     if _has_scoring(tree):
