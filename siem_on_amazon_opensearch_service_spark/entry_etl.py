@@ -438,6 +438,14 @@ def _geohash_duck() -> str:
     return geohash_sql(_GEO_LAT, _GEO_LON, 3)
 
 
+def _geohex_duck() -> str:
+    """geohex_grid bucket key (axial hex lattice, operators/
+    geo.geohex_sql) — same dual-dialect trick as the geohash."""
+    from .operators.geo import geohex_sql
+
+    return geohex_sql(_GEO_LAT, _GEO_LON, 4)
+
+
 #: non-convex pentagon over the derived scatter — the geo_polygon /
 #: polygon-geo_shape QUERY predicate (ray-casting parity, one
 #: shared-dialect boolean; index/searchbody.py compiles the DSL nodes
@@ -479,6 +487,9 @@ def _geoq_sqls() -> dict[str, str]:
     FROM events GROUP BY 1
     UNION ALL
     SELECT 'geohash:' || {_geohash_duck()}, count(*), 0.0
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'geohex:' || {_geohex_duck()}, count(*), 0.0
     FROM events GROUP BY 1
     UNION ALL
     SELECT 'geo_bounds:' || (count(*))::VARCHAR,
@@ -571,6 +582,17 @@ def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .withColumn("sum_value", F.lit(0.0))
     )
+    from .operators.geo import geohex
+
+    hex_part = (
+        ev.select(
+            F.concat(F.lit("geohex:"),
+                     geohex(_GEO_LAT, _GEO_LON, 4)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("sum_value", F.lit(0.0))
+    )
     boxed = ev.filter(in_bounding_box(lat, lon, top=60.0, left=-120.0,
                                       bottom=20.0, right=-60.0))
     bounds_part = geo_bounds_centroid(boxed, lat, lon).select(
@@ -596,7 +618,8 @@ def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tag, sql in _geoq_sqls().items()
     ]
     out = (band_part.unionByName(geo_part).unionByName(tile_part)
-           .unionByName(hash_part).unionByName(bounds_part))
+           .unionByName(hash_part).unionByName(hex_part)
+           .unionByName(bounds_part))
     for p in geoq_parts:
         out = out.unionByName(p)
     return out

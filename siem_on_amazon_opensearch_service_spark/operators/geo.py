@@ -83,6 +83,69 @@ def geohash(lat_sql: str, lon_sql: str, precision: int = 4) -> Column:
     return F.expr(geohash_sql(lat_sql, lon_sql, precision))
 
 
+def geohex_sql(lat_sql: str, lon_sql: str, resolution: int = 4) -> str:
+    """SQL expression (Spark SQL == DuckDB dialect subset) computing a
+    hexagonal grid cell key for (lat, lon) at ``resolution`` — the
+    ``geohex_grid`` aggregation's bucket key.
+
+    Upstream keys cells with Uber H3 (icosahedral, needs the H3
+    native lib); this engine bins on a deterministic POINTY-TOP AXIAL
+    hex lattice over the equirectangular plane instead — same agg
+    shape (hex cells, halving-size resolution ladder 0..15, top-N by
+    count), different key encoding, honestly documented.  Key format:
+    ``res/q/r`` axial coordinates.  Hex circumradius = 45/2^res
+    degrees; axial coords use the standard pointy-top basis
+    (q = (x/√3 − y/3)/s, r = (2y/3)/s) with cube rounding
+    (Red Blob Games' published hex-grid algebra).  Nearest-integer
+    rounding is written ``floor(x + 0.5)`` so both dialects
+    (and the python twin) agree exactly at ties."""
+    if not 0 <= resolution <= 15:
+        raise ValueError("geohex resolution must be 0..15")
+    s = repr(45.0 / (1 << resolution))
+    qe = (f"((0.5773502691896258 * ({lon_sql}) - ({lat_sql}) / 3.0)"
+          f" / {s})")
+    rr = f"((2.0 * ({lat_sql}) / 3.0) / {s})"
+    rx = f"floor({qe} + 0.5)"
+    rz = f"floor({rr} + 0.5)"
+    ry = f"floor((0.0 - {qe} - {rr}) + 0.5)"
+    dx = f"abs({rx} - {qe})"
+    dy = f"abs({ry} + {qe} + {rr})"
+    dz = f"abs({rz} - {rr})"
+    big = f"({dx} > {dy} AND {dx} > {dz})"
+    fq = f"(CASE WHEN {big} THEN 0.0 - {ry} - {rz} ELSE {rx} END)"
+    fr = (f"(CASE WHEN (NOT {big}) AND NOT ({dy} > {dz}) "
+          f"THEN 0.0 - {rx} - {ry} ELSE {rz} END)")
+    return (f"concat('{resolution}/', cast({fq} as bigint), '/', "
+            f"cast({fr} as bigint))")
+
+
+def geohex(lat_sql: str, lon_sql: str, resolution: int = 4) -> Column:
+    """``geohex_grid`` bucket key as a native Spark column (takes SQL
+    text so the DuckDB oracle evaluates the same definition)."""
+    return F.expr(geohex_sql(lat_sql, lon_sql, resolution))
+
+
+def geohex_py(lat: float, lon: float, resolution: int = 4) -> str:
+    """Pure-python twin of :func:`geohex_sql` (tests pin the three
+    implementations to one definition)."""
+    import math
+
+    s = 45.0 / (1 << resolution)
+    qe = (0.5773502691896258 * lon - lat / 3.0) / s
+    rr = (2.0 * lat / 3.0) / s
+    rx = math.floor(qe + 0.5)
+    rz = math.floor(rr + 0.5)
+    ry = math.floor((0.0 - qe - rr) + 0.5)
+    dx, dy, dz = abs(rx - qe), abs(ry + qe + rr), abs(rz - rr)
+    if dx > dy and dx > dz:
+        fq, fr = -ry - rz, rz
+    elif dy > dz:
+        fq, fr = rx, rz
+    else:
+        fq, fr = rx, -rx - ry
+    return f"{resolution}/{int(fq)}/{int(fr)}"
+
+
 def haversine_km(lat: Column, lon: Column,
                  center_lat: float, center_lon: float) -> Column:
     """Great-circle distance in km to a fixed center (the

@@ -127,3 +127,36 @@ def test_grid_nests_with_metrics(docs):
         w = want.loc[r["cells"]]
         assert r["doc_count"] == w["n"]
         assert r["c_lat"] == pytest.approx(w["clat"])
+
+
+def test_geohex_grid_three_way(docs):
+    from siem_on_amazon_opensearch_service_spark.operators.geo import (
+        geohex_py,
+        geohex_sql,
+    )
+
+    got = {r["hexes"]: r["doc_count"] for r in run_aggs(
+        docs, {"hexes": {"geohex_grid": {
+            "field": "location", "precision": 5}}})["hexes"].collect()}
+    con = duckdb.connect()
+    con.register("d", _pdf())
+    want = dict(con.execute(
+        f"SELECT {geohex_sql('lat', 'lon', 5)} AS h, count(*) "
+        "FROM d GROUP BY 1").fetchall())
+    con.close()
+    assert got == want
+    assert len(got) > 10  # non-vacuous spread
+    # python twin agrees cell-by-cell
+    pdf = _pdf()
+    twin: dict[str, int] = {}
+    for lat, lon in zip(pdf["lat"], pdf["lon"]):
+        k = geohex_py(lat, lon, 5)
+        twin[k] = twin.get(k, 0) + 1
+    assert got == twin
+    # resolution ladder: finer cells partition coarser ones
+    coarse = {geohex_py(lat, lon, 2)
+              for lat, lon in zip(pdf["lat"], pdf["lon"])}
+    assert len(coarse) < len(got)
+    # locality: nearby points share a cell, far points do not
+    assert geohex_py(48.0, 11.0, 4) == geohex_py(48.01, 11.01, 4)
+    assert geohex_py(48.0, 11.0, 4) != geohex_py(50.0, 15.0, 4)
