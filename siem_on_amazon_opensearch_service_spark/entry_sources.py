@@ -171,6 +171,46 @@ _WEVT_DUCK = (
 )
 
 
+#: PAN-OS raw-log messages synthesized from events (classification
+#: marker in field 3, THREAT subtype in field 4 — the shapes
+#: sources/pan_firewall.py classifies by substring precedence).
+_PAN_DUCK = """
+  SELECT '2024/10/17 14:32:34,s' || (user_id % 50)::VARCHAR || ',' ||
+    (CASE WHEN event_id % 8 = 0 THEN 'SYSTEM'
+          WHEN event_id % 8 = 1 THEN 'TRAFFIC'
+          WHEN event_id % 8 <= 4 THEN 'THREAT'
+          WHEN event_id % 8 = 5 THEN 'DECRYPTION'
+          WHEN event_id % 8 = 6 THEN 'CONFIG'
+          ELSE 'AUTHENTICATION' END) || ',' ||
+    (CASE WHEN event_id % 8 = 2 THEN 'url'
+          WHEN event_id % 8 = 3 THEN 'data'
+          WHEN event_id % 8 = 4 THEN 'vulnerability'
+          ELSE 'general' END) || ',tail' AS message,
+    (CASE WHEN event_id % 8 = 0 THEN 'system'
+          WHEN event_id % 8 = 1 THEN 'traffic'
+          WHEN event_id % 8 = 2 THEN 'threat_url'
+          WHEN event_id % 8 = 3 THEN 'threat_data'
+          WHEN event_id % 8 = 4 THEN 'threat_others'
+          WHEN event_id % 8 = 5 THEN 'decryption'
+          WHEN event_id % 8 = 6 THEN 'config'
+          ELSE 'authentication' END) AS grp
+  FROM events
+"""
+
+
+def _pan_msg_spark() -> F.Column:
+    m8 = F.col("event_id") % 8
+    marker = (F.when(m8 == 0, "SYSTEM").when(m8 == 1, "TRAFFIC")
+              .when(m8 <= 4, "THREAT").when(m8 == 5, "DECRYPTION")
+              .when(m8 == 6, "CONFIG").otherwise("AUTHENTICATION"))
+    sub = (F.when(m8 == 2, "url").when(m8 == 3, "data")
+           .when(m8 == 4, "vulnerability").otherwise("general"))
+    return F.concat(
+        F.lit("2024/10/17 14:32:34,s"),
+        (F.col("user_id") % 50).cast("string"), F.lit(","),
+        marker, F.lit(","), sub, F.lit(",tail"))
+
+
 def _env_payload_spark() -> F.Column:
     return F.concat(
         F.lit('{"messageType":"'),
@@ -250,6 +290,24 @@ def _wevt_payload_spark() -> F.Column:
            regexp_extract(x, '<Data Name="TargetUserName">([^<]*)</Data>', 1)
              || '/' || regexp_extract(x, '<Data Name="Status">([^<]*)</Data>', 1)
     FROM wevt
+    UNION ALL
+    SELECT 'flat', name, n::VARCHAR, '' FROM (
+      SELECT 'leaf_term' AS name,
+             count(*) FILTER (event_type = 'click') AS n FROM events
+      UNION ALL SELECT 'root_term', count(*) FROM events
+      UNION ALL SELECT 'exists', count(*) FROM events
+      UNION ALL SELECT 'range',
+             count(*) FILTER (event_id % 5 >= 3) FROM events
+      UNION ALL SELECT 'wild',
+             count(*) FILTER (event_type LIKE 'cl%') FROM events
+    )
+    UNION ALL
+    SELECT 'pan', grp, count(*)::VARCHAR, '' FROM ({_PAN_DUCK})
+    GROUP BY grp
+    UNION ALL
+    SELECT 'pan_parse', 'system_serials',
+           count(DISTINCT string_split(message, ',')[2])::VARCHAR, ''
+    FROM ({_PAN_DUCK}) WHERE grp = 'system'
     """,
 )
 def src_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,8 +391,59 @@ def src_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v2"),
     )
 
+    # 'flat' rows — flat_object field type (index/flatobject.py):
+    # build a JSON payload per event, flatten to the map column, and
+    # run term/root/exists/range/wildcard flat queries through the
+    # shared FieldLeaf compiler in ONE aggregate pass (each predicate
+    # a native higher-order exists folded as a conditional sum).
+    from .index.flatobject import flatten_json
+    from .index.searchbody import _filter_pred
+
+    payload = F.concat(
+        F.lit('{"meta":{"type":"'), F.col("event_type"),
+        F.lit('","sev":'), (F.col("event_id") % 5).cast("string"),
+        F.lit('},"tags":["t'), (F.col("user_id") % 3).cast("string"),
+        F.lit('","x"]}'))
+    flat_df = flatten_json(ev.select(payload.alias("payload")),
+                           "payload", "attrs")
+    flat_qs = {
+        "leaf_term": {"term": {"attrs.meta.type": "click"}},
+        "root_term": {"term": {"attrs": "x"}},
+        "exists": {"exists": {"field": "attrs.meta.sev"}},
+        "range": {"range": {"attrs.meta.sev": {"gte": 3}}},
+        "wild": {"wildcard": {"attrs.meta.type": "cl*"}},
+    }
+    flat_agg = flat_df.agg(*[
+        F.sum(_filter_pred(q, "payload", frame=flat_df).cast("long"))
+        .alias(name) for name, q in flat_qs.items()])
+    stack_args = ", ".join(f"'{n}', {n}" for n in flat_qs)
+    flatp = flat_agg.select(F.expr(
+        f"stack({len(flat_qs)}, {stack_args}) AS (k1, nv)")).select(
+        F.lit("flat").alias("fmt"), "k1",
+        F.col("nv").cast("string").alias("v1"), F.lit("").alias("v2"))
+
+    # 'pan' rows — the PAN-OS raw-log transformer
+    # (sources/pan_firewall.py): substring-precedence classification
+    # counts plus a parsed-field check on the system group.
+    from .sources.pan_firewall import pan_classify, pan_tables
+
+    pmsgs = ev.select(_pan_msg_spark().alias("message"))
+    classified = pan_classify(pmsgs)
+    panp = (classified.groupBy("log_group")
+            .agg(F.count("*").alias("_n"))
+            .select(F.lit("pan").alias("fmt"),
+                    F.col("log_group").alias("k1"),
+                    F.col("_n").cast("string").alias("v1"),
+                    F.lit("").alias("v2")))
+    pan_sys = pan_tables(classified)["system"].agg(
+        F.countDistinct("serial_number").alias("_n")).select(
+        F.lit("pan_parse").alias("fmt"),
+        F.lit("system_serials").alias("k1"),
+        F.col("_n").cast("string").alias("v1"), F.lit("").alias("v2"))
+
     return js.unionByName(envp).unionByName(mlp).unionByName(xmlp) \
-        .unionByName(wv)
+        .unionByName(wv).unionByName(flatp).unionByName(panp) \
+        .unionByName(pan_sys)
 
 
 # ---------------------------------------------------------------------------
