@@ -889,7 +889,8 @@ def search_hits(
         if positional_ix is None:
             raise ValueError("span queries need a positional index")
         from .spans import span_scores
-        scored = (span_scores(positional_ix, qnode)
+        scored = (span_scores(positional_ix, qnode,
+                              text_field=text_field)
                   .join(ix.docs, "doc_id", "left"))
     elif qkind in ("has_child", "has_parent"):
         scored = _join_field_scored(ix, qkind, qnode[qkind],

@@ -69,6 +69,13 @@ def _term_of(body) -> str:
     return toks[0]
 
 
+def _field_of(body) -> str:
+    """The leaf's own field — the span_term's key (the wire shape:
+    ``{"span_term": {"title": "x"}}`` targets the ``title`` field)."""
+    f, _ = _one(body)
+    return f
+
+
 def span_leaf_terms(node: dict) -> list[str]:
     """Every leaf term in tree order (duplicates kept — each slot
     contributes its idf, the PhraseQuery convention)."""
@@ -91,12 +98,37 @@ def span_leaf_terms(node: dict) -> list[str]:
     if kind == "span_containing":
         # Lucene SpanContaining returns (and scores) the BIG side
         return span_leaf_terms(body["big"])
+    if kind == "span_field_masking":
+        return span_leaf_terms(body["query"])
     raise ValueError(f"unsupported span node: {kind!r}")
 
 
-def _all_terms(node: dict) -> list[str]:
-    """Leaf terms INCLUDING span_not excludes (for the one pruned
-    decode pass)."""
+def _field_leaf_terms(node: dict) -> list[tuple[str, str]]:
+    """SCORING slots as (leaf's own field, term) in tree order —
+    the per-slot idf comes from the leaf field's own statistics
+    (masking changes the REPORTED field, not the stats source)."""
+    kind, body = _one(node)
+    if kind == "span_term":
+        return [(_field_of(body), _term_of(body))]
+    if kind in ("span_near", "span_or"):
+        return [ft for c in body["clauses"]
+                for ft in _field_leaf_terms(c)]
+    if kind == "span_first":
+        return _field_leaf_terms(body["match"])
+    if kind == "span_not":
+        return _field_leaf_terms(body["include"])
+    if kind == "span_within":
+        return _field_leaf_terms(body["little"])
+    if kind == "span_containing":
+        return _field_leaf_terms(body["big"])
+    if kind == "span_field_masking":
+        return _field_leaf_terms(body["query"])
+    raise ValueError(f"unsupported span node: {kind!r}")
+
+
+def _all_terms(node: dict) -> list[tuple[str, str]]:
+    """(field, term) leaves INCLUDING span_not excludes (for the one
+    pruned decode pass per field)."""
     kind, body = _one(node)
     if kind == "span_not":
         return _all_terms(body["include"]) + _all_terms(body["exclude"])
@@ -106,45 +138,99 @@ def _all_terms(node: dict) -> list[str]:
         return [t for c in body["clauses"] for t in _all_terms(c)]
     if kind == "span_first":
         return _all_terms(body["match"])
-    return span_leaf_terms(node)
+    if kind == "span_field_masking":
+        return _all_terms(body["query"])
+    return _field_leaf_terms(node)
 
 
-def _spans(decoded: DataFrame, node: dict) -> DataFrame:
-    """Recursive span construction: (doc_id, start, end, w)."""
+def _reported_field(node: dict, text_field: str) -> str:
+    """The field the ROOT of the tree reports (masking overrides),
+    without building any frame — used to pick the norms source."""
+    kind, body = _one(node)
+    if kind == "span_field_masking":
+        return str(body["field"])
+    if kind == "span_term":
+        return _field_of(body)
+    if kind in ("span_near", "span_or"):
+        return _reported_field(body["clauses"][0], text_field)
+    if kind == "span_first":
+        return _reported_field(body["match"], text_field)
+    if kind == "span_not":
+        return _reported_field(body["include"], text_field)
+    if kind == "span_within":
+        return _reported_field(body["little"], text_field)
+    if kind == "span_containing":
+        return _reported_field(body["big"], text_field)
+    return text_field
+
+
+def _same_field(kind: str, fields: list[str]) -> str:
+    """Lucene's same-field composition rule: every child of a
+    composite span must REPORT the same field (span_field_masking
+    exists precisely to satisfy this across fields)."""
+    if len(set(fields)) > 1:
+        raise ValueError(
+            f"{kind}: clauses must report one field, got {fields} "
+            "(wrap cross-field clauses in span_field_masking)")
+    return fields[0]
+
+
+def _spans(decoded: DataFrame, node: dict) -> tuple[DataFrame, str]:
+    """Recursive span construction: ((doc_id, start, end, w) frame,
+    reported field)."""
     kind, body = _one(node)
 
     if kind == "span_term":
-        t = _term_of(body)
-        return decoded.filter(F.col("term") == t).select(
+        t, fld = _term_of(body), _field_of(body)
+        frame = decoded.filter(
+            (F.col("term") == t) & (F.col("fld") == fld)).select(
             "doc_id", F.col("pos").alias("start"),
             (F.col("pos") + 1).alias("end"), F.lit(1).alias("w"))
+        return frame, fld
+
+    if kind == "span_field_masking":
+        # Lucene FieldMaskingSpanQuery: run the wrapped span on ITS
+        # OWN field's positions, report the spans as ``field`` so an
+        # enclosing composite accepts them.  Positions compare raw —
+        # meaningful only for same-analyzer fields, the upstream
+        # caveat verbatim.
+        child, _ = _spans(decoded, body["query"])
+        return child, str(body["field"])
 
     if kind == "span_first":
-        child = _spans(decoded, body["match"])
-        return child.filter(F.col("end") <= int(body["end"]))
+        child, fld = _spans(decoded, body["match"])
+        return child.filter(F.col("end") <= int(body["end"])), fld
 
     if kind == "span_or":
-        parts = [_spans(decoded, c) for c in body["clauses"]]
+        parts, fields = zip(*[_spans(decoded, c)
+                              for c in body["clauses"]])
+        fld = _same_field(kind, list(fields))
         return reduce(DataFrame.unionByName, parts).dropDuplicates(
-            ["doc_id", "start", "end", "w"])
+            ["doc_id", "start", "end", "w"]), fld
 
     if kind == "span_not":
-        inc = _spans(decoded, body["include"]).alias("i")
-        exc = _spans(decoded, body["exclude"]).alias("x")
+        (inc_f, fi), (exc_f, fx) = (_spans(decoded, body["include"]),
+                                    _spans(decoded, body["exclude"]))
+        fld = _same_field(kind, [fi, fx])
+        inc = inc_f.alias("i")
+        exc = exc_f.alias("x")
         overlap = (
             (F.col("i.doc_id") == F.col("x.doc_id"))
             & (F.col("i.start") < F.col("x.end"))
             & (F.col("x.start") < F.col("i.end"))
         )
         return inc.join(exc, overlap, "left_anti").select(
-            "i.doc_id", "i.start", "i.end", "i.w")
+            "i.doc_id", "i.start", "i.end", "i.w"), fld
 
     if kind in ("span_within", "span_containing"):
         # enclosure, not mere overlap: little ⊆ big. within keeps the
         # little spans, containing keeps the big spans — each returned
         # span once (left_semi), the Lucene multiset.
-        little = _spans(decoded, body["little"]).alias("l")
-        big = _spans(decoded, body["big"]).alias("b")
+        (little_f, fl), (big_f, fb) = (_spans(decoded, body["little"]),
+                                       _spans(decoded, body["big"]))
+        fld = _same_field(kind, [fl, fb])
+        little = little_f.alias("l")
+        big = big_f.alias("b")
         enclosed = (
             (F.col("l.doc_id") == F.col("b.doc_id"))
             & (F.col("l.start") >= F.col("b.start"))
@@ -152,19 +238,20 @@ def _spans(decoded: DataFrame, node: dict) -> DataFrame:
         )
         if kind == "span_within":
             return little.join(big, enclosed, "left_semi").select(
-                "l.doc_id", "l.start", "l.end", "l.w")
+                "l.doc_id", "l.start", "l.end", "l.w"), fld
         return big.join(little, enclosed, "left_semi").select(
-            "b.doc_id", "b.start", "b.end", "b.w")
+            "b.doc_id", "b.start", "b.end", "b.w"), fld
 
     if kind == "span_near":
         clauses = body["clauses"]
         slop = int(body.get("slop", 0))
         in_order = bool(body.get("in_order", True))
-        children = [_spans(decoded, c) for c in clauses]
+        pairs = [_spans(decoded, c) for c in clauses]
+        children = [f for f, _fl in pairs]
+        fld = _same_field(kind, [fl for _f, fl in pairs])
         n = len(children)
         if n == 1:
-            return children[0]
-        total_w = F.lit(0)
+            return children[0], fld
         cur = children[0].select(
             "doc_id", F.col("start").alias("_s0"),
             F.col("end").alias("_e0"), F.col("w").alias("_w0"))
@@ -196,38 +283,79 @@ def _spans(decoded: DataFrame, node: dict) -> DataFrame:
                    [F.col(f"_w{i}") for i in range(n)])
         gap_ok = (end - start - w) <= F.lit(slop)
         return cur.filter(gap_ok).select(
-            "doc_id", start.alias("start"), end.alias("end"), w.alias("w"))
+            "doc_id", start.alias("start"), end.alias("end"),
+            w.alias("w")), fld
 
     raise ValueError(f"unsupported span node: {kind!r}")
 
 
-def span_scores(ix: PostingsIndex, node: dict) -> DataFrame:
+def span_scores(ix: PostingsIndex, node: dict,
+                field_ixs: dict[str, PostingsIndex] | None = None,
+                text_field: str = "text") -> DataFrame:
     """(doc_id, score) over the full span match set, for composition
     or pagination.  ``ix`` must be a POSITIONAL index
-    (``build_positional_index``)."""
+    (``build_positional_index``).
+
+    ``field_ixs`` maps OTHER field names to their positional indexes
+    — required only when the tree contains leaves on fields other
+    than ``text_field`` (the span_field_masking cross-field case).
+    Per-slot idf uses the slot field's own statistics; doc-length
+    norms prefer the tree's REPORTED root field (the ES documented
+    behavior: masking scores with the mask-target field's norms),
+    falling back to any field the doc matched in."""
     spark = ix.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
-    node = rewrite_span_multi(node, ix)
+    ixs = {text_field: ix, **(field_ixs or {})}
+    node = rewrite_span_multi(node, ix, field_ixs=field_ixs,
+                              text_field=text_field)
     if node is None:
         return empty          # a span_multi expanded to no vocabulary
     terms = _all_terms(node)
     if not terms:
         return empty
-    uniq = list(dict.fromkeys(terms))
-    srows = ix.term_stats.filter(F.col("term").isin(uniq)).collect()
-    dfs = {r["term"]: int(r["df"]) for r in srows}
+    for f in {f for f, _t in terms}:
+        if f not in ixs:
+            raise ValueError(
+                f"span leaf on field {f!r} needs a positional index "
+                "(pass field_ixs= or name the leaf after text_field)")
+    dfs: dict[tuple[str, str], int] = {}
+    for f in {f for f, _t in terms}:
+        want = list({t for ff, t in terms if ff == f})
+        for r in (ixs[f].term_stats.filter(F.col("term").isin(want))
+                  .collect()):
+            dfs[(f, r["term"])] = int(r["df"])
 
-    scoring = span_leaf_terms(node)
-    if any(t not in dfs for t in scoring):
+    scoring = _field_leaf_terms(node)
+    if any(ft not in dfs for ft in scoring):
         return empty          # a required leaf term is absent
-    idf_sum = float(sum(idf(ix.n_docs, dfs[t]) for t in scoring))
+    idf_sum = float(sum(idf(ixs[f].n_docs, dfs[(f, t)])
+                        for f, t in scoring))
 
-    present = [t for t in uniq if t in dfs]
-    decoded = decode_blocks_positions(
-        ix.postings.filter(F.col("term").isin(present)))
-    dls = decoded.select("doc_id", "dl").dropDuplicates(["doc_id"])
+    root_field = _reported_field(node, text_field)
+    decodes = []
+    # norms priority: the reported root field first, then the others
+    for f in sorted({f for f, _t in terms},
+                    key=lambda x: (x != root_field, x)):
+        present = [t for ff, t in dfs if ff == f]
+        if not present:
+            continue
+        decodes.append(decode_blocks_positions(
+            ixs[f].postings.filter(F.col("term").isin(present)))
+            .select("doc_id", "dl", "term", "pos")
+            .withColumn("fld", F.lit(f)))
+    decoded = reduce(DataFrame.unionByName, decodes)
+    prio = {f: i for i, f in enumerate(
+        sorted({f for f, _t in terms},
+               key=lambda x: (x != root_field, x)))}
+    prio_col = F.coalesce(*[F.when(F.col("fld") == f, F.lit(i))
+                            for f, i in prio.items()]) \
+        if len(prio) > 1 else F.lit(0)
+    dls = (decoded.select("doc_id", "dl",
+                          prio_col.alias("_prio"))
+           .groupBy("doc_id").agg(F.min_by("dl", "_prio").alias("dl")))
 
-    spans = _spans(decoded.select("doc_id", "dl", "term", "pos"), node)
+    spans, _root = _spans(
+        decoded.select("doc_id", "dl", "term", "pos", "fld"), node)
     weight = F.lit(1.0) / (
         F.lit(1.0) + (F.col("end") - F.col("start") - F.col("w"))
         .cast("double"))
@@ -240,8 +368,11 @@ def span_scores(ix: PostingsIndex, node: dict) -> DataFrame:
     return freq.select("doc_id", score.alias("score"))
 
 
-def span_topk(ix: PostingsIndex, node: dict, k: int = 10) -> DataFrame:
-    return (span_scores(ix, node)
+def span_topk(ix: PostingsIndex, node: dict, k: int = 10,
+              field_ixs: dict[str, PostingsIndex] | None = None,
+              text_field: str = "text") -> DataFrame:
+    return (span_scores(ix, node, field_ixs=field_ixs,
+                        text_field=text_field)
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
@@ -268,18 +399,19 @@ def _wc_regex(pat: str) -> str:
     return "".join(out)
 
 
-def _span_or_of(terms: list[str]) -> dict | None:
+def _span_or_of(terms: list[str], field: str = "text") -> dict | None:
     if not terms:
         return None
     if len(terms) == 1:
-        return {"span_term": {"text": terms[0]}}
+        return {"span_term": {field: terms[0]}}
     return {"span_or": {"clauses": [
-        {"span_term": {"text": t}} for t in terms]}}
+        {"span_term": {field: t}} for t in terms]}}
 
 
 def rewrite_span_multi(node: dict | None, ix: PostingsIndex,
-                       max_expansions: int = _SPAN_MULTI_MAX
-                       ) -> dict | None:
+                       max_expansions: int = _SPAN_MULTI_MAX,
+                       field_ixs: dict[str, PostingsIndex] | None = None,
+                       text_field: str = "text") -> dict | None:
     """Desugar every ``span_multi`` in the tree into a ``span_or`` of
     ``span_term`` clauses — Lucene's SpanMultiTermQueryWrapper with
     the top-terms rewrite: the wrapped prefix / wildcard / regexp /
@@ -295,6 +427,9 @@ def rewrite_span_multi(node: dict | None, ix: PostingsIndex,
     if kind == "span_multi":
         ikind, ip = _one(p["match"])
         (field, spec), = ip.items()
+        # expand against the LEAF field's own dictionary (the
+        # span_field_masking cross-field case names another field)
+        sub_ix = ({text_field: ix, **(field_ixs or {})}).get(field, ix)
         val = str(spec["value"] if isinstance(spec, dict) else spec)
         if ikind != "regexp":
             # terms are analyzer-lowercased; literal prefix/wildcard/
@@ -308,8 +443,8 @@ def rewrite_span_multi(node: dict | None, ix: PostingsIndex,
                   if isinstance(spec, dict) else "AUTO")
             if isinstance(fz, str) and fz.upper().startswith("AUTO"):
                 fz = 0 if len(val) < 3 else (1 if len(val) <= 5 else 2)
-            terms = sorted(_fuzzy_variants(ix, val, int(fz)))
-            return _span_or_of(terms[:max_expansions])
+            terms = sorted(_fuzzy_variants(sub_ix, val, int(fz)))
+            return _span_or_of(terms[:max_expansions], field)
         if ikind == "prefix":
             cond = F.col("term").startswith(val)
         elif ikind == "wildcard":
@@ -320,12 +455,19 @@ def rewrite_span_multi(node: dict | None, ix: PostingsIndex,
             raise ValueError(
                 f"span_multi wraps prefix/wildcard/regexp/fuzzy, "
                 f"got {ikind!r}")
-        terms = [r["term"] for r in ix.term_stats.filter(cond)
+        terms = [r["term"] for r in sub_ix.term_stats.filter(cond)
                  .orderBy(F.desc("df"), F.asc("term"))
                  .limit(max_expansions).select("term").collect()]
-        return _span_or_of(sorted(terms))
+        return _span_or_of(sorted(terms), field)
+    if kind == "span_field_masking":
+        inner = rewrite_span_multi(p["query"], ix, max_expansions,
+                                   field_ixs, text_field)
+        if inner is None:
+            return None
+        return {"span_field_masking": {**p, "query": inner}}
     if kind in ("span_near", "span_or"):
-        kids = [rewrite_span_multi(c, ix, max_expansions)
+        kids = [rewrite_span_multi(c, ix, max_expansions,
+                                   field_ixs, text_field)
                 for c in p["clauses"]]
         if kind == "span_or":
             kids = [k for k in kids if k is not None]
@@ -336,21 +478,26 @@ def rewrite_span_multi(node: dict | None, ix: PostingsIndex,
             return None
         return {"span_near": {**p, "clauses": kids}}
     if kind == "span_not":
-        inc = rewrite_span_multi(p["include"], ix, max_expansions)
-        exc = rewrite_span_multi(p["exclude"], ix, max_expansions)
+        inc = rewrite_span_multi(p["include"], ix, max_expansions,
+                             field_ixs, text_field)
+        exc = rewrite_span_multi(p["exclude"], ix, max_expansions,
+                             field_ixs, text_field)
         if inc is None:
             return None
         if exc is None:
             return inc
         return {"span_not": {**p, "include": inc, "exclude": exc}}
     if kind in ("span_within", "span_containing"):
-        little = rewrite_span_multi(p["little"], ix, max_expansions)
-        big = rewrite_span_multi(p["big"], ix, max_expansions)
+        little = rewrite_span_multi(p["little"], ix, max_expansions,
+                                    field_ixs, text_field)
+        big = rewrite_span_multi(p["big"], ix, max_expansions,
+                                 field_ixs, text_field)
         if little is None or big is None:
             return None
         return {kind: {**p, "little": little, "big": big}}
     if kind == "span_first":
-        m = rewrite_span_multi(p["match"], ix, max_expansions)
+        m = rewrite_span_multi(p["match"], ix, max_expansions,
+                               field_ixs, text_field)
         if m is None:
             return None
         return {"span_first": {**p, "match": m}}

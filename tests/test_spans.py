@@ -291,3 +291,76 @@ def test_span_multi_fuzzy_auto(pos_ix, toks):
         "text": {"value": base, "fuzziness": 1}}}}}
     got = {r["doc_id"] for r in span_scores(pos_ix, node).collect()}
     assert got >= {i for i, ts in toks.items() if base in ts}
+
+
+# --- span_field_masking ----------------------------------------------------
+
+MASK_DOCS = [
+    (0, "alpha beta gamma", "zeta beta"),
+    (1, "alpha gamma beta", "alpha zeta"),
+    (2, "beta alpha", "zeta alpha"),
+    (3, "gamma gamma", "beta zeta"),
+]
+
+
+@pytest.fixture(scope="module")
+def mask_ixs(spark):
+    df = spark.createDataFrame(MASK_DOCS,
+                               "doc_id long, text string, title string")
+    tix = build_positional_index(spark, df, text_col="text",
+                                 id_col="doc_id", salt_threshold=60)
+    pix = build_positional_index(spark, df, text_col="title",
+                                 id_col="doc_id", salt_threshold=60)
+    return tix, {"title": pix}
+
+
+_MASKED = {"span_near": {"clauses": [
+    {"span_term": {"text": "alpha"}},
+    {"span_field_masking": {"query": {"span_term": {"title": "zeta"}},
+                            "field": "text"}},
+], "slop": 1, "in_order": True}}
+
+
+def test_field_masking_cross_field_near(mask_ixs):
+    tix, fixs = mask_ixs
+    rows = span_scores(tix, _MASKED, field_ixs=fixs).collect()
+    assert [r.doc_id for r in rows] == [1]
+    # score twin: idf per slot from its OWN field's stats; norms from
+    # the reported root field (text); one exact span, gap 0
+    idf_sum = idf(4, 3) + idf(4, 4)
+    dl, avgdl = 3.0, 2.5
+    want = idf_sum * 1.0 / (1.0 + K1 * (1.0 - B + B * dl / avgdl))
+    assert math.isclose(rows[0].score, want, rel_tol=1e-9)
+
+
+def test_cross_field_without_masking_rejected(mask_ixs):
+    tix, fixs = mask_ixs
+    bad = {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"span_term": {"title": "zeta"}},
+    ], "slop": 1}}
+    with pytest.raises(ValueError, match="span_field_masking"):
+        span_scores(tix, bad, field_ixs=fixs).collect()
+
+
+def test_masked_span_multi_expands_in_leaf_field(mask_ixs):
+    tix, fixs = mask_ixs
+    q = {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"span_field_masking": {
+            "query": {"span_multi": {"match": {
+                "prefix": {"title": "ze"}}}},
+            "field": "text"}},
+    ], "slop": 1, "in_order": True}}
+    got = {r.doc_id: r.score
+           for r in span_scores(tix, q, field_ixs=fixs).collect()}
+    want = {r.doc_id: r.score
+            for r in span_scores(tix, _MASKED, field_ixs=fixs)
+            .collect()}
+    assert got == want
+
+
+def test_unknown_leaf_field_needs_index(mask_ixs):
+    tix, _ = mask_ixs
+    with pytest.raises(ValueError, match="positional index"):
+        span_scores(tix, {"span_term": {"nope": "alpha"}})
