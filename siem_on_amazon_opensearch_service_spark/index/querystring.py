@@ -858,8 +858,13 @@ class _Compiler:
                                                      e)),
                 F.lit(False))
         root, _, sub = leaf.field.partition(".")
-        if root in self.flat_cols and leaf.op in (
-                "exact", "wildcard", "in", "range", "exists"):
+        if root in self.flat_cols:
+            if leaf.op not in ("exact", "wildcard", "in", "range",
+                               "exists"):
+                raise ValueError(
+                    f"op {leaf.op!r} is not supported on flat_object "
+                    f"field {leaf.field!r} (term/terms/wildcard/"
+                    "range/exists only, as upstream)")
             return flat_field_pred(F.col(root), sub or None, leaf)
         return field_leaf_pred(F.col(leaf.field), leaf)
 

@@ -2918,10 +2918,13 @@ def run_aggs(docs: DataFrame, aggs_spec: dict,
                 metric_cols.append(
                     (f"_vals_{pname}", "_vals_list",
                      {"field": ref["percentiles"]["field"]}))
+                # defaults track the referenced sibling exactly (the
+                # percentiles metric's own default) so the pipeline
+                # never emits percents its buckets_path never computed
                 parent_pipes[i] = (pname, pkind, {
                     **pparams,
                     "percents": ref["percentiles"].get(
-                        "percents", [1, 5, 25, 50, 75, 95, 99])})
+                        "percents", (50.0,))})
         if metric_cols or parent_pipes:
             red = _materialize(levels, metric_cols, frame)
             for name, kind, params in parent_pipes:

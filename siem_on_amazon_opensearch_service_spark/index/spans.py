@@ -363,8 +363,12 @@ def span_scores(ix: PostingsIndex, node: dict,
             .join(dls, "doc_id"))
     ptf = F.col("ptf")
     dl = F.col("dl").cast("double")
+    # length normalization from the REPORTED root field's index (dl
+    # and avgdl must come from the same field or the ratio skews);
+    # fall back to the primary when the mask target has no index
+    avgdl = ixs.get(root_field, ix).avgdl
     score = (F.lit(idf_sum) * ptf
-             / (ptf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl))))
+             / (ptf + K1 * (1.0 - B + B * dl / F.lit(avgdl))))
     return freq.select("doc_id", score.alias("score"))
 
 
@@ -533,35 +537,40 @@ def intervals_to_span(body: dict, ix: PostingsIndex | None = None) -> dict:
     prefix with no vocabulary expansion poisons its all_of/match
     ancestors and drops out of any_of).
     """
+    field = "text"
     field_body = body
     if len(body) == 1 and isinstance(next(iter(body.values())), dict):
-        # {"field": {rule...}} wrapper (the wire shape)
-        _, field_body = next(iter(body.items()))
-    return _interval_rule(field_body, ix)
+        # {"field": {rule...}} wrapper (the wire shape): the span
+        # leaves carry THIS field so span_scores resolves them
+        # against the right positional index (text_field= names the
+        # primary; others come from field_ixs=)
+        field, field_body = next(iter(body.items()))
+    return _interval_rule(field_body, ix, str(field))
 
 
-def _interval_rule(rule: dict, ix: PostingsIndex | None) -> dict | None:
+def _interval_rule(rule: dict, ix: PostingsIndex | None,
+                   field: str = "text") -> dict | None:
     kind, p = _one(rule)
     if kind == "match":
         toks = tokenize_py(str(p["query"]))
         if not toks:
             raise ValueError("intervals match analyzed to no tokens")
         if len(toks) == 1:
-            return {"span_term": {"text": toks[0]}}
+            return {"span_term": {field: toks[0]}}
         gaps = int(p.get("max_gaps", -1))
         return {"span_near": {
-            "clauses": [{"span_term": {"text": t}} for t in toks],
+            "clauses": [{"span_term": {field: t}} for t in toks],
             "slop": _UNBOUNDED_GAPS if gaps < 0 else gaps,
             "in_order": bool(p.get("ordered", False)),
         }}
     if kind == "any_of":
-        kids = [_interval_rule(r, ix) for r in p["intervals"]]
+        kids = [_interval_rule(r, ix, field) for r in p["intervals"]]
         kids = [k for k in kids if k is not None]
         if not kids:
             return None
         return {"span_or": {"clauses": kids}}
     if kind == "all_of":
-        kids = [_interval_rule(r, ix) for r in p["intervals"]]
+        kids = [_interval_rule(r, ix, field) for r in p["intervals"]]
         if any(k is None for k in kids):
             return None
         gaps = int(p.get("max_gaps", -1))
@@ -587,5 +596,5 @@ def _interval_rule(rule: dict, ix: PostingsIndex | None) -> dict | None:
         if not terms:
             return None
         return {"span_or": {"clauses": [
-            {"span_term": {"text": t}} for t in sorted(terms)]}}
+            {"span_term": {field: t}} for t in sorted(terms)]}}
     raise ValueError(f"unsupported intervals rule: {kind!r}")

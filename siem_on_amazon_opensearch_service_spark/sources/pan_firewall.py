@@ -259,11 +259,19 @@ PAN_COLUMNS = {
         "application_characteristic", "application_container",
         "application_saas", "application_sanctioned_state",
     ],
+    # NOTE deviation: the reference's config list (index.py:1209)
+    # names "client" TWICE and omits "after_change_detail" — a
+    # transcription bug that silently drops a field (its dict
+    # comprehension keeps only the second) and would break columnar
+    # writes here (duplicate column name).  Restored to the published
+    # PAN-OS config field order: client, result, configuration_path,
+    # before_change_detail, after_change_detail, sequence_number.
     "config": [
         "receive_time", "serial_number", "type", "subtype", "future_use_1",
         "generated_time", "host", "virtual_system", "command", "admin",
-        "client", "client", "result", "configuration_path",
-        "before_change_detail", "sequence_number", "action_flags",
+        "client", "result", "configuration_path",
+        "before_change_detail", "after_change_detail",
+        "sequence_number", "action_flags",
         "device_group_hierarchy_level_1", "device_group_hierarchy_level_2",
         "device_group_hierarchy_level_3", "device_group_hierarchy_level_4",
         "virtual_system_name", "device_name", "device_group", "audit_comment",

@@ -71,7 +71,10 @@ class LoaderStopper:
         self.actions: list[str] = []  # audit trail of applied actions
 
     def ensure_started(self):
-        if self.query is None:
+        """Start the load unless the breaker is OPEN — a throttled
+        breaker refuses to start (the reserved-concurrency-0 analog:
+        future invocations are rejected until UNTHROTTLE)."""
+        if self.query is None and not self.throttled:
             self.query = self._start_fn()
         return self.query
 
@@ -92,7 +95,8 @@ class LoaderStopper:
                          "committed offset for restart.")
         elif action == UNTHROTTLE and self.throttled:
             self.throttled = False
-            self.query = self._start_fn()
+            if self.query is None:
+                self.query = self._start_fn()
             self.actions.append(UNTHROTTLE)
             self._notify("es-loader has been unthrottled.",
                          "Ingest resumed from the checkpoint.")

@@ -147,3 +147,11 @@ def test_malformed_json_yields_null(spark):
            for r in flatten_json(raw, "raw", "attrs").collect()}
     assert got[0] is None and got[1] is None
     assert got[2] == {"a": ["1"]}
+
+
+def test_unsupported_op_on_flat_field_raises(ix):
+    with pytest.raises(ValueError, match="flat_object"):
+        search_body(ix, {"query": {"terms_set": {"attrs.labels.env": {
+            "terms": ["prod"],
+            "minimum_should_match_field": "doclen"}}},
+            "size": 5})["hits"].collect()

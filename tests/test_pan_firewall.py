@@ -140,3 +140,28 @@ def test_envelope_explode(spark):
                   pan_messages(split_concat_json(df, "blob"))
                   .collect())
     assert msgs == ["a", "b", "c"]
+
+
+def test_config_columns_follow_published_order():
+    # the reference's own list names "client" twice and drops
+    # after_change_detail (index.py:1209, a transcription bug its
+    # dict comprehension hides); we restore the published order --
+    # no duplicates, 27 fields, after_change_detail present
+    cols = PAN_COLUMNS["config"]
+    assert len(cols) == 27 and len(set(cols)) == 27
+    i = cols.index("client")
+    assert cols[i:i + 5] == ["client", "result", "configuration_path",
+                             "before_change_detail",
+                             "after_change_detail"]
+
+
+def test_config_table_writes_cleanly(spark, tmp_path):
+    from siem_on_amazon_opensearch_service_spark.sources.pan_firewall \
+        import pan_write
+
+    row = _row("config", after_change_detail="new-val")
+    t = pan_tables(pan_classify(
+        spark.createDataFrame([(row,)], "message string")))
+    pan_write({"config": t["config"]}, str(tmp_path))
+    back = spark.read.parquet(str(tmp_path / "config"))
+    assert back.collect()[0].after_change_detail == "new-val"

@@ -651,6 +651,18 @@ def test_body_moving_percentiles(ix, pages_pdf, doclen):
             want = float(np.percentile(merged, p))
             assert math.isclose(r[lbl], want, rel_tol=1e-9), (
                 i, lbl, r[lbl], want)
+    # omitted percents: the pipeline inherits the SIBLING's default
+    # (p50 only), never emitting percents its buckets_path never
+    # computed
+    dflt = run_aggs(ix.docs, {"hist": {
+        "histogram": {"field": "doclen", "interval": 50},
+        "aggs": {"pct": {"percentiles": {"field": "doclen"}},
+                 "mp": {"moving_percentiles":
+                        {"buckets_path": "pct", "window": 3}}}}})
+    cols = dflt["hist"].columns
+    assert "mp_p50" in cols
+    assert not [c for c in cols
+                if c.startswith("mp_") and c != "mp_p50"]
     # bad buckets_path: must name a sibling percentiles agg
     with pytest.raises(ValueError, match="moving_percentiles"):
         run_aggs(ix.docs, {"hist": {

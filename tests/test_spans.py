@@ -364,3 +364,29 @@ def test_unknown_leaf_field_needs_index(mask_ixs):
     tix, _ = mask_ixs
     with pytest.raises(ValueError, match="positional index"):
         span_scores(tix, {"span_term": {"nope": "alpha"}})
+
+
+def test_intervals_desugar_keys_leaves_by_field(mask_ixs):
+    from siem_on_amazon_opensearch_service_spark.index.spans import (
+        intervals_to_span,
+    )
+
+    tix, fixs = mask_ixs
+    node = intervals_to_span({"title": {"match": {"query": "zeta"}}},
+                             tix)
+    assert node == {"span_term": {"title": "zeta"}}
+    # executes against the title positional index via field_ixs
+    rows = span_scores(tix, node, field_ixs=fixs).collect()
+    assert sorted(r.doc_id for r in rows) == [0, 1, 2, 3]
+
+
+def test_norms_come_from_reported_field(mask_ixs):
+    # title-only tree: dl AND avgdl must both come from the title
+    # index (all title docs have dl=2, avgdl_title=2.0 -> ratio 1;
+    # mixing text avgdl 2.5 would skew every score)
+    tix, fixs = mask_ixs
+    rows = span_scores(tix, {"span_term": {"title": "zeta"}},
+                       field_ixs=fixs).collect()
+    want = idf(4, 4) * 1.0 / (1.0 + K1 * (1.0 - B + B * 2.0 / 2.0))
+    for r in rows:
+        assert math.isclose(r.score, want, rel_tol=1e-9), r

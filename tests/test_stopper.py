@@ -82,3 +82,18 @@ def test_unthrottle_when_never_throttled_is_noop(stopper):
     assert stopper.handle(_ev("OK")) == UNTHROTTLE
     assert stopper.query is q and q.isActive
     assert stopper.notes == []
+
+
+def test_ensure_started_respects_open_breaker(stopper):
+    stopper.ensure_started()
+    stopper.handle(_ev("ALARM"))
+    # breaker open: ensure_started refuses to start a new query
+    assert stopper.ensure_started() is None
+    assert stopper.query is None
+    # OK restarts exactly one query
+    stopper.handle(_ev("OK"))
+    q = stopper.query
+    assert q is not None
+    # a second OK is a no-op (no duplicate start on the checkpoint)
+    stopper.handle(_ev("OK"))
+    assert stopper.query is q
