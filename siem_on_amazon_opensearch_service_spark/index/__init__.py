@@ -10,7 +10,12 @@ from .sortedindex import SortedDocs  # noqa: F401
 from .msearch import MSearchResponse, msearch  # noqa: F401
 from .query import bm25_topk, bm25_topk_batch  # noqa: F401
 from .aliases import AliasRegistry, alias_search  # noqa: F401
-from .ltr import LinearModel, log_features, sltr_topk  # noqa: F401
+from .ltr import (  # noqa: F401
+    LinearModel,
+    TreeEnsembleModel,
+    log_features,
+    sltr_topk,
+)
 from .templates import TemplateRegistry, search_template  # noqa: F401
 from .termvectors import term_vectors  # noqa: F401
 from .metadata import field_caps, terms_enum  # noqa: F401

@@ -23,8 +23,12 @@ judgments exist. The plugin's pieces map onto this engine as:
   Unmatched features log 0.0 (the plugin's documented default).
 * model — :class:`LinearModel` (the plugin's ``model/linear`` type):
   driver-held weights, scored as ONE native expression
-  (:func:`sltr_score`). Tree ensembles are out of scope here; the
-  linear type is what the plugin itself recommends starting from.
+  (:func:`sltr_score`); and :class:`TreeEnsembleModel` (the plugin's
+  ``model/xgboost`` type): each regression tree of the uploaded
+  xgboost dump compiles to one nested CASE expression over the
+  feature columns — the predict loop restated as a Catalyst
+  expression tree, whole-stage codegen, no UDF. Both duck-type on
+  ``.expr()``, so every ``sltr_*`` entry point takes either.
 * training — :func:`train_linear`: ridge regression by normal
   equations. The (F×F) Gram matrix and (F) moment vector reduce in
   ONE aggregation job (F(F+1)/2 + F native sums — feature counts are
@@ -124,6 +128,65 @@ class LinearModel:
         for name, w in self.weights.items():
             out = out + F.lit(float(w)) * F.coalesce(
                 F.col(name), F.lit(0.0))
+        return out
+
+
+def _tree_expr(node: dict):
+    """One xgboost dump node -> a native Column.  Split semantics
+    mirrored exactly: ``feature < split_condition`` -> ``yes`` child,
+    else ``no``; a NULL feature follows the ``missing`` child."""
+    if "leaf" in node:
+        return F.lit(float(node["leaf"]))
+    kids = {c["nodeid"]: c for c in node["children"]}
+    yes_id, no_id = node["yes"], node["no"]
+    miss_id = node.get("missing", yes_id)
+    if miss_id not in (yes_id, no_id):
+        raise ValueError(
+            f"node {node.get('nodeid')}: missing={miss_id} is "
+            "neither the yes nor the no child")
+    yes = _tree_expr(kids[yes_id])
+    no = _tree_expr(kids[no_id])
+    feat = F.col(str(node["split"]))
+    miss = yes if miss_id == yes_id else no
+    return (F.when(feat.isNull(), miss)
+            .when(feat < F.lit(float(node["split_condition"])), yes)
+            .otherwise(no))
+
+
+@dataclass
+class TreeEnsembleModel:
+    """The plugin's ``model/xgboost`` type: the uploaded model is a
+    JSON array of regression trees in the xgboost dump format
+    (``{"nodeid", "split", "split_condition", "yes", "no",
+    "missing", "children": [...]}``, leaves ``{"leaf": v}``).
+    Score = base_score + Σ per-tree leaf values.
+
+    Scoring is ONE native expression: each tree becomes a nested
+    CASE over the logged feature columns — query metadata, codegen,
+    no UDF, no join, model size bounded by the plugin's own upload
+    limits."""
+
+    trees: list[dict]
+    base_score: float = 0.0
+
+    @classmethod
+    def from_xgboost(cls, dump, base_score: float = 0.0
+                     ) -> "TreeEnsembleModel":
+        """Accepts the raw dump string/list, or the plugin's upload
+        envelope ``{"model": {"definition": "<json>"}}``."""
+        import json
+
+        obj = json.loads(dump) if isinstance(dump, str) else dump
+        if isinstance(obj, dict):
+            obj = obj["model"]["definition"]
+            if isinstance(obj, str):
+                obj = json.loads(obj)
+        return cls(list(obj), float(base_score))
+
+    def expr(self):
+        out = F.lit(float(self.base_score))
+        for t in self.trees:
+            out = out + _tree_expr(t)
         return out
 
 

@@ -4,6 +4,7 @@ training vs numpy lstsq, and sltr rescore window semantics — all
 cross-checked against the pure-python OracleIndex."""
 
 import io
+import math
 from contextlib import redirect_stdout
 
 import numpy as np
@@ -145,3 +146,108 @@ def test_sltr_rescore_window(ix, oracle):
     assert [d for d, _ in got] == [d for d, _ in rescored]
     for (_, gs), (_, ws) in zip(got, rescored):
         assert gs == pytest.approx(ws, abs=1e-9)
+
+
+# --- model/xgboost (tree ensemble) -----------------------------------------
+
+TREES = [
+    {"nodeid": 0, "split": "f_kw", "split_condition": 1.5,
+     "yes": 1, "no": 2, "missing": 1, "children": [
+         {"nodeid": 1, "split": "f_title", "split_condition": 0.5,
+          "yes": 3, "no": 4, "missing": 4, "children": [
+              {"nodeid": 3, "leaf": 0.1},
+              {"nodeid": 4, "leaf": 0.7}]},
+         {"nodeid": 2, "leaf": 1.3}]},
+    {"nodeid": 0, "split": "f_const", "split_condition": 0.9,
+     "yes": 1, "no": 2, "missing": 2, "children": [
+         {"nodeid": 1, "leaf": -0.2},
+         {"nodeid": 2, "leaf": 0.4}]},
+]
+
+
+def _py_tree(node, feats):
+    while "leaf" not in node:
+        kids = {c["nodeid"]: c for c in node["children"]}
+        v = feats.get(node["split"])
+        if v is None:
+            node = kids[node.get("missing", node["yes"])]
+        elif v < node["split_condition"]:
+            node = kids[node["yes"]]
+        else:
+            node = kids[node["no"]]
+    return node["leaf"]
+
+
+def test_tree_ensemble_matches_python_twin(ix):
+    from siem_on_amazon_opensearch_service_spark.index.ltr import (
+        TreeEnsembleModel,
+        log_features,
+        sltr_score,
+    )
+
+    model = TreeEnsembleModel(TREES, base_score=0.05)
+    feats = log_features(ix, FEATURESET, PARAMS)
+    got = {r.doc_id: r._ltr for r in sltr_score(feats, model).collect()}
+    rows = feats.collect()
+    assert got, "no feature rows -- vacuous"
+    for r in rows:
+        fv = {n: r[n] for n in ("f_kw", "f_title", "f_const")}
+        want = 0.05 + sum(_py_tree(t, fv) for t in TREES)
+        assert math.isclose(got[r.doc_id], want, rel_tol=1e-9), (
+            r.doc_id, got[r.doc_id], want)
+
+
+def test_tree_ensemble_null_follows_missing(spark):
+    from siem_on_amazon_opensearch_service_spark.index.ltr import (
+        TreeEnsembleModel,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None, 2.0, 1.0), (1, 2.0, None, None)],
+        "doc_id long, f_kw double, f_title double, f_const double")
+    model = TreeEnsembleModel(TREES)
+    got = {r.doc_id: r._s
+           for r in df.withColumn("_s", model.expr()).collect()}
+    # doc 0: f_kw missing -> missing=yes(1); f_title=2 -> no(4)=0.7;
+    #        tree2 f_const=1 -> no=0.4
+    assert math.isclose(got[0], 0.7 + 0.4, rel_tol=1e-9)
+    # doc 1: f_kw=2 -> no(2)=1.3; f_const missing -> missing=no(2)=0.4
+    assert math.isclose(got[1], 1.3 + 0.4, rel_tol=1e-9)
+
+
+def test_tree_ensemble_upload_envelope_and_validation():
+    import json
+
+    from siem_on_amazon_opensearch_service_spark.index.ltr import (
+        TreeEnsembleModel,
+    )
+
+    env = {"model": {"definition": json.dumps(TREES)}}
+    m = TreeEnsembleModel.from_xgboost(env)
+    assert len(m.trees) == 2
+    m2 = TreeEnsembleModel.from_xgboost(json.dumps(TREES))
+    assert m2.trees == m.trees
+    bad = [{"nodeid": 0, "split": "f", "split_condition": 1.0,
+            "yes": 1, "no": 2, "missing": 9, "children": [
+                {"nodeid": 1, "leaf": 0.0}, {"nodeid": 2, "leaf": 1.0}]}]
+    with pytest.raises(ValueError, match="missing"):
+        TreeEnsembleModel(bad).expr()
+
+
+def test_sltr_topk_accepts_tree_model(ix):
+    from siem_on_amazon_opensearch_service_spark.index.ltr import (
+        TreeEnsembleModel,
+        log_features,
+        sltr_score,
+        sltr_topk,
+    )
+
+    model = TreeEnsembleModel(TREES)
+    top = sltr_topk(ix, FEATURESET, PARAMS, model, k=5).collect()
+    feats = log_features(ix, FEATURESET, PARAMS)
+    scored = sorted(
+        ((r._ltr, -r.doc_id, r.doc_id)
+         for r in sltr_score(feats, model).collect()),
+        reverse=True)
+    want = [d for _s, _nd, d in scored[:5]]
+    assert [r.doc_id for r in top] == want
