@@ -76,16 +76,35 @@ def cosine_radial(vecs: DataFrame, query_vec: list[float],
     ).orderBy(F.desc("cosine"), F.asc(id_col))
 
 
+def _metric_sim(v, c, metric: str):
+    """Similarity column for the argmax assignment: cosine, or
+    NEGATED l2/l1 distance (max of the negation == min distance) —
+    all native zip_with/aggregate folds, codegen."""
+    if metric == "cosine":
+        return cosine_col(v, c)
+    diff = F.zip_with(v, c, lambda a, b: a - b)
+    if metric == "l2":
+        return -F.aggregate(diff, F.lit(0.0),
+                            lambda acc, x: acc + x * x)
+    if metric == "l1":
+        return -F.aggregate(diff, F.lit(0.0),
+                            lambda acc, x: acc + F.abs(x))
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def ivf_assign(vecs: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               cent_id: str = "cent_id", cent_vec: str = "cent_vec") -> DataFrame:
-    """Assign every vector to its max-cosine centroid.
+               cent_id: str = "cent_id", cent_vec: str = "cent_vec",
+               metric: str = "cosine") -> DataFrame:
+    """Assign every vector to its best centroid (max cosine — the
+    IVF default — or min l2/l1 via ``metric``, the ml-commons kmeans
+    distance_type options).
 
     centroids is small — broadcast; the argmax is a groupBy(max_by)
     whose input never leaves the vector's partition except for the
     final combine. Ties break by centroid id asc (deterministic).
     """
-    sim = cosine_col(F.col(vec_col), F.col(cent_vec))
+    sim = _metric_sim(F.col(vec_col), F.col(cent_vec), metric)
     crossed = vecs.join(F.broadcast(centroids)).select(
         F.col(id_col), F.col(cent_id), sim.alias("sim")
     )
@@ -198,7 +217,7 @@ def make_centroids(vecs: DataFrame, n_cells: int,
 
 def kmeans_fit(vecs: DataFrame, n_cells: int, n_iter: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               tol: float = 1e-4) -> DataFrame:
+               tol: float = 1e-4, metric: str = "cosine") -> DataFrame:
     """Lloyd's k-means with deterministic init (the n_cells lowest-id
     vectors) — the real IVF training step.
 
@@ -216,7 +235,8 @@ def kmeans_fit(vecs: DataFrame, n_cells: int, n_iter: int = 5,
     prev_rows: dict[int, list[float]] | None = None
     cents = make_centroids(vecs, n_cells, id_col, vec_col)
     for _ in range(n_iter):
-        assign = ivf_assign(vecs, cents, id_col, vec_col)
+        assign = ivf_assign(vecs, cents, id_col, vec_col,
+                            metric=metric)
         joined = vecs.join(assign, id_col).select("cell", vec_col)
         dims = joined.select(
             "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")

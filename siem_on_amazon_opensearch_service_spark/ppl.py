@@ -63,6 +63,22 @@ Supported commands (each a pipe stage):
                                      non-key columns
     sort [+|-]f1 [, [+|-]f2]
     head N
+    ad field=<v> [time_field=<ts>] [by=<f1,f2>] [threshold=<x>]
+                                     ml-commons anomaly command:
+                                     appends score + anomaly_grade
+                                     via the deterministic seasonal
+                                     median/MAD detector (the
+                                     plugin's RCF is a seeded
+                                     streaming forest; same response
+                                     columns, reproducible)
+    kmeans [centroids=K] [iterations=N] [fields=<f1,f2>]
+           [distance_type=EUCLIDEAN|COSINE|L1]
+                                     ml-commons clustering command:
+                                     appends ClusterID; Lloyd
+                                     training on the IVF machinery,
+                                     metric per distance_type
+                                     (EUCLIDEAN default, as the
+                                     plugin)
 
 Compilation is purely structural: each stage maps 1:1 onto the
 DataFrame API (filter/select/withColumn/groupBy/orderBy/limit), so
@@ -92,6 +108,18 @@ _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
 
 class PPLError(ValueError):
     pass
+
+
+def _kv_params(rest: str) -> dict[str, str]:
+    """``key=value`` option pairs (values optionally quoted) — the
+    ml-command option shape (``ad time_field='ts' ...``)."""
+    out = {}
+    for m in re.finditer(
+            r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
+            r"(?:'([^']*)'|\"([^\"]*)\"|(\S+))", rest):
+        out[m.group(1)] = next(g for g in m.groups()[1:]
+                               if g is not None)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -446,6 +474,28 @@ def parse_ppl(text: str) -> PPLQuery:
             q.stages.append(
                 ("lookup", mm.group(1), mm.group(2),
                  mm.group(3) or mm.group(2)))
+        elif cmd == "ad":
+            kv = _kv_params(rest)
+            if "field" not in kv:
+                raise PPLError("ad needs field=<value column>")
+            q.stages.append((
+                "ad", kv["field"], kv.get("time_field", "ts"),
+                [c.strip() for c in kv.get("by", "").split(",")
+                 if c.strip()],
+                float(kv.get("threshold", 3.0))))
+        elif cmd == "kmeans":
+            kv = _kv_params(rest)
+            metric = {"euclidean": "l2", "cosine": "cosine",
+                      "l1": "l1"}.get(
+                kv.get("distance_type", "EUCLIDEAN").lower())
+            if metric is None:
+                raise PPLError(
+                    "distance_type must be EUCLIDEAN, COSINE or L1")
+            q.stages.append((
+                "kmeans", int(kv.get("centroids", 2)),
+                int(kv.get("iterations", 5)),
+                [c.strip() for c in kv.get("fields", "").split(",")
+                 if c.strip()], metric))
         elif cmd in ("top", "rare"):
             mm = re.match(r"^(\d+)\s+(.*)$", rest)
             n = int(mm.group(1)) if mm else 10
@@ -670,6 +720,64 @@ def ppl_query(spark: SparkSession, text: str,
                         F.col(local) == F.col("__lookup_key"), "left")
                 .drop("__lookup_key")
             )
+        elif kind == "ad":
+            # the plugin's ml-commons `ad` command appends anomaly
+            # columns to the piped rows.  Its RCF forest is a seeded
+            # streaming model; the deterministic analog here is the
+            # engine's seasonal median/MAD detector
+            # (operators/anomaly.py): per-entity hour-of-day
+            # baseline, score = |x-med|/(1.4826*MAD), grade 0 below
+            # threshold — same response columns (score,
+            # anomaly_grade), reproducible across runs.
+            from .operators.anomaly import (anomaly_grade,
+                                            anomaly_score,
+                                            seasonal_mad_baseline)
+
+            _, field, tcol, by, thr = st
+            season = "__ad_season"
+            df = df.withColumn(
+                season, F.date_format(F.col(tcol), "HH"))
+            base = seasonal_mad_baseline(df, by, season, field)
+            df = (df.join(F.broadcast(base), [*by, season])
+                  .withColumn("score",
+                              anomaly_score(F.col(field),
+                                            F.col("med"),
+                                            F.col("mad")))
+                  .withColumn("anomaly_grade",
+                              anomaly_grade(F.col("score"), thr))
+                  .drop(season, "med", "mad"))
+        elif kind == "kmeans":
+            # ml-commons `kmeans` command: cluster the piped rows on
+            # their numeric fields, append ClusterID.  Lloyd training
+            # reuses the IVF machinery (operators/similarity.py —
+            # deterministic lowest-id init, per-round k×dim centroid
+            # collect); final assignment is the broadcast-argmax.
+            # distance_type EUCLIDEAN (the plugin default) / COSINE /
+            # L1 select the assignment metric.
+            from .operators.similarity import ivf_assign, kmeans_fit
+
+            _, k, iters, fields, metric = st
+            if not fields:
+                fields = [f.name for f in df.schema.fields
+                          if f.dataType.typeName() in
+                          ("double", "float", "integer", "long")]
+            if not fields:
+                raise PPLError("kmeans found no numeric fields")
+            from pyspark.sql import Window
+
+            rid = F.row_number().over(
+                Window.orderBy(*[F.asc(c) for c in fields])) - 1
+            vecs = df.withColumn("__rid", rid).withColumn(
+                "__vec", F.array(*[F.col(c).cast("double")
+                                   for c in fields]))
+            cents = kmeans_fit(vecs, k, n_iter=iters,
+                               id_col="__rid", vec_col="__vec",
+                               metric=metric)
+            assign = ivf_assign(vecs, cents, id_col="__rid",
+                                vec_col="__vec", metric=metric)
+            df = (vecs.join(assign, "__rid")
+                  .withColumnRenamed("cell", "ClusterID")
+                  .drop("__rid", "__vec"))
         elif kind == "sort":
             last_sort = st[1]
             df = df.orderBy(*[

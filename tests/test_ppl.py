@@ -192,3 +192,69 @@ def test_parse_expr_precedence():
     assert n[1] == "or"
     assert parse_expr("not a = 1")[0] == "not"
     assert parse_expr("(a + b) * 2")[1] == "*"
+
+
+# --- ml-commons commands: ad / kmeans --------------------------------------
+
+
+def test_ppl_ad_appends_score_and_grade(spark):
+    ev = spark.read.parquet(EVENTS)
+    hourly = ppl_query(
+        spark,
+        "source=events | stats count() as n by event_type, span(ts, 1h)"
+        " | eval ts = ts_span",
+        {"events": ev})
+    out = ppl_query(
+        spark,
+        "source=hourly | ad field=n time_field=ts by=event_type "
+        "threshold=3.0",
+        {"hourly": hourly})
+    rows = out.collect()
+    assert rows and {"score", "anomaly_grade"} <= set(out.columns)
+    # python twin on one entity+hour-of-day cell
+    import numpy as np
+
+    pdf = hourly.toPandas()
+
+    def hod(t):
+        return str(t)[11:13]
+
+    pdf["hod"] = pdf["ts"].map(hod)
+    r0 = rows[0]
+    grp = pdf[(pdf["event_type"] == r0["event_type"])
+              & (pdf["hod"] == hod(r0["ts"]))]["n"]
+    med = float(np.median(grp))
+    mad = float(np.median((grp - med).abs()))
+    want = abs(r0["n"] - med) / (1.4826 * mad + 1e-9)
+    assert abs(r0["score"] - want) < 1e-6
+    # grade zero below threshold, positive above
+    for r in rows:
+        assert (r["anomaly_grade"] > 0) == (r["score"] > 3.0)
+
+
+def test_ppl_kmeans_clusters_numeric_fields(spark):
+    # deterministic init takes the 3 lowest-id rows (sorted by the
+    # field tuple) -- x interleaves the blobs so the seeds span them;
+    # separation lives in y
+    pdf = [(float(i), float(i % 3) * 1000.0 + (i % 7) * 0.1)
+           for i in range(30)]
+    df = spark.createDataFrame(pdf, "x double, y double")
+    out = ppl_query(
+        spark, "source=pts | kmeans centroids=3 iterations=6",
+        {"pts": df})
+    rows = out.collect()
+    assert "ClusterID" in out.columns and len(rows) == 30
+    # three well-separated blobs -> exactly three clusters, and
+    # cluster membership aligns with the generating blob
+    blobs = {}
+    for r in rows:
+        blobs.setdefault(int(r.y // 1000), set()).add(r.ClusterID)
+    assert all(len(s) == 1 for s in blobs.values())
+    assert len({s.pop() for s in blobs.values()}) == 3
+
+
+def test_ppl_ad_requires_field(spark):
+    ev = spark.read.parquet(EVENTS)
+    with pytest.raises(PPLError, match="field"):
+        ppl_query(spark, "source=events | ad time_field=ts",
+                  {"events": ev})
