@@ -854,6 +854,7 @@ def search_hits(
     source_docs: DataFrame | None = None,
     sparse=None,
     multi_ix=None,
+    prescored: DataFrame | None = None,
 ) -> DataFrame:
     """Execute the body's query + sort/from/size/_source, returning
     the hits page.  Default sort is (_score desc, doc_id asc); a
@@ -862,12 +863,22 @@ def search_hits(
     with the doc_id tiebreak appended (OpenSearch uses _id/_shard_doc
     the same way).
 
+    ``prescored``: an already-computed (docs + score) matched frame —
+    search_body passes its shared matched set so hits and aggs
+    execute the query ONCE; query compilation is skipped entirely.
+
     Vector search: a top-level ``knn`` query (optionally with a
     term-level ``filter``) scores by cosine over the ``vecs`` table
     (pass the embeddings DataFrame; ids share the doc_id space), and
     a top-level ``hybrid`` query executes each sub-query to
     ``pagination_depth`` and fuses by RRF (the 2.x
     score-ranker-processor default)."""
+    if prescored is not None:
+        scored = prescored
+        if "rescore" in body:
+            scored = apply_rescore(ix, scored, body, text_field,
+                                   positional_ix)
+        return hits_page(scored, body, text_field, source_docs)
     if body.get("runtime_mappings"):
         ix = with_runtime_mappings(ix, body["runtime_mappings"])
     qnode = expand_mlt(body.get("query", {"match_all": {}}), ix,
@@ -3302,6 +3313,7 @@ def search_body(
             return _m_cache[0]
         qnode = expand_mlt(body.get("query", {"match_all": {}}), ix,
                            source_docs, text_field)
+        qnode = resolve_terms_lookup(qnode, ix)
         qkind, _ = _one(qnode)
         if qkind in ("knn", "hybrid"):
             m = _vector_scored(ix, qnode, positional_ix,
@@ -3350,10 +3362,33 @@ def search_body(
         if routed_hits is not None:
             res["hits"] = routed_hits
         else:
-            res["hits"] = search_hits(ix, body, positional_ix,
-                                      text_field, vecs=vecs,
-                                      source_docs=source_docs,
-                                      sparse=sparse)
+            # hits + aggs share ONE executed matched set for ordinary
+            # (tree-compiled) queries: the frame persists
+            # (MEMORY_AND_DISK, ContextCleaner reclaims it when the
+            # response is dropped) so the postings decode runs once,
+            # not once per collection — on the wire both collectors
+            # ride one query execution too
+            q0 = body.get("query") or {"match_all": {}}
+            k0 = next(iter(q0)) if q0 else "match_all"
+            shareable = (
+                bool(body.get("aggs", body.get("aggregations")))
+                and k0 not in ("knn", "hybrid", "neural_sparse",
+                               "nested", "intervals", "multi_match",
+                               "combined_fields", "has_child",
+                               "has_parent")
+                and not k0.startswith("span_"))
+            if shareable:
+                m = matched_frame().persist()
+                _m_cache[0] = m
+                res["hits"] = search_hits(ix, body, positional_ix,
+                                          text_field, vecs=vecs,
+                                          source_docs=source_docs,
+                                          sparse=sparse, prescored=m)
+            else:
+                res["hits"] = search_hits(ix, body, positional_ix,
+                                          text_field, vecs=vecs,
+                                          source_docs=source_docs,
+                                          sparse=sparse)
 
     tth = body.get("track_total_hits")
     if tth is not None and tth is not False:
