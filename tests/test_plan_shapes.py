@@ -431,3 +431,26 @@ def test_nested_query_plan_is_scan_only(spark, saved_ix, tmp_path):
     assert plan.count(") Exchange") == 0
     assert ") Generate" not in plan       # no explode
     assert "Join" not in plan
+
+
+def test_search_body_shares_one_execution_for_hits_and_aggs(saved_ix):
+    # hits + aggs + totals must ride ONE executed matched frame: the
+    # hits page and the agg frame both read the persisted cache
+    # (InMemoryTableScan), never a second postings decode
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_body,
+    )
+
+    body = {"query": {"match": {"text": "w00001"}}, "size": 5,
+            "aggs": {"l": {"terms": {"field": "doclen", "size": 3}}},
+            "track_total_hits": True}
+    res = search_body(saved_ix, body)
+    hp = _plan(res["hits"])
+    ap = _plan(res["aggs"]["l"])
+    assert "InMemoryTableScan" in hp, hp
+    assert "InMemoryTableScan" in ap, ap
+    # and results stay correct through the cache
+    assert res["hits"].count() == res["total"]["value"] or \
+        res["hits"].count() <= 5
+    # (an aggs-free body with the SAME query also picks the cache up
+    # via Spark's logical-plan cache manager — a bonus, not pinned)
