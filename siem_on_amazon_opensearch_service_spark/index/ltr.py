@@ -146,9 +146,11 @@ def _tree_expr(node: dict):
             "neither the yes nor the no child")
     yes = _tree_expr(kids[yes_id])
     no = _tree_expr(kids[no_id])
-    feat = F.col(str(node["split"]))
+    feat = F.col(str(node["split"])).cast("double")
     miss = yes if miss_id == yes_id else no
-    return (F.when(feat.isNull(), miss)
+    # xgboost treats NaN exactly like missing -- NULL alone would
+    # route NaN to the 'no' child (NaN < x is false in Spark)
+    return (F.when(feat.isNull() | F.isnan(feat), miss)
             .when(feat < F.lit(float(node["split_condition"])), yes)
             .otherwise(no))
 
@@ -172,15 +174,27 @@ class TreeEnsembleModel:
     @classmethod
     def from_xgboost(cls, dump, base_score: float = 0.0
                      ) -> "TreeEnsembleModel":
-        """Accepts the raw dump string/list, or the plugin's upload
-        envelope ``{"model": {"definition": "<json>"}}``."""
+        """Accepts the raw dump string/list, the plugin's upload
+        envelope at ANY nesting depth (``_createmodel`` posts
+        ``{"model": {"name": ..., "model": {"type": ...,
+        "definition": ...}}}``), and the object definition form
+        ``{"objective": ..., "splits": [...]}``."""
         import json
 
         obj = json.loads(dump) if isinstance(dump, str) else dump
-        if isinstance(obj, dict):
-            obj = obj["model"]["definition"]
-            if isinstance(obj, str):
-                obj = json.loads(obj)
+        while isinstance(obj, dict):
+            if "definition" in obj:
+                obj = obj["definition"]
+                if isinstance(obj, str):
+                    obj = json.loads(obj)
+            elif "model" in obj:
+                obj = obj["model"]
+            elif "splits" in obj:
+                obj = obj["splits"]
+            else:
+                raise ValueError(
+                    "unrecognized xgboost model envelope: expected "
+                    "a tree array, 'definition', 'model' or 'splits'")
         return cls(list(obj), float(base_score))
 
     def expr(self):

@@ -3363,11 +3363,13 @@ def search_body(
             res["hits"] = routed_hits
         else:
             # hits + aggs share ONE executed matched set for ordinary
-            # (tree-compiled) queries: the frame persists
-            # (MEMORY_AND_DISK, ContextCleaner reclaims it when the
+            # (tree-compiled) queries: the frame persists (default
+            # storage level; the ContextCleaner reclaims it when the
             # response is dropped) so the postings decode runs once,
             # not once per collection — on the wire both collectors
-            # ride one query execution too
+            # ride one query execution too.  persist() returns the
+            # same object matched_frame cached, so aggs/totals reuse
+            # it automatically.
             q0 = body.get("query") or {"match_all": {}}
             k0 = next(iter(q0)) if q0 else "match_all"
             shareable = (
@@ -3376,10 +3378,14 @@ def search_body(
                                "nested", "intervals", "multi_match",
                                "combined_fields", "has_child",
                                "has_parent")
-                and not k0.startswith("span_"))
+                and not k0.startswith("span_")
+                # min_score applies BEFORE rescore on the shared
+                # frame but AFTER it on the direct path -- don't
+                # share when both are present (ordering must match
+                # the wire: floor the FINAL scores)
+                and not ("rescore" in body and "min_score" in body))
             if shareable:
                 m = matched_frame().persist()
-                _m_cache[0] = m
                 res["hits"] = search_hits(ix, body, positional_ix,
                                           text_field, vecs=vecs,
                                           source_docs=source_docs,

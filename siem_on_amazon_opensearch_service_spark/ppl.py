@@ -737,15 +737,25 @@ def ppl_query(spark: SparkSession, text: str,
             season = "__ad_season"
             df = df.withColumn(
                 season, F.date_format(F.col(tcol), "HH"))
-            base = seasonal_mad_baseline(df, by, season, field)
-            df = (df.join(F.broadcast(base), [*by, season])
+            # internal names for the baseline columns so an input
+            # med/mad column survives; LEFT join so rows with a NULL
+            # time/entity key keep flowing with NULL score (the
+            # command APPENDS columns, it never drops rows)
+            base_in = df.select(*by, season,
+                                F.col(field).alias("__ad_v"))
+            base = (seasonal_mad_baseline(base_in, by, season,
+                                          "__ad_v")
+                    .select(*by, season,
+                            F.col("med").alias("__ad_med"),
+                            F.col("mad").alias("__ad_mad")))
+            df = (df.join(F.broadcast(base), [*by, season], "left")
                   .withColumn("score",
                               anomaly_score(F.col(field),
-                                            F.col("med"),
-                                            F.col("mad")))
+                                            F.col("__ad_med"),
+                                            F.col("__ad_mad")))
                   .withColumn("anomaly_grade",
                               anomaly_grade(F.col("score"), thr))
-                  .drop(season, "med", "mad"))
+                  .drop(season, "__ad_med", "__ad_mad"))
         elif kind == "kmeans":
             # ml-commons `kmeans` command: cluster the piped rows on
             # their numeric fields, append ClusterID.  Lloyd training
@@ -765,19 +775,30 @@ def ppl_query(spark: SparkSession, text: str,
                 raise PPLError("kmeans found no numeric fields")
             from pyspark.sql import Window
 
+            # deterministic ids via a global sort window: acceptable
+            # for the command's input (a piped, usually reduced,
+            # frame — not a raw corpus); vecs persists so the sort
+            # and upstream pipeline run ONCE, not once per Lloyd
+            # round + assignment (ContextCleaner reclaims the cache)
             rid = F.row_number().over(
                 Window.orderBy(*[F.asc(c) for c in fields])) - 1
-            vecs = df.withColumn("__rid", rid).withColumn(
-                "__vec", F.array(*[F.col(c).cast("double")
-                                   for c in fields]))
+            in_cols = df.columns
+            rowed = df.withColumn("__rid", rid).persist()
+            # train/assign on a MINIMAL (__rid, __vec) frame so input
+            # column names (e.g. `cell`) can never collide inside
+            # the shared IVF machinery
+            vecs = rowed.select(
+                "__rid", F.array(*[F.col(c).cast("double")
+                                   for c in fields]).alias("__vec"))
             cents = kmeans_fit(vecs, k, n_iter=iters,
                                id_col="__rid", vec_col="__vec",
                                metric=metric)
-            assign = ivf_assign(vecs, cents, id_col="__rid",
-                                vec_col="__vec", metric=metric)
-            df = (vecs.join(assign, "__rid")
-                  .withColumnRenamed("cell", "ClusterID")
-                  .drop("__rid", "__vec"))
+            assign = (ivf_assign(vecs, cents, id_col="__rid",
+                                 vec_col="__vec", metric=metric)
+                      .withColumnRenamed("cell", "__cluster"))
+            df = (rowed.join(assign, "__rid")
+                  .select(*[c for c in in_cols if c != "ClusterID"],
+                          F.col("__cluster").alias("ClusterID")))
         elif kind == "sort":
             last_sort = st[1]
             df = df.orderBy(*[

@@ -251,3 +251,30 @@ def test_sltr_topk_accepts_tree_model(ix):
         reverse=True)
     want = [d for _s, _nd, d in scored[:5]]
     assert [r.doc_id for r in top] == want
+
+
+def test_tree_ensemble_plugin_envelope_and_nan(spark):
+    import json
+
+    from siem_on_amazon_opensearch_service_spark.index.ltr import (
+        TreeEnsembleModel,
+    )
+
+    # the real _createmodel nesting: model.model.definition
+    env = {"model": {"name": "m", "model": {
+        "type": "model/xgboost", "definition": json.dumps(TREES)}}}
+    assert TreeEnsembleModel.from_xgboost(env).trees == TREES
+    # the {objective, splits} definition form
+    obj = {"model": {"model": {"definition": json.dumps(
+        {"objective": "rank:ndcg", "splits": TREES})}}}
+    assert TreeEnsembleModel.from_xgboost(obj).trees == TREES
+    with pytest.raises(ValueError, match="envelope"):
+        TreeEnsembleModel.from_xgboost({"nope": 1})
+    # NaN routes to the missing child, exactly like xgboost
+    df = spark.createDataFrame(
+        [(0, float("nan"), 2.0, 1.0)],
+        "doc_id long, f_kw double, f_title double, f_const double")
+    got = df.withColumn("_s", TreeEnsembleModel(TREES).expr()) \
+        .collect()[0]._s
+    # f_kw NaN -> missing=yes(1); f_title=2 -> no(4)=0.7; tree2: 0.4
+    assert math.isclose(got, 0.7 + 0.4, rel_tol=1e-9)

@@ -449,8 +449,8 @@ def test_search_body_shares_one_execution_for_hits_and_aggs(saved_ix):
     ap = _plan(res["aggs"]["l"])
     assert "InMemoryTableScan" in hp, hp
     assert "InMemoryTableScan" in ap, ap
-    # and results stay correct through the cache
-    assert res["hits"].count() == res["total"]["value"] or \
-        res["hits"].count() <= 5
+    # and results stay correct through the cache: the page is exactly
+    # min(total, size) rows
+    assert res["hits"].count() == min(res["total"]["value"], 5)
     # (an aggs-free body with the SAME query also picks the cache up
     # via Spark's logical-plan cache manager — a bonus, not pinned)

@@ -258,3 +258,37 @@ def test_ppl_ad_requires_field(spark):
     with pytest.raises(PPLError, match="field"):
         ppl_query(spark, "source=events | ad time_field=ts",
                   {"events": ev})
+
+
+def test_ppl_ad_keeps_null_key_rows_and_name_collisions(spark):
+    # NULL entity/time keys keep flowing (NULL score) -- the command
+    # APPENDS, it never drops rows; an input `med` column survives
+    rows = [("a", "2024-01-01 10:00:00", 5.0, 1.0),
+            ("a", "2024-01-02 10:00:00", 6.0, 1.0),
+            (None, "2024-01-01 10:00:00", 7.0, 1.0),
+            ("a", None, 8.0, 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, n double, med double")
+    out = ppl_query(spark,
+                    "source=t | ad field=n time_field=ts "
+                    "by=event_type", {"t": df})
+    got = out.collect()
+    assert len(got) == 4
+    assert "med" in out.columns
+    nulls = [r for r in got
+             if r.event_type is None or r.ts is None]
+    assert len(nulls) == 2 and all(r.score is None for r in nulls)
+
+
+def test_ppl_kmeans_survives_cell_column(spark):
+    pdf = [(float(i), float(i % 2) * 100.0, "x")
+           for i in range(10)]
+    df = spark.createDataFrame(pdf, "a double, b double, cell string")
+    out = ppl_query(
+        spark,
+        "source=t | kmeans centroids=2 iterations=4 fields='a,b'",
+        {"t": df})
+    rows = out.collect()
+    assert "ClusterID" in out.columns and "cell" in out.columns
+    assert len({r.ClusterID for r in rows}) == 2
+    assert all(r.cell == "x" for r in rows)
