@@ -474,11 +474,25 @@ def main() -> None:
 
     sf_m = re.search(r"sf([0-9.]+)", SF_DIR)
     total = round(sum(timings.values()), 4)
+    # fixed round-2 comparable lane: the 16 queries benched every
+    # round since r2, subtotaled so round-over-round comparison never
+    # needs footnotes about workload growth (the e2e total keeps
+    # absorbing new coverage; this number must only go down).
+    r02_set = (
+        "agg_date_histogram agg_terms_topn bm25_batch8 bm25_dataframe "
+        "bm25_pruned bm25_single bool_query facet_query filtered_search "
+        "fuzzy_query index_build join_broadcast_dim phrase_query "
+        "positional_build q1_pricing_summary window_suite".split()
+    )
+    r02_sub = round(sum(timings[q] for q in r02_set if q in timings), 4)
     print(json.dumps({
         "metric": "e2e_headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "r02_comparable_subtotal": r02_sub,
+        "r02_comparable_queries": sorted(
+            q for q in r02_set if q in timings),
         "sf": float(sf_m.group(1)) if sf_m else None,
         "cpus": CPUS,
         "n_docs": n_docs,

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .detfloat import DEC, sum_round, sum_round_sql
 from .entry_queries import _t, _utc, register
 from .functions.scalars import long_to_ipv4
 from .operators.aggs import geotile_duck_sql as _geotile_duck
@@ -475,7 +476,7 @@ def _geoq_sqls() -> dict[str, str]:
              (200.0, 1e9, 'high')
     )
     SELECT 'value_band:' || b.band AS bucket, count(*) AS n,
-           round(sum(e.value), 4) AS sum_value
+           {sum_round_sql('e.value')} AS sum_value
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.band
     UNION ALL
@@ -500,13 +501,16 @@ def _geoq_sqls() -> dict[str, str]:
     WHERE ({_GEO_LAT}) BETWEEN 20.0 AND 60.0
       AND ({_GEO_LON}) BETWEEN -120.0 AND -60.0
     UNION ALL
-    SELECT 'geoq_poly', count(*), round(coalesce(sum(value), 0), 4)
+    SELECT 'geoq_poly', count(*),
+           round(coalesce(sum(CAST(value AS {DEC})), 0), 4)::DOUBLE
     FROM events WHERE {_geoq_sqls()["poly"]}
     UNION ALL
-    SELECT 'geoq_dist', count(*), round(coalesce(sum(value), 0), 4)
+    SELECT 'geoq_dist', count(*),
+           round(coalesce(sum(CAST(value AS {DEC})), 0), 4)::DOUBLE
     FROM events WHERE {_geoq_sqls()["dist"]}
     UNION ALL
-    SELECT 'geoq_bbox', count(*), round(coalesce(sum(value), 0), 4)
+    SELECT 'geoq_bbox', count(*),
+           round(coalesce(sum(CAST(value AS {DEC})), 0), 4)::DOUBLE
     FROM events WHERE {_geoq_sqls()["bbox"]}
     """,
 )
@@ -534,7 +538,7 @@ def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ev.value >= bands.lo) & (ev.value < bands.hi),
         )
         .groupBy(F.concat(F.lit("value_band:"), F.col("band")).alias("bucket"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), sum_round("value").alias("sum_value"))
     )
     lat = (F.col("user_id") * 7 % 180) - 90 + 0.5
     lon = (F.col("event_id") * 13 % 360) - 180 + 0.5
@@ -611,8 +615,8 @@ def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     geoq_parts = [
         ev.filter(F.expr(sql)).agg(
             F.count("*").alias("n"),
-            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4)
-            .alias("sum_value"),
+            F.round(F.coalesce(F.sum(F.col("value").cast(DEC)), F.lit(0)), 4)
+            .cast("double").alias("sum_value"),
         ).select(F.lit(f"geoq_{tag}").alias("bucket"), "n",
                  "sum_value")
         for tag, sql in _geoq_sqls().items()

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from .analysis import duckdb_tokens_sql, tokens_sql
 from .bm25 import B, K1
+from .detfloat import (DEC, avg_round, avg_round_sql, ratio_round,
+                       ratio_round_sql, sum_round, sum_round_sql)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -228,7 +230,7 @@ def ft_term_df_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 'doclen' AS chk, doc_id::VARCHAR AS key, dl::DOUBLE AS num FROM dl
     UNION ALL SELECT 'stats', 'n_docs', count(*)::DOUBLE FROM dl
-    UNION ALL SELECT 'stats', 'avgdl', round(avg(dl), 4) FROM dl
+    UNION ALL SELECT 'stats', 'avgdl', {avg_round_sql('dl')} FROM dl
     UNION ALL SELECT 'stats', 'n_terms', count(DISTINCT term)::DOUBLE FROM (
       SELECT unnest({duckdb_tokens_sql('text')}) AS term FROM documents)
     """,
@@ -250,7 +252,7 @@ def ft_corpus_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     srow = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
-        F.round(F.avg("dl"), 4).alias("avgdl"),
+        avg_round("dl").alias("avgdl"),
     ).crossJoin(nt)
     stats_part = srow.select(
         F.lit("stats").alias("chk"),
@@ -365,7 +367,7 @@ def ft_corpus_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
          OR (op = 'or' AND n_matched >= msm))
     UNION ALL
     SELECT 'startree', event_type, count(*),
-           round(sum(value), 4) FROM events
+           {sum_round_sql('value')} FROM events
     WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-15'
     GROUP BY event_type
     """,
@@ -456,8 +458,11 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .operators.startree import startree_build, startree_route
 
+    # exact-decimal metric column: the cube's partial sums merge in
+    # task-completion order, and a DOUBLE sum would flap at the last
+    # ulp (and hence at the round(.,4) boundary) with partition count.
     st = startree_build(
-        ev,
+        ev.withColumn("value", F.col("value").cast(DEC)),
         ["event_type",
          {"date_histogram": {"field": "ts", "calendar_interval": "day"}}],
         {"value": ["sum", "value_count"]})
@@ -467,7 +472,8 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "aggs": {"v": {"sum": {"field": "value"}}}}}})
     st_rows = routed["by_type"].select(
         F.lit("startree").alias("chk"), F.col("by_type").alias("key"),
-        F.col("doc_count").alias("n"), F.round("v", 4).alias("score"))
+        F.col("doc_count").alias("n"),
+        F.round("v", 4).cast("double").alias("score"))
     return (top.unionByName(hits).unionByName(sig).unionByName(rare)
             .unionByName(page2).unionByName(sig_text).unionByName(perc)
             .unionByName(st_rows))
@@ -475,10 +481,10 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_date_histogram",
-    """
+    f"""
     WITH buckets AS (
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
-             count(*) AS n, round(sum(value), 4) AS sum_value
+             count(*) AS n, {sum_round_sql('value')} AS sum_value
       FROM events GROUP BY 1
     ),
     dense AS (
@@ -554,20 +560,21 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
            NULL::DOUBLE
     FROM (
       SELECT 'w1' AS k, count(*) FILTER (ts < TIMESTAMP '2024-01-08') AS n,
-             round(coalesce(sum(value)
-               FILTER (ts < TIMESTAMP '2024-01-08'), 0), 4) AS sum_value
+             round(coalesce(sum(CAST(value AS {DEC}))
+               FILTER (ts < TIMESTAMP '2024-01-08'), 0), 4)::DOUBLE
+               AS sum_value
       FROM events
       UNION ALL
       SELECT 'mid', count(*) FILTER (ts >= TIMESTAMP '2024-01-08'
                                      AND ts < TIMESTAMP '2024-01-22'),
-             round(coalesce(sum(value) FILTER (
+             round(coalesce(sum(CAST(value AS {DEC})) FILTER (
                ts >= TIMESTAMP '2024-01-08'
-               AND ts < TIMESTAMP '2024-01-22'), 0), 4)
+               AND ts < TIMESTAMP '2024-01-22'), 0), 4)::DOUBLE
       FROM events
       UNION ALL
       SELECT 'tail', count(*) FILTER (ts >= TIMESTAMP '2024-01-22'),
-             round(coalesce(sum(value)
-               FILTER (ts >= TIMESTAMP '2024-01-22'), 0), 4)
+             round(coalesce(sum(CAST(value AS {DEC}))
+               FILTER (ts >= TIMESTAMP '2024-01-22'), 0), 4)::DOUBLE
       FROM events)
     UNION ALL
     SELECT 'auto:' || lbl || ':' ||
@@ -594,7 +601,7 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'transform:' || event_type || ':' ||
              ((floor(epoch(ts) / 86400) * 86400)::BIGINT)::VARCHAR,
-           count(*), round(avg(value), 4), NULL::BIGINT, NULL::BIGINT,
+           count(*), {avg_round_sql('value')}, NULL::BIGINT, NULL::BIGINT,
            NULL::DOUBLE
     FROM events GROUP BY 1
     UNION ALL
@@ -643,7 +650,7 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = ev.groupBy(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket")
     ).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+        F.count("*").alias("n"), sum_round("value").alias("sum_value")
     )
     dense = with_pipeline_aggs(buckets, "bucket", "n", window_size=3).select(
         "bucket", "n", "sum_value",
@@ -690,7 +697,7 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("w1", None, "2024-01-08 00:00:00"),
          ("mid", "2024-01-08 00:00:00", "2024-01-22 00:00:00"),
          ("tail", "2024-01-22 00:00:00", None)],
-        metric=F.col("value"),
+        metric=F.col("value").cast(DEC),
     ).select(
         F.concat(F.lit("daterange:"), "key").alias("bucket"),
         F.col("doc_count").alias("n"),
@@ -726,7 +733,11 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup merge); one partial+final hash aggregate.
     from .operators.transform import TransformSpec, transform_build
 
-    tf = transform_build(ev, TransformSpec(
+    # exact-decimal metric in, deterministic HALF_UP ratio out: the
+    # stored avg would be a double ratio whose round(.,4) digit can
+    # sit on a tie for 2-decimal data (see detfloat.py).
+    tf = transform_build(ev.withColumn("value", F.col("value").cast(DEC)),
+                         TransformSpec(
         groups=(("event_type", "terms", None),
                 ("ts", "date_histogram", 86400)),
         aggs=(("value", "sum"), ("value", "avg")),
@@ -734,7 +745,8 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", F.lit("transform"), "event_type",
                     F.col("ts_bucket").cast("string")).alias("bucket"),
         F.col("transform_count").alias("n"),
-        F.round("value__avg", 4).alias("sum_value"), *nulls,
+        ratio_round(F.col("value__sum"), F.col("transform_count"))
+        .alias("sum_value"), *nulls,
     )
 
     # 'movpct:' rows — the moving_percentiles pipeline agg run
@@ -767,7 +779,7 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_filters_histogram",
-    """
+    f"""
     SELECT 'filters:' ||
            (CASE b WHEN 0 THEN 'click' WHEN 1 THEN 'purchase'
                    ELSE 'error_high' END) AS bucket,
@@ -779,20 +791,23 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events, (SELECT unnest([0, 1, 2]) AS b) GROUP BY b
     UNION ALL
     SELECT 'hist:' || (floor(value / 25)::BIGINT)::VARCHAR AS bucket,
-           count(*) AS n, round(sum(value), 4) AS sum_v
+           count(*) AS n, {sum_round_sql('value')} AS sum_v
     FROM events GROUP BY 1
     UNION ALL
     SELECT 'range:low', count(*) FILTER (value < 50),
-           round(coalesce(sum(value) FILTER (value < 50), 0), 4)
+           round(coalesce(sum(CAST(value AS {DEC})) FILTER (value < 50),
+                          0), 4)::DOUBLE
     FROM events
     UNION ALL
     SELECT 'range:mid', count(*) FILTER (value >= 25 AND value < 150),
-           round(coalesce(sum(value) FILTER (value >= 25 AND value < 150),
-                          0), 4)
+           round(coalesce(sum(CAST(value AS {DEC}))
+                            FILTER (value >= 25 AND value < 150),
+                          0), 4)::DOUBLE
     FROM events
     UNION ALL
     SELECT 'range:high', count(*) FILTER (value >= 150),
-           round(coalesce(sum(value) FILTER (value >= 150), 0), 4)
+           round(coalesce(sum(CAST(value AS {DEC})) FILTER (value >= 150),
+                          0), 4)::DOUBLE
     FROM events
     UNION ALL
     SELECT 'iprange:' || k,
@@ -818,7 +833,7 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND (NOT instr(k, 'hot') > 0 OR value >= 150)
              AND (NOT instr(k, 'terr') > 0 OR event_type = 'error')) > 0
     UNION ALL
-    SELECT 'sampler:' || event_type, count(*), round(sum(value), 4)
+    SELECT 'sampler:' || event_type, count(*), {sum_round_sql('value')}
     FROM (
       SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY event_type
@@ -828,17 +843,18 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     UNION ALL
     SELECT 'wavg:' || event_type, count(*),
-           round(sum(value * (user_id % 7 + 1))
-                 / sum(user_id % 7 + 1), 4)
+           {ratio_round_sql("sum(CAST(value AS " + DEC + ") * (user_id % 7 + 1))",
+                            "sum(user_id % 7 + 1)")}
     FROM events GROUP BY event_type
     UNION ALL
     SELECT 'missing:opt', count(*) FILTER (user_id % 5 = 0), 0.0
     FROM events
     UNION ALL
-    SELECT 'global:all', count(*), round(sum(value), 4) FROM events
+    SELECT 'global:all', count(*), {sum_round_sql('value')} FROM events
     UNION ALL
     SELECT 'global:query', count(*) FILTER (event_type = 'error'),
-           round(sum(value) FILTER (event_type = 'error'), 4)
+           round(sum(CAST(value AS {DEC}))
+                   FILTER (event_type = 'error'), 4)::DOUBLE
     FROM events
     UNION ALL
     SELECT * FROM (
@@ -855,20 +871,27 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type, q
     UNION ALL
     SELECT 'rate:' || event_type, count(*),
-           round(count(*) / ((SELECT (epoch(max(ts)) - epoch(min(ts)))
-                              / 86400.0 FROM events)), 4)
+           {ratio_round_sql("count(*) * 86400",
+                            "(SELECT epoch(max(ts))::BIGINT"
+                            " - epoch(min(ts))::BIGINT FROM events)")}
     FROM events GROUP BY event_type
     UNION ALL
-    SELECT 'ttest:error_vs_click',
-           count(*) FILTER (event_type IN ('error', 'click')),
-           round(
-             (avg(value) FILTER (event_type = 'error')
-              - avg(value) FILTER (event_type = 'click'))
-             / sqrt(var_samp(value) FILTER (event_type = 'error')
-                      / count(*) FILTER (event_type = 'error')
-                    + var_samp(value) FILTER (event_type = 'click')
-                      / count(*) FILTER (event_type = 'click')), 4)
-    FROM events
+    SELECT 'ttest:error_vs_click', n_a + n_b,
+           round((s_a/n_a - s_b/n_b)
+                 / sqrt(((q_a - s_a*s_a/n_a)/(n_a-1))/n_a
+                        + ((q_b - s_b*s_b/n_b)/(n_b-1))/n_b), 4)
+    FROM (
+      SELECT count(*) FILTER (event_type = 'error') AS n_a,
+             CAST(sum(CAST(value AS {DEC}))
+                    FILTER (event_type = 'error') AS DOUBLE) AS s_a,
+             CAST(sum(CAST(value AS {DEC}) * CAST(value AS {DEC}))
+                    FILTER (event_type = 'error') AS DOUBLE) AS q_a,
+             count(*) FILTER (event_type = 'click') AS n_b,
+             CAST(sum(CAST(value AS {DEC}))
+                    FILTER (event_type = 'click') AS DOUBLE) AS s_b,
+             CAST(sum(CAST(value AS {DEC}) * CAST(value AS {DEC}))
+                    FILTER (event_type = 'click') AS DOUBLE) AS q_b
+      FROM events)
     """,
 )
 def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,7 +920,7 @@ def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     range_part = range_buckets(
         ev, F.col("value"),
         [("low", None, 50.0), ("mid", 25.0, 150.0), ("high", 150.0, None)],
-        metric=F.col("value"),
+        metric=F.col("value").cast(DEC),
     ).select(
         F.concat(F.lit("range:"), "key").alias("bucket"),
         F.col("doc_count").alias("n"), F.col("metric_sum").alias("sum_v"),
@@ -926,7 +949,7 @@ def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     samp_part = sample.groupBy(
         F.concat(F.lit("sampler:"), "event_type").alias("bucket")
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+    ).agg(F.count("*").alias("n"), sum_round("value").alias("sum_v"))
     filters_part = ev.agg(
         F.count(F.when(F.col("event_type") == "click", 1)).alias("click"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase"),
@@ -949,15 +972,15 @@ def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("value") / 25).cast("long").cast("string"),
             ).alias("bucket")
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .agg(F.count("*").alias("n"), sum_round("value").alias("sum_v"))
     )
     wavg_part = weighted_avg(
-        ev, F.col("value"), (F.col("user_id") % 7 + 1).cast("double"),
+        ev, F.col("value").cast(DEC), F.col("user_id") % 7 + 1,
         ["event_type"],
     ).select(
         F.concat(F.lit("wavg:"), "event_type").alias("bucket"),
         F.col("doc_count").alias("n"),
-        F.round("weighted_avg", 4).alias("sum_v"),
+        ratio_round(F.col("vw_sum"), F.col("w_sum")).alias("sum_v"),
     )
     miss_part = missing_count(
         ev.withColumn(
@@ -966,11 +989,11 @@ def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("missing:opt").alias("bucket"),
              F.col("missing_count").alias("n"), F.lit(0.0).alias("sum_v"))
     glob_part = global_and_query(
-        ev, F.col("event_type") == "error", F.col("value")
+        ev, F.col("event_type") == "error", F.col("value").cast(DEC)
     ).select(
         F.concat(F.lit("global:"), "scope").alias("bucket"),
         F.col("doc_count").alias("n"),
-        F.round("metric_sum", 4).alias("sum_v"),
+        F.round("metric_sum", 4).cast("double").alias("sum_v"),
     )
     mt = ev.withColumn("mod3", (F.col("user_id") % 3).cast("string"))
     mterms_part = multi_terms(mt, ["event_type", "mod3"], size=3).select(
@@ -989,11 +1012,13 @@ def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate_part = rate_per_day(ev, F.col("ts"), ["event_type"]).select(
         F.concat(F.lit("rate:"), "event_type").alias("bucket"),
         F.col("doc_count").alias("n"),
-        F.round("rate_per_day", 4).alias("sum_v"),
+        ratio_round(F.col("doc_count") * 86400, F.col("span_seconds"))
+        .alias("sum_v"),
     )
     tt_part = welch_t_test(
         ev, F.col("value"),
         F.col("event_type") == "error", F.col("event_type") == "click",
+        exact_decimals=6,
     ).select(F.lit("ttest:error_vs_click").alias("bucket"),
              F.col("doc_count").alias("n"),
              F.round("t_stat", 4).alias("sum_v"))
@@ -1037,25 +1062,27 @@ def agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_sum_bucket",
-    """
+    f"""
     WITH per_user AS (
       SELECT event_type, user_id, count(*) AS n
       FROM events GROUP BY 1, 2
     ),
     hourly AS (
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
-             count(*) AS n, round(sum(value), 4) AS sum_value
+             count(*) AS n, {sum_round_sql('value')} AS sum_value
       FROM events GROUP BY 1
     )
     SELECT 'sum_bucket' AS chk, event_type AS k, sum(n)::DOUBLE AS v
     FROM per_user GROUP BY event_type
     UNION ALL
-    SELECT 'avg_bucket', event_type, round(avg(n), 4) FROM per_user
+    SELECT 'avg_bucket', event_type, {ratio_round_sql('sum(n)', 'count(*)')}
+    FROM per_user
     GROUP BY event_type
     UNION ALL
     SELECT 'stats_bucket', s, CASE s WHEN 'count' THEN count(n)::DOUBLE
         WHEN 'min' THEN min(n) WHEN 'max' THEN max(n)
-        WHEN 'avg' THEN round(avg(n), 4) ELSE sum(n)::DOUBLE END
+        WHEN 'avg' THEN {ratio_round_sql('sum(n)', 'count(n)')}
+        ELSE sum(n)::DOUBLE END
     FROM hourly, (SELECT unnest(['count','min','max','avg','sum']) AS s)
     GROUP BY s
     UNION ALL
@@ -1066,7 +1093,7 @@ def agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(n) OVER (ORDER BY h ROWS 2 PRECEDING)::DOUBLE
     FROM hourly
     UNION ALL
-    SELECT 'bucket_script', h, round(sum_value / n, 4) FROM hourly
+    SELECT 'bucket_script', h, {ratio_round_sql('sum_value', 'n')} FROM hourly
     UNION ALL
     SELECT 'bucket_selector', h, n::DOUBLE FROM hourly WHERE n > 100
     UNION ALL
@@ -1074,6 +1101,33 @@ def agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT h, n FROM hourly ORDER BY n DESC, h LIMIT 5)
     UNION ALL
     SELECT 'matrix', k, round(v, 6) FROM (
+      WITH mm AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) AS s_q,
+               CAST(sum(CAST(l_discount AS {DEC})) AS DOUBLE) AS s_d,
+               CAST(sum(CAST(l_tax AS {DEC})) AS DOUBLE) AS s_t,
+               CAST(sum(CAST(l_quantity AS {DEC})
+                        * CAST(l_quantity AS {DEC})) AS DOUBLE) AS q_qq,
+               CAST(sum(CAST(l_discount AS {DEC})
+                        * CAST(l_discount AS {DEC})) AS DOUBLE) AS q_dd,
+               CAST(sum(CAST(l_tax AS {DEC})
+                        * CAST(l_tax AS {DEC})) AS DOUBLE) AS q_tt,
+               CAST(sum(CAST(l_quantity AS {DEC})
+                        * CAST(l_discount AS {DEC})) AS DOUBLE) AS q_qd,
+               CAST(sum(CAST(l_quantity AS {DEC})
+                        * CAST(l_tax AS {DEC})) AS DOUBLE) AS q_qt,
+               CAST(sum(CAST(l_discount AS {DEC})
+                        * CAST(l_tax AS {DEC})) AS DOUBLE) AS q_dt
+        FROM lineitem),
+      mv AS (
+        SELECT n, s_q, s_d, s_t, q_qd, q_qt, q_dt,
+               (q_qq - s_q*s_q/n)/(n-1) AS v_q,
+               (q_dd - s_d*s_d/n)/(n-1) AS v_d,
+               (q_tt - s_t*s_t/n)/(n-1) AS v_t,
+               (q_qd - s_q*s_d/n)/(n-1) AS c_qd,
+               (q_qt - s_q*s_t/n)/(n-1) AS c_qt,
+               (q_dt - s_d*s_t/n)/(n-1) AS c_dt
+        FROM mm)
       SELECT unnest(['l_quantity|mean', 'l_quantity|var',
                      'l_discount|mean', 'l_discount|var',
                      'l_tax|mean', 'l_tax|var',
@@ -1081,27 +1135,25 @@ def agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                      'l_quantity|l_discount|corr',
                      'l_quantity|l_tax|cov', 'l_quantity|l_tax|corr',
                      'l_discount|l_tax|cov', 'l_discount|l_tax|corr']) AS k,
-             unnest([avg(l_quantity), var_samp(l_quantity),
-                     avg(l_discount), var_samp(l_discount),
-                     avg(l_tax), var_samp(l_tax),
-                     covar_samp(l_quantity, l_discount),
-                     corr(l_quantity, l_discount),
-                     covar_samp(l_quantity, l_tax),
-                     corr(l_quantity, l_tax),
-                     covar_samp(l_discount, l_tax),
-                     corr(l_discount, l_tax)]) AS v
-      FROM lineitem)
+             unnest([s_q/n, v_q, s_d/n, v_d, s_t/n, v_t,
+                     c_qd, c_qd / sqrt(v_q * v_d),
+                     c_qt, c_qt / sqrt(v_q * v_t),
+                     c_dt, c_dt / sqrt(v_d * v_t)]) AS v
+      FROM mv)
     UNION ALL
     SELECT 'rollup_' || m, k,
-           round(CASE m WHEN 'count' THEN n_v WHEN 'sum' THEN sum_v
-                 WHEN 'avg' THEN avg_v WHEN 'min' THEN min_v
-                 ELSE max_v END, 4)
+           CASE m WHEN 'count' THEN n_v
+                  WHEN 'sum' THEN CAST(round(sum_d, 4) AS DOUBLE)
+                  WHEN 'avg' THEN {ratio_round_sql('sum_d', 'n_i')}
+                  WHEN 'min' THEN CAST(round(min_d, 4) AS DOUBLE)
+                  ELSE CAST(round(max_d, 4) AS DOUBLE) END
     FROM (
       SELECT event_type || '|' ||
                ((floor(epoch(ts) / 86400) * 86400)::BIGINT)::VARCHAR AS k,
-             count(*)::DOUBLE AS n_v, sum(value) AS sum_v,
-             avg(value) AS avg_v, min(value) AS min_v,
-             max(value) AS max_v
+             count(*) AS n_i, count(*)::DOUBLE AS n_v,
+             sum(CAST(value AS {DEC})) AS sum_d,
+             min(CAST(value AS {DEC})) AS min_d,
+             max(CAST(value AS {DEC})) AS max_d
       FROM events GROUP BY 1
     ), (SELECT unnest(['count','sum','avg','min','max']) AS m)
     """,
@@ -1130,7 +1182,7 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("hour", "ts"),
                       "yyyy-MM-dd HH:mm:ss").alias("h")
     ).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+        F.count("*").alias("n"), sum_round("value").alias("sum_value")
     ).persist()
 
     def row(chk: str, k, v) -> list:
@@ -1138,7 +1190,9 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v.cast("double").alias("v")]
 
     sum_avg = per_user.groupBy("event_type").agg(
-        F.sum("n").alias("total"), F.round(F.avg("n"), 4).alias("avg_n"))
+        F.sum("n").alias("total"), F.count("*").alias("n_buckets"))
+    sum_avg = sum_avg.withColumn(
+        "avg_n", ratio_round(F.col("total"), F.col("n_buckets")))
     parts = [
         sum_avg.select(*row("sum_bucket", F.col("event_type"),
                             F.col("total"))),
@@ -1149,7 +1203,8 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("count"), F.col("count").cast("double"),
                 F.lit("min"), F.col("min_bucket").cast("double"),
                 F.lit("max"), F.col("max_bucket").cast("double"),
-                F.lit("avg"), F.round("avg_bucket", 4),
+                F.lit("avg"), ratio_round(F.col("sum_bucket"),
+                                          F.col("count")),
                 F.lit("sum"), F.col("sum_bucket").cast("double"),
             )).alias("k", "v")
         ).select(F.lit("stats_bucket").alias("chk"), "k", "v"),
@@ -1158,7 +1213,7 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         moving_fn(hourly, "h", "n", "max", 3).select(
             *row("moving_max3", F.col("h"), F.col("moving_fn"))),
         bucket_script(
-            hourly, "ratio", F.round(F.col("sum_value") / F.col("n"), 4)
+            hourly, "ratio", ratio_round(F.col("sum_value"), F.col("n"))
         ).select(*row("bucket_script", F.col("h"), F.col("ratio"))),
         bucket_selector(hourly, F.col("n") > 100).select(
             *row("bucket_selector", F.col("h"), F.col("n"))),
@@ -1168,11 +1223,11 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # matrix_stats agg (pairwise covariance/correlation matrix) over
     # three lineitem measures — one partial+final hash agg.
-    from .operators.aggs import matrix_stats
+    from .operators.aggs import matrix_stats_exact
     from .operators.rollup import RollupSpec, rollup_answer, rollup_build
 
     li = _t(spark, sf_dir, "lineitem")
-    mx = matrix_stats(li, ["l_quantity", "l_discount", "l_tax"])
+    mx = matrix_stats_exact(li, ["l_quantity", "l_discount", "l_tax"])
     parts.append(mx.filter(F.col("field_a") != F.col("field_b")).select(
         F.lit("matrix").alias("chk"),
         F.concat_ws("|", "field_a", "field_b", F.lit("cov")).alias("k"),
@@ -1200,7 +1255,10 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # answered entirely from the rollup — count/sum/min/max re-agg,
     # avg recombined from sum + value_count (operators/rollup.py).
     spec = RollupSpec("ts", 3600, ("event_type",), ("value",))
-    rolled = rollup_build(ev, spec)
+    # exact-decimal metric: the rollup's two-level sum (raw -> hourly
+    # -> daily) must not depend on which hourly partials merge first.
+    rolled = rollup_build(ev.withColumn("value", F.col("value").cast(DEC)),
+                          spec)
     day = rollup_answer(
         rolled, spec, 86400, ["event_type"],
         [("", "count"), ("value", "sum"), ("value", "avg"),
@@ -1209,10 +1267,14 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.concat_ws("|", F.col("event_type"),
                      F.col("bucket_ts").cast("string"))
     for m, col in [("count", "_count"), ("sum", "value_sum"),
-                   ("avg", "value_avg"), ("min", "value_min"),
-                   ("max", "value_max")]:
+                   ("min", "value_min"), ("max", "value_max")]:
         parts.append(day.select(*row(f"rollup_{m}", rk,
                                      F.round(F.col(col), 4))))
+    # avg recombined deterministically from the exact stored sum and
+    # count (never the engine's decimal-division scale rules).
+    parts.append(day.select(*row(
+        "rollup_avg", rk, ratio_round(F.col("value_sum"),
+                                      F.col("_count")))))
 
     out = parts[0]
     for p in parts[1:]:
@@ -1222,18 +1284,24 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_stats_percentiles",
-    """
+    f"""
     WITH base AS (
       SELECT event_type, count(*) AS n, round(min(value), 4) AS min_v,
-             round(max(value), 4) AS max_v, round(avg(value), 4) AS avg_v,
-             round(stddev_samp(value), 4) AS std_v,
-             round(sum(value), 4) AS sum_v,
+             round(max(value), 4) AS max_v,
+             {avg_round_sql('value')} AS avg_v,
+             round(sqrt((CAST(sum(CAST(value AS {DEC})
+                                 * CAST(value AS {DEC})) AS DOUBLE)
+                         - CAST(sum(CAST(value AS {DEC})) AS DOUBLE)
+                           * CAST(sum(CAST(value AS {DEC})) AS DOUBLE)
+                           / count(*))
+                        / (count(*) - 1)), 4) AS std_v,
+             {sum_round_sql('value')} AS sum_v,
              round(quantile_cont(value, 0.5), 4) AS p50,
              round(quantile_cont(value, 0.9), 4) AS p90,
              round(quantile_cont(value, 0.99), 4) AS p99,
              count(value) AS n_vals,
-             round(100.0 * avg(CASE WHEN value <= 100.0 THEN 1.0
-                                    ELSE 0.0 END), 4) AS pr_100,
+             {ratio_round_sql("100 * count(*) FILTER (value <= 100.0)",
+                              "count(*)")} AS pr_100,
              quantile_cont(value, 0.5) AS med_raw
       FROM events GROUP BY event_type
     ),
@@ -1258,23 +1326,29 @@ def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket median broadcast back over the fact table, second
     percentile pass; both passes map-side partial aggregates)."""
     ev = _t(spark, sf_dir, "events")
+    dv = F.col("value").cast(DEC)
     base = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.min("value"), 4).alias("min_v"),
         F.round(F.max("value"), 4).alias("max_v"),
-        F.round(F.avg("value"), 4).alias("avg_v"),
-        F.round(F.stddev_samp("value"), 4).alias("std_v"),
-        F.round(F.sum("value"), 4).alias("sum_v"),
+        avg_round("value").alias("avg_v"),
+        F.sum(dv).cast("double").alias("__s"),
+        F.sum(dv * dv).cast("double").alias("__q"),
+        sum_round("value").alias("sum_v"),
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
         F.count("value").alias("n_vals"),
-        F.round(
-            100.0 * F.avg(F.when(F.col("value") <= 100.0, 1.0).otherwise(0.0)),
-            4,
-        ).alias("pr_100"),
+        F.count(F.when(F.col("value") <= 100.0, 1)).alias("__k"),
         F.expr("percentile(value, 0.5)").alias("med_raw"),
-    )
+    ).withColumn(
+        "std_v",
+        F.round(F.sqrt(
+            (F.col("__q") - F.col("__s") * F.col("__s") / F.col("n"))
+            / (F.col("n") - F.lit(1))), 4),
+    ).withColumn(
+        "pr_100", ratio_round(F.col("__k") * 100, F.col("n")),
+    ).drop("__s", "__q", "__k")
     mad = (
         ev.join(F.broadcast(base.select("event_type", "med_raw")),
                 "event_type")
@@ -1290,7 +1364,7 @@ def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_sessionize",
-    """
+    f"""
     WITH marked AS (
       SELECT user_id, ts, event_id, value,
         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1306,7 +1380,7 @@ def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           round(sum(value), 4) AS sum_value,
+           {sum_round_sql('value')} AS sum_value,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
     FROM sess GROUP BY user_id, session_id
     """,
@@ -1336,7 +1410,7 @@ def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        sum_round("value").alias("sum_value"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
 
@@ -1389,7 +1463,7 @@ def _alert_pairs_sql() -> str:
     f"""
     WITH windowed AS (
       SELECT user_id, count(*) AS n_failures,
-             round(sum(value), 4) AS sum_value
+             {sum_round_sql('value')} AS sum_value
       FROM events
       WHERE event_type = 'error'
       GROUP BY user_id
@@ -1432,6 +1506,8 @@ def agg_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     ev = _t(spark, sf_dir, "events")
+    # exact-decimal `value` in: the PPL sum then merges
+    # order-independently and round(.,4) is deterministic.
     monitor = ppl_query(
         spark,
         "search source=events "
@@ -1440,14 +1516,14 @@ def agg_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "| where n_failures >= 5 "
         "| eval sum_value = round(sv, 4) "
         "| fields user_id, n_failures, sum_value",
-        {"events": ev},
+        {"events": ev.withColumn("value", F.col("value").cast(DEC))},
     ).select(
         F.lit("monitor").alias("chk"),
         F.concat_ws(":", F.col("user_id").cast("string"),
                     F.when(F.col("n_failures") >= 10, "high")
                     .otherwise("medium")).alias("k"),
         F.col("n_failures").alias("n"),
-        F.col("sum_value").alias("v"))
+        F.col("sum_value").cast("double").alias("v"))
 
     findings = sigma_findings(
         ev, _SIGMA_RULES, id_col="event_id",
@@ -1474,12 +1550,14 @@ def agg_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
+           {sum_round_sql('l_quantity')} AS sum_qty,
+           {sum_round_sql('l_extendedprice')} AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS {DEC})
+                          * (1 - CAST(l_discount AS {DEC}))), 4)
+                AS DOUBLE) AS sum_disc_price,
+           {avg_round_sql('l_quantity')} AS avg_qty,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1495,12 +1573,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            sum_round("l_quantity").alias("sum_qty"),
+            sum_round("l_extendedprice").alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.sum(F.col("l_extendedprice").cast(DEC)
+                      * (F.lit(1) - F.col("l_discount").cast(DEC))), 4
+            ).cast("double").alias("sum_disc_price"),
+            avg_round("l_quantity").alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -1513,9 +1592,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_broadcast_dim",
-    """
+    f"""
     SELECT n.n_name AS nation, count(*) AS n_orders,
-           round(sum(o.o_totalprice), 4) AS revenue
+           {sum_round_sql('o.o_totalprice')} AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1534,7 +1613,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            sum_round("o_totalprice").alias("revenue"),
         )
     )
 
@@ -1643,7 +1722,7 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_suite",
-    """
+    f"""
     SELECT 'topn' AS chk, o_custkey::VARCHAR AS k1, o_orderkey::VARCHAR AS k2,
            o_totalprice AS num1, rn::DOUBLE AS num2
     FROM (
@@ -1655,9 +1734,10 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 2 AND o_custkey <= 100
     UNION ALL
     SELECT 'running', event_id::VARCHAR, user_id::VARCHAR,
-           round(sum(value) OVER (
+           round(sum(CAST(value AS {DEC})) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4), 0.0
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)::DOUBLE,
+           0.0
     FROM events WHERE user_id <= 20
     """,
 )
@@ -1694,7 +1774,8 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("running").alias("chk"),
             F.col("event_id").cast("string").alias("k1"),
             F.col("user_id").cast("string").alias("k2"),
-            F.round(F.sum("value").over(wr), 4).alias("num1"),
+            F.round(F.sum(F.col("value").cast(DEC)).over(wr), 4)
+            .cast("double").alias("num1"),
             F.lit(0.0).alias("num2"),
         )
     )

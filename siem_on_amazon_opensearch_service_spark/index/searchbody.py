@@ -3275,6 +3275,24 @@ def _sorted_route(sorted_docs, body: dict):
     return out.withColumn("score", F.lit(1.0))
 
 
+class SearchBodyResponse(dict):
+    """``search_body``'s result: a plain response dict (fully
+    backward-compatible) plus an explicit lifecycle handle for the
+    shared persisted matched frame, mirroring
+    ``msearch.MSearchResponse.release``.  A long-running service that
+    issues many bodies must call :meth:`release` once a response is
+    consumed — otherwise each shareable body leaves one cached frame
+    behind until the ContextCleaner happens to reclaim it."""
+
+    shared = None  # the persisted matched frame, when one was shared
+
+    def release(self) -> None:
+        """Unpersist the shared matched frame (idempotent)."""
+        if self.shared is not None:
+            self.shared.unpersist()
+            self.shared = None
+
+
 def search_body(
     ix: PostingsIndex,
     body: dict,
@@ -3341,7 +3359,7 @@ def search_body(
         _m_cache.append(m)
         return m
 
-    res: dict = {}
+    res = SearchBodyResponse()
     capped = None
     if body.get("terminate_after"):
         # ONE terminated collection shared by hits, aggs, and the
@@ -3386,6 +3404,7 @@ def search_body(
                 and not ("rescore" in body and "min_score" in body))
             if shareable:
                 m = matched_frame().persist()
+                res.shared = m
                 res["hits"] = search_hits(ix, body, positional_ix,
                                           text_field, vecs=vecs,
                                           source_docs=source_docs,

@@ -314,6 +314,55 @@ def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
             aggs.append(F.covar_samp(a, b).alias(f"cov__{a}__{b}"))
             aggs.append(F.corr(a, b).alias(f"corr__{a}__{b}"))
     wide = df.agg(*aggs)
+    return _matrix_explode(wide, fields)
+
+
+def matrix_stats_exact(df: DataFrame, fields: list[str],
+                       decimals: int = 6) -> DataFrame:
+    """:func:`matrix_stats` with order-independent moments: every
+    sum (S_a, Q_ab = sum(a*b)) is an exact DECIMAL(18,d) aggregate, so
+    partial-merge order cannot move the last ulp, and mean/var/cov/corr
+    are derived in doubles via the textbook closed forms::
+
+        mean_a = S_a / n
+        var_a  = (Q_aa - S_a*S_a/n) / (n-1)
+        cov_ab = (Q_ab - S_a*S_b/n) / (n-1)
+        corr   = cov_ab / sqrt(var_a * var_b)
+
+    An oracle replaying the same formulas over the same exact sums
+    reproduces the output bit-for-bit. Quantizes inputs to ``decimals``
+    places — use only on decimal-quantized data."""
+    dt = f"decimal(18,{decimals})"
+    cols = {f_: F.col(f_).cast(dt) for f_ in fields}
+    aggs = [F.count(F.col(fields[0])).alias("doc_count")]
+    for f_ in fields:
+        aggs.append(F.sum(cols[f_]).cast("double").alias(f"s__{f_}"))
+    for i, a in enumerate(fields):
+        for b in fields[i:]:
+            aggs.append(F.sum(cols[a] * cols[b]).cast("double")
+                        .alias(f"q__{a}__{b}"))
+    wide = df.agg(*aggs)
+    n = F.col("doc_count")
+    for f_ in fields:
+        s = F.col(f"s__{f_}")
+        wide = wide.withColumn(f"mean__{f_}", s / n)
+        wide = wide.withColumn(
+            f"var__{f_}",
+            (F.col(f"q__{f_}__{f_}") - s * s / n) / (n - F.lit(1)))
+    for i, a in enumerate(fields):
+        for b in fields[i:]:
+            cov = ((F.col(f"q__{a}__{b}")
+                    - F.col(f"s__{a}") * F.col(f"s__{b}") / n)
+                   / (n - F.lit(1)))
+            wide = wide.withColumn(f"cov__{a}__{b}", cov)
+            wide = wide.withColumn(
+                f"corr__{a}__{b}",
+                F.col(f"cov__{a}__{b}")
+                / F.sqrt(F.col(f"var__{a}") * F.col(f"var__{b}")))
+    return _matrix_explode(wide, fields)
+
+
+def _matrix_explode(wide: DataFrame, fields: list[str]) -> DataFrame:
     pairs = [
         F.struct(
             F.lit(a).alias("field_a"), F.lit(b).alias("field_b"),
@@ -420,16 +469,17 @@ def _conditional_buckets(df: DataFrame, conds: list[tuple[str, Column]],
     for i, (key, cond) in enumerate(conds):
         aggs.append(F.count(F.when(cond, 1)).alias(f"__n_{i}"))
         m = metric if metric is not None else F.lit(0.0)
-        aggs.append(
-            F.coalesce(F.sum(F.when(cond, m)), F.lit(0.0))
-            .alias(f"__m_{i}")
-        )
+        # sum raw (keeps an exact-decimal metric exact: coalescing
+        # against a double literal here would coerce it to double and
+        # reintroduce order-dependent partial sums), zero-fill after.
+        aggs.append(F.sum(F.when(cond, m)).alias(f"__m_{i}"))
     one = df.agg(*aggs)
     pairs = F.array(*[
         F.struct(
             F.lit(key).alias("key"),
             F.col(f"__n_{i}").alias("doc_count"),
-            F.round(F.col(f"__m_{i}"), 4).alias("metric_sum"),
+            F.round(F.coalesce(F.col(f"__m_{i}"), F.lit(0)), 4)
+            .cast("double").alias("metric_sum"),
         )
         for i, (key, _) in enumerate(conds)
     ])
@@ -694,6 +744,12 @@ def weighted_avg(df: DataFrame, value: Column, weight: Column,
         F.count("*").alias("doc_count"),
         (F.sum(value * weight)
          / F.sum(F.when(value.isNotNull(), weight))).alias("weighted_avg"),
+        # exact components (numerator / denominator) so a caller that
+        # needs engine-deterministic rounding can re-derive the ratio
+        # itself (see detfloat.ratio_round); when `value` is fed as an
+        # exact decimal these sums are order-independent.
+        F.sum(value * weight).alias("vw_sum"),
+        F.sum(F.when(value.isNotNull(), weight)).alias("w_sum"),
     )
 
 
@@ -756,34 +812,66 @@ def rate_per_day(df: DataFrame, ts: Column, by: list[str]) -> DataFrame:
     corpus time span in days. The span is a 1-row aggregate broadcast
     back — one fact pass + metadata crossJoin, no second scan."""
     span = df.agg(
-        ((F.unix_timestamp(F.max(ts)) - F.unix_timestamp(F.min(ts)))
-         / 86400.0).alias("_days")
+        (F.unix_timestamp(F.max(ts)) - F.unix_timestamp(F.min(ts)))
+        .alias("span_seconds")
     )
     return (
         df.groupBy(*by).agg(F.count("*").alias("doc_count"))
         .crossJoin(F.broadcast(span))
-        .select(*by, "doc_count",
-                (F.col("doc_count") / F.col("_days")).alias("rate_per_day"))
+        .select(*by, "doc_count", "span_seconds",
+                (F.col("doc_count")
+                 / (F.col("span_seconds") / 86400.0))
+                .alias("rate_per_day"))
     )
 
 
 def welch_t_test(df: DataFrame, value: Column, pop_a: Column,
-                 pop_b: Column) -> DataFrame:
+                 pop_b: Column,
+                 exact_decimals: int | None = None) -> DataFrame:
     """``t_test`` metric agg (heteroscedastic / Welch): t statistic
     between two filtered populations of the same scan. One conditional
     aggregate — counts, means and variances of both groups in a single
-    pass; t = (m_a - m_b) / sqrt(s2_a/n_a + s2_b/n_b)."""
+    pass; t = (m_a - m_b) / sqrt(s2_a/n_a + s2_b/n_b).
+
+    ``exact_decimals=d`` switches the moments to exact DECIMAL(18,d)
+    sums (S, Q=sum(x^2)) merged order-independently, with mean/variance
+    derived in doubles via m = S/n, v = (Q - S*S/n)/(n-1): the result
+    is then bit-identical across partition counts (and across engines
+    that replay the same formula), at the cost of quantizing the input
+    to d decimals. Leave None for data that isn't decimal-quantized.
+    """
+    if exact_decimals is None:
+        row = df.agg(
+            F.count(F.when(pop_a, 1)).alias("n_a"),
+            F.avg(F.when(pop_a, value)).alias("m_a"),
+            F.var_samp(F.when(pop_a, value)).alias("v_a"),
+            F.count(F.when(pop_b, 1)).alias("n_b"),
+            F.avg(F.when(pop_b, value)).alias("m_b"),
+            F.var_samp(F.when(pop_b, value)).alias("v_b"),
+        )
+        t = (F.col("m_a") - F.col("m_b")) / F.sqrt(
+            F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+        )
+        return row.select(
+            (F.col("n_a") + F.col("n_b")).alias("doc_count"),
+            t.alias("t_stat"),
+        )
+    x = value.cast(f"decimal(18,{exact_decimals})")
     row = df.agg(
         F.count(F.when(pop_a, 1)).alias("n_a"),
-        F.avg(F.when(pop_a, value)).alias("m_a"),
-        F.var_samp(F.when(pop_a, value)).alias("v_a"),
+        F.sum(F.when(pop_a, x)).cast("double").alias("s_a"),
+        F.sum(F.when(pop_a, x * x)).cast("double").alias("q_a"),
         F.count(F.when(pop_b, 1)).alias("n_b"),
-        F.avg(F.when(pop_b, value)).alias("m_b"),
-        F.var_samp(F.when(pop_b, value)).alias("v_b"),
+        F.sum(F.when(pop_b, x)).cast("double").alias("s_b"),
+        F.sum(F.when(pop_b, x * x)).cast("double").alias("q_b"),
     )
-    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(
-        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
-    )
+    m_a = F.col("s_a") / F.col("n_a")
+    m_b = F.col("s_b") / F.col("n_b")
+    v_a = ((F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a"))
+           / (F.col("n_a") - F.lit(1)))
+    v_b = ((F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b"))
+           / (F.col("n_b") - F.lit(1)))
+    t = (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b"))
     return row.select(
         (F.col("n_a") + F.col("n_b")).alias("doc_count"), t.alias("t_stat")
     )

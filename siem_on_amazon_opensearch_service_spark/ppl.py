@@ -617,16 +617,50 @@ def _agg_sql(fn: str, col: str) -> str:
     return f"{fn}({col})"
 
 
+#: stages after which the piped frame is reduced / bounded — safe
+#: input for the global-window commands (trendline, kmeans).
+_REDUCING_STAGES = frozenset(
+    ("stats", "head", "tail", "top", "rare", "fieldsummary"))
+
+
+def _guard_global_window(df: DataFrame, cmd: str, limit: int | None):
+    """``trendline`` / ``kmeans`` run a global (unpartitioned) window
+    for deterministic ordering: fine on a reduced pipe, fatal on a raw
+    corpus (every row funnels through ONE task at 100x scale). When no
+    reducing stage precedes, probe with a bounded
+    ``limit(limit+1).count()`` job — it short-circuits after limit+1
+    rows, so the probe itself never scans the full corpus — and refuse
+    oversized inputs instead of silently single-partitioning them."""
+    if limit is None:
+        return
+    if df.limit(limit + 1).count() > limit:
+        raise PPLError(
+            f"{cmd} without a preceding reducing stage "
+            f"(stats/head/tail/top/rare) over more than {limit} rows "
+            "would single-partition the corpus through one task; "
+            "reduce the pipe first or raise global_window_limit")
+
+
 def ppl_query(spark: SparkSession, text: str,
-              tables: dict[str, DataFrame]) -> DataFrame:
-    """Compile and run a PPL pipeline over the given source tables."""
+              tables: dict[str, DataFrame],
+              global_window_limit: int | None = 100_000) -> DataFrame:
+    """Compile and run a PPL pipeline over the given source tables.
+
+    ``global_window_limit`` bounds the input size the global-window
+    commands (trendline, kmeans) accept when the pipe has not already
+    been reduced by a stats/head/tail/top/rare stage; ``None``
+    disables the guard (caller vouches for the input)."""
     q = parse_ppl(text)
     if q.source not in tables:
         raise PPLError(f"unknown source {q.source!r}")
     df = tables[q.source]
     last_sort: list[tuple[str, bool]] | None = None
+    reduced = False
     for st in q.stages:
         kind = st[0]
+        if kind in ("trendline", "kmeans") and not reduced:
+            _guard_global_window(df, kind, global_window_limit)
+        reduced = reduced or kind in _REDUCING_STAGES
         if kind == "where":
             df = df.filter(_to_col(st[1]))
         elif kind == "fields":

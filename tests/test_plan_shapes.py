@@ -454,3 +454,35 @@ def test_search_body_shares_one_execution_for_hits_and_aggs(saved_ix):
     assert res["hits"].count() == min(res["total"]["value"], 5)
     # (an aggs-free body with the SAME query also picks the cache up
     # via Spark's logical-plan cache manager — a bonus, not pinned)
+
+
+def test_search_body_release_frees_the_shared_cache(saved_ix):
+    # the response carries an explicit lifecycle handle (mirroring
+    # MSearchResponse.release): after release() the persisted matched
+    # frame is gone from the cache manager, not just unreferenced
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_body,
+    )
+
+    body = {"query": {"match": {"text": "w00001"}}, "size": 5,
+            "aggs": {"l": {"terms": {"field": "doclen", "size": 3}}}}
+    res = search_body(saved_ix, body)
+    assert res.shared is not None
+    assert res.shared.storageLevel.useMemory  # persisted right now
+    res["hits"].count()  # materialize through the cache
+    res.release()
+    assert res.shared is None
+    # idempotent; plain-dict consumers keep working untouched
+    res.release()
+    assert set(res) >= {"hits", "aggs"}
+
+
+def test_search_body_without_aggs_has_no_shared_cache(saved_ix):
+    from siem_on_amazon_opensearch_service_spark.index.searchbody import (
+        search_body,
+    )
+
+    res = search_body(saved_ix,
+                      {"query": {"match": {"text": "w00001"}}, "size": 5})
+    assert res.shared is None
+    res.release()  # no-op, must not raise

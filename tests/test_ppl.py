@@ -292,3 +292,45 @@ def test_ppl_kmeans_survives_cell_column(spark):
     assert "ClusterID" in out.columns and "cell" in out.columns
     assert len({r.ClusterID for r in rows}) == 2
     assert all(r.cell == "x" for r in rows)
+
+
+def test_trendline_guard_refuses_unreduced_corpus(spark):
+    # a raw-corpus trendline would single-partition the whole frame
+    # through one task; the guard probes with a bounded limit job and
+    # refuses instead
+    import pytest as _pytest
+
+    from siem_on_amazon_opensearch_service_spark.ppl import PPLError, ppl_query
+
+    big = spark.range(0, 500).selectExpr("id", "id * 2.0 AS v")
+    with _pytest.raises(PPLError, match="reducing stage"):
+        ppl_query(spark, "search source=t | trendline sort +id sma(3, v)",
+                  {"t": big}, global_window_limit=100)
+    # same pipe, reduced first: allowed (head bounds the frame)
+    out = ppl_query(
+        spark, "search source=t | sort +id | head 10 "
+        "| trendline sort +id sma(3, v)",
+        {"t": big}, global_window_limit=100)
+    assert out.count() == 10
+    # and a small frame passes the probe without any reducing stage
+    small = spark.range(0, 50).selectExpr("id", "id * 2.0 AS v")
+    assert ppl_query(spark,
+                     "search source=t | trendline sort +id sma(3, v)",
+                     {"t": small}, global_window_limit=100).count() == 50
+
+
+def test_kmeans_guard_refuses_unreduced_corpus(spark):
+    import pytest as _pytest
+
+    from siem_on_amazon_opensearch_service_spark.ppl import PPLError, ppl_query
+
+    big = spark.range(0, 500).selectExpr(
+        "id", "CAST(id % 7 AS DOUBLE) AS x", "CAST(id % 3 AS DOUBLE) AS y")
+    with _pytest.raises(PPLError, match="reducing stage"):
+        ppl_query(spark, "search source=t | kmeans centroids=2 fields=x,y",
+                  {"t": big}, global_window_limit=100)
+    # disabling the guard restores the old behavior
+    out = ppl_query(spark, "search source=t | head 20 "
+                    "| kmeans centroids=2 fields=x,y", {"t": big},
+                    global_window_limit=100)
+    assert "ClusterID" in out.columns and out.count() == 20

@@ -89,3 +89,33 @@ def test_tombstones_go_through_the_store(spark, tmp_path):
     assert load_tombstones(spark, path).count() == 2
     store = ParquetStore(path)
     assert store.exists("tombstones")
+
+
+def test_iceberg_statements_parse_under_sparks_sql_parser(spark):
+    """One level past golden strings: every statement the store emits
+    (except Iceberg's ALTER TABLE ... CREATE TAG extension grammar)
+    must be accepted by Spark's own SQL parser — catching malformed
+    MERGE / VERSION AS OF / PARTITIONED BY / CALL clauses without
+    needing the Iceberg runtime jar, which this sandbox does not
+    bundle (no network, no spark.jars.packages; that remains the
+    documented runtime blocker for a live MERGE/time-travel
+    integration test)."""
+    s = IcebergStore("lake", "search")
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    stmts = [
+        s.save_sql("postings", "src_v", ["term_bucket"]),
+        s.append_sql("postings", "src_v"),
+        s.merge_delete_sql("postings", "tomb_v", "doc_id"),
+        s.time_travel_sql("postings", 42),
+        s.compact_sql("postings"),   # CALL parses natively in Spark 4
+        s.restore_sql("postings", "pre_rotation"),
+    ]
+    for stmt in stmts:
+        parser.parsePlan(stmt)  # raises ParseException on bad syntax
+    # ALTER TABLE ... CREATE TAG is Iceberg-extension grammar: vanilla
+    # Spark rejects it — exactly the runtime seam the store documents
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import ParseException
+
+    with _pytest.raises(ParseException):
+        parser.parsePlan(s.snapshot_sql("postings", "tag1"))

@@ -2,19 +2,30 @@
 and its oracle_sql() twin on DuckDB at sf0.01; compare row count,
 column names (sorted), and order-insensitive values.
 
-Usage: python tools/check_entry.py [name ...]
+Floats compare at FULL precision (repr round-trip) by default — the
+driver hashes exact values, so a last-ulp divergence that a 6-sig-digit
+normalization would forgive still reads as a hash mismatch there. Set
+CHECK_FLOAT_SIG=6 to fall back to significant-digit normalization.
+
+The --partitions flag re-runs the Spark side at several
+spark.sql.shuffle.partitions values and also checks the runs against
+EACH OTHER: a float aggregate whose partial-sum merge order leaks into
+the output flips between configs (the round-3 flap class) and fails
+here before the driver sees it.
+
+Usage: python tools/check_entry.py [--partitions 2,7,32] [name ...]
 """
 
 from __future__ import annotations
 
 import math
-import sys
-
 import os
+import sys
 
 import duckdb
 
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+FLOAT_SIG = os.environ.get("CHECK_FLOAT_SIG")  # None -> full precision
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
@@ -25,7 +36,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        if v == 0.0:
+            return "0.0"  # -0.0 == 0.0
+        if FLOAT_SIG:
+            return f"{v:.{int(FLOAT_SIG)}g}"
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
@@ -43,9 +58,15 @@ def main():
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
 
+    args = sys.argv[1:]
+    partitions = [8]
+    if args and args[0] == "--partitions":
+        partitions = [int(x) for x in args[1].split(",")]
+        args = args[2:]
+
     spark = (
         SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", str(partitions[0]))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.session.timeZone", "UTC")
@@ -61,20 +82,40 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    names = sys.argv[1:] or sorted(qs)
+    names = args or sorted(qs)
     failures = []
     for name in names:
-        try:
-            sdf = qs[name](spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
+        runs = []  # (partitions, cols, normalized rows)
+        err = None
+        for np_ in partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", str(np_))
+            try:
+                sdf = qs[name](spark, SF_DIR)
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
+            except Exception as e:
+                err = e
+                break
+            runs.append((np_, *norm_rows(scols, srows)))
+        if err is not None:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark error: {err}")
             continue
+        # cross-config stability: every run must be bit-identical
+        unstable = [
+            (runs[0][0], np_) for np_, c, r in runs[1:]
+            if (c, r) != (runs[0][1], runs[0][2])
+        ]
+        if unstable:
+            failures.append(name)
+            print(f"FAIL  {name}: UNSTABLE across shuffle partitions "
+                  f"{[u[1] for u in unstable]} vs {runs[0][0]}")
+            continue
+        sc, sr = runs[0][1], runs[0][2]
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle; rows-only check)")
-            if len(srows) == 0:
+            print(f"ROWS  {name}: {len(sr)} rows "
+                  f"(no oracle; rows-only check)")
+            if len(sr) == 0:
                 print(f"  WARNING: zero rows from {name}")
             continue
         try:
@@ -85,7 +126,6 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        sc, sr = norm_rows(scols, srows)
         dc, dr = norm_rows(dcols, drows)
         if sc != dc:
             failures.append(name)
@@ -98,7 +138,9 @@ def main():
             diff = [(a, b) for a, b in zip(sr, dr) if a != b][:5]
             print(f"FAIL  {name}: values differ, first diffs: {diff}")
         else:
-            print(f"OK    {name}: {len(sr)} rows")
+            tag = (f"{len(partitions)} cfgs" if len(partitions) > 1
+                   else "1 cfg")
+            print(f"OK    {name}: {len(sr)} rows ({tag})")
     print()
     if failures:
         print("FAILURES:", failures)
