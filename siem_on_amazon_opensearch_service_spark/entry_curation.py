@@ -244,6 +244,8 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     UNION ALL
     SELECT 'radial', vec_id, round({_COS}, 4)
     FROM v, q WHERE {_COS} >= 0.1
+    UNION ALL
+    SELECT 'hnsw', vec_id, cosine FROM topk
     """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,7 +260,20 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("topk").alias("chk"), "vec_id", "cosine")
     radial = similarity.cosine_radial(vecs, qv, min_score=0.1).select(
         F.lit("radial").alias("chk"), "vec_id", "cosine")
-    return topk.unionByName(radial)
+    # chk='hnsw': the graph-ANN engine itself (operators/hnsw.py) at
+    # the gate-exactness configuration — one shard, ef_search >= the
+    # corpus, where HNSW provably degrades to exhaustive search (the
+    # existing pytest pin), so the brute top-k IS the oracle. The
+    # sharded production configuration stays pinned by recall tests;
+    # this row puts the whole build+query path under the driver's
+    # value hash (graph is deterministic: md5 levels, sorted inserts).
+    from .operators.hnsw import hnsw_build, hnsw_query
+
+    n_vecs = vecs.count()
+    g = hnsw_build(vecs, n_shards=1, m=8, ef_construction=48)
+    hnsw = hnsw_query(g, [(0, qv)], k=10, ef_search=n_vecs).select(
+        F.lit("hnsw").alias("chk"), "vec_id", "cosine")
+    return topk.unionByName(radial).unionByName(hnsw)
 
 
 _IVF_CACHE: dict[tuple, str] = {}
@@ -622,6 +637,49 @@ def _nbq_oracle() -> str:
     return duckdb_nb_sql(_NBQ_TRAIN, n_buckets=_NBQ_B)
 
 
+# ---------------------------------------------------------------------------
+# BPE chk-row plumbing (the corpus-scale tokenizer APPLY,
+# operators/bpe.py) — the merge table is a LITERAL (rank order; every
+# multi-char component produced by an earlier rank, the invariant real
+# BPE training guarantees), so both engines encode from the same
+# metadata. The DuckDB twin exploits the standard equivalence between
+# iterative lowest-rank-first merging and exhaustive rank-order
+# application: each rule is one left-to-right replace() over a
+# \x1f-separated symbol string, chained in rank order.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e</w>"),
+    ("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k</w>"),
+    ("t", "h"), ("th", "e</w>"),
+    ("r", "o"), ("ro", "w</w>"),
+    ("f", "a"), ("fa", "s"), ("fas", "t</w>"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e</w>"),
+]
+
+
+def _bpe_toks_duck(text_expr: str) -> str:
+    """DuckDB list-of-tokens expression replaying operators/bpe.py's
+    encode: pretokenize (same regex), per-pretoken symbol string with
+    chr(31) separators and the </w> end-of-word convention, then the
+    rank-ordered replace chain."""
+    from .operators.textstats import BPE_ISH_PATTERN
+
+    sym = ("chr(31) || array_to_string(regexp_extract_all(w, '.', 0), "
+           "chr(31)) || '</w>' || chr(31)")
+    merged = sym
+    for a, b in _BPE_MERGES:
+        merged = (f"replace({merged}, chr(31) || '{a}' || chr(31) || "
+                  f"'{b}' || chr(31), chr(31) || '{a}{b}' || chr(31))")
+    return (
+        "list_filter(string_split(array_to_string(list_transform("
+        f"regexp_extract_all(lower({text_expr}), '{BPE_ISH_PATTERN}', 0), "
+        f"w -> {merged}), ''), chr(31)), x -> x <> '')"
+    )
+
+
+
+
 @register(
     "pack_sample_shard",
     f"""
@@ -700,13 +758,18 @@ def _nbq_oracle() -> str:
            n_tokens::BIGINT, md5(text_chunk)
     FROM ({packing.duckdb_chunk_sql('documents', chunk=64, overlap=16)})
     UNION ALL
+    SELECT 'bpe', doc_id::VARCHAR, len(toks)::BIGINT,
+           md5(array_to_string(toks, ' '))
+    FROM (SELECT doc_id, {{BPETOKS}} AS toks FROM documents)
+    UNION ALL
     SELECT 'domcap', doc_id::VARCHAR, (doc_id % 7)::BIGINT, '' FROM (
       SELECT doc_id, row_number() OVER (
         PARTITION BY (doc_id % 7)
         ORDER BY 'https://host' || (doc_id % 7)::VARCHAR
                  || '.example.com/p/' || doc_id::VARCHAR) AS rn
       FROM documents) WHERE rn <= 10
-    """.replace("{DSIR}", _dsir_oracle()).replace("{NBQ}", _nbq_oracle()),
+    """.replace("{DSIR}", _dsir_oracle()).replace("{NBQ}", _nbq_oracle())
+       .replace("{BPETOKS}", _bpe_toks_duck("text")),
 )
 def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch assembly in one gated entry: ~512-token sequence
@@ -827,9 +890,23 @@ def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 7).cast("long").alias("n"),
         F.lit("").alias("detail"),
     )
+    # 'bpe' rows: the tokenizer APPLY pass (operators/bpe.py, one
+    # mapInPandas with the literal merge table broadcast via closure);
+    # md5 of the space-joined token stream pins the full encode, not
+    # just the count
+    from .operators.bpe import bpe_encode
+
+    bpe = bpe_encode(d, _BPE_MERGES).select(
+        F.lit("bpe").alias("chk"),
+        F.col("id").cast("string").alias("key"),
+        F.col("n_tokens").alias("n"),
+        F.md5(F.concat_ws(" ", "tokens")).alias("detail"),
+    )
     return (pack.unionByName(sample).unionByName(shard)
             .unionByName(contam).unionByName(rep).unionByName(dsir)
-            .unionByName(nbq).unionByName(chunks).unionByName(domcap))
+            .unionByName(nbq).unionByName(chunks).unionByName(domcap)
+            .unionByName(bpe))
+
 
 
 _Q_SQL = textstats.duckdb_quality_sql()

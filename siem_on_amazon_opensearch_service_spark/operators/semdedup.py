@@ -58,17 +58,44 @@ def semdedup_assign(vecs: DataFrame, centroids: DataFrame,
 
 def semdedup_pairs(vecs: DataFrame, assign: DataFrame, threshold: float,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   ) -> DataFrame:
+                   max_cell_size: int | None = None) -> DataFrame:
     """Within-cell duplicate pairs (id_a < id_b, cosine >= threshold).
     The self-join keys on ``cell``: pair work is bounded per cluster,
-    never corpus-wide."""
-    tagged = vecs.join(assign.select(id_col, "cell"), id_col)
+    never corpus-wide.
+
+    ``max_cell_size`` bounds the one case the paper's k-choice cannot:
+    a mega-cluster (near-duplicate flood, degenerate embeddings) whose
+    m² pair join would dominate the job. Cells larger than the cap are
+    deterministically sub-split (xxhash64 of the id into
+    ceil(m/cap) sub-cells) so every pair task stays O(cap²). The
+    documented approximation: duplicates landing in DIFFERENT
+    sub-cells of an oversized cell are missed — the same contract as
+    having chosen a larger k, and SemDeDup is an approximation by
+    construction (cross-cell duplicates are always missed). Leave None
+    for exact within-cell behavior."""
+    key_names = ["cell"]
+    if max_cell_size is not None:
+        # per-cell sizes are a k-row metadata aggregate; the split
+        # factor broadcasts back so the sub-cell tag is map-side
+        sizes = assign.groupBy("cell").agg(F.count("*").alias("_m"))
+        splits = sizes.select(
+            "cell",
+            F.ceil(F.col("_m") / F.lit(max_cell_size))
+            .cast("long").alias("_n_sub"))
+        assign = (assign.join(F.broadcast(splits), "cell")
+                  .withColumn(
+                      "_sub",
+                      F.pmod(F.xxhash64(F.col(id_col)), F.col("_n_sub")))
+                  .drop("_n_sub"))
+        key_names = ["cell", "_sub"]
+    tagged = vecs.join(
+        assign.select(id_col, *key_names), id_col)
     a = tagged.select(F.col(id_col).alias("id_a"),
-                      F.col(vec_col).alias("_va"), "cell")
+                      F.col(vec_col).alias("_va"), *key_names)
     b = tagged.select(F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("_vb"), "cell")
+                      F.col(vec_col).alias("_vb"), *key_names)
     return (
-        a.join(b, "cell")
+        a.join(b, key_names)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_col(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
@@ -79,7 +106,7 @@ def semdedup_pairs(vecs: DataFrame, assign: DataFrame, threshold: float,
 def semdedup(vecs: DataFrame, centroids: DataFrame, threshold: float,
              id_col: str = "vec_id", vec_col: str = "embedding",
              cent_id: str = "cent_id", cent_vec: str = "cent_vec",
-             ) -> DataFrame:
+             max_cell_size: int | None = None) -> DataFrame:
     """Full SemDeDup labeling: one row per input vector with
 
     * ``cell``     — assigned cluster,
@@ -90,7 +117,8 @@ def semdedup(vecs: DataFrame, centroids: DataFrame, threshold: float,
     Downstream keeps ``filter(keep)`` — the deduplicated corpus."""
     assign = semdedup_assign(vecs, centroids, id_col, vec_col,
                              cent_id, cent_vec)
-    pairs = semdedup_pairs(vecs, assign, threshold, id_col, vec_col)
+    pairs = semdedup_pairs(vecs, assign, threshold, id_col, vec_col,
+                           max_cell_size=max_cell_size)
     comps = connected_components(pairs)  # (id, comp), paired ids only
 
     labeled = (

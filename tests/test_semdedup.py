@@ -123,3 +123,57 @@ def test_plan_no_cartesian_pair_pass(spark, frames):
     out = semdedup(vecs, cents, threshold=0.9)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_mega_cluster_cap_bounds_pair_work(spark):
+    """One dominant cluster (all vectors near one direction) is the
+    O(m^2) failure mode the paper's k-choice can't prevent;
+    max_cell_size must sub-split it so pair tasks stay O(cap^2),
+    while capped pairs remain a SUBSET of the exact within-cell
+    pairs (the documented approximation)."""
+    from pyspark.sql import functions as F
+
+    from siem_on_amazon_opensearch_service_spark.operators.semdedup import (
+        semdedup_assign, semdedup_pairs)
+
+    n = 120
+    rows = [(i, [1.0, 0.001 * (i % 5), 0.0]) for i in range(n)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cent_id long, cent_vec array<double>")
+    assign = semdedup_assign(vecs, cents)
+    # everything lands in cell 0 — the mega-cluster
+    assert assign.filter("cell = 0").count() == n
+
+    exact = semdedup_pairs(vecs, assign, threshold=0.999)
+    capped = semdedup_pairs(vecs, assign, threshold=0.999,
+                            max_cell_size=20)
+    n_exact, n_capped = exact.count(), capped.count()
+    assert n_exact > 0 and n_capped < n_exact
+    ekeys = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    ckeys = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert ckeys <= ekeys
+    # the bound itself: ceil(120/20) = 6 sub-cells; the largest hash
+    # bucket (== the largest pair task's row count) must sit near
+    # n/6, far below the uncapped m = 120
+    sub_sizes = (assign
+                 .withColumn("_sub", F.pmod(F.xxhash64("vec_id"), F.lit(6)))
+                 .groupBy("_sub").count().collect())
+    assert max(r["count"] for r in sub_sizes) < n // 2
+
+
+def test_cap_none_is_exact_default(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.semdedup import (
+        semdedup, semdedup_assign, semdedup_pairs)  # noqa: F401
+
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+            for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cent_id long, cent_vec array<double>")
+    lab = semdedup(vecs, cents, threshold=0.999)
+    lab_cap = semdedup(vecs, cents, threshold=0.999, max_cell_size=1000)
+    assert sorted(map(tuple, lab.collect())) == \
+        sorted(map(tuple, lab_cap.collect()))
