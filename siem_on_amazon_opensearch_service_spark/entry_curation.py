@@ -267,6 +267,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sharded production configuration stays pinned by recall tests;
     # this row puts the whole build+query path under the driver's
     # value hash (graph is deterministic: md5 levels, sorted inserts).
+    # Score parity note: the graph stores array<float>, which is
+    # LOSSLESS here because the embeddings table is float32 storage
+    # already — both paths then score the identical values upcast to
+    # float64. A float64 source would quantize through the graph and
+    # could diverge from the brute oracle at the 4dp boundary.
     from .operators.hnsw import hnsw_build, hnsw_query
 
     n_vecs = vecs.count()
@@ -660,17 +665,23 @@ _BPE_MERGES = [
 
 def _bpe_toks_duck(text_expr: str) -> str:
     """DuckDB list-of-tokens expression replaying operators/bpe.py's
-    encode: pretokenize (same regex), per-pretoken symbol string with
-    chr(31) separators and the </w> end-of-word convention, then the
-    rank-ordered replace chain."""
+    encode: pretokenize (same regex), wrap every symbol as
+    ``chr(31) || sym || chr(31)`` (so each symbol owns BOTH its
+    separators — a single shared separator would be consumed by one
+    replace() match and hide the immediately following occurrence of
+    the same pair, e.g. 'tata' under merge (t,a)), append the </w>
+    end-of-word convention, then run the rank-ordered replace chain
+    ``␟a␟␟b␟ -> ␟ab␟``."""
     from .operators.textstats import BPE_ISH_PATTERN
 
+    # per-symbol wrapping: ␟c1␟␟c2␟...␟cn</w>␟
     sym = ("chr(31) || array_to_string(regexp_extract_all(w, '.', 0), "
-           "chr(31)) || '</w>' || chr(31)")
+           "chr(31) || chr(31)) || '</w>' || chr(31)")
     merged = sym
     for a, b in _BPE_MERGES:
         merged = (f"replace({merged}, chr(31) || '{a}' || chr(31) || "
-                  f"'{b}' || chr(31), chr(31) || '{a}{b}' || chr(31))")
+                  f"chr(31) || '{b}' || chr(31), "
+                  f"chr(31) || '{a}{b}' || chr(31))")
     return (
         "list_filter(string_split(array_to_string(list_transform("
         f"regexp_extract_all(lower({text_expr}), '{BPE_ISH_PATTERN}', 0), "

@@ -843,8 +843,10 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     UNION ALL
     SELECT 'wavg:' || event_type, count(*),
-           {ratio_round_sql("sum(CAST(value AS " + DEC + ") * (user_id % 7 + 1))",
-                            "sum(user_id % 7 + 1)")}
+           {ratio_round_sql(
+               "sum(CAST(value AS " + DEC + ") * (user_id % 7 + 1))",
+               "sum(CASE WHEN value IS NOT NULL"
+               " THEN user_id % 7 + 1 END)")}
     FROM events GROUP BY event_type
     UNION ALL
     SELECT 'missing:opt', count(*) FILTER (user_id % 5 = 0), 0.0

@@ -3282,7 +3282,13 @@ class SearchBodyResponse(dict):
     ``msearch.MSearchResponse.release``.  A long-running service that
     issues many bodies must call :meth:`release` once a response is
     consumed — otherwise each shareable body leaves one cached frame
-    behind until the ContextCleaner happens to reclaim it."""
+    behind until the ContextCleaner happens to reclaim it.
+
+    Scope: covers the shareable-aggs persist (the corpus-sized cache).
+    ``terminate_after`` probes use an eager ``localCheckpoint`` whose
+    blocks (<= cap+1 rows, request-metadata sized) have no public
+    release API in PySpark; those remain ContextCleaner-reclaimed —
+    bounded by the caller's own terminate_after, never corpus-sized."""
 
     shared = None  # the persisted matched frame, when one was shared
 

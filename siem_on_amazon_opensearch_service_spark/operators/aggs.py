@@ -331,10 +331,20 @@ def matrix_stats_exact(df: DataFrame, fields: list[str],
 
     An oracle replaying the same formulas over the same exact sums
     reproduces the output bit-for-bit. Quantizes inputs to ``decimals``
-    places — use only on decimal-quantized data."""
+    places — use only on decimal-quantized data.
+
+    NULL semantics: rows missing ANY of the fields are excluded
+    entirely before aggregation — the OpenSearch ``matrix_stats``
+    document-drop rule (and what makes the single shared ``n`` sound;
+    the legacy :func:`matrix_stats` is per-aggregate null-aware
+    instead, which disagrees with the wire on partially-null docs)."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    df = df.filter(_reduce(_and, [F.col(f_).isNotNull() for f_ in fields]))
     dt = f"decimal(18,{decimals})"
     cols = {f_: F.col(f_).cast(dt) for f_ in fields}
-    aggs = [F.count(F.col(fields[0])).alias("doc_count")]
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
     for f_ in fields:
         aggs.append(F.sum(cols[f_]).cast("double").alias(f"s__{f_}"))
     for i, a in enumerate(fields):
@@ -841,37 +851,47 @@ def welch_t_test(df: DataFrame, value: Column, pop_a: Column,
     to d decimals. Leave None for data that isn't decimal-quantized.
     """
     if exact_decimals is None:
+        # nv_* = observation counts (docs with a value): the t
+        # denominator must divide by the number of OBSERVATIONS, not
+        # population rows — they differ only when values are NULL
         row = df.agg(
             F.count(F.when(pop_a, 1)).alias("n_a"),
+            F.count(F.when(pop_a, value)).alias("nv_a"),
             F.avg(F.when(pop_a, value)).alias("m_a"),
             F.var_samp(F.when(pop_a, value)).alias("v_a"),
             F.count(F.when(pop_b, 1)).alias("n_b"),
+            F.count(F.when(pop_b, value)).alias("nv_b"),
             F.avg(F.when(pop_b, value)).alias("m_b"),
             F.var_samp(F.when(pop_b, value)).alias("v_b"),
         )
         t = (F.col("m_a") - F.col("m_b")) / F.sqrt(
-            F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+            F.col("v_a") / F.col("nv_a") + F.col("v_b") / F.col("nv_b")
         )
         return row.select(
             (F.col("n_a") + F.col("n_b")).alias("doc_count"),
             t.alias("t_stat"),
         )
     x = value.cast(f"decimal(18,{exact_decimals})")
+    # nv_* count NON-NULL values (the moments' denominator, matching
+    # the null-aware avg/var_samp of the default branch); n_* count
+    # population rows (the response's doc_count, as before)
     row = df.agg(
         F.count(F.when(pop_a, 1)).alias("n_a"),
+        F.count(F.when(pop_a, x)).alias("nv_a"),
         F.sum(F.when(pop_a, x)).cast("double").alias("s_a"),
         F.sum(F.when(pop_a, x * x)).cast("double").alias("q_a"),
         F.count(F.when(pop_b, 1)).alias("n_b"),
+        F.count(F.when(pop_b, x)).alias("nv_b"),
         F.sum(F.when(pop_b, x)).cast("double").alias("s_b"),
         F.sum(F.when(pop_b, x * x)).cast("double").alias("q_b"),
     )
-    m_a = F.col("s_a") / F.col("n_a")
-    m_b = F.col("s_b") / F.col("n_b")
-    v_a = ((F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a"))
-           / (F.col("n_a") - F.lit(1)))
-    v_b = ((F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b"))
-           / (F.col("n_b") - F.lit(1)))
-    t = (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b"))
+    m_a = F.col("s_a") / F.col("nv_a")
+    m_b = F.col("s_b") / F.col("nv_b")
+    v_a = ((F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("nv_a"))
+           / (F.col("nv_a") - F.lit(1)))
+    v_b = ((F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("nv_b"))
+           / (F.col("nv_b") - F.lit(1)))
+    t = (m_a - m_b) / F.sqrt(v_a / F.col("nv_a") + v_b / F.col("nv_b"))
     return row.select(
         (F.col("n_a") + F.col("n_b")).alias("doc_count"), t.alias("t_stat")
     )

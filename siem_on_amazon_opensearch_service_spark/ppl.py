@@ -660,6 +660,10 @@ def ppl_query(spark: SparkSession, text: str,
         kind = st[0]
         if kind in ("trendline", "kmeans") and not reduced:
             _guard_global_window(df, kind, global_window_limit)
+            # a passed probe bounds the frame for the REST of the
+            # pipe too (neither command changes the row count), so a
+            # second global-window stage never re-pays the probe job
+            reduced = True
         reduced = reduced or kind in _REDUCING_STAGES
         if kind == "where":
             df = df.filter(_to_col(st[1]))

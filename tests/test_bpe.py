@@ -67,3 +67,32 @@ def test_composes_with_packing(spark, merges):
     packed = pack_sequences(enc, "n_tokens", budget=16, shard_col="lang")
     rows = packed.collect()
     assert rows and all(r["pack_id"] >= 0 for r in rows)
+
+
+def test_duckdb_replace_chain_twin_handles_adjacent_repeat_pairs():
+    """The oracle's rank-order replace chain must match the GPT-2
+    encoder on words where the SAME merge pair occurs back-to-back
+    ('tata' under (t,a)): with a single shared separator the first
+    replace() match consumes the separator the second occurrence
+    needs, silently skipping it — hence the per-symbol double-wrap
+    encoding. Adversarial words pinned here."""
+    import duckdb
+
+    from siem_on_amazon_opensearch_service_spark.entry_curation import (
+        _BPE_MERGES, _bpe_toks_duck)
+    from siem_on_amazon_opensearch_service_spark.operators.bpe import (
+        py_bpe_encode)
+
+    words = ["tatami", "tata", "aaa", "table tables tata",
+             "spark sparkspark", "the theta fast fasta value tavalue",
+             "ta ta ta", "t a b", "tath", "sptata"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{w}')" for i, w in enumerate(words))
+        + ") t(doc_id, text)")
+    rows = con.execute(
+        f"SELECT doc_id, {_bpe_toks_duck('text')} FROM documents "
+        "ORDER BY doc_id").fetchall()
+    for i, toks in rows:
+        assert toks == py_bpe_encode(words[i], _BPE_MERGES), words[i]

@@ -35,6 +35,12 @@ def _norm_cell(v):
 def _snapshot(spark, fn, n_parts):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    # drop every persisted frame (entry-internal persists, the shared
+    # index cache): otherwise Spark's CacheManager plan-matches the
+    # second run's identical subtrees onto the FIRST run's cached
+    # partitions and the invariance of exactly those subtrees is
+    # never exercised
+    spark.catalog.clearCache()
     try:
         df = fn(spark, SF_DIR)
         cols = sorted(range(len(df.columns)), key=lambda i: df.columns[i])

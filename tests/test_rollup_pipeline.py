@@ -153,3 +153,45 @@ def test_rollup_sync_incremental_equals_batch(spark, raw, tmp_path):
         wa, wc = want[(r["bucket_ts"], r["site"])]
         assert r["_count"] == wc
         assert abs(r["v_avg"] - wa) < 1e-9
+
+
+def test_matrix_stats_exact_drops_rows_missing_any_field(spark):
+    """matrix_stats_exact implements the OpenSearch matrix_stats
+    document-drop rule: a row missing ANY field is excluded entirely
+    (one shared n), so per-field NULLs can't deflate another field's
+    moments. Baseline: the same frame pre-filtered to complete rows
+    through the null-aware legacy matrix_stats."""
+    from siem_on_amazon_opensearch_service_spark.operators.aggs import (
+        matrix_stats, matrix_stats_exact)
+
+    rows = [(float(i % 7) + 0.25, float(i % 3) if i % 5 else None)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    complete = df.filter("x IS NOT NULL AND y IS NOT NULL")
+    want = {(r["field_a"], r["field_b"]):
+            (r["mean_a"], r["var_a"], r["cov"], r["corr"])
+            for r in matrix_stats(complete, ["x", "y"]).collect()}
+    got = {(r["field_a"], r["field_b"]):
+           (r["mean_a"], r["var_a"], r["cov"], r["corr"])
+           for r in matrix_stats_exact(df, ["x", "y"]).collect()}
+    assert set(got) == set(want)
+    for k, g in got.items():
+        for a, b in zip(g, want[k]):
+            assert abs(a - b) < 1e-9, (k, g, want[k])
+
+
+def test_welch_exact_branch_is_null_aware_like_default(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.aggs import (
+        welch_t_test)
+
+    rows = [("a", float(i % 11) + 0.5 if i % 4 else None)
+            for i in range(40)] + \
+           [("b", float(i % 7) + 2.25 if i % 6 else None)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    base = welch_t_test(df, F.col("v"), F.col("g") == "a",
+                        F.col("g") == "b").collect()[0]
+    ex = welch_t_test(df, F.col("v"), F.col("g") == "a",
+                      F.col("g") == "b", exact_decimals=6).collect()[0]
+    assert ex["doc_count"] == base["doc_count"]
+    assert abs(ex["t_stat"] - base["t_stat"]) < 1e-9

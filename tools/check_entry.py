@@ -89,6 +89,11 @@ def main():
         err = None
         for np_ in partitions:
             spark.conf.set("spark.sql.shuffle.partitions", str(np_))
+            if len(partitions) > 1:
+                # see tests/test_entry_stability.py: without this the
+                # CacheManager serves run 2 from run 1's cached
+                # subtrees and the cross-config check is vacuous
+                spark.catalog.clearCache()
             try:
                 sdf = qs[name](spark, SF_DIR)
                 scols = sdf.columns
