@@ -90,6 +90,26 @@ def _query_weights(query: str, tokenizer_py=None) -> dict[str, int]:
     return w
 
 
+def tf_norm_col(avgdl: float) -> F.Column:
+    """The BM25 tf normalization ``tf / (tf + K1*(1-B+B*dl/avgdl))``
+    over decoded (tf, dl) columns — defined ONCE so the scoring,
+    batch, explain and pruned paths cannot drift apart (the (k1+1)
+    caveat in the module docstring applies to all of them equally)."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    return tf / (tf + K1 * (1.0 - B + B * dl / F.lit(float(avgdl))))
+
+
+def term_dfs(ix: PostingsIndex, terms: list[str]) -> dict[str, int]:
+    """term -> document frequency for a query's terms: one driver-side
+    metadata collect over term_stats (|terms| rows)."""
+    return {
+        r["term"]: int(r["df"])
+        for r in ix.term_stats.filter(F.col("term").isin(list(terms)))
+        .select("term", "df").collect()
+    }
+
+
 def bm25_scores(ix: PostingsIndex, query: str,
                 tokenizer_py=None) -> DataFrame:
     """(doc_id, score) for EVERY matching doc — the unlimited match
@@ -107,11 +127,7 @@ def bm25_scores(ix: PostingsIndex, query: str,
     if not terms:
         return empty
 
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in ix.term_stats.filter(F.col("term").isin(terms))
-        .select("term", "df").collect()
-    }
+    dfs = term_dfs(ix, terms)
     present = [t for t in terms if t in dfs]
     if not present:
         return empty
@@ -125,12 +141,8 @@ def bm25_scores(ix: PostingsIndex, query: str,
 
     blocks = ix.postings.filter(F.col("term").isin(present))
     decoded = decode_blocks(blocks)
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
     scored = decoded.withColumn(
-        "_s",
-        wmap[F.col("term")]
-        * tf / (tf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl))),
+        "_s", wmap[F.col("term")] * tf_norm_col(ix.avgdl),
     )
     return scored.groupBy("doc_id").agg(F.sum("_s").alias("score"))
 
@@ -173,12 +185,17 @@ def bm25_topk_df(docs: DataFrame, text_col: str, id_col: str, query: str,
         F.col(id_col).cast("long").alias("doc_id"),
         tokens_col(text_col).alias("_toks"),
     )
+    # greatest(size, 0): NULL-text docs must enter the corpus stats
+    # with doclen 0, same guard (and reason) as build.py's tokenize
+    # pass — otherwise avgdl here diverges from the index path this
+    # function is documented to cross-check.
+    dl_guarded = F.greatest(F.size("_toks"), F.lit(0))
     tokens = base.select(
-        "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        "doc_id", dl_guarded.alias("dl"), F.explode("_toks").alias("term")
     )
     tf = tokens.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
 
-    srow = base.select(F.size("_toks").alias("dl")).agg(
+    srow = base.select(dl_guarded.alias("dl")).agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n_docs, avgdl = int(srow["n"]), float(srow["avgdl"] or 0.0)
@@ -208,7 +225,8 @@ def bm25_topk_df(docs: DataFrame, text_col: str, id_col: str, query: str,
     )
 
 
-def bm25_topk_batch(ix: PostingsIndex, queries: DataFrame, k_col: str = "k") -> DataFrame:
+def bm25_topk_batch(ix: PostingsIndex, queries: DataFrame, k_col: str = "k",
+                    tokenizer=None) -> DataFrame:
     """Batch retrieval: queries(qid int, query string, k int) ->
     (qid, rank, doc_id, score). One Spark job for the whole query set:
 
@@ -216,6 +234,10 @@ def bm25_topk_batch(ix: PostingsIndex, queries: DataFrame, k_col: str = "k") -> 
       broadcast semi-join postings on term (only query-term blocks read)
       decode once per block even if shared by many queries
       score per (qid, doc_id), window row_number per qid <= k.
+
+    ``tokenizer``: Column -> token-array Column, matching the analyzer
+    the index was built with (the build_index seam) — default is the
+    shared core analyzer.
     """
     from pyspark.sql import Window
 
@@ -227,9 +249,11 @@ def bm25_topk_batch(ix: PostingsIndex, queries: DataFrame, k_col: str = "k") -> 
     # the query set is metadata-sized: collect it once, fold per-term
     # idf in driver-side, broadcast ONE (term, qid, weight, k) table —
     # the only join left is the genuine postings→queries fan-out.
+    tokenizer = tokenizer or tokens_col
     qrows = (
         queries.select(
-            "qid", F.col(k_col).alias("k"), F.explode(tokens_col("query")).alias("term")
+            "qid", F.col(k_col).alias("k"),
+            F.explode(tokenizer(F.col("query"))).alias("term")
         )
         .groupBy("qid", "k", "term")
         .agg(F.count("*").alias("qtf"))
@@ -238,11 +262,7 @@ def bm25_topk_batch(ix: PostingsIndex, queries: DataFrame, k_col: str = "k") -> 
     if not qrows:
         return spark.createDataFrame([], "qid int, rank int, doc_id long, score double")
     needed = sorted({r["term"] for r in qrows})
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in ix.term_stats.filter(F.col("term").isin(needed))
-        .select("term", "df").collect()
-    }
+    dfs = term_dfs(ix, needed)
     wrows = [
         (int(r["qid"]), int(r["k"]), r["term"],
          float(r["qtf"] * _idf(ix.n_docs, dfs[r["term"]])))
@@ -254,14 +274,9 @@ def bm25_topk_batch(ix: PostingsIndex, queries: DataFrame, k_col: str = "k") -> 
 
     matched_terms = sorted({r[2] for r in wrows})
     decoded = decode_blocks(ix.postings.filter(F.col("term").isin(matched_terms)))
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
     scored = (
         decoded.join(F.broadcast(wdf), "term")  # fan out postings to queries
-        .withColumn(
-            "_s",
-            F.col("w") * tf / (tf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl))),
-        )
+        .withColumn("_s", F.col("w") * tf_norm_col(ix.avgdl))
         .groupBy("qid", "k", "doc_id")
         .agg(F.sum("_s").alias("score"))
     )
@@ -286,7 +301,15 @@ def search_after(scored: DataFrame, after_score: float, after_doc: int,
     OpenSearch recommends search_after over from/size for deep pages.
     ``scored`` is any (doc_id, score) match set (e.g.
     :func:`bm25_scores`), pre-round: the cursor compares the exact
-    double the sort uses."""
+    double the sort uses.
+
+    Page-coherence caveat (same as OpenSearch's): if ``scored`` is
+    re-EXECUTED between pages, a multi-term doc's float score can
+    move by an ulp with partial-sum merge order and straddle the
+    cursor. For guaranteed coherent deep paging, snapshot the match
+    set first — that is exactly what PIT (`index/pit.py`) exists
+    for; upstream likewise recommends search_after WITH a
+    point-in-time."""
     cursor = (
         (F.col("score") < F.lit(float(after_score)))
         | ((F.col("score") == F.lit(float(after_score)))
@@ -311,7 +334,9 @@ def collapse_topk(scored: DataFrame, keys: DataFrame, field: str,
     corpus. Returns (doc_id, score, <field>)."""
     from pyspark.sql import Window
 
-    joined = scored.join(keys.select("doc_id", field), "doc_id")
+    # LEFT join: hits without a keys row fall into the NULL group
+    # (same as a NULL field value) instead of silently vanishing
+    joined = scored.join(keys.select("doc_id", field), "doc_id", "left")
     w = Window.partitionBy(field).orderBy(
         F.desc("score"), F.asc("doc_id"))
     return (
@@ -356,8 +381,11 @@ def function_score(scored: DataFrame, docs: DataFrame, factor_field: str,
         "sum": F.col("score") + fx,
         "replace": fx,
     }[boost_mode]
+    # LEFT join: a hit with no row in the side-table scores with a
+    # missing factor of 0 (the coalesce above), it does not vanish —
+    # OpenSearch field_value_factor with missing:0 keeps such hits.
     return (
-        scored.join(docs.select("doc_id", factor_field), "doc_id")
+        scored.join(docs.select("doc_id", factor_field), "doc_id", "left")
         .select("doc_id", combined.alias("score"))
     )
 
@@ -376,7 +404,11 @@ def rescore_topk(scored: DataFrame, rescorer: DataFrame,
     against a tiny broadcastable set; docs outside the window are
     never rescored, which is the entire point of the feature at 100 TB
     (the expensive scorer touches window_size docs, not the match
-    set). Returns top-k (doc_id, score) by combined score."""
+    set). Returns top-k (doc_id, score) by combined score; when
+    ``k > window_size`` the positions past the window are filled by
+    the remaining hits in primary order with ``query_weight *
+    primary`` scores (the OpenSearch behavior — rescore re-ranks the
+    window, it never shrinks the result set)."""
     win = (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(window_size)
@@ -388,14 +420,30 @@ def rescore_topk(scored: DataFrame, rescorer: DataFrame,
     comb = (F.lit(float(query_weight)) * F.col("score")
             + F.lit(float(rescore_query_weight))
             * F.coalesce(F.col("_rs"), F.lit(0.0)))
-    return (
+    rescored = (
         joined.select("doc_id", comb.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+    if k <= window_size:
+        return rescored
+    # positions past the window: next-best hits by PRIMARY order
+    # (anti-join against the window_size-row window broadcasts; the
+    # cut stays a TakeOrderedAndProject — no global sort appears)
+    tail = (
+        scored.join(F.broadcast(win.select("doc_id")),
+                    "doc_id", "left_anti")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k - window_size)
+        .select("doc_id",
+                (F.lit(float(query_weight)) * F.col("score"))
+                .alias("score"))
+    )
+    return rescored.unionByName(tail)
 
 
-def bm25_explain(ix: PostingsIndex, query: str, k: int = 10) -> DataFrame:
+def bm25_explain(ix: PostingsIndex, query: str, k: int = 10,
+                 tokenizer_py=None) -> DataFrame:
     """Score breakdown for the top-k docs — the ``explain=true``
     response OpenSearch attaches per hit (Lucene's Explanation tree,
     flattened to one row per (doc, term) contribution).
@@ -413,18 +461,14 @@ def bm25_explain(ix: PostingsIndex, query: str, k: int = 10) -> DataFrame:
     explained, never for the whole match set."""
     from ..bm25 import idf as _idf
 
-    weights = _query_weights(query)
+    weights = _query_weights(query, tokenizer_py)
     terms = list(weights)
     spark = ix.postings.sparkSession
     empty_schema = ("doc_id long, term string, tf int, dl int, df long, "
                     "idf double, qtf int, contribution double, score double")
     if not terms:
         return spark.createDataFrame([], empty_schema)
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in ix.term_stats.filter(F.col("term").isin(terms))
-        .select("term", "df").collect()
-    }
+    dfs = term_dfs(ix, terms)
     present = [t for t in terms if t in dfs]
     if not present:
         return spark.createDataFrame([], empty_schema)
@@ -437,14 +481,14 @@ def bm25_explain(ix: PostingsIndex, query: str, k: int = 10) -> DataFrame:
         *[F.lit(x) for t in present for x in (t, weights[t])])
 
     decoded = decode_blocks(ix.postings.filter(F.col("term").isin(present)))
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    tf_norm = tf / (tf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl)))
     per = decoded.withColumn(
         "contribution",
         idf_map[F.col("term")] * qtf_map[F.col("term")].cast("double")
-        * tf_norm,
-    )
+        * tf_norm_col(ix.avgdl),
+    # totals AND the final join both consume `per`: persist so the
+    # postings decode runs once, not twice (ContextCleaner reclaims
+    # the cache when the response frame is dropped)
+    ).persist()
     totals = (
         per.groupBy("doc_id").agg(F.sum("contribution").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -463,7 +507,8 @@ def bm25_explain(ix: PostingsIndex, query: str, k: int = 10) -> DataFrame:
     )
 
 
-def explain_doc(ix: PostingsIndex, query: str, doc_id: int) -> dict:
+def explain_doc(ix: PostingsIndex, query: str, doc_id: int,
+                tokenizer_py=None) -> dict:
     """``GET /{index}/_explain/{id}``: why does (or doesn't) ONE
     document match the query — for an ARBITRARY doc id, not just the
     top-k window that :func:`bm25_explain` covers.
@@ -479,16 +524,12 @@ def explain_doc(ix: PostingsIndex, query: str, doc_id: int) -> dict:
     full posting list. The result is ≤ |query terms| rows."""
     from ..bm25 import idf as _idf
 
-    weights = _query_weights(query)
+    weights = _query_weights(query, tokenizer_py)
     out: dict = {"_id": int(doc_id), "matched": False, "score": 0.0,
                  "details": []}
     if not weights:
         return out
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in ix.term_stats.filter(F.col("term").isin(list(weights)))
-        .select("term", "df").collect()
-    }
+    dfs = term_dfs(ix, list(weights))
     present = [t for t in weights if t in dfs]
     if not present:
         return out
@@ -523,7 +564,7 @@ def explain_doc(ix: PostingsIndex, query: str, doc_id: int) -> dict:
 
 
 def explain_for_docs(ix: PostingsIndex, query: str,
-                     doc_ids: list[int]) -> DataFrame:
+                     doc_ids: list[int], tokenizer_py=None) -> DataFrame:
     """Per-(doc, term) contributions for an EXPLICIT id list — the
     request-body ``explain: true`` path, where the ids are the hits
     page (page-sized, never the corpus). Same construction as
@@ -532,18 +573,14 @@ def explain_for_docs(ix: PostingsIndex, query: str,
     construction."""
     from ..bm25 import idf as _idf
 
-    weights = _query_weights(query)
+    weights = _query_weights(query, tokenizer_py)
     terms = list(weights)
     spark = ix.postings.sparkSession
     empty_schema = ("doc_id long, term string, idf double, qtf int, "
                     "contribution double")
     if not terms or not doc_ids:
         return spark.createDataFrame([], empty_schema)
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in ix.term_stats.filter(F.col("term").isin(terms))
-        .select("term", "df").collect()
-    }
+    dfs = term_dfs(ix, terms)
     present = [t for t in terms if t in dfs]
     if not present:
         return spark.createDataFrame([], empty_schema)
@@ -554,13 +591,10 @@ def explain_for_docs(ix: PostingsIndex, query: str,
     decoded = decode_blocks(
         ix.postings.filter(F.col("term").isin(present))
     ).filter(F.col("doc_id").isin([int(i) for i in doc_ids]))
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    tf_norm = tf / (tf + K1 * (1.0 - B + B * dl / F.lit(ix.avgdl)))
     return decoded.select(
         "doc_id", "term",
         idf_map[F.col("term")].alias("idf"),
         qtf_map[F.col("term")].alias("qtf"),
         (idf_map[F.col("term")] * qtf_map[F.col("term")].cast("double")
-         * tf_norm).alias("contribution"),
+         * tf_norm_col(ix.avgdl)).alias("contribution"),
     )

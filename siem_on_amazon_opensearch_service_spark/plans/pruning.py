@@ -41,7 +41,8 @@ from pyspark.sql import functions as F
 
 from ..bm25 import idf, upper_bound
 from ..index.build import PostingsIndex
-from ..index.query import _query_weights, decode_blocks, score_col
+from ..index.query import (_query_weights, decode_blocks,
+                           tf_norm_col)
 
 
 #: below this many candidate postings (sum of query-term dfs) the θ
@@ -133,8 +134,6 @@ def bm25_topk_pruned(ix: PostingsIndex, query: str, k: int = 10,
     )
     theta = float(best_scores[-1]["_s"]) if len(best_scores) >= k else 0.0
 
-    tstats = ix.term_stats.filter(F.col("term").isin(present)).select("term", "df")
-
     # --- term split: maximal low-UB suffix with Σ UB strictly < θ ---
     by_ub = sorted(present, key=lambda t: ub[t])  # ascending
     nonessential: list[str] = []
@@ -146,10 +145,6 @@ def bm25_topk_pruned(ix: PostingsIndex, query: str, k: int = 10,
         else:
             break
     essential = [t for t in present if t not in nonessential]
-
-    wdf = spark.createDataFrame(
-        [(t, int(c)) for t, c in weights.items()], "term string, qtf int"
-    )
 
     # --- BLOCK-MAX skip (exact): drop block b of term t when
     #       UB_block(t, b) + Σ_{t'≠t} UB_global(t')  <  θ.
@@ -192,6 +187,11 @@ def bm25_topk_pruned(ix: PostingsIndex, query: str, k: int = 10,
 
     dec_ess = decode_blocks(blocks_pruned(essential))
     if nonessential:
+        # dec_ess feeds BOTH the candidate set and the union: persist
+        # so the essential blocks decode once, not twice — on the
+        # stopword-heavy queries this path exists for, that decode is
+        # the bulk of the work (ContextCleaner reclaims the cache)
+        dec_ess = dec_ess.persist()
         cand = dec_ess.select("doc_id").distinct()
         dec_non = decode_blocks(blocks_pruned(nonessential)).join(
             cand, "doc_id"
@@ -200,11 +200,15 @@ def bm25_topk_pruned(ix: PostingsIndex, query: str, k: int = 10,
     else:
         decoded = dec_ess
 
-    scored = (
-        decoded.join(F.broadcast(tstats), "term")
-        .join(F.broadcast(wdf), "term")
-        .withColumn("_s", score_col(ix.avgdl, ix.n_docs) * F.col("qtf").cast("double"))
+    # per-term weight*idf folded into ONE literal map (the exact
+    # expression bm25_scores uses, so pruned == exhaustive holds
+    # bitwise): no term_stats re-scan, no qtf/df broadcast joins.
+    wmap = F.create_map(
+        *[F.lit(x) for t in present
+          for x in (t, float(weights[t] * idfs[t]))]
     )
+    scored = decoded.withColumn(
+        "_s", wmap[F.col("term")] * tf_norm_col(ix.avgdl))
     return (
         scored.groupBy("doc_id")
         .agg(F.sum("_s").alias("score"))
