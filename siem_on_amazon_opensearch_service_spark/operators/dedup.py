@@ -415,6 +415,13 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     bucket) so boilerplate-heavy buckets cannot go quadratic — the cap
     is the skew guard this operator needs at web scale (same posture
     as the index build's hot-term salting).
+
+    Cache hand-off: the n_docs x n_hash signature table persists
+    (MEMORY_AND_DISK — it feeds every band) and stays referenced by
+    the returned plan; the ContextCleaner reclaims it when the result
+    frame is dropped. A long-running service that keeps many results
+    alive should materialize + drop them promptly (the
+    search_body/msearch release() posture).
     """
     from pyspark.sql import Window
 
@@ -579,13 +586,15 @@ def verify_candidates_jaccard(docs: DataFrame, pairs: DataFrame,
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     union = F.size(F.array_union(F.col("sha"), F.col("shb")))
+    # zero-union guard: a caller-supplied pair of two shingle-less
+    # (<n-token) docs must score 0.0, not DIVIDE_BY_ZERO under ANSI
+    jac = F.when(union > 0,
+                 F.round(inter.cast("double") / union.cast("double"), 4)
+                 ).otherwise(F.lit(0.0))
     return (
         pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sha")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("shb")), "id_b")
-        .select(
-            "id_a", "id_b",
-            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
-        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
     )
 
 
@@ -657,7 +666,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     own label and its neighbors' labels; converges in O(graph
     diameter) rounds — near-dup clusters are tiny and dense, so
     diameter is small. Each round is one join + one aggregate
-    (shuffle on node id); iterate-with-persist keeps lineage bounded,
+    (shuffle on node id). Every round ``localCheckpoint``s its result:
+    persist alone caches DATA but the logical plan still chains every
+    prior round, so analysis cost (and driver heap) grows per round —
+    checkpointing truncates the lineage to a constant per-round plan,
     the standard Spark idiom for iterative graph algorithms.
     """
     F_ = F
@@ -668,20 +680,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (
         edges.select(F_.col("src").alias("id")).distinct()
         .withColumn("comp", F_.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    # convergence signal WITHOUT a join-back: labels only ever
-    # decrease (least of self and neighbor minima), so the label sum
-    # is strictly decreasing until the fixpoint -- one decimal
-    # aggregate per round both materializes the persisted round and
-    # detects convergence (the VERDICT-flagged join+count was a
-    # second full-join job every round).
-    def label_sum(df: DataFrame):
-        return df.agg(
-            F_.sum(F_.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    prev_sum = label_sum(labels)
+    # convergence signal WITHOUT a join-back: each round carries a
+    # per-node `_moved` flag (did a neighbor offer a smaller label?),
+    # and ONE count aggregate both materializes the persisted round
+    # and detects the fixpoint. Works for ANY orderable id type —
+    # string ids (URL hashes, UUIDs) included; the earlier
+    # sum(cast(comp AS DECIMAL)) signal crashed on non-numeric ids
+    # under ANSI mode and silently mis-converged with ANSI off.
+    moved = None
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -700,16 +708,24 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 F_.least(
                     labels["comp"], F_.coalesce(F_.col("ncomp"), labels["comp"])
                 ).alias("comp"),
+                (F_.col("ncomp") < labels["comp"]).alias("_moved"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_sum = label_sum(new)
-        labels.unpersist()
+        moved = new.agg(
+            F_.count(F_.when(F_.col("_moved"), 1)).alias("n")
+        ).collect()[0]["n"]
         labels = new
-        if new_sum == prev_sum:
+        if moved == 0:
             break  # no label moved: fixpoint
-        prev_sum = new_sum
     edges.unpersist()
+    if moved:
+        # silent non-convergence splits one duplicate cluster into
+        # several and keeps phantom survivors — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds (graph diameter exceeds max_iter — a chain of "
+            "transitive near-dups); raise max_iter")
     return labels.select(F_.col("id"), F_.col("comp"))
 
 

@@ -31,11 +31,26 @@ HEX = "0123456789abcdef"
 
 def pack_sequences(docs: DataFrame, token_col: str, budget: int,
                    shard_col: str | None = None,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   max_unsharded_rows: int | None = 1_000_000) -> DataFrame:
     """Assign each doc to a pack of ~``budget`` tokens within its
     shard (docs ordered by id — deterministic). Oversize docs
-    (tokens > budget) are flagged, not dropped."""
+    (tokens > budget) are flagged, not dropped.
+
+    ``shard_col=None`` runs ONE global cumulative-sum window — every
+    row through a single task. That is fine for a bounded frame and
+    fatal for a corpus, so the unsharded form is guarded by a bounded
+    ``limit(N+1).count()`` probe (``max_unsharded_rows``; ``None``
+    disables): shard first (:func:`shard_id` or a natural key) at
+    scale."""
     keys = [shard_col] if shard_col else []
+    if not keys and max_unsharded_rows is not None:
+        if docs.limit(max_unsharded_rows + 1).count() > max_unsharded_rows:
+            raise ValueError(
+                "pack_sequences without shard_col single-partitions "
+                f"the corpus through one window task (> "
+                f"{max_unsharded_rows} rows); pass shard_col or raise "
+                "max_unsharded_rows")
     w = (
         Window.partitionBy(*keys).orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -108,7 +123,11 @@ def stratified_sample(df: DataFrame, strata_col: str,
     pred = F.lit(False)
     covered = F.lit(False)
     for stratum, frac in fractions.items():
-        is_s = F.col(strata_col) == stratum
+        # null-safe membership: a NULL stratum must fall through to
+        # `default` (a plain == makes `covered` NULL and ~covered
+        # silently drops the row); a None key targets NULLs directly
+        is_s = (F.col(strata_col).isNull() if stratum is None
+                else F.col(strata_col).eqNullSafe(F.lit(stratum)))
         pred = F.when(is_s, hash_sample_pred(key_col, frac, seed)).otherwise(pred)
         covered = covered | is_s
     if default > 0:
@@ -132,7 +151,9 @@ def mixture_rates(counts: dict[str, int], budget: int,
         raise ValueError("budget and temperature must be positive")
     smoothed = {s: n ** (1.0 / temperature)
                 for s, n in counts.items() if n > 0}
-    z = sum(smoothed[s] for s in sorted(smoothed))
+    # None sorts first (a NULL source is a real stratum in web data)
+    z = sum(smoothed[s] for s in
+            sorted(smoothed, key=lambda k: (k is not None, k or "")))
     return {
         s: min(1.0, (smoothed[s] / z) * budget / counts[s])
         for s in smoothed
@@ -165,22 +186,30 @@ def mixture_sample(df: DataFrame, source_col: str, key_col: str,
 
 def shard_id(key: Column | str, n_shards: int = 16,
              seed: str = "sh") -> Column:
-    """Deterministic shard in [0, n_shards): md5 hex digits mapped via
-    index-in-alphabet (cross-engine; n_shards ≤ 256)."""
-    assert 1 <= n_shards <= 256
+    """Deterministic shard in [0, n_shards): FOUR md5 hex digits (65536
+    buckets) mapped via index-in-alphabet (cross-engine). Two digits
+    (256 buckets) skewed any n_shards not dividing 256 by up to ~50%
+    (e.g. 96 shards: 64 of them get 3/256 of keys, 32 get 2/256) —
+    with 65536 buckets the worst-case imbalance is < 0.4% at 256
+    shards, honoring write_training_shards' evenly-sized contract."""
+    assert 1 <= n_shards <= 65536
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat(F.lit(seed + "|"), c.cast("string")))
-    d1 = F.instr(F.lit(HEX), F.substring(h, 1, 1)) - 1
-    d2 = F.instr(F.lit(HEX), F.substring(h, 2, 1)) - 1
-    return ((d1 * 16 + d2) % n_shards).cast("int")
+    bucket = F.lit(0)
+    for i in range(1, 5):
+        d = F.instr(F.lit(HEX), F.substring(h, i, 1)) - 1
+        bucket = bucket * 16 + d
+    return (bucket % n_shards).cast("int")
 
 
 def duckdb_shard_sql(key_expr: str, n_shards: int = 16,
                      seed: str = "sh") -> str:
+    hexpr = f"md5('{seed}|' || ({key_expr})::VARCHAR)"
+    digit = (lambda i:
+             f"(strpos('{HEX}', substr({hexpr}, {i}, 1)) - 1)")
     return (
-        f"(((strpos('{HEX}', substr(md5('{seed}|' || ({key_expr})::VARCHAR), 1, 1)) - 1) * 16"
-        f" + strpos('{HEX}', substr(md5('{seed}|' || ({key_expr})::VARCHAR), 2, 1)) - 1)"
-        f" % {n_shards})::INT"
+        f"((({digit(1)} * 4096 + {digit(2)} * 256 + {digit(3)} * 16"
+        f" + {digit(4)})) % {n_shards})::INT"
     )
 
 
@@ -226,9 +255,14 @@ def chunk_documents(docs: DataFrame, chunk: int, overlap: int = 0,
                         F.expr(tokens_sql(text_col)).alias("_tk"))
             .withColumn("_n", F.size("_tk"))
             .filter(F.col("_n") > 0))
+    # last useful start: a window starting past (_n - chunk + stride)
+    # is a strict subset of its predecessor (the predecessor already
+    # reaches the end) — cap the start sequence there so overlap > 0
+    # never duplicates a fully-covered tail chunk
+    last_start = F.greatest(F.lit(1), F.col("_n") - F.lit(chunk - stride))
     ex = base.select(
         "id", "_tk",
-        F.explode(F.sequence(F.lit(1), F.col("_n"),
+        F.explode(F.sequence(F.lit(1), last_start,
                              F.lit(stride))).alias("start"))
     piece = F.slice("_tk", F.col("start"), chunk)
     return ex.select(
@@ -256,6 +290,7 @@ def duckdb_chunk_sql(table: str, chunk: int, overlap: int = 0,
              AS text_chunk
     FROM (SELECT {id_col}, {duckdb_tokens_sql(text_expr)} AS toks
           FROM {table}) t,
-         unnest(generate_series(1, len(toks), {stride})) AS u(s)
+         unnest(generate_series(
+           1, greatest(1, len(toks) - {chunk - stride}), {stride})) AS u(s)
     WHERE len(toks) > 0
     """

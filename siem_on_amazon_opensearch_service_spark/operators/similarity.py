@@ -82,7 +82,12 @@ def _metric_sim(v, c, metric: str):
     all native zip_with/aggregate folds, codegen."""
     if metric == "cosine":
         return cosine_col(v, c)
-    diff = F.zip_with(v, c, lambda a, b: a - b)
+    # element-wise math in DOUBLE (same posture as cosine_col): for
+    # array<float> inputs a float32 subtract/square can rank two
+    # near-tied centroids differently from a double-precision oracle,
+    # flipping a cell assignment
+    diff = F.zip_with(v, c,
+                      lambda a, b: a.cast("double") - b.cast("double"))
     if metric == "l2":
         return -F.aggregate(diff, F.lit(0.0),
                             lambda acc, x: acc + x * x)

@@ -25,8 +25,11 @@ def _py(docs, chunk, overlap):
     out = []
     for i, t in docs:
         ts = _tok(t)
+        # cap: a window starting past len - overlap is a strict subset
+        # of its predecessor (which already reaches the end)
+        last = max(1, len(ts) - overlap)
         s = 1
-        while s <= len(ts):
+        while s <= last and len(ts):
             piece = ts[s - 1:s - 1 + chunk]
             out.append((i, (s - 1) // stride, s, len(piece),
                         " ".join(piece)))
@@ -51,3 +54,18 @@ def test_bad_overlap_rejected(spark):
         chunk_documents(df, 4, 4)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, 4, -1)
+
+
+def test_no_chunk_is_contained_in_its_predecessor(spark):
+    # the round-4 fix: overlap > 0 used to emit a tail chunk fully
+    # covered by the previous window (duplicate training content)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = sorted(
+        (r["id"], r["start"], r["n_tokens"])
+        for r in chunk_documents(df, 4, 2).collect())
+    by_doc = {}
+    for i, start, n in rows:
+        by_doc.setdefault(i, []).append((start, start + n - 1))
+    for spans in by_doc.values():
+        for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+            assert e1 > e0, (spans, "contained tail chunk")

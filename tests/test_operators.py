@@ -353,3 +353,85 @@ def test_multimodal_frame_sampling(spark):
            np.array_split(pix.ravel().astype(np.float64), 8)]
     assert [round(float(x), 4) for x in r1["feature"]] == \
         [round(x, 4) for x in exp]
+
+
+def test_connected_components_string_ids(spark):
+    """Round-4 fix: the convergence signal must be type-generic — a
+    chain of string ids (URL hashes, UUIDs) crashed the decimal-sum
+    signal under ANSI and mis-converged with ANSI off."""
+    from siem_on_amazon_opensearch_service_spark.operators.dedup import (
+        connected_components)
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string")
+    comp = {r["id"]: r["comp"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a",
+                    "x": "x", "y": "x"}
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.dedup import (
+        connected_components)
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    with __import__("pytest").raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
+    # and enough rounds converges the same chain
+    comp = {r["id"]: r["comp"]
+            for r in connected_components(chain, max_iter=10).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_verify_jaccard_zero_union_pair(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.dedup import (
+        verify_candidates_jaccard)
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "x y")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    rows = verify_candidates_jaccard(docs, pairs).collect()
+    assert rows[0]["jaccard"] == 0.0  # no ANSI DIVIDE_BY_ZERO
+
+
+def test_stratified_sample_null_stratum_uses_default(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.packing import (
+        stratified_sample)
+
+    df = spark.createDataFrame(
+        [("en", "k1"), (None, "k2"), ("fr", "k3")],
+        "lang string, key string")
+    kept = {r["key"] for r in stratified_sample(
+        df, "lang", {"en": 1.0}, "key", default=1.0).collect()}
+    assert kept == {"k1", "k2", "k3"}  # NULL stratum kept via default
+    # and a None key in fractions targets the NULL stratum directly
+    kept2 = {r["key"] for r in stratified_sample(
+        df, "lang", {None: 1.0}, "key", default=0.0).collect()}
+    assert kept2 == {"k2"}
+
+
+def test_mixture_sample_null_source(spark):
+    from siem_on_amazon_opensearch_service_spark.operators.packing import (
+        mixture_sample)
+
+    df = spark.createDataFrame(
+        [(None if i % 3 == 0 else f"s{i % 2}", f"k{i}")
+         for i in range(60)], "src string, key string")
+    out = mixture_sample(df, "src", "key", budget=60)  # keep-all rates
+    assert out.count() == 60  # no TypeError on the None stratum
+
+
+def test_shard_id_balance_non_power_of_16(spark):
+    """96 shards on 256 hash buckets skewed 3/256 vs 2/256 (~50%);
+    with 65536 buckets the spread must be tight."""
+    from siem_on_amazon_opensearch_service_spark.operators.packing import (
+        shard_id)
+
+    df = spark.range(0, 20000).selectExpr("CAST(id AS STRING) AS k")
+    sizes = [r["n"] for r in df.select(shard_id("k", 96).alias("s"))
+             .groupBy("s").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 96
+    avg = sum(sizes) / len(sizes)
+    assert max(sizes) < 1.5 * avg and min(sizes) > 0.6 * avg
