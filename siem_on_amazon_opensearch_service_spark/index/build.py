@@ -63,6 +63,29 @@ POSTINGS_SCHEMA = (
 )
 
 
+def clear_stale_sidecars(path: str) -> None:
+    """A fresh index write IS a fresh index: remove sidecar state a
+    PREVIOUS index left at this path — the tombstone set (its doc ids
+    name OLD documents and would silently mask arbitrary docs of the
+    new index; found live: re-saving over a deleted-from path made
+    delete_by_query a no-op and masked wrong docs) and the edge-ngram
+    prefix vocabulary (stale dictionary would route multi-term
+    rewrites through the wrong vocabulary). Called by every full-index
+    writer: ``PostingsIndex.save`` and ``checkpoint.merge_from_decoded``
+    (out-of-place compaction / checkpoint merge). Iceberg analog:
+    replacing the table drops its delete files."""
+    import os
+    import shutil
+
+    for sub in ("tombstones", "prefix_vocab"):
+        d = os.path.join(path, sub)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    pmeta = os.path.join(path, "prefix_meta.json")
+    if os.path.isfile(pmeta):
+        os.remove(pmeta)
+
+
 @dataclass
 class PostingsIndex:
     """Handles to the built index tables (DataFrames or loaded paths)."""
@@ -91,18 +114,7 @@ class PostingsIndex:
         spark.createDataFrame(
             [(self.n_docs, self.avgdl)], "n_docs long, avgdl double"
         ).write.mode("overwrite").parquet(f"{path}/stats")
-        # A fresh save IS a fresh index: a tombstone set left at this
-        # path by a previous index names OLD doc ids and would silently
-        # delete unrelated docs from the new one (found live: re-saving
-        # over a deleted-from path made delete_by_query a no-op and
-        # masked wrong docs). Iceberg analog: replacing the table drops
-        # its delete files.
-        import os
-        import shutil
-
-        tomb = os.path.join(path, "tombstones")
-        if os.path.isdir(tomb):
-            shutil.rmtree(tomb)
+        clear_stale_sidecars(path)
 
     def save_bucketed(self, spark: SparkSession, table: str,
                       buckets: int = 32) -> None:

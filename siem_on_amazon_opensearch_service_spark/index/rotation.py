@@ -72,6 +72,15 @@ def build_rotated(
         indexer.process_batch(
             tagged.filter(F.col("_period") == p).drop("_period"), i
         )
+        # stamp the label INTO the batch dir: a rebuild over an
+        # existing rotated path with a SHIFTED label set (new earlier
+        # period, crash mid-loop) would otherwise leave periods.json
+        # mapping ordinals to dirs that now hold a different period's
+        # documents — load_rotated verifies the stamp and fails loudly
+        # on the torn state instead of silently returning wrong docs.
+        with open(os.path.join(path, f"delta/batch={i}", "period.json"),
+                  "w") as f:
+            json.dump({"label": p, "period": period}, f)
     os.makedirs(path, exist_ok=True)
     with open(_manifest_path(path), "w") as f:
         json.dump({"period": period, "labels": periods}, f, indent=1)
@@ -114,6 +123,17 @@ def load_rotated(
     the date comparison). Only those periods' directories are touched.
     """
     chosen = choose_periods(path, start, end)
+    for i, label in chosen:
+        stamp = os.path.join(path, f"delta/batch={i}", "period.json")
+        if os.path.exists(stamp):
+            with open(stamp) as f:
+                actual = json.load(f).get("label")
+            if actual != label:
+                raise RuntimeError(
+                    f"rotated store {path} is torn: manifest maps "
+                    f"batch {i} to period {label!r} but the dir holds "
+                    f"{actual!r} (interrupted rebuild with a shifted "
+                    "label set) — rebuild the rotated store")
     post_dirs = [f"{path}/delta/batch={i}/postings" for i, _ in chosen]
     doc_dirs = [f"{path}/delta/batch={i}/docs" for i, _ in chosen]
     stat_dirs = [f"{path}/delta/batch={i}/stats" for i, _ in chosen]

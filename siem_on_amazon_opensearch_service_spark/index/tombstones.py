@@ -111,6 +111,44 @@ def live_topk(ix: PostingsIndex, spark: SparkSession, path: str, query: str,
     )
 
 
+def upsert_docs(spark: SparkSession, path: str, new_docs: DataFrame,
+                salt_threshold: int = 100_000) -> dict:
+    """Update-by-url on an incremental store (the reference's
+    deterministic-MD5-id upsert, siem/__init__.py:683-706): tombstone
+    every EXISTING doc whose url appears in ``new_docs``, then index
+    the new versions as the next delta batch. Readers compose through
+    the same mask as always (:func:`live_topk` /
+    ``load_tombstones`` anti-join); :func:`compact` later drops the
+    masked versions physically.
+
+    ``path`` is a ``streaming.IncrementalIndexer`` root (the append
+    path the module docstring names). Returns ``{"tombstoned": n,
+    "batch_id": b, "n_new": m}``. The old-id lookup is one join
+    against the live docs table — never a collect of the corpus."""
+    import glob
+
+    from ..streaming.incremental import IncrementalIndexer, load_incremental
+
+    ix = load_incremental(spark, path)
+    old_ids = (
+        ix.docs.join(
+            new_docs.select(F.col("url")).distinct(), "url")
+        .select("doc_id")
+    )
+    store = _store(path)
+    store.append(old_ids, TOMBSTONE_TABLE)
+    n_old = old_ids.count()
+    used = [
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in glob.glob(os.path.join(path, "delta", "batch=*"))
+    ]
+    batch_id = (max(used) + 1) if used else 0
+    IncrementalIndexer(path, salt_threshold).process_batch(
+        new_docs, batch_id)
+    return {"tombstoned": int(n_old), "batch_id": batch_id,
+            "n_new": new_docs.count()}
+
+
 def compact(spark: SparkSession, path: str, out_path: str,
             salt_threshold: int = 100_000) -> PostingsIndex:
     """Physically remove tombstoned docs (the segment-merge analog):
@@ -158,12 +196,17 @@ def compact(spark: SparkSession, path: str, out_path: str,
 
     import shutil
 
-    for sub in ("postings", "docs", "term_stats", "stats"):
-        src, dst = os.path.join(work_dir, sub), os.path.join(path, sub)
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        shutil.move(src, dst)
-    shutil.rmtree(work_dir, ignore_errors=True)
-    if os.path.isdir(_tomb_dir(path)):
-        shutil.rmtree(_tomb_dir(path))  # fully consumed by the swap
+    # Swap by WHOLE-DIRECTORY rename, not per-subdir moves: four
+    # interleaved rmtree+move steps left a crash window where new
+    # postings paired with old stats (wrong idf/avgdl for every
+    # subsequent load) or a subdir was missing entirely. Two renames
+    # shrink the window to between them — and a crash there leaves
+    # the old index intact under `.old.<pid>` for manual recovery,
+    # never a half-swapped hybrid. The tombstone set (and any stale
+    # prefix sidecars) die with the old directory: the compacted
+    # output was born without the masked docs.
+    old_dir = f"{path}.old.{os.getpid()}"
+    os.rename(path, old_dir)
+    os.rename(work_dir, path)
+    shutil.rmtree(old_dir, ignore_errors=True)
     return PostingsIndex.load(spark, path)

@@ -106,6 +106,32 @@ def partition_fingerprints(tagged: DataFrame, num_parts: int) -> dict[int, str]:
     return fps
 
 
+def write_delta(base: DataFrame, delta_dir: str) -> None:
+    """Write one delta's postings + docs from a shared tokenized frame
+    ``base = (doc_id, url, _toks)``. The frame persists across the two
+    writes — docs and postings both derive from ONE tokenize scan (the
+    same single-scan discipline as build_index; previously each write
+    re-ran tokenization and id assignment). Shared by the checkpointed
+    builder and the streaming indexer so the delta layout cannot
+    drift between them."""
+    base = base.persist()
+    try:
+        docs = base.select("doc_id", "url",
+                           F.size("_toks").alias("doclen"))
+        tf = (
+            base.select("doc_id", F.size("_toks").alias("doclen"),
+                        F.explode("_toks").alias("term"))
+            .groupBy("doc_id", "doclen", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("salt", F.lit(0))
+        )
+        postings = encode_postings_df(tf)
+        postings.write.mode("overwrite").parquet(f"{delta_dir}/postings")
+        docs.write.mode("overwrite").parquet(f"{delta_dir}/docs")
+    finally:
+        base.unpersist()
+
+
 def _build_partition(spark: SparkSession, part: DataFrame, p: int,
                      path: str) -> dict:
     """Build one partition's delta; returns its manifest entry."""
@@ -130,17 +156,7 @@ def _build_partition(spark: SparkSession, part: DataFrame, p: int,
     base = with_ids.select(
         "doc_id", "url", tokens_col("text").alias("_toks")
     )
-    docs = base.select("doc_id", "url", F.size("_toks").alias("doclen"))
-    tf = (
-        base.select("doc_id", F.size("_toks").alias("doclen"),
-                    F.explode("_toks").alias("term"))
-        .groupBy("doc_id", "doclen", "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("salt", F.lit(0))
-    )
-    postings = encode_postings_df(tf)
-    postings.write.mode("overwrite").parquet(f"{delta_dir}/postings")
-    docs.write.mode("overwrite").parquet(f"{delta_dir}/docs")
+    write_delta(base, delta_dir)
     # both consumers of the ids are on disk now: release the pinned
     # range-partitioned cache (one block per partition otherwise
     # accumulates for the life of the application).
@@ -201,6 +217,16 @@ def checkpointed_build(
             f"requested {num_parts}. Resume with the original value or "
             f"start a fresh checkpoint path."
         )
+    # persist the partitioning parameters BEFORE dispatching any
+    # build: a run that crashes mid-way must leave a manifest whose
+    # num_parts still arms the resume guard above and merge()'s
+    # stale-partition filter — written only at the end, an interrupted
+    # num_parts=8 run resumed at num_parts=4 would merge mod-8 deltas
+    # alongside rebuilt mod-4 deltas and duplicate documents.
+    manifest["num_parts"] = num_parts
+    manifest["salt_threshold"] = salt_threshold
+    _write_manifest(path, manifest)
+
     part_col = F.pmod(F.xxhash64("url"), F.lit(num_parts)).cast("int")
     tagged = pages.withColumn("_part", part_col)
     fps = partition_fingerprints(tagged, num_parts)  # ONE source pass
@@ -307,6 +333,12 @@ def merge_from_decoded(spark: SparkSession, decoded: DataFrame,
     spark.createDataFrame(
         [(n_docs, avgdl)], "n_docs long, avgdl double"
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    # out_dir may have hosted a DIFFERENT index before (out-of-place
+    # compact target, re-used merge dir): its tombstones / prefix
+    # vocabulary name old doc ids and must not survive into this one
+    from ..index.build import clear_stale_sidecars
+
+    clear_stale_sidecars(out_dir)
     return PostingsIndex.load(spark, out_dir)
 
 

@@ -70,17 +70,9 @@ class IncrementalIndexer:
         base = with_ids.select(
             "doc_id", "url", tokens_col("text").alias("_toks")
         )
-        docs = base.select("doc_id", "url", F.size("_toks").alias("doclen"))
-        tf = (
-            base.select("doc_id", F.size("_toks").alias("doclen"),
-                        F.explode("_toks").alias("term"))
-            .groupBy("doc_id", "doclen", "term")
-            .agg(F.count("*").alias("tf"))
-            .withColumn("salt", F.lit(0))
-        )
-        postings = encode_postings_df(tf)
-        postings.write.mode("overwrite").parquet(f"{delta}/postings")
-        docs.write.mode("overwrite").parquet(f"{delta}/docs")
+        from ..plans.checkpoint import write_delta
+
+        write_delta(base, delta)
         # delta is durable; drop the per-batch pinned id cache so
         # long-running streams don't accumulate one block per batch.
         release_doc_ids(assigned)
@@ -98,9 +90,13 @@ class IncrementalIndexer:
         the shared delta-merge path (plans.checkpoint)."""
         from ..plans.checkpoint import merge_decoded_deltas
 
-        deltas = spark.read.parquet(f"{self.path}/delta/batch=*/postings")
-        docs = spark.read.parquet(f"{self.path}/delta/batch=*/docs")
-        stats = spark.read.parquet(f"{self.path}/delta/batch=*/stats").agg(
+        bdirs = complete_batch_dirs(self.path)
+        if not bdirs:
+            raise FileNotFoundError(
+                f"no complete delta batches under {self.path}")
+        deltas = spark.read.parquet(*[f"{d}/postings" for d in bdirs])
+        docs = spark.read.parquet(*[f"{d}/docs" for d in bdirs])
+        stats = spark.read.parquet(*[f"{d}/stats" for d in bdirs]).agg(
             F.sum("n_docs").alias("n"), F.sum("total_dl").alias("dl")
         ).collect()[0]
         n_docs, total_dl = int(stats["n"] or 0), int(stats["dl"] or 0)
@@ -110,13 +106,32 @@ class IncrementalIndexer:
         )
 
 
+def complete_batch_dirs(path: str) -> list[str]:
+    """Delta batches whose write COMPLETED: the per-batch stats dir is
+    written last in process_batch, so its presence is the completeness
+    marker. A batch interrupted between the docs and stats writes
+    would otherwise contribute scoring documents that are excluded
+    from n_docs/total_dl — silently wrong BM25 that compact() would
+    bake in permanently. Incomplete batches are skipped here; the
+    stream's re-delivery of the same batch id overwrites the torn dir
+    and heals it."""
+    import glob
+
+    dirs = sorted(glob.glob(os.path.join(path, "delta", "batch=*")))
+    return [d for d in dirs if os.path.isdir(os.path.join(d, "stats"))]
+
+
 def load_incremental(spark: SparkSession, path: str) -> PostingsIndex:
     """Open the live (uncompacted) view: base deltas unioned, stats
     recombined exactly. df/max_tf per term recomputed from block
-    metadata only (no posting decode)."""
-    postings = spark.read.parquet(f"{path}/delta/batch=*/postings")
-    docs = spark.read.parquet(f"{path}/delta/batch=*/docs")
-    stats = spark.read.parquet(f"{path}/delta/batch=*/stats").agg(
+    metadata only (no posting decode). Only COMPLETE batches (see
+    :func:`complete_batch_dirs`) participate."""
+    bdirs = complete_batch_dirs(path)
+    if not bdirs:
+        raise FileNotFoundError(f"no complete delta batches under {path}")
+    postings = spark.read.parquet(*[f"{d}/postings" for d in bdirs])
+    docs = spark.read.parquet(*[f"{d}/docs" for d in bdirs])
+    stats = spark.read.parquet(*[f"{d}/stats" for d in bdirs]).agg(
         F.sum("n_docs").alias("n"), F.sum("total_dl").alias("dl")
     ).collect()[0]
     n_docs, total_dl = int(stats["n"] or 0), int(stats["dl"] or 0)
