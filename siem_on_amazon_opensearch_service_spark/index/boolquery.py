@@ -67,7 +67,22 @@ def bool_topk(ix: PostingsIndex, must: list[str] | str = (),
     empty = spark.createDataFrame([], "doc_id long, score double")
     scoring = list(dict.fromkeys(must_t + should_t))
     if not scoring:
-        return empty
+        if not not_t:
+            return empty
+        # pure-negative bool: match_all minus the exclusions (the
+        # OpenSearch behavior, and this repo's own query_string Group
+        # semantics) at filter-context score 0.0 — NOT an empty page
+        excluded = (
+            decode_blocks(ix.postings.filter(F.col("term").isin(not_t)))
+            .select("doc_id").distinct()
+        )
+        return (
+            ix.docs.select("doc_id")
+            .join(excluded, "doc_id", "left_anti")
+            .withColumn("score", F.lit(0.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
 
     scored = _decoded_scored(ix, scoring)
     if boosts:

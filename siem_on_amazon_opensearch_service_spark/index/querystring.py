@@ -226,7 +226,7 @@ _TOKEN_RE = re.compile(
         (?P<lpar>\()
       | (?P<rpar>\))
       | "(?P<phrase>[^"]*)"(?P<pslop>~\d+)?(?P<pboost>\^\d+(?:\.\d+)?)?
-      | (?P<word>(?:\\.|[^\s"()\[\]{}])*(?:\[[^\]]*\]|\{[^}]*\})?
+      | (?P<word>(?:\\.|[^\s"()\[\]{}])*(?:[\[{][^\]}]*[\]}])?
                  (?:\\.|[^\s"()])*)
     )
     """,
@@ -362,19 +362,33 @@ def parse_query_string(q: str, default_operator: str = "OR") -> Group:
                 continue
 
             # --- word ---
-            up = text.upper()
-            if up in ("OR", "||"):
+            # operators are CASE-SENSITIVE (Lucene classic parser):
+            # lowercase and/or/not are ordinary search terms — 'not
+            # guilty' must match the tokens, not negate 'guilty'
+            if text in ("OR", "||"):
                 # Lucene classic-parser semantics: an explicit OR only
                 # changes anything under default_operator=AND, where it
                 # demotes the adjacent required (non-prohibited) items.
                 if default_occ == "must":
                     apply_or()
                 continue
-            if up in ("AND", "&&"):
+            if text in ("AND", "&&"):
                 apply_and()
                 continue
-            if up in ("NOT", "!"):
+            if text in ("NOT", "!"):
                 pending_occur = "must_not"
+                continue
+
+            # dangling boost token: the tokenizer splits '(a b)^2'
+            # into ..., ')', '^2' — fold the boost into the clause
+            # just closed (usually that Group) instead of tokenizing
+            # a spurious scoring term '2'
+            gb = re.match(r"^\^(\d+(?:\.\d+)?)$", text)
+            if gb:
+                if g.clauses:
+                    _occ_prev, prev = g.clauses[-1]
+                    if hasattr(prev, "boost"):
+                        prev.boost = prev.boost * float(gb.group(1))
                 continue
 
             if text.startswith("+"):
@@ -857,6 +871,9 @@ class _Compiler:
                 F.exists(arr, lambda e: element_pred(inner, leaf.field,
                                                      e)),
                 F.lit(False))
+        if leaf.field == "*" and leaf.op == "exists":
+            # the canonical Lucene match-all spelling `*:*`
+            return F.lit(True)
         root, _, sub = leaf.field.partition(".")
         if root in self.flat_cols:
             if leaf.op not in ("exact", "wildcard", "in", "range",
@@ -1094,9 +1111,24 @@ class _Compiler:
                 combined = F.aggregate(
                     app, F.lit(0.0), lambda a, x: a + x)
             elif sm == "avg":
+                # upstream documents score_mode=avg as the WEIGHTED
+                # average: sum(w_i * v_i) / sum(w_i) — the function
+                # values already carry their weight factor, so divide
+                # by the applicable functions' weight sum, not by n
+                wts = F.array(*[
+                    F.when(
+                        self.matched(fn["filter"])
+                        if fn.get("filter") is not None else F.lit(True),
+                        F.lit(float(fn.get("weight", 1.0))),
+                    )
+                    for fn in node.functions
+                ])
+                wsum = F.aggregate(
+                    F.filter(wts, lambda x: x.isNotNull()),
+                    F.lit(0.0), lambda a, x: a + x)
                 combined = F.aggregate(
                     app, F.lit(0.0), lambda a, x: a + x
-                ) / n.cast("double")
+                ) / wsum
             elif sm == "max":
                 combined = F.array_max(app)
             elif sm == "min":
@@ -1500,17 +1532,45 @@ class _TokensCompiler(_Compiler):
             if not words:
                 return F.lit(False)
             n = len(words)
-            # exists i in [0, size-n]: t[i+j] == w_j for all j
-            # (element_at is 1-based)
-            return F.exists(
-                F.sequence(F.lit(1),
-                           F.greatest(F.size(t) - n + 1, F.lit(0))),
-                lambda i: reduce(
-                    Column.__and__,
-                    [F.element_at(t, i + j) == words[j]
-                     for j in range(n)],
-                ),
-            )
+            slop = leaf.slop or 0
+            # short docs return False BEFORE the start sequence is
+            # built: sequence(1, 0) is DESCENDING in Spark ([1, 0])
+            # and element_at(t, 0) throws — when() gates per row
+            if slop == 0:
+                # exists i in [1, size-n+1]: t[i+j] == w_j for all j
+                # (element_at is 1-based)
+                body = F.exists(
+                    F.sequence(F.lit(1), F.size(t) - n + 1),
+                    lambda i: reduce(
+                        Column.__and__,
+                        [F.element_at(t, i + j) == words[j]
+                         for j in range(n)],
+                    ),
+                )
+            else:
+                # sloppy phrase, SAME contract as the positional
+                # path (positional.py proximity_scores): an ordered
+                # occurrence with total gap (p_last - p_first) -
+                # (n-1) <= slop, i.e. an ordered subsequence inside
+                # some n+slop-token window. Greedy leftmost matching
+                # inside the window is complete for subsequence
+                # existence — one aggregate fold per start.
+                warr = F.array(*[F.lit(w) for w in words])
+                win = n + slop
+
+                def _win_ok(i):
+                    return F.aggregate(
+                        F.slice(t, i, win), F.lit(0),
+                        lambda acc, x: F.when(
+                            (acc < n)
+                            & (x == F.element_at(warr, acc + 1)),
+                            acc + 1,
+                        ).otherwise(acc),
+                    ) == n
+
+                body = F.exists(
+                    F.sequence(F.lit(1), F.size(t) - n + 1), _win_ok)
+            return F.when(F.size(t) >= n, body).otherwise(F.lit(False))
         raise ValueError(
             f"percolator rules don't support {leaf.kind!r} clauses")
 
@@ -1561,6 +1621,10 @@ def query_string_topk(
     tree = parse_query_string(q, default_operator=default_operator)
     scored = tree_scores(ix, tree, positional_ix=positional_ix)
     if scored is None:
-        spark = ix.postings.sparkSession
-        return spark.createDataFrame([], "doc_id long, score double")
+        # nothing parsed ('*', '', pure wildcards): match_all with
+        # constant score 1.0 — the Kibana default query; the body
+        # dispatcher maps the same tree to match_all, and the two
+        # surfaces must agree
+        return (ix.docs.select("doc_id", F.lit(1.0).alias("score"))
+                .orderBy(F.asc("doc_id")).limit(k))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

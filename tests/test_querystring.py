@@ -521,3 +521,84 @@ def test_combined_query(ix):
         for r in bm25_topk(ix, "w00003", k=400).collect()
     }
     assert not ({r["doc_id"] for r in res} & excluded)
+
+
+class TestRound4ReviewFixes:
+    """Classic-parser conformance pins from the round-4 review."""
+
+    def test_lowercase_operators_are_terms(self, spark, ix):
+        # Lucene classic parser: only UPPERCASE AND/OR/NOT operate
+        from siem_on_amazon_opensearch_service_spark.index.querystring import (
+            parse_query_string)
+
+        g = parse_query_string("not guilty")
+        kinds = [(occ, leaf.text) for occ, leaf in g.clauses]
+        assert kinds == [("should", "not"), ("should", "guilty")]
+        g2 = parse_query_string("NOT guilty")
+        assert g2.clauses[0][0] == "must_not"
+
+    def test_star_colon_star_is_match_all(self, spark, ix):
+        from siem_on_amazon_opensearch_service_spark.index.querystring import (
+            query_string_topk)
+
+        n = ix.docs.count()
+        got = query_string_topk(ix, "*:*", k=n + 5)
+        assert got.count() == n
+
+    def test_bare_star_is_match_all(self, spark, ix):
+        from siem_on_amazon_opensearch_service_spark.index.querystring import (
+            query_string_topk)
+
+        n = ix.docs.count()
+        assert query_string_topk(ix, "*", k=n + 5).count() == n
+
+    def test_mixed_bound_range_parses(self, spark):
+        from siem_on_amazon_opensearch_service_spark.index.querystring import (
+            parse_query_string)
+
+        (occ, leaf), = parse_query_string("price:[10 TO 20}").clauses
+        assert (leaf.op, leaf.lo, leaf.hi, leaf.lo_incl, leaf.hi_incl) == \
+            ("range", "10", "20", True, False)
+
+    def test_group_boost_applies_not_tokenizes(self, spark):
+        from siem_on_amazon_opensearch_service_spark.index.querystring import (
+            parse_query_string)
+
+        g = parse_query_string("(error warning)^2")
+        (_occ, grp), = g.clauses
+        assert grp.boost == 2.0
+        # no spurious '2' term anywhere
+        texts = [getattr(c, "text", None) for _o, c in grp.clauses]
+        assert "2" not in texts
+
+    def test_percolator_phrase_short_doc_and_slop(self, spark):
+        from siem_on_amazon_opensearch_service_spark.index.querystring import (
+            parse_query_string, tokens_tree_predicate)
+
+        docs = spark.createDataFrame(
+            [(0, ["failed"]),                       # shorter than phrase
+             (1, ["failed", "login"]),              # exact
+             (2, ["failed", "user", "login"]),      # slop 1
+             (3, ["login", "failed"])],             # out of order
+            "doc_id long, toks array<string>")
+        exact = tokens_tree_predicate(
+            parse_query_string('"failed login"'), F.col("toks"))
+        slop2 = tokens_tree_predicate(
+            parse_query_string('"failed login"~2'), F.col("toks"))
+        rows = docs.select("doc_id", exact.alias("e"),
+                           slop2.alias("s")).collect()
+        got = {r["doc_id"]: (r["e"], r["s"]) for r in rows}
+        assert got[0] == (False, False)   # no crash on the short doc
+        assert got[1] == (True, True)
+        assert got[2] == (False, True)    # one-gap match under slop
+        assert got[3] == (False, False)   # order still required
+
+    def test_pure_negative_bool_is_match_all_minus(self, spark, ix):
+        from siem_on_amazon_opensearch_service_spark.index.boolquery import (
+            bool_topk)
+
+        n = ix.docs.count()
+        out = bool_topk(ix, must_not=["w00001"], k=n + 5)
+        rows = out.collect()
+        assert 0 < len(rows) < n          # something excluded
+        assert all(r["score"] == 0.0 for r in rows)
