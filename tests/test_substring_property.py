@@ -100,9 +100,12 @@ def test_chunk_invariants(spark, docs_tokens, chunk, overlap):
         if not ts:
             assert not got
             continue
-        # starts advance by exactly stride from 1, covering every token
-        assert [r["start"] for r in got] == list(
-            range(1, len(ts) + 1, stride))
+        # starts advance by stride from 1, capped at max(1, n-overlap):
+        # a window starting later is a strict subset of its
+        # predecessor (the round-4 contained-tail fix)
+        last = max(1, len(ts) - overlap)
+        assert [r["start"] for r in got] == [
+            s for s in range(1, len(ts) + 1, stride) if s <= last]
         seen = []
         for r in got:
             piece = ts[r["start"] - 1:r["start"] - 1 + chunk]
