@@ -29,7 +29,11 @@ EPOCH_MS = 1_000_000_000_000
 
 def epoch_auto_ts(col: str | Column) -> Column:
     """Epoch number of unknown unit -> timestamp (UTC)."""
-    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    # try_cast: a non-numeric epoch field ('-', '', garbage) must
+    # yield NULL, not an ANSI CAST_INVALID_INPUT that kills the job —
+    # the reference's log-and-drop contract for malformed input
+    raw = F.col(col) if isinstance(col, str) else col
+    c = raw.cast("string").try_cast("double")
     secs = (
         F.when(c >= EPOCH_US, c / 1e6)
         .when(c >= EPOCH_MS, c / 1e3)
@@ -63,8 +67,11 @@ def syslog_ts(col: str | Column, now_utc: str) -> Column:
     year = F.date_format(now, "yyyy")
     # normalize the syslog double-space day padding ('Jan  3') first.
     norm = F.regexp_replace(c, r"\s+", " ")
-    parsed = F.to_timestamp(
-        F.concat(year, F.lit(" "), norm), "yyyy MMM d HH:mm:ss"
+    # try_to_timestamp: garbage lines — and well-formed 'Feb 29'
+    # lines whenever the inferred year is not a leap year — must
+    # parse to NULL, never throw under ANSI
+    parsed = F.try_to_timestamp(
+        F.concat(year, F.lit(" "), norm), F.lit("yyyy MMM d HH:mm:ss")
     )
     return F.when(parsed > now, parsed - F.expr("INTERVAL 1 YEAR")).otherwise(
         parsed
@@ -146,7 +153,12 @@ def url_fields(col: str | Column) -> dict[str, Column]:
     def grp(i: int) -> Column:
         return F.regexp_extract(c, _URL_RE, i)
 
-    path = F.url_decode(F.url_decode(grp(4)))
+    # try_url_decode at BOTH levels: a singly-encoded '%25' or a
+    # stray '%' in attack-traffic request lines must not throw; the
+    # outer coalesce keeps the once-decoded (or raw) path instead of
+    # nulling the whole row's fields
+    once = F.coalesce(F.try_url_decode(grp(4)), grp(4))
+    path = F.coalesce(F.try_url_decode(once), once)
     ext = F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1)
     return {
         "scheme": grp(1),
@@ -203,11 +215,13 @@ def ipv4_to_long(col: str | Column) -> Column:
     used by the range-join dimension tables, ref ioc.py:167-230)."""
     c = F.col(col) if isinstance(col, str) else col
     p = F.split(c, r"\.")
+    # try_cast: a hostname / empty string / malformed token in an
+    # ip-typed source column yields NULL, not an ANSI cast error
     return (
-        F.element_at(p, 1).cast("long") * 16777216
-        + F.element_at(p, 2).cast("long") * 65536
-        + F.element_at(p, 3).cast("long") * 256
-        + F.element_at(p, 4).cast("long")
+        F.element_at(p, 1).try_cast("long") * 16777216
+        + F.element_at(p, 2).try_cast("long") * 65536
+        + F.element_at(p, 3).try_cast("long") * 256
+        + F.element_at(p, 4).try_cast("long")
     )
 
 
@@ -444,11 +458,15 @@ def xff_client_ip_ranged(df, id_col: str, source_col: str, xff_col: str,
     """
     from pyspark.sql import functions as _F
 
+    # coalesce the XFF side to '': a NULL header would null the
+    # whole concat, emit ZERO candidate rows for the id, and lose the
+    # source ip (most events have no X-Forwarded-For at all)
     cand = _F.concat(
         _F.array(_F.col(source_col)),
         _F.reverse(
-            _F.transform(_F.split(_F.col(xff_col), ","),
-                         lambda s: _F.trim(s))
+            _F.transform(
+                _F.split(_F.coalesce(_F.col(xff_col), _F.lit("")), ","),
+                lambda s: _F.trim(s))
         ),
     )
     exploded = df.select(
@@ -498,7 +516,10 @@ def protocol_name(col: str | Column) -> Column:
     m = F.create_map(
         *[F.lit(x) for kv in PROTOCOLS.items() for x in kv]
     )
-    return F.coalesce(m[c.cast("int")], c.cast("string"))
+    # try_cast: VPC Flow Logs emit '-' for NODATA/SKIPDATA records —
+    # fall through to the string form instead of an ANSI cast error
+    return F.coalesce(m[c.cast("string").try_cast("int")],
+                      c.cast("string"))
 
 
 def duckdb_protocol_sql(expr: str) -> str:
@@ -660,7 +681,10 @@ def regroup_underscored(df, sep: str = "_"):
 
 def http_outcome(status_col: str | Column) -> Column:
     """HTTP status -> ECS event.outcome (ref sf_apache_access.py:61-71)."""
-    c = (F.col(status_col) if isinstance(status_col, str) else status_col).cast("int")
+    raw = F.col(status_col) if isinstance(status_col, str) else status_col
+    # try_cast: access logs use '-' for aborted requests — that's the
+    # 'unknown' arm, which an ANSI cast error would make unreachable
+    c = raw.cast("string").try_cast("int")
     return (
         F.when(c < 400, "success")
         .when(c >= 400, "failure")

@@ -29,7 +29,11 @@ def assemble_records(df: DataFrame, line_col: str, file_col: str,
     )
     marked = df.withColumn(
         "_rec_id",
-        F.sum(F.when(F.col(line_col).rlike(first_re), 1).otherwise(0)).over(w),
+        # anchored like the reference's re.match: rlike alone is a
+        # SUBSTRING search, so a continuation line merely containing
+        # the delimiter pattern mid-line would start a new record
+        F.sum(F.when(F.col(line_col).rlike(f"^(?:{first_re})"), 1)
+              .otherwise(0)).over(w),
     )
     return (
         marked.groupBy(file_col, "_rec_id")
