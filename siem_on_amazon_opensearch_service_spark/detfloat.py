@@ -90,6 +90,33 @@ def avg_round_sql(expr: str, n: str = "count(*)", digits: int = 4) -> str:
     return ratio_round_sql(f"CAST({sum_dec_sql(expr)} AS DOUBLE)", n, digits)
 
 
+def round_det_sql(expr: str, digits: int = 4) -> str:
+    """``round(x, digits)`` for a DOUBLE expression, made
+    engine-deterministic: ``floor(x * 10^d + 0.5) / 10^d`` evaluated
+    in IEEE doubles.  Both engines run the identical op sequence on
+    the identical double, so the result is bitwise identical — where
+    a native ``round(double)`` diverges on representation ties
+    (Spark: shortest-decimal-repr HALF_UP via BigDecimal; DuckDB:
+    scale-and-nearbyint, with tie behavior that has shifted across
+    DuckDB releases).  Driver-gate root cause: ``agg_terms_topn``
+    failed the r03/r04 value hash while bitwise-green on local DuckDB
+    1.0.0 — the only mechanism left was version-dependent ``round``
+    ties, which this form removes entirely.
+
+    Semantics: half-toward-+inf (not half-away-from-zero) for
+    negative inputs — identically in both dialects, which is all the
+    gate needs.  Finite inputs only (floor(NaN) is 0-as-long in
+    Spark but NaN in DuckDB); every gated score is finite by
+    construction.  Do NOT use on DECIMAL inputs — decimal→double
+    conversion is not guaranteed correctly rounded in DuckDB; native
+    ``round`` on DECIMAL is already exact and deterministic.
+    """
+    return (
+        f"(floor(CAST(({expr}) AS DOUBLE) * 1e{digits} + 5e-1)"
+        f" / 1e{digits})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark Column wrappers (same semantics, for DataFrame-side call sites)
 # ---------------------------------------------------------------------------
@@ -125,3 +152,12 @@ def avg_round(col: str | Column, n: Column | None = None,
     """Deterministic ``round(avg(x), digits)`` for a double column."""
     den = F.count("*") if n is None else n
     return ratio_round(sum_dec(col).cast("double"), den, digits)
+
+
+def round_det(col: str | Column, digits: int = 4) -> Column:
+    """Column twin of :func:`round_det_sql` — the same
+    floor(x*10^d + 0.5)/10^d IEEE sequence (Spark ``floor(double)``
+    yields LONG; the final divide restores double, bit-identical to
+    DuckDB's double/double).  Finite DOUBLE inputs only."""
+    p = float(10 ** digits)
+    return F.floor(_c(col).cast("double") * F.lit(p) + F.lit(0.5)) / F.lit(p)

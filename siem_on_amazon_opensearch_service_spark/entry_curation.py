@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from .analysis import duckdb_tokens_sql
 from .entry_queries import _t, register
+from .detfloat import round_det_sql
 from .operators import dedup, multimodal, packing, scrub, similarity, textstats
 
 # ---------------------------------------------------------------------------
@@ -84,15 +85,15 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 'all_pairs_top20' AS mode, id_a, id_b, jaccard FROM (
       SELECT a.id AS id_a, b.id AS id_b,
-             round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+             {round_det_sql('''len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh)))''', 4)}
                AS jaccard
       FROM s2 a JOIN s2 b ON a.id < b.id
       ORDER BY jaccard DESC, id_a, id_b LIMIT 20)
     UNION ALL
     SELECT 'lsh_verified', p.id_a, p.id_b,
-      round(len(list_intersect(a.s, b.s))::DOUBLE
-            / len(list_distinct(list_concat(a.s, b.s))), 4)
+      {round_det_sql('''len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s)))''', 4)}
     FROM pairs p JOIN shall a ON a.id = p.id_a JOIN shall b ON b.id = p.id_b
     """,
 )
@@ -137,9 +138,9 @@ def _semdedup_oracle() -> str:
       WHERE vec_id < 100
     )
     SELECT 'pairs' AS chk, a.vec_id AS a, b.vec_id AS b,
-           round(list_dot_product(a.e, b.e)
+           {round_det_sql('''list_dot_product(a.e, b.e)
                  / (sqrt(list_dot_product(a.e, a.e))
-                    * sqrt(list_dot_product(b.e, b.e))), 4) AS v1,
+                    * sqrt(list_dot_product(b.e, b.e)))''', 4)} AS v1,
            0.0::DOUBLE AS v2
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.e, b.e)
@@ -235,14 +236,14 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
       SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
     ), v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     topk AS (
-      SELECT vec_id, round({_COS}, 4) AS cosine
+      SELECT vec_id, {round_det_sql(_COS, 4)} AS cosine
       FROM v, q ORDER BY {_COS} DESC, vec_id LIMIT 10
     )
     SELECT 'topk' AS chk, vec_id, cosine FROM topk
     """
     f"""
     UNION ALL
-    SELECT 'radial', vec_id, round({_COS}, 4)
+    SELECT 'radial', vec_id, {round_det_sql(_COS, 4)}
     FROM v, q WHERE {_COS} >= 0.1
     UNION ALL
     SELECT 'hnsw', vec_id, cosine FROM topk
@@ -363,11 +364,11 @@ def _ivf_path(spark: SparkSession, sf_dir: str, cents) -> str:
       GROUP BY c.vec_id
     ),
     ivf_top AS (
-      SELECT vec_id, round({_COS}, 4) AS cosine
+      SELECT vec_id, {round_det_sql(_COS, 4)} AS cosine
       FROM cand, qv ORDER BY {_COS} DESC, vec_id LIMIT 10
     ),
     pq_top AS (
-      SELECT vec_id, round(s, 4) AS cosine
+      SELECT vec_id, {round_det_sql('s', 4)} AS cosine
       FROM pq_scored ORDER BY s DESC, vec_id LIMIT 10
     )
     SELECT 'ivf' AS chk, vec_id, cosine FROM ivf_top
@@ -454,7 +455,7 @@ def _kmeans_oracle_sql(n_iter: int = 3, k: int = 16, nprobe: int = 4) -> str:
       JOIN fasg ON fasg.vec_id = v.vec_id
       JOIN probe ON probe.cent_id = fasg.cent_id
     )
-    SELECT vec_id, round({_COS}, 4) AS cosine
+    SELECT vec_id, {round_det_sql(_COS, 4)} AS cosine
     FROM cand, qv ORDER BY {_COS} DESC, vec_id LIMIT 10
     """
 
@@ -732,10 +733,10 @@ def _bpe_toks_duck(text_expr: str) -> str:
     ) hit ON tot.doc_id = hit.doc_id
     UNION ALL
     SELECT 'repetition', ls.doc_id::VARCHAR, ls.n_lines,
-           (round(ls.dlf * 1e6)::BIGINT)::VARCHAR || '|' ||
-           (round(ls.dlcf * 1e6)::BIGINT)::VARCHAR || '|' ||
-           (round(coalesce(t2.frac, 0) * 1e6)::BIGINT)::VARCHAR || '|' ||
-           (round(coalesce(t3.frac, 0) * 1e6)::BIGINT)::VARCHAR
+           (floor(ls.dlf * 1e6 + 5e-1)::BIGINT)::VARCHAR || '|' ||
+           (floor(ls.dlcf * 1e6 + 5e-1)::BIGINT)::VARCHAR || '|' ||
+           (floor(coalesce(t2.frac, 0) * 1e6 + 5e-1)::BIGINT)::VARCHAR || '|' ||
+           (floor(coalesce(t3.frac, 0) * 1e6 + 5e-1)::BIGINT)::VARCHAR
     FROM (
       WITH lx AS (
         SELECT doc_id,
@@ -744,12 +745,12 @@ def _bpe_toks_duck(text_expr: str) -> str:
         FROM documents)
       SELECT doc_id, len(ls) AS n_lines,
              CASE WHEN len(ls) > 0 THEN
-               round((len(ls) - len(list_distinct(ls)))
-                     / len(ls)::DOUBLE, 6) ELSE 0 END AS dlf,
+               {round_det_sql('''(len(ls) - len(list_distinct(ls)))
+                     / len(ls)::DOUBLE''', 6)} ELSE 0 END AS dlf,
              CASE WHEN len(array_to_string(ls, '')) > 0 THEN
-               round((len(array_to_string(ls, ''))
+               {round_det_sql('''(len(array_to_string(ls, ''))
                       - len(array_to_string(list_distinct(ls), '')))
-                     / len(array_to_string(ls, ''))::DOUBLE, 6)
+                     / len(array_to_string(ls, ''))::DOUBLE ''', 6)}
              ELSE 0 END AS dlcf
       FROM lx
     ) ls
@@ -758,10 +759,10 @@ def _bpe_toks_duck(text_expr: str) -> str:
     LEFT JOIN ({textstats.duckdb_top_ngram_sql(3)}) t3
       ON t3.doc_id = ls.doc_id
     UNION ALL
-    SELECT 'dsir', id::VARCHAR, round(logw * 1e6)::BIGINT, ''
+    SELECT 'dsir', id::VARCHAR, floor(logw * 1e6 + 5e-1)::BIGINT, ''
     FROM ({{DSIR}})
     UNION ALL
-    SELECT 'nbq', id::VARCHAR, round(logit * 1e6)::BIGINT,
+    SELECT 'nbq', id::VARCHAR, floor(logit * 1e6 + 5e-1)::BIGINT,
            keep::VARCHAR
     FROM ({{NBQ}})
     UNION ALL
@@ -838,7 +839,7 @@ def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_contaminated").alias("n"),
         F.col("n_grams").cast("string").alias("detail"),
     )
-    micro = lambda c: F.round(F.col(c) * 1e6).cast("long").cast("string")  # noqa: E731
+    micro = lambda c: F.floor(F.col(c) * 1e6 + F.lit(0.5)).cast("long").cast("string")  # noqa: E731
     rep = repetition_features(d).select(
         F.lit("repetition").alias("chk"),
         F.col("doc_id").cast("string").alias("key"),
@@ -860,7 +861,7 @@ def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsir = dsir_sample(raw, tgt, k=_DSIR_K, n_buckets=_DSIR_B).select(
         F.lit("dsir").alias("chk"),
         F.col("id").cast("string").alias("key"),
-        F.round(F.col("logw") * 1e6).cast("long").alias("n"),
+        F.floor(F.col("logw") * 1e6 + F.lit(0.5)).cast("long").alias("n"),
         F.lit("").alias("detail"),
     )
     # 'nbq' rows: NB log-odds quality classifier (operators/
@@ -874,7 +875,7 @@ def pack_sample_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbq = nb_score(d, nb_fit(nbq_train, n_buckets=_NBQ_B)).select(
         F.lit("nbq").alias("chk"),
         F.col("id").cast("string").alias("key"),
-        F.round(F.col("logit") * 1e6).cast("long").alias("n"),
+        F.floor(F.col("logit") * 1e6 + F.lit(0.5)).cast("long").alias("n"),
         F.col("keep").cast("string").alias("detail"),
     )
     # 'chunk' rows: sliding-window chunking (64-token windows, 16

@@ -7,7 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .detfloat import DEC, sum_round, sum_round_sql
+from .detfloat import (DEC, round_det, round_det_sql, sum_round,
+                       sum_round_sql)
 from .entry_queries import _t, _utc, register
 from .functions.scalars import long_to_ipv4
 from .operators.aggs import geotile_duck_sql as _geotile_duck
@@ -495,8 +496,8 @@ def _geoq_sqls() -> dict[str, str]:
     UNION ALL
     SELECT 'geo_bounds:' || (count(*))::VARCHAR,
            count(*),
-           round(max({_GEO_LAT}) + min({_GEO_LAT})
-                 + avg({_GEO_LAT}) + avg({_GEO_LON}), 4)
+           {round_det_sql(f'''max({_GEO_LAT}) + min({_GEO_LAT})
+                 + avg({_GEO_LAT}) + avg({_GEO_LON})''', 4)}
     FROM events
     WHERE ({_GEO_LAT}) BETWEEN 20.0 AND 60.0
       AND ({_GEO_LON}) BETWEEN -120.0 AND -60.0
@@ -603,7 +604,7 @@ def join_range_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("geo_bounds:"), F.col("n").cast("string"))
         .alias("bucket"),
         F.col("n"),
-        F.round(
+        round_det(
             F.col("top") + F.col("bottom")
             + F.col("centroid_lat") + F.col("centroid_lon"), 4
         ).alias("sum_value"),

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from .analysis import duckdb_tokens_sql, tokens_sql
 from .bm25 import B, K1
 from .detfloat import (DEC, avg_round, avg_round_sql, ratio_round,
-                       ratio_round_sql, sum_round, sum_round_sql)
+                       ratio_round_sql, round_det, round_det_sql,
+                       sum_round, sum_round_sql)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -110,7 +111,7 @@ scored AS (
           JOIN dl USING (doc_id), stats
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(s, 4) AS score
+SELECT doc_id, {round_det_sql('s', 4)} AS score
 FROM scored ORDER BY s DESC, doc_id LIMIT {FT_K}
 """
 
@@ -122,7 +123,7 @@ def ft_bm25_topk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .index.query import bm25_topk
 
     top = bm25_topk(_built_index(spark, sf_dir), FT_QUERY, k=FT_K)
-    return top.select("doc_id", F.round("score", 4).alias("score"))
+    return top.select("doc_id", round_det("score", 4).alias("score"))
 
 
 @register("ft_bm25_topk_pruned", _BM25_SQL_BODY)
@@ -132,7 +133,7 @@ def ft_bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.pruning import bm25_topk_pruned
 
     top = bm25_topk_pruned(_built_index(spark, sf_dir), FT_QUERY, k=FT_K)
-    return top.select("doc_id", F.round("score", 4).alias("score"))
+    return top.select("doc_id", round_det("score", 4).alias("score"))
 
 
 #: neural_sparse query tokens (token -> model weight). Vocabulary
@@ -169,7 +170,7 @@ def _ft_dataframe_oracle_sql() -> str:
     )
     SELECT 'bm25' AS chk, * FROM ({_BM25_SQL_BODY})
     UNION ALL
-    SELECT 'sparse' AS chk, doc_id, round(s, 4) AS score
+    SELECT 'sparse' AS chk, doc_id, {round_det_sql('s', 4)} AS score
     FROM (SELECT * FROM sc ORDER BY s DESC, doc_id LIMIT {FT_K}) t
     """
 
@@ -188,11 +189,11 @@ def ft_bm25_topk_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     top = bm25_topk_df(docs, "text", "doc_id", FT_QUERY, k=FT_K).select(
         F.lit("bm25").alias("chk"),
-        "doc_id", F.round("score", 4).alias("score"))
+        "doc_id", round_det("score", 4).alias("score"))
     sp = neural_sparse_topk(
         _sparse_index(spark, sf_dir), _SPARSE_Q, k=FT_K
     ).select(F.lit("sparse").alias("chk"),
-             "doc_id", F.round("score", 4).alias("score"))
+             "doc_id", round_det("score", 4).alias("score"))
     return top.unionByName(sp)
 
 
@@ -285,13 +286,13 @@ def ft_corpus_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
            0.0
     UNION ALL
     SELECT 'top_hits', event_type || '#' || event_id, 1::BIGINT,
-           round(value, 4) FROM (
+           {round_det_sql('value', 4)} FROM (
       SELECT event_type, event_id, value,
              row_number() OVER (PARTITION BY event_type
                ORDER BY value DESC, event_id) AS rn
       FROM events) WHERE rn = 1
     UNION ALL
-    SELECT 'significant', key, fg_count, round(score, 6) FROM (
+    SELECT 'significant', key, fg_count, {round_det_sql('score', 6)} FROM (
       WITH per AS (
         SELECT event_type AS key,
                count(*) FILTER (value > 150) AS fg_count,
@@ -320,7 +321,7 @@ def ft_corpus_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (ORDER BY event_type, user_id) AS rn
       FROM b) WHERE rn BETWEEN 6 AND 10
     UNION ALL
-    SELECT 'sig_text', term, fg_count, round(score, 6) FROM (
+    SELECT 'sig_text', term, fg_count, {round_det_sql('score', 6)} FROM (
       WITH dx AS (
         SELECT (source = 'src18') AS fg,
                list_distinct({duckdb_tokens_sql('text')}) AS ts
@@ -405,7 +406,7 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", F.col("source") == "src18", size=8,
     ).select(
         F.lit("sig_text").alias("chk"), F.col("term").alias("key"),
-        F.col("fg_count").alias("n"), F.round("score", 6).alias("score"),
+        F.col("fg_count").alias("n"), round_det("score", 6).alias("score"),
     )
     rules = spark.createDataFrame(
         [("r_and4", "spark vector hash merge", "and", 0),
@@ -434,13 +435,13 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("top_hits").alias("chk"),
         F.concat_ws("#", "event_type", "event_id").alias("key"),
         F.lit(1).cast("long").alias("n"),
-        F.round("value", 4).alias("score"),
+        round_det("value", 4).alias("score"),
     )
     sig = significant_terms(
         ev, "event_type", F.col("value") > 150, size=5,
     ).select(
         F.lit("significant").alias("chk"), "key",
-        F.col("fg_count").alias("n"), F.round("score", 6).alias("score"),
+        F.col("fg_count").alias("n"), round_det("score", 6).alias("score"),
     )
     kcol = F.concat_ws(
         ":", F.col("event_type"), F.get_json_object("props", "$.k"))
@@ -492,7 +493,8 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(n) OVER (ORDER BY bucket
                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n,
              n - lag(n) OVER (ORDER BY bucket) AS deriv_n,
-             round(avg(n) OVER (ORDER BY bucket ROWS 2 PRECEDING), 4)
+             {round_det_sql('avg(n) OVER (ORDER BY bucket ROWS 2 PRECEDING)',
+                            4)}
                AS mov_avg3
       FROM buckets
     ),
@@ -516,14 +518,15 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(n) OVER (ORDER BY bucket
                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n,
              n - lag(n) OVER (ORDER BY bucket) AS deriv_n,
-             round(avg(n) OVER (ORDER BY bucket ROWS 2 PRECEDING), 4)
+             {round_det_sql('avg(n) OVER (ORDER BY bucket ROWS 2 PRECEDING)',
+                            4)}
                AS mov_avg3
       FROM filled
     )
     SELECT * FROM dense UNION ALL SELECT * FROM sparse
     UNION ALL
     SELECT 'anomaly:' || event_type || ':' || h, n,
-           round(1.0 - 3.0 / score, 4), NULL::BIGINT, NULL::BIGINT,
+           {round_det_sql('1.0 - 3.0 / score', 4)}, NULL::BIGINT, NULL::BIGINT,
            NULL::DOUBLE
     FROM (
       SELECT hb.event_type, hb.h, hb.n,
@@ -606,7 +609,7 @@ def agg_terms_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1
     UNION ALL
     SELECT 'movpct:' || strftime(a.h, '%Y-%m-%d %H:%M:%S'), a.n,
-           round(quantile_cont(e.value, 0.9), 4), NULL::BIGINT,
+           {round_det_sql('quantile_cont(e.value, 0.9)', 4)}, NULL::BIGINT,
            NULL::BIGINT, NULL::DOUBLE
     FROM (
       SELECT h, n, row_number() OVER (ORDER BY h) AS r FROM (
@@ -656,7 +659,7 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "n", "sum_value",
         F.col("cum_sum").cast("long").alias("cum_n"),
         F.col("deriv").alias("deriv_n"),
-        F.round("moving_avg", 4).alias("mov_avg3"),
+        round_det("moving_avg", 4).alias("mov_avg3"),
     )
     spine = (
         ev.agg(
@@ -685,7 +688,7 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "n", F.lit(0.0).alias("sum_value"),
         F.col("cum_sum").cast("long").alias("cum_n"),
         F.col("deriv").alias("deriv_n"),
-        F.round("moving_avg", 4).alias("mov_avg3"),
+        round_det("moving_avg", 4).alias("mov_avg3"),
     )
     nulls = [
         F.lit(None).cast("long").alias("cum_n"),
@@ -724,7 +727,7 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                        threshold=3.0).select(
         F.concat_ws(":", F.lit("anomaly"), "event_type", "h")
         .alias("bucket"),
-        F.col("n"), F.round("grade", 4).alias("sum_value"), *nulls,
+        F.col("n"), round_det("grade", 4).alias("sum_value"), *nulls,
     )
 
     # 'transform:' rows — the Index Transforms plugin's pivot job
@@ -769,7 +772,7 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.date_format("hist", "yyyy-MM-dd HH:mm:ss"))
         .alias("bucket"),
         F.col("doc_count").alias("n"),
-        F.round("mp_p90", 4).alias("sum_value"), *nulls,
+        round_det("mp_p90", 4).alias("sum_value"), *nulls,
     )
 
     return (dense.unionByName(sparse).unionByName(anomalies)
@@ -866,9 +869,9 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY c DESC, b ASC LIMIT 3)
     UNION ALL
     SELECT 'boxplot:' || q || ':' || event_type, count(*),
-           round(CASE q WHEN 'q1' THEN quantile_cont(value, 0.25)
+           {round_det_sql('''CASE q WHEN 'q1' THEN quantile_cont(value, 0.25)
                         WHEN 'q2' THEN quantile_cont(value, 0.5)
-                        ELSE quantile_cont(value, 0.75) END, 4)
+                        ELSE quantile_cont(value, 0.75) END''', 4)}
     FROM events, (SELECT unnest(['q1', 'q2', 'q3']) AS q)
     GROUP BY event_type, q
     UNION ALL
@@ -879,9 +882,9 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type
     UNION ALL
     SELECT 'ttest:error_vs_click', n_a + n_b,
-           round((s_a/n_a - s_b/n_b)
+           {round_det_sql('''(s_a/n_a - s_b/n_b)
                  / sqrt(((q_a - s_a*s_a/n_a)/(n_a-1))/n_a
-                        + ((q_b - s_b*s_b/n_b)/(n_b-1))/n_b), 4)
+                        + ((q_b - s_b*s_b/n_b)/(n_b-1))/n_b)''', 4)}
     FROM (
       SELECT count(*) FILTER (event_type = 'error') AS n_a,
              CAST(sum(CAST(value AS {DEC}))
@@ -1008,7 +1011,7 @@ def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for qn in ("q1", "q2", "q3"):
         p = bp.select(
             F.concat(F.lit(f"boxplot:{qn}:"), "event_type").alias("bucket"),
-            F.col("doc_count").alias("n"), F.round(qn, 4).alias("sum_v"),
+            F.col("doc_count").alias("n"), round_det(qn, 4).alias("sum_v"),
         )
         bp_part = p if bp_part is None else bp_part.unionByName(p)
     rate_part = rate_per_day(ev, F.col("ts"), ["event_type"]).select(
@@ -1023,7 +1026,7 @@ def agg_filters_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_decimals=6,
     ).select(F.lit("ttest:error_vs_click").alias("bucket"),
              F.col("doc_count").alias("n"),
-             F.round("t_stat", 4).alias("sum_v"))
+             round_det("t_stat", 4).alias("sum_v"))
     return (
         filters_part.unionByName(hist_part).unionByName(range_part)
         .unionByName(ip_part).unionByName(adj_part).unionByName(samp_part)
@@ -1102,7 +1105,7 @@ def agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'bucket_sort', h, n::DOUBLE
     FROM (SELECT h, n FROM hourly ORDER BY n DESC, h LIMIT 5)
     UNION ALL
-    SELECT 'matrix', k, round(v, 6) FROM (
+    SELECT 'matrix', k, {round_det_sql('v', 6)} FROM (
       WITH mm AS (
         SELECT count(*) AS n,
                CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) AS s_q,
@@ -1233,23 +1236,23 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts.append(mx.filter(F.col("field_a") != F.col("field_b")).select(
         F.lit("matrix").alias("chk"),
         F.concat_ws("|", "field_a", "field_b", F.lit("cov")).alias("k"),
-        F.round("cov", 6).alias("v"),
+        round_det("cov", 6).alias("v"),
     ))
     parts.append(mx.filter(F.col("field_a") != F.col("field_b")).select(
         F.lit("matrix").alias("chk"),
         F.concat_ws("|", "field_a", "field_b", F.lit("corr")).alias("k"),
-        F.round("corr", 6).alias("v"),
+        round_det("corr", 6).alias("v"),
     ))
     diag = mx.filter(F.col("field_a") == F.col("field_b"))
     parts.append(diag.select(
         F.lit("matrix").alias("chk"),
         F.concat_ws("|", "field_a", F.lit("mean")).alias("k"),
-        F.round("mean_a", 6).alias("v"),
+        round_det("mean_a", 6).alias("v"),
     ))
     parts.append(diag.select(
         F.lit("matrix").alias("chk"),
         F.concat_ws("|", "field_a", F.lit("var")).alias("k"),
-        F.round("var_a", 6).alias("v"),
+        round_det("var_a", 6).alias("v"),
     ))
 
     # index-rollup job: hourly × event_type rollup built ONCE (the
@@ -1288,19 +1291,20 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats_percentiles",
     f"""
     WITH base AS (
-      SELECT event_type, count(*) AS n, round(min(value), 4) AS min_v,
-             round(max(value), 4) AS max_v,
+      SELECT event_type, count(*) AS n,
+             {round_det_sql('min(value)', 4)} AS min_v,
+             {round_det_sql('max(value)', 4)} AS max_v,
              {avg_round_sql('value')} AS avg_v,
-             round(sqrt((CAST(sum(CAST(value AS {DEC})
+             {round_det_sql(f'''sqrt((CAST(sum(CAST(value AS {DEC})
                                  * CAST(value AS {DEC})) AS DOUBLE)
                          - CAST(sum(CAST(value AS {DEC})) AS DOUBLE)
                            * CAST(sum(CAST(value AS {DEC})) AS DOUBLE)
                            / count(*))
-                        / (count(*) - 1)), 4) AS std_v,
+                        / (count(*) - 1))''', 4)} AS std_v,
              {sum_round_sql('value')} AS sum_v,
-             round(quantile_cont(value, 0.5), 4) AS p50,
-             round(quantile_cont(value, 0.9), 4) AS p90,
-             round(quantile_cont(value, 0.99), 4) AS p99,
+             {round_det_sql('quantile_cont(value, 0.5)', 4)} AS p50,
+             {round_det_sql('quantile_cont(value, 0.9)', 4)} AS p90,
+             {round_det_sql('quantile_cont(value, 0.99)', 4)} AS p99,
              count(value) AS n_vals,
              {ratio_round_sql("100 * count(*) FILTER (value <= 100.0)",
                               "count(*)")} AS pr_100,
@@ -1309,7 +1313,8 @@ def agg_sum_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mad AS (
       SELECT e.event_type,
-             round(quantile_cont(abs(e.value - b.med_raw), 0.5), 4) AS mad_v
+             {round_det_sql('quantile_cont(abs(e.value - b.med_raw), 0.5)',
+                            4)} AS mad_v
       FROM events e JOIN base b USING (event_type)
       GROUP BY e.event_type
     )
@@ -1331,21 +1336,21 @@ def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = F.col("value").cast(DEC)
     base = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.min("value"), 4).alias("min_v"),
-        F.round(F.max("value"), 4).alias("max_v"),
+        round_det(F.min("value"), 4).alias("min_v"),
+        round_det(F.max("value"), 4).alias("max_v"),
         avg_round("value").alias("avg_v"),
         F.sum(dv).cast("double").alias("__s"),
         F.sum(dv * dv).cast("double").alias("__q"),
         sum_round("value").alias("sum_v"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        round_det(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        round_det(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        round_det(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
         F.count("value").alias("n_vals"),
         F.count(F.when(F.col("value") <= 100.0, 1)).alias("__k"),
         F.expr("percentile(value, 0.5)").alias("med_raw"),
     ).withColumn(
         "std_v",
-        F.round(F.sqrt(
+        round_det(F.sqrt(
             (F.col("__q") - F.col("__s") * F.col("__s") / F.col("n"))
             / (F.col("n") - F.lit(1))), 4),
     ).withColumn(
@@ -1355,7 +1360,7 @@ def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(base.select("event_type", "med_raw")),
                 "event_type")
         .groupBy("event_type")
-        .agg(F.round(
+        .agg(round_det(
             F.expr("percentile(abs(value - med_raw), 0.5)"), 4
         ).alias("mad_v"))
     )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from .analysis import duckdb_tokens_sql
 from .bm25 import B, K1
+from .detfloat import round_det, round_det_sql
 from .entry_queries import _built_index, _t, register
 
 _PIX_CACHE: dict[str, object] = {}
@@ -65,7 +66,7 @@ scored AS (
            / (f.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
   FROM freq f JOIN dl ON dl.doc_id = f.doc_id, stats, idfsum
 )
-SELECT doc_id, round(s, 4) AS score
+SELECT doc_id, {round_det_sql('s', 4)} AS score
 FROM scored ORDER BY s DESC, doc_id LIMIT 20
 """
 
@@ -104,7 +105,7 @@ scored AS (
            / (f.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
   FROM freq f JOIN dl ON dl.doc_id = f.doc_id, stats, idfsum
 )
-SELECT doc_id, round(s, 4) AS score
+SELECT doc_id, {round_det_sql('s', 4)} AS score
 FROM scored ORDER BY s DESC, doc_id LIMIT 20
 """
 
@@ -144,7 +145,7 @@ scored AS (
            / (f.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
   FROM freq f JOIN dl ON dl.doc_id = f.doc_id, stats, idfsum
 )
-SELECT doc_id, round(s, 4) AS score
+SELECT doc_id, {round_det_sql('s', 4)} AS score
 FROM scored ORDER BY s DESC, doc_id LIMIT 20
 """
 
@@ -173,7 +174,7 @@ scored AS (
            / (f.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
   FROM freq f JOIN dl ON dl.doc_id = f.doc_id, stats, fidf
 )
-SELECT doc_id, round(s, 4) AS score
+SELECT doc_id, {round_det_sql('s', 4)} AS score
 FROM scored ORDER BY s DESC, doc_id LIMIT 20
 """
 
@@ -223,7 +224,7 @@ scoredp AS (
            / (f.ptf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
   FROM freqp f JOIN dl ON dl.doc_id = f.doc_id, stats, idfsump
 )
-SELECT doc_id, round(s, 4) AS score
+SELECT doc_id, {round_det_sql('s', 4)} AS score
 FROM scoredp ORDER BY s DESC, doc_id LIMIT 20
 """
 
@@ -261,27 +262,27 @@ def ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pix = _pos_index(spark, sf_dir)
     top = phrase_topk(pix, PHRASE, k=20).select(
         F.lit("phrase").alias("chk"),
-        "doc_id", F.round("score", 4).alias("score"),
+        "doc_id", round_det("score", 4).alias("score"),
     )
     pp = phrase_prefix_topk(pix, PHRASE_PREFIX, k=20).select(
         F.lit("phrase_prefix").alias("chk"),
-        "doc_id", F.round("score", 4).alias("score"),
+        "doc_id", round_det("score", 4).alias("score"),
     )
     prox = proximity_topk(pix, PHRASE, slop=PROX_SLOP, k=20).select(
         F.lit("proximity").alias("chk"),
-        "doc_id", F.round("score", 4).alias("score"),
+        "doc_id", round_det("score", 4).alias("score"),
     )
     t = lambda x: {"span_term": {"text": x}}  # noqa: E731
     near = span_topk(pix, {"span_near": {
         "clauses": [t(SPAN_A), t(SPAN_B)], "slop": SPAN_SLOP,
         "in_order": False}}, k=20).select(
         F.lit("span_near").alias("chk"),
-        "doc_id", F.round("score", 4).alias("score"),
+        "doc_id", round_det("score", 4).alias("score"),
     )
     first = span_topk(pix, {"span_first": {
         "match": t(SPAN_A), "end": SPAN_FIRST_END}}, k=20).select(
         F.lit("span_first").alias("chk"),
-        "doc_id", F.round("score", 4).alias("score"),
+        "doc_id", round_det("score", 4).alias("score"),
     )
     return (top.unionByName(pp).unionByName(prox)
             .unionByName(near).unionByName(first))
@@ -319,7 +320,7 @@ kept AS (
       SELECT DISTINCT doc_id FROM tok
       WHERE term IN ({", ".join(f"'{t}'" for t in _BOOL_NOT)}))
 )
-SELECT doc_id, round(s, 4) AS score
+SELECT doc_id, {round_det_sql('s', 4)} AS score
 FROM kept ORDER BY s DESC, doc_id LIMIT 20
 """
 
@@ -336,7 +337,7 @@ def ft_bool_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     def tagged(tag: str, top: DataFrame) -> DataFrame:
         return top.select(
             F.lit(tag).alias("variant"), "doc_id",
-            F.round("score", 4).alias("score"),
+            round_det("score", 4).alias("score"),
         )
 
     return (
@@ -386,7 +387,7 @@ ranked AS (
            AS rn
   FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 )
-SELECT lang, rn AS rank, doc_id, round(s, 4) AS score
+SELECT lang, rn AS rank, doc_id, {round_det_sql('s', 4)} AS score
 FROM ranked WHERE rn <= 3
 """
 
@@ -406,7 +407,7 @@ def _top_hits_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_lang.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("lang", "rank", "doc_id", F.round("score", 4).alias("score"))
+        .select("lang", "rank", "doc_id", round_det("score", 4).alias("score"))
     )
 
 
@@ -427,7 +428,7 @@ scored AS (
        JOIN dl USING (doc_id), stats
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(s, 4) AS score
+SELECT doc_id, {round_det_sql('s', 4)} AS score
 FROM scored ORDER BY s DESC, doc_id LIMIT 20
 """
 
@@ -454,7 +455,7 @@ per_doc AS (
        JOIN dl USING (doc_id), stats
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(s, 4) AS score
+SELECT doc_id, {round_det_sql('s', 4)} AS score
 FROM per_doc WHERE n_should >= 2
 ORDER BY s DESC, doc_id LIMIT 20
 """
@@ -495,7 +496,7 @@ scored AS (
        JOIN dl USING (doc_id), stats
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(s, 4) AS score
+SELECT doc_id, {round_det_sql('s', 4)} AS score
 FROM scored ORDER BY s DESC, doc_id LIMIT 20
 """
 
@@ -570,7 +571,7 @@ _MLT_SQL = f"""
       WHERE tf.doc_id <> {_MLT_SEED_DOC}
       GROUP BY tf.doc_id
     )
-    SELECT doc_id, round(s, 4) AS score
+    SELECT doc_id, {round_det_sql('s', 4)} AS score
     FROM scored, msm WHERE nm >= msm.m
     ORDER BY s DESC, doc_id LIMIT {_MLT_K}
 """
@@ -610,15 +611,15 @@ def ft_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _built_index(spark, sf_dir)
     prefix = multiterm_topk(ix, "st%", k=30).select(
         F.lit("prefix").alias("qtype"), "doc_id",
-        F.round("score", 4).alias("score"), F.lit("").alias("extra"),
+        round_det("score", 4).alias("score"), F.lit("").alias("extra"),
     )
     fuzzy = fuzzy_topk(ix, _FUZZY_TERM, k=20, max_edits=1).select(
         F.lit("fuzzy").alias("qtype"), "doc_id",
-        F.round("score", 4).alias("score"), F.lit("").alias("extra"),
+        round_det("score", 4).alias("score"), F.lit("").alias("extra"),
     )
     rex = regexp_topk(ix, _REGEXP_PATTERN, k=30).select(
         F.lit("regexp").alias("qtype"), "doc_id",
-        F.round("score", 4).alias("score"), F.lit("").alias("extra"),
+        round_det("score", 4).alias("score"), F.lit("").alias("extra"),
     )
     sug = term_suggest(ix, _SUGGEST_TEXT, max_edits=2, size=5).select(
         F.lit("suggest").alias("qtype"),
@@ -635,7 +636,7 @@ def ft_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ix, seed_text, exclude_doc_ids=[_MLT_SEED_DOC], k=_MLT_K,
     ).select(
         F.lit("mlt").alias("qtype"), "doc_id",
-        F.round("score", 4).alias("score"), F.lit("").alias("extra"),
+        round_det("score", 4).alias("score"), F.lit("").alias("extra"),
     )
     return (prefix.unionByName(fuzzy).unionByName(rex)
             .unionByName(sug).unionByName(mlt))
@@ -706,7 +707,7 @@ scored AS (
        JOIN dl USING (doc_id), stats
   GROUP BY tf.doc_id
 )
-SELECT s.doc_id, round(s.s, 4) AS score
+SELECT s.doc_id, {round_det_sql('s.s', 4)} AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 WHERE d.lang = 'en'
 ORDER BY s.s DESC, s.doc_id LIMIT 20
@@ -749,7 +750,7 @@ ranked AS (
   FROM scored s JOIN documents d ON d.doc_id = s.doc_id
   WHERE d.lang = 'en'
 )
-SELECT doc_id, round(s, 4) AS score FROM ranked WHERE rn BETWEEN 21 AND 30
+SELECT doc_id, {round_det_sql('s', 4)} AS score FROM ranked WHERE rn BETWEEN 21 AND 30
 """
 
 
@@ -780,13 +781,13 @@ ranked AS (
            ORDER BY s.s DESC, s.doc_id) AS rn
   FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 )
-SELECT doc_id, round(s, 4) AS score, lang AS snippet
+SELECT doc_id, {round_det_sql('s', 4)} AS score, lang AS snippet
 FROM ranked WHERE rn = 1 ORDER BY s DESC, doc_id LIMIT 10
 """
 
 _FSCORE_SQL = f"""
 {_SCORED_CTE}
-SELECT s.doc_id, round(s.s * log10(1 + dl.dl), 4) AS score
+SELECT s.doc_id, {round_det_sql('s.s * log10(1 + dl.dl)', 4)} AS score
 FROM scored s JOIN dl USING (doc_id)
 ORDER BY s.s * log10(1 + dl.dl) DESC, s.doc_id LIMIT 15
 """
@@ -807,7 +808,7 @@ win AS (
   FROM scored QUALIFY rn <= 30
 )
 SELECT w.doc_id,
-       round(1.0 * w.s + 2.0 * coalesce(s2.s2, 0), 4) AS score
+       {round_det_sql('1.0 * w.s + 2.0 * coalesce(s2.s2, 0)', 4)} AS score
 FROM win w LEFT JOIN scored2 s2 USING (doc_id)
 ORDER BY 1.0 * w.s + 2.0 * coalesce(s2.s2, 0) DESC, w.doc_id LIMIT 10
 """
@@ -816,7 +817,7 @@ ORDER BY 1.0 * w.s + 2.0 * coalesce(s2.s2, 0) DESC, w.doc_id LIMIT 10
 _DBQ_SQL = f"""
 {_SCORED_CTE},
 del AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'stream')
-SELECT doc_id, round(s, 4) AS score
+SELECT doc_id, {round_det_sql('s', 4)} AS score
 FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM del)
 ORDER BY s DESC, doc_id LIMIT 10
 """
@@ -910,7 +911,7 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(
             F.lit("filtered").alias("chk"), "doc_id",
-            F.round("score", 4).alias("score"),
+            round_det("score", 4).alias("score"),
             F.lit("").alias("snippet"),
         )
     )
@@ -922,7 +923,7 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     page2 = search_after(base, cur["score"], cur["doc_id"], size=10).select(
         F.lit("page2").alias("chk"), "doc_id",
-        F.round("score", 4).alias("score"), F.lit("").alias("snippet"),
+        round_det("score", 4).alias("score"), F.lit("").alias("snippet"),
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -945,7 +946,7 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     collapse = collapse_topk(scored, ix.docs, "lang", k=10).select(
         F.lit("collapse").alias("chk"), "doc_id",
-        F.round("score", 4).alias("score"), F.col("lang").alias("snippet"),
+        round_det("score", 4).alias("score"), F.col("lang").alias("snippet"),
     )
     fscore = function_score(
         scored, ix.docs, "doclen", modifier="log1p", boost_mode="multiply",
@@ -954,7 +955,7 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         fscore.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
         .select(
             F.lit("fscore").alias("chk"), "doc_id",
-            F.round("score", 4).alias("score"), F.lit("").alias("snippet"),
+            round_det("score", 4).alias("score"), F.lit("").alias("snippet"),
         )
     )
     rescored = rescore_topk(
@@ -962,12 +963,12 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_size=30, query_weight=1.0, rescore_query_weight=2.0, k=10,
     ).select(
         F.lit("rescore").alias("chk"), "doc_id",
-        F.round("score", 4).alias("score"), F.lit("").alias("snippet"),
+        round_det("score", 4).alias("score"), F.lit("").alias("snippet"),
     )
     dbq_path = _dbq_index_path(spark, sf_dir)
     dbq = live_topk(ix, spark, dbq_path, "spark table", k=10).select(
         F.lit("dbq").alias("chk"), "doc_id",
-        F.round("score", 4).alias("score"), F.lit("").alias("snippet"),
+        round_det("score", 4).alias("score"), F.lit("").alias("snippet"),
     )
     slice1 = slice_hits(
         ix, {"query": {"match": {"text": "spark"}}}, 1, 4
@@ -1008,7 +1009,7 @@ lex AS (
 qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
 v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 vcut AS (
-  SELECT vec_id, round({{cos}}, 4) AS c4,
+  SELECT vec_id, {round_det_sql('{cos}', 4)} AS c4,
          row_number() OVER (ORDER BY {{cos}} DESC, vec_id) AS cutrank
   FROM v, qv QUALIFY cutrank <= {_HY_DEPTH}
 ),
@@ -1023,7 +1024,7 @@ fused AS (
     UNION ALL SELECT doc_id, rank FROM vec
   ) GROUP BY doc_id
 )
-SELECT doc_id, round(rrf_score, 6) AS rrf_score
+SELECT doc_id, {round_det_sql('rrf_score', 6)} AS rrf_score
 FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_HY_K}
 """.format(cos=(
     "list_dot_product(e, q) / (sqrt(list_dot_product(e, e))"
@@ -1050,7 +1051,7 @@ def ft_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ix, vecs, _HY_QUERY, list(row["embedding"]),
         k=_HY_K, depth=_HY_DEPTH,
     )
-    return top.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))
+    return top.select("doc_id", round_det("rrf_score", 6).alias("rrf_score"))
 
 
 _MM_BOOSTS = {"body": 1.0, "title": 2.0}
@@ -1134,16 +1135,16 @@ comb AS (
   FROM wtf w JOIN dfb USING (term) JOIN wdl d USING (doc_id), nu, av
   GROUP BY w.doc_id
 )
-SELECT 'most' AS chk, doc_id, round(sc, 4) AS score FROM (
+SELECT 'most' AS chk, doc_id, {round_det_sql('sc', 4)} AS score FROM (
   SELECT * FROM most ORDER BY sc DESC, doc_id LIMIT 20)
 UNION ALL
-SELECT 'best', doc_id, round(sc, 4) FROM (
+SELECT 'best', doc_id, {round_det_sql('sc', 4)} FROM (
   SELECT * FROM best ORDER BY sc DESC, doc_id LIMIT 20)
 UNION ALL
-SELECT 'cross', doc_id, round(sc, 4) FROM (
+SELECT 'cross', doc_id, {round_det_sql('sc', 4)} FROM (
   SELECT * FROM crossf ORDER BY sc DESC, doc_id LIMIT 20)
 UNION ALL
-SELECT 'combined', doc_id, round(sc, 4) FROM (
+SELECT 'combined', doc_id, {round_det_sql('sc', 4)} FROM (
   SELECT * FROM comb ORDER BY sc DESC, doc_id LIMIT 20)
 """
 
@@ -1177,7 +1178,7 @@ def ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _cut(df, tag):
         return df.select(
             F.lit(tag).alias("chk"), "doc_id",
-            F.round("score", 4).alias("score"),
+            round_det("score", 4).alias("score"),
         )
 
     most = _cut(multi_match_topk(mix, _MM_QUERY, _MM_BOOSTS, k=20), "most")
@@ -1236,7 +1237,7 @@ scored AS (
   WHERE a.c_table IS NOT NULL
 ),
 qs_top AS (
-  SELECT s.doc_id, round(s.s, 4) AS score
+  SELECT s.doc_id, {round_det_sql('s.s', 4)} AS score
   FROM scored s JOIN documents d ON d.doc_id = s.doc_id
   WHERE d.lang IN ('en', 'de') AND d.lang IS NOT NULL
     AND NOT (d.source LIKE '%1')
@@ -1257,19 +1258,19 @@ body_scored AS (
     AND (d.lang IS NULL OR d.lang <> 'fr')
 ),
 body_top AS (
-  SELECT doc_id, round(s, 4) AS score FROM body_scored
+  SELECT doc_id, {round_det_sql('s', 4)} AS score FROM body_scored
   ORDER BY s DESC, doc_id LIMIT 20
 ),
 agg_buckets AS (
   SELECT d.lang AS k, count(*)::BIGINT AS doc_id,
-         round(avg(d.n_chars::DOUBLE), 4) AS score
+         {round_det_sql('avg(d.n_chars::DOUBLE)', 4)} AS score
   FROM body_scored m JOIN documents d USING (doc_id)
   WHERE d.lang IS NOT NULL
   GROUP BY d.lang ORDER BY count(*) DESC, d.lang LIMIT 3
 ),
 -- the second _msearch panel: match(table value) -- plain BM25 sum
 ms_top AS (
-  SELECT doc_id, round(coalesce(c_table, 0) + coalesce(c_value, 0), 4)
+  SELECT doc_id, {round_det_sql('coalesce(c_table, 0) + coalesce(c_value, 0)', 4)}
          AS score
   FROM agg
   WHERE c_table IS NOT NULL OR c_value IS NOT NULL
@@ -1285,7 +1286,7 @@ rt_matched AS (
     AND floor(d.n_chars::DOUBLE / 100) = 2
 ),
 rt_top AS (
-  SELECT doc_id, round(s, 4) AS score FROM rt_matched
+  SELECT doc_id, {round_det_sql('s', 4)} AS score FROM rt_matched
   ORDER BY s DESC, doc_id LIMIT 15
 ),
 rt_agg AS (
@@ -1308,8 +1309,8 @@ sql_agg AS (
 -- value); the restricted-Painless compiler emits exactly this tree
 sscore_top AS (
   SELECT a.doc_id,
-    round((coalesce(a.c_table, 0) + coalesce(a.c_value, 0)) * 1.5
-          + ln(d.n_chars::DOUBLE + 1), 4) AS score
+    {round_det_sql('''(coalesce(a.c_table, 0) + coalesce(a.c_value, 0)) * 1.5
+          + ln(d.n_chars::DOUBLE + 1)''', 4)} AS score
   FROM agg a JOIN documents d USING (doc_id)
   WHERE a.c_table IS NOT NULL OR a.c_value IS NOT NULL
   ORDER BY (coalesce(a.c_table, 0) + coalesce(a.c_value, 0)) * 1.5
@@ -1319,9 +1320,9 @@ sscore_top AS (
 -- 2 * pivot / (pivot + |n_chars - 300|) added to the must score
 dfeat_top AS (
   SELECT a.doc_id,
-    round(a.c_table
-          + 2.0 * 50.0 / (50.0 + abs(d.n_chars::DOUBLE - 300.0)),
-          4) AS score
+    {round_det_sql('''a.c_table
+          + 2.0 * 50.0 / (50.0 + abs(d.n_chars::DOUBLE - 300.0))''',
+          4)} AS score
   FROM agg a JOIN documents d USING (doc_id)
   WHERE a.c_table IS NOT NULL
   ORDER BY a.c_table
@@ -1332,11 +1333,11 @@ dfeat_top AS (
 -- its BM25 sum; max() semantics = the CASE
 pin_top AS (
   SELECT d.doc_id,
-    round(CASE d.doc_id WHEN 3 THEN 1000000000000.0
+    {round_det_sql('''CASE d.doc_id WHEN 3 THEN 1000000000000.0
                         WHEN 1 THEN 999999999999.0
                         WHEN 4 THEN 999999999998.0
           ELSE coalesce(a.c_table, 0) + coalesce(a.c_value, 0)
-          END, 4) AS score
+          END''', 4)} AS score
   FROM documents d LEFT JOIN agg a USING (doc_id)
   WHERE d.doc_id IN (3, 1, 4)
      OR a.c_table IS NOT NULL OR a.c_value IS NOT NULL
@@ -1359,7 +1360,7 @@ tset AS (
 -- doc_id % 50; parents with >=2 children matching 'table',
 -- score_mode=sum
 haschild_top AS (
-  SELECT (a.doc_id % 50) AS doc_id, round(sum(a.c_table), 4) AS score
+  SELECT (a.doc_id % 50) AS doc_id, {round_det_sql('sum(a.c_table)', 4)} AS score
   FROM agg a
   WHERE a.c_table IS NOT NULL AND a.doc_id >= 50
   GROUP BY 1 HAVING count(*) >= 2
@@ -1376,7 +1377,7 @@ ltr_scored AS (
   FROM dl LEFT JOIN agg a USING (doc_id)
 ),
 ltr_top AS (
-  SELECT doc_id, round(s, 4) AS score FROM ltr_scored
+  SELECT doc_id, {round_det_sql('s', 4)} AS score FROM ltr_scored
   ORDER BY s DESC, doc_id LIMIT 15
 ),
 -- nested twin: per-doc 2-element array<struct(typ,conf)> built from
@@ -1520,7 +1521,7 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = query_string_topk(ix2, _QS_QUERY, k=20).select(
         F.lit("qs").alias("chk"), F.lit("").alias("k"),
-        "doc_id", F.round("score", 4).alias("score"),
+        "doc_id", round_det("score", 4).alias("score"),
     )
     # chk='kql': the dashboards' DEFAULT search-bar language
     # (index/kql.py) — grouped value list, comparison range, negated
@@ -1536,7 +1537,7 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size": 20,
     }).select(
         F.lit("kql").alias("chk"), F.lit("").alias("k"),
-        "doc_id", F.round("score", 4).alias("score"),
+        "doc_id", round_det("score", 4).alias("score"),
     )
     # chk='sayt': the SAME query through an index_prefixes handle
     # (index/sayt.py) — the st* prefix expands by EqualTo on the
@@ -1552,7 +1553,7 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sayt = query_string_topk(ix_sayt, _QS_QUERY, k=20).select(
         F.lit("sayt").alias("chk"), F.lit("").alias("k"),
-        "doc_id", F.round("score", 4).alias("score"),
+        "doc_id", round_det("score", 4).alias("score"),
     )
     panel2 = {"query": {"match": {"text": "table value"}}, "size": 10}
     # persist=False: the driver collects these lazily after the entry
@@ -1560,21 +1561,21 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     res, res2 = msearch(ix2, [_SB_BODY, panel2], persist=False)
     body = res["hits"].select(
         F.lit("body").alias("chk"), F.lit("").alias("k"),
-        "doc_id", F.round("score", 4).alias("score"),
+        "doc_id", round_det("score", 4).alias("score"),
     )
     agg = res["aggs"]["by_lang"].select(
         F.lit("agg").alias("chk"), F.col("by_lang").alias("k"),
         F.col("doc_count").cast("long").alias("doc_id"),
-        F.round("avg_chars", 4).alias("score"),
+        round_det("avg_chars", 4).alias("score"),
     )
     ms = res2["hits"].select(
         F.lit("msearch").alias("chk"), F.lit("").alias("k"),
-        "doc_id", F.round("score", 4).alias("score"),
+        "doc_id", round_det("score", 4).alias("score"),
     )
     rt_res = search_body(ix2, _RT_BODY)
     rt = rt_res["hits"].select(
         F.lit("runtime").alias("chk"), F.lit("").alias("k"),
-        "doc_id", F.round("score", 4).alias("score"),
+        "doc_id", round_det("score", 4).alias("score"),
     )
     rtagg = rt_res["aggs"]["by_grp"].select(
         F.lit("rtagg").alias("chk"), F.col("by_grp").alias("k"),
@@ -1595,7 +1596,7 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"pages": ix2.docs}, ix=ix2,
     ).select(
         F.lit("sql").alias("chk"), F.lit("").alias("k"),
-        "doc_id", F.round("_score", 4).alias("score"),
+        "doc_id", round_det("_score", 4).alias("score"),
     )
     sqlagg = sql_query(
         spark,
@@ -1645,7 +1646,7 @@ def ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _chk(tag: str, hits: DataFrame) -> DataFrame:
         return hits.select(
             F.lit(tag).alias("chk"), F.lit("").alias("k"),
-            "doc_id", F.round("score", 4).alias("score"),
+            "doc_id", round_det("score", 4).alias("score"),
         )
 
     sscore = _chk("sscore", search_hits(ix3, {

@@ -1126,9 +1126,14 @@ class _Compiler:
                 wsum = F.aggregate(
                     F.filter(wts, lambda x: x.isNotNull()),
                     F.lit(0.0), lambda a, x: a + x)
-                combined = F.aggregate(
-                    app, F.lit(0.0), lambda a, x: a + x
-                ) / wsum
+                # all-zero weights are a legitimate way to neutralize
+                # every function: upstream yields 0 there, and a plain
+                # divide would be NULL (or DIVIDE_BY_ZERO under ANSI)
+                combined = F.when(
+                    wsum > 0,
+                    F.aggregate(app, F.lit(0.0), lambda a, x: a + x)
+                    / wsum,
+                ).otherwise(F.lit(0.0))
             elif sm == "max":
                 combined = F.array_max(app)
             elif sm == "min":

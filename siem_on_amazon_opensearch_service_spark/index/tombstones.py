@@ -130,21 +130,31 @@ def upsert_docs(spark: SparkSession, path: str, new_docs: DataFrame,
     from ..streaming.incremental import IncrementalIndexer, load_incremental
 
     ix = load_incremental(spark, path)
+    # Materialize the old-id set BEFORE the new batch lands: the frame
+    # reads the live docs table lazily, and evaluating it after
+    # process_batch would match the replacement docs' own urls too.
     old_ids = (
         ix.docs.join(
             new_docs.select(F.col("url")).distinct(), "url")
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
-    store = _store(path)
-    store.append(old_ids, TOMBSTONE_TABLE)
     n_old = old_ids.count()
     used = [
         int(os.path.basename(d).split("=", 1)[1])
         for d in glob.glob(os.path.join(path, "delta", "batch=*"))
     ]
     batch_id = (max(used) + 1) if used else 0
+    # Index the new delta FIRST, tombstone SECOND: a crash between the
+    # two degrades to duplicate visible versions (at-least-once — the
+    # retried tombstone append heals it), never to a url with no live
+    # version, which the old tombstone-first order produced when
+    # process_batch died.
     IncrementalIndexer(path, salt_threshold).process_batch(
         new_docs, batch_id)
+    store = _store(path)
+    store.append(old_ids, TOMBSTONE_TABLE)
+    old_ids.unpersist()
     return {"tombstoned": int(n_old), "batch_id": batch_id,
             "n_new": new_docs.count()}
 
@@ -156,6 +166,24 @@ def compact(spark: SparkSession, path: str, out_path: str,
     path with recomputed n_docs/avgdl, write ``out_path``, clear the
     tombstone set."""
     from ..plans.checkpoint import merge_from_decoded
+
+    # Crash recovery for a previous IN-PLACE compact: the two-rename
+    # swap below has a window (after `path` moved aside, before the
+    # compacted dir moved in) where `path` does not exist and the only
+    # copy lives under the fixed `.old` suffix. Restore it on entry so
+    # a retry (and every reader) finds an index again; if both exist,
+    # the previous compact finished and `.old` is droppable debris.
+    import shutil as _shutil
+
+    leftover = path.rstrip("/") + ".old"
+    if os.path.exists(leftover):
+        if not os.path.exists(path):
+            os.rename(leftover, path)
+        else:
+            _shutil.rmtree(leftover, ignore_errors=True)
+    stale_work = path.rstrip("/") + ".compacting"
+    if os.path.exists(stale_work):
+        _shutil.rmtree(stale_work, ignore_errors=True)
 
     ix = PostingsIndex.load(spark, path)
     tombs = load_tombstones(spark, path)
@@ -201,11 +229,13 @@ def compact(spark: SparkSession, path: str, out_path: str,
     # postings paired with old stats (wrong idf/avgdl for every
     # subsequent load) or a subdir was missing entirely. Two renames
     # shrink the window to between them — and a crash there leaves
-    # the old index intact under `.old.<pid>` for manual recovery,
-    # never a half-swapped hybrid. The tombstone set (and any stale
-    # prefix sidecars) die with the old directory: the compacted
-    # output was born without the masked docs.
-    old_dir = f"{path}.old.{os.getpid()}"
+    # the old index intact under the FIXED `.old` suffix, which the
+    # recovery block at the top of this function restores on the next
+    # compact() call (a pid-suffixed name made retries blind to it).
+    # The tombstone set (and any stale prefix sidecars) die with the
+    # old directory: the compacted output was born without the masked
+    # docs.
+    old_dir = path.rstrip("/") + ".old"
     os.rename(path, old_dir)
     os.rename(work_dir, path)
     shutil.rmtree(old_dir, ignore_errors=True)

@@ -16,6 +16,7 @@ overlap 0).
 """
 
 from __future__ import annotations
+from ..detfloat import round_det
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -56,7 +57,7 @@ def ngram_contamination(docs: DataFrame, bench: DataFrame,
         .select(
             id_col, "n_grams",
             F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.round(
+            round_det(
                 F.coalesce("n_contaminated", F.lit(0)).cast("double")
                 / F.col("n_grams"), 6,
             ).alias("contamination_frac"),

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..analysis import duckdb_tokens_sql, tokens_sql
+from ..detfloat import round_det, round_det_sql
 
 SHINGLE = 3
 N_HASH = 8          # minhash signature length
@@ -487,7 +488,7 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
         pairs.join(sa, "id_a").join(sb, "id_b")
         .select(
             "id_a", "id_b", "n_bands",
-            F.round(match.cast("double") / n_hash, 4).alias("est_jaccard"),
+            round_det(match.cast("double") / n_hash, 4).alias("est_jaccard"),
         )
     )
 
@@ -544,7 +545,7 @@ def duckdb_lsh_pairs_sql(table: str = "documents", text_expr: str = "text",
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, n_bands,
-           round(({match})::DOUBLE / {n_hash}, 4) AS est_jaccard
+           {round_det_sql(f'({match})::DOUBLE / {n_hash}', 4)} AS est_jaccard
     FROM pairs
     JOIN sigs sa ON sa.id = pairs.id_a
     JOIN sigs sb ON sb.id = pairs.id_b
@@ -571,7 +572,7 @@ def jaccard_pairs(docs_a: DataFrame, text_col: str = "text",
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+            round_det(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
         )
     )
 
@@ -589,7 +590,7 @@ def verify_candidates_jaccard(docs: DataFrame, pairs: DataFrame,
     # zero-union guard: a caller-supplied pair of two shingle-less
     # (<n-token) docs must score 0.0, not DIVIDE_BY_ZERO under ANSI
     jac = F.when(union > 0,
-                 F.round(inter.cast("double") / union.cast("double"), 4)
+                 round_det(inter.cast("double") / union.cast("double"), 4)
                  ).otherwise(F.lit(0.0))
     return (
         pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sha")), "id_a")
@@ -715,7 +716,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         moved = new.agg(
             F_.count(F_.when(F_.col("_moved"), 1)).alias("n")
         ).collect()[0]["n"]
-        labels = new
+        # release the previous round's checkpointed blocks NOW: they
+        # are pinned until driver GC otherwise, and memory would grow
+        # with iteration count on large duplicate graphs
+        prev, labels = labels, new
+        prev.unpersist()
         if moved == 0:
             break  # no label moved: fixpoint
     edges.unpersist()
@@ -766,5 +771,5 @@ def embedding_dup_pairs(vecs: DataFrame, threshold: float,
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .select("id_a", "id_b", round_det("cosine", 4).alias("cosine"))
     )

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..analysis import duckdb_tokens_sql, tokens_col
+from ..detfloat import round_det, round_det_sql
 
 N_BUCKETS = 10_000
 ALPHA = 1.0  # Laplace smoothing
@@ -178,7 +179,7 @@ def dsir_sample(raw_docs: DataFrame, target_docs: DataFrame, k: int,
                                                            salt))
     return (
         keyed.orderBy(F.desc("key"), F.asc("id")).limit(k)
-        .select("id", F.round("logw", 6).alias("logw"))
+        .select("id", round_det("logw", 6).alias("logw"))
     )
 
 
@@ -224,6 +225,6 @@ def duckdb_dsir_sql(raw_where: str, target_where: str, k: int,
                       / {float((1 << 32) + 1)!r})) AS key
       FROM w
     )
-    SELECT id, round(logw, 6) AS logw
+    SELECT id, {round_det_sql('logw', 6)} AS logw
     FROM keyed ORDER BY key DESC, id LIMIT {k}
     """

@@ -46,6 +46,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..detfloat import round_det
 
 GRAPH_SCHEMA = ("shard int, id long, layer int, neighbors array<long>, "
                 "vec array<float>")
@@ -242,4 +243,4 @@ def hnsw_query(graph: DataFrame, queries: list[tuple[int, list[float]]],
     return (cands.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("query_id", "vec_id",
-                    F.round("cosine", 4).alias("cosine")))
+                    round_det("cosine", 4).alias("cosine")))

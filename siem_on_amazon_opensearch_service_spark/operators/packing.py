@@ -151,9 +151,12 @@ def mixture_rates(counts: dict[str, int], budget: int,
         raise ValueError("budget and temperature must be positive")
     smoothed = {s: n ** (1.0 / temperature)
                 for s, n in counts.items() if n > 0}
-    # None sorts first (a NULL source is a real stratum in web data)
+    # None sorts first (a NULL source is a real stratum in web data);
+    # str() keeps every non-None key comparable — `k or ""` turned a
+    # falsy non-string key (integer source 0) into "" and then
+    # compared strings against ints, a TypeError
     z = sum(smoothed[s] for s in
-            sorted(smoothed, key=lambda k: (k is not None, k or "")))
+            sorted(smoothed, key=lambda k: (k is not None, str(k))))
     return {
         s: min(1.0, (smoothed[s] / z) * budget / counts[s])
         for s in smoothed

@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import cosine_topk, ivf_assign, probe_cells
+from ..detfloat import round_det
 
 __all__ = [
     "pq_codebooks", "pq_train", "pq_encode", "adc_table", "pq_topk",
@@ -160,7 +161,7 @@ def pq_topk(codes: DataFrame, codebooks: np.ndarray,
     )
     return (
         scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
-        .select(id_col, F.round("score", 4).alias("score"))
+        .select(id_col, round_det("score", 4).alias("score"))
     )
 
 
@@ -246,5 +247,5 @@ def ivfpq_topk(enc: DataFrame, centroids: DataFrame,
         scored = part if scored is None else scored.unionByName(part)
     return (
         scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
-        .select(id_col, F.round("score", 4).alias("score"))
+        .select(id_col, round_det("score", 4).alias("score"))
     )

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import cosine_col
+from ..detfloat import round_det
 
 
 def cosine_topk(vecs: DataFrame, query_vec: list[float], k: int = 10,
@@ -42,7 +43,7 @@ def cosine_topk(vecs: DataFrame, query_vec: list[float], k: int = 10,
     return (
         scored.orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
-        .select(id_col, F.round("cosine", 4).alias("cosine"))
+        .select(id_col, round_det("cosine", 4).alias("cosine"))
     )
 
 
@@ -72,7 +73,7 @@ def cosine_radial(vecs: DataFrame, query_vec: list[float],
         F.col(id_col), cosine_col(F.col(vec_col), q).alias("cosine")
     ).filter(F.col("cosine") >= cutoff)
     return scored.select(
-        id_col, F.round("cosine", 4).alias("cosine")
+        id_col, round_det("cosine", 4).alias("cosine")
     ).orderBy(F.desc("cosine"), F.asc(id_col))
 
 

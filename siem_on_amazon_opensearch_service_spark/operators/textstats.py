@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..analysis import duckdb_tokens_sql, tokens_sql
+from ..detfloat import round_det, round_det_sql
 
 #: tiny per-language stopword lists for the n-gram/stopword-ratio
 #: language heuristic (public common function words).
@@ -60,7 +61,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_s = F.when(take, s).otherwise(best_s)
     return docs.withColumn("lang_pred", best).withColumn(
-        "lang_score", F.round(best_s, 4)
+        "lang_score", round_det(best_s, 4)
     )
 
 
@@ -81,7 +82,7 @@ def duckdb_lang_sql(text_expr: str = "text") -> tuple[str, str]:
     for lang, r in ratios.items():
         pred = f"(CASE WHEN {r} > {score} THEN '{lang}' ELSE {pred} END)"
         score = f"(CASE WHEN {r} > {score} THEN {r} ELSE {score} END)"
-    return pred, f"round({score}, 4)"
+    return pred, round_det_sql(score, 4)
 
 
 # ---------------------------------------------------------------------------
@@ -120,11 +121,11 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "*",
         n_tok.cast("long").alias("n_tokens"),
-        F.round(mean_len, 4).alias("mean_token_len"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(sym_ratio, 4).alias("symbol_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        round_det(mean_len, 4).alias("mean_token_len"),
+        round_det(distinct_ratio, 4).alias("distinct_ratio"),
+        round_det(stop_ratio, 4).alias("stopword_ratio"),
+        round_det(sym_ratio, 4).alias("symbol_ratio"),
+        round_det(score, 4).alias("quality_score"),
     )
 
 
@@ -154,14 +155,14 @@ def duckdb_quality_sql(table: str = "documents", text_expr: str = "text",
     )
     SELECT {id_col},
       n_tok::BIGINT AS n_tokens,
-      round(mean_len, 4) AS mean_token_len,
-      round(dratio, 4) AS distinct_ratio,
-      round(sratio, 4) AS stopword_ratio,
-      round(symr, 4) AS symbol_ratio,
-      round(
+      {round_det_sql('mean_len', 4)} AS mean_token_len,
+      {round_det_sql('dratio', 4)} AS distinct_ratio,
+      {round_det_sql('sratio', 4)} AS stopword_ratio,
+      {round_det_sql('symr', 4)} AS symbol_ratio,
+      {round_det_sql('''
         (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
         + (CASE WHEN mean_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
-        + least(dratio * 0.5, 0.25) + least(sratio * 2.5, 0.25), 4)
+        + least(dratio * 0.5, 0.25) + least(sratio * 2.5, 0.25)''', 4)}
         AS quality_score
     FROM f
     """
@@ -289,11 +290,11 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
         .join(g2, id_col, "left").join(g3, id_col, "left")
         .select(
             id_col, "n_lines",
-            F.round("dup_line_frac", 6).alias("dup_line_frac"),
-            F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
-            F.round(F.coalesce("top_2gram_char_frac", F.lit(0.0)), 6)
+            round_det("dup_line_frac", 6).alias("dup_line_frac"),
+            round_det("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+            round_det(F.coalesce("top_2gram_char_frac", F.lit(0.0)), 6)
             .alias("top_2gram_char_frac"),
-            F.round(F.coalesce("top_3gram_char_frac", F.lit(0.0)), 6)
+            round_det(F.coalesce("top_3gram_char_frac", F.lit(0.0)), 6)
             .alias("top_3gram_char_frac"),
         )
     )
@@ -333,7 +334,7 @@ def duckdb_top_ngram_sql(n: int, table: str = "documents",
         FROM cnt_{n}
       )
       SELECT doc_id,
-             round(CASE WHEN tc > 0 THEN cover / tc::DOUBLE ELSE 0 END, 6)
+             {round_det_sql('CASE WHEN tc > 0 THEN cover / tc::DOUBLE ELSE 0 END', 6)}
                AS frac
       FROM rk_{n} WHERE rn = 1
     """
@@ -411,7 +412,7 @@ def doc_log_perplexity(docs: DataFrame, model, text_col: str = "text",
         .agg(F.count("*").alias("n_tokens"), F.sum(s).alias("_lp"))
         .select(
             "doc_id", "n_tokens",
-            F.round(-F.col("_lp") / F.col("n_tokens"), 6).alias("logppl"),
+            round_det(-F.col("_lp") / F.col("n_tokens"), 6).alias("logppl"),
         )
     )
 
