@@ -472,6 +472,32 @@ def main() -> None:
         if name in reg:
             timed(name, lambda n=name: reg[n](spark, SF_DIR).collect())
 
+    # --- q1_double: the SAME TPC-H Q1 shape with plain DOUBLE sums.
+    # The gated q1_pricing_summary pays a deliberate exact-decimal
+    # (DECIMAL(18,6)) combine tax for driver-hash determinism
+    # (detfloat.py); this ungated twin measures that tax as its own
+    # line item so a future *plan* regression in q1 is not masked by
+    # the known combine-cost delta. NOT part of the r02 lane. ---
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    def q1_double():
+        return (
+            li.filter(F.col("l_shipdate")
+                      <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice")
+                      * (F.lit(1.0) - F.col("l_discount")))
+                .alias("sum_disc_price"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            ).collect()
+        )
+
+    timed("q1_double", q1_double)
+
     sf_m = re.search(r"sf([0-9.]+)", SF_DIR)
     total = round(sum(timings.values()), 4)
     # fixed round-2 comparable lane: the 16 queries benched every

@@ -262,10 +262,14 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     radial = similarity.cosine_radial(vecs, qv, min_score=0.1).select(
         F.lit("radial").alias("chk"), "vec_id", "cosine")
     # chk='hnsw': the graph-ANN engine itself (operators/hnsw.py) at
-    # the gate-exactness configuration — one shard, ef_search >= the
-    # corpus, where HNSW provably degrades to exhaustive search (the
-    # existing pytest pin), so the brute top-k IS the oracle. The
-    # sharded production configuration stays pinned by recall tests;
+    # the gate-exactness configuration — FOUR shards with per-shard
+    # ef_search >= shard size, where each shard's search provably
+    # degrades to exhaustive and the scatter-gather window merge of
+    # per-shard top-k therefore equals global brute force — so the
+    # brute top-k IS the oracle while the row exercises the SHARDED
+    # build + scatter-gather query path the bench runs (round-4 used
+    # n_shards=1, which only proved the degenerate single-partition
+    # case). Approximate-ef behavior stays pinned by recall tests;
     # this row puts the whole build+query path under the driver's
     # value hash (graph is deterministic: md5 levels, sorted inserts).
     # Score parity note: the graph stores array<float>, which is
@@ -276,7 +280,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.hnsw import hnsw_build, hnsw_query
 
     n_vecs = vecs.count()
-    g = hnsw_build(vecs, n_shards=1, m=8, ef_construction=48)
+    g = hnsw_build(vecs, n_shards=4, m=8, ef_construction=48)
     hnsw = hnsw_query(g, [(0, qv)], k=10, ef_search=n_vecs).select(
         F.lit("hnsw").alias("chk"), "vec_id", "cosine")
     return topk.unionByName(radial).unionByName(hnsw)

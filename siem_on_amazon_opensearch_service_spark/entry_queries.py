@@ -1490,6 +1490,21 @@ def _alert_pairs_sql() -> str:
     SELECT 'correl', a_rule || '>' || b_rule, count(*),
            round(sum(delta_s), 4)
     FROM pairs GROUP BY a_rule, b_rule
+    UNION ALL
+    SELECT 'stream_alert',
+           user_id::VARCHAR || ':' ||
+           CASE WHEN n >= 10 THEN 'high' ELSE 'medium' END,
+           n, (floor(epoch(mx))::BIGINT)::DOUBLE
+    FROM (
+      SELECT user_id, count(*) AS n, max(ts) AS mx FROM events
+      WHERE event_type = 'error' GROUP BY user_id
+    ) WHERE n >= 5
+    UNION ALL
+    SELECT 'stream_dedup', 'kept', count(*), sum(kept_id)::DOUBLE FROM (
+      SELECT min(doc_id) AS kept_id FROM (
+        SELECT doc_id,
+               md5(array_to_string({duckdb_tokens_sql('text')}, ' ')) AS ck
+        FROM documents) GROUP BY ck)
     """,
 )
 def agg_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1506,6 +1521,17 @@ def agg_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``correl`` — the correlation engine over those findings
       (operators/correlate.py banded interval join) vs the oracle's
       naive inequality join: per rule-pair counts + summed deltas.
+    * ``stream_alert`` — the stateful streaming alert monitor's BATCH
+      TWIN (streaming/alerting.py:alert_crossings_batch — the module's
+      batch/stream agreement is pinned by pytest; this row puts the
+      twin under the driver's value hash): crossing-edge alerts at
+      threshold 5, severity graded at 2x, alert stamped with the
+      key's latest event time.
+    * ``stream_dedup`` — the streaming ingest-dedup's shared content
+      key (streaming/dedup.py:content_key — md5 of the analyzer-
+      normalized token stream, the exact definition
+      dropDuplicatesWithinWatermark dedups on): first-doc-per-key
+      survivor count + id-sum over the documents table.
     """
     from .operators.correlate import correlate_findings
     from .operators.sigma import sigma_findings
@@ -1552,7 +1578,30 @@ def agg_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("correl").alias("chk"),
              F.concat_ws(">", "a_rule", "b_rule").alias("k"), "n", "v")
 
-    return monitor.unionByName(sigma).unionByName(correl)
+    from .streaming.alerting import alert_crossings_batch
+    from .streaming.dedup import content_key
+
+    stream_alert = alert_crossings_batch(
+        ev, threshold=5, key_col="user_id", ts_col="ts",
+        predicate=F.col("event_type") == "error",
+    ).select(
+        F.lit("stream_alert").alias("chk"),
+        F.concat_ws(":", "key", "severity").alias("k"),
+        F.col("n_events").alias("n"),
+        F.unix_timestamp("alert_at").cast("double").alias("v"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    stream_dedup = (
+        docs.withColumn("_ck", content_key("text"))
+        .groupBy("_ck").agg(F.min("doc_id").alias("kept_id"))
+        .agg(F.count("*").alias("n"),
+             F.sum("kept_id").cast("double").alias("v"))
+        .select(F.lit("stream_dedup").alias("chk"),
+                F.lit("kept").alias("k"), "n", "v")
+    )
+
+    return (monitor.unionByName(sigma).unionByName(correl)
+            .unionByName(stream_alert).unionByName(stream_dedup))
 
 
 @register(

@@ -31,8 +31,16 @@ QUERY = "w00000 w00012 w00345 w06789"
 
 
 def run(cpus: int) -> dict:
+    import os
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
+
+    # honesty instrumentation (round-4 lesson: a load1=4+ box read
+    # 0.70 efficiency where the quiet-box run of the same HEAD read
+    # 0.97): stamp the pre-trial load so every recorded number carries
+    # its noise context.
+    load1_before = round(os.getloadavg()[0], 2)
 
     from siem_on_amazon_opensearch_service_spark import corpus
     from siem_on_amazon_opensearch_service_spark.index import build_index
@@ -82,6 +90,7 @@ def run(cpus: int) -> dict:
         "docs_per_sec": round(N_DOCS / build_s, 1),
         "postings_per_sec": round(int(stats["postings"]) / build_s, 1),
         "query_sec": round(query_s, 3),
+        "load1_before": load1_before,
     }
     spark.stop()
     return out
@@ -97,6 +106,7 @@ def main() -> None:
         trials = [run(c) for _ in range(repeats)]
         best = max(trials, key=lambda r: r["docs_per_sec"])
         best["trials_docs_per_sec"] = [t["docs_per_sec"] for t in trials]
+        best["trials_load1"] = [t["load1_before"] for t in trials]
         results.append(best)
     for r in results:
         print(json.dumps(r))
@@ -108,6 +118,9 @@ def main() -> None:
             "levels": [lo["cpus"], hi["cpus"]],
             "speedup": round(ratio, 3),
             "efficiency": round(eff, 3),
+            "trials_docs_per_sec": [lo["trials_docs_per_sec"],
+                                    hi["trials_docs_per_sec"]],
+            "trials_load1": [lo["trials_load1"], hi["trials_load1"]],
         }))
 
 

@@ -13,7 +13,15 @@ EACH OTHER: a float aggregate whose partial-sum merge order leaks into
 the output flips between configs (the round-3 flap class) and fails
 here before the driver sees it.
 
-Usage: python tools/check_entry.py [--partitions 2,7,32] [name ...]
+Usage: python tools/check_entry.py [--partitions 2,7,32]
+           [--dump out.txt] [name ...]
+
+--dump writes each checked entry's canonicalized row set (columns
+sorted by name, cells repr-normalized, rows sorted — exactly the form
+this script compares) to ``out.txt`` as one block per entry. Purpose:
+a driver-side hash mismatch that cannot be reproduced locally then
+starts from a value-level diff against the committed dump instead of
+a boolean — see tools/dumps/README.md.
 """
 
 from __future__ import annotations
@@ -60,9 +68,16 @@ def main():
 
     args = sys.argv[1:]
     partitions = [8]
-    if args and args[0] == "--partitions":
-        partitions = [int(x) for x in args[1].split(",")]
-        args = args[2:]
+    dump_path = None
+    while args and args[0].startswith("--"):
+        if args[0] == "--partitions":
+            partitions = [int(x) for x in args[1].split(",")]
+            args = args[2:]
+        elif args[0] == "--dump":
+            dump_path = args[1]
+            args = args[2:]
+        else:
+            raise SystemExit(f"unknown flag {args[0]}")
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -84,6 +99,7 @@ def main():
     oracles = entry_mod.oracle_sql()
     names = args or sorted(qs)
     failures = []
+    dump_f = open(dump_path, "w") if dump_path else None
     for name in names:
         runs = []  # (partitions, cols, normalized rows)
         err = None
@@ -117,6 +133,10 @@ def main():
                   f"{[u[1] for u in unstable]} vs {runs[0][0]}")
             continue
         sc, sr = runs[0][1], runs[0][2]
+        if dump_f is not None:
+            print(f"== {name} columns={sc}", file=dump_f)
+            for row in sr:
+                print("\t".join(row), file=dump_f)
         if name not in oracles:
             print(f"ROWS  {name}: {len(sr)} rows "
                   f"(no oracle; rows-only check)")
@@ -146,6 +166,9 @@ def main():
             tag = (f"{len(partitions)} cfgs" if len(partitions) > 1
                    else "1 cfg")
             print(f"OK    {name}: {len(sr)} rows ({tag})")
+    if dump_f is not None:
+        dump_f.close()
+        print(f"dump written: {dump_path}")
     print()
     if failures:
         print("FAILURES:", failures)
