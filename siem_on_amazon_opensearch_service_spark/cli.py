@@ -72,7 +72,15 @@ def cmd_build(args: argparse.Namespace) -> None:
     else:
         from siem_on_amazon_opensearch_service_spark.index import build_index
 
+        # id column: honor an explicit --id-col; otherwise reuse an
+        # existing doc_id column, else fall back to url-rank
+        # assignment (which requires a url column — the input_hint
+        # shape). Previously a doc_id-only input crashed on the url
+        # repartition inside assign_doc_ids.
+        id_col = args.id_col or (
+            "doc_id" if "doc_id" in pages.columns else None)
         ix = build_index(spark, pages, text_col=args.text_col,
+                         id_col=id_col,
                          salt_threshold=args.salt_threshold)
         ix.save(spark, args.output, buckets=args.buckets)
         print(json.dumps({
@@ -284,6 +292,9 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--text-col", default="text")
     b.add_argument("--salt-threshold", type=int, default=100_000)
     b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--id-col", default=None,
+                   help="pre-existing long id column (default: doc_id "
+                        "if present, else ids assigned by url rank)")
     b.add_argument("--resumable", action="store_true")
     b.add_argument("--positional", action="store_true",
                    help="store term positions (enables phrase queries)")

@@ -38,6 +38,8 @@ from itertools import product
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..detfloat import round_det
+
 from ..analysis import tokenize_py, tokens_col
 
 
@@ -189,7 +191,7 @@ def phrase_suggest(model: BigramModel, text: str, size: int = 3,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= size)
         .select(F.col("phrase").alias("suggestion"),
-                F.round("score", 6).alias("score"), "rank")
+                round_det("score", 6).alias("score"), "rank")
         .orderBy("rank")
     )
 
@@ -266,7 +268,7 @@ def term_suggest(model: BigramModel, text: str, size: int = 5,
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= size)
-        .select("token", "suggestion", F.round("score", 6).alias("score"),
+        .select("token", "suggestion", round_det("score", 6).alias("score"),
                 "freq", "rank")
         .orderBy("token", "rank")
     )

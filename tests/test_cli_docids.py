@@ -164,3 +164,22 @@ def test_cli_chunk_and_startree(spark, tmp_path, capsys):
               "--watermark-col", "warc_ts"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["mode"] == "sync" and out["delta_docs"] == 0
+
+
+def test_cli_build_accepts_preassigned_doc_id(spark, tmp_path, capsys):
+    """`build` on an input that already carries doc_id (no url column,
+    the testdata/documents shape) must reuse it instead of crashing on
+    the url-rank assignment."""
+    pdf = corpus.make_pages_pdf(120, seed=12)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(pdf[["doc_id", "text"]]).write.parquet(inp)
+    ixp = str(tmp_path / "ix")
+    cli.main(["build", "--input", inp, "--output", ixp,
+              "--salt-threshold", "1000", "--buckets", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "ok" and out["n_docs"] == 120
+    cli.main(["query", "--index", ixp, "--query", "w00001", "--k", "3"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(x) for x in lines if x.startswith("{")]
+    assert all("doc_id" in r for r in rows)
