@@ -200,6 +200,13 @@ class _Parser:
                 self.take()
                 items.append(self._atom())
             self.take(")")
+            for x in items:
+                if x[0] not in ("num", "str"):
+                    # a column ref here would silently become a STRING
+                    # literal on the DataFrame side (Column.isin takes
+                    # values) while the SQL backend would reference the
+                    # column — refuse rather than diverge
+                    raise PPLError("in (...) takes literal values only")
             return ("in", n, items)
         if t == "like":
             self.take()
@@ -232,6 +239,13 @@ class _Parser:
             n = self.expr()
             self.take(")")
             return n
+        if t == "-":
+            # unary minus: -5, -x, -(a + b)
+            self.take()
+            inner = self._atom()
+            if inner[0] == "num":
+                return ("num", -inner[1])
+            return ("bin", "-", ("num", 0), inner)
         self.take()
         if t.startswith("'"):
             return ("str", t[1:-1].replace("\\'", "'"))
@@ -266,6 +280,21 @@ def parse_expr(s: str):
 # expression backends
 # ---------------------------------------------------------------------------
 
+def _round_digits(n) -> int:
+    """Digits argument of a parsed ``round`` node: optional (PPL's
+    one-arg ``round(x)`` rounds to 0 decimals) and must be an integer
+    literal — a column ref or fraction here previously crashed with a
+    bare IndexError/TypeError deep in the backend."""
+    if len(n[2]) == 1:
+        return 0
+    if len(n[2]) != 2:
+        raise PPLError("round takes 1 or 2 arguments")
+    d = n[2][1]
+    if d[0] != "num" or float(d[1]) != int(d[1]):
+        raise PPLError("round digits must be an integer literal")
+    return int(d[1])
+
+
 def _to_col(n):
     kind = n[0]
     if kind == "num":
@@ -285,7 +314,7 @@ def _to_col(n):
         if n[1] == "if":
             return F.when(args[0], args[1]).otherwise(args[2])
         if n[1] == "round":
-            return F.round(args[0], n[2][1][1])
+            return F.round(args[0], _round_digits(n))
     op, l, r = n[1], _to_col(n[2]), _to_col(n[3])
     return {
         "or": l | r, "and": l & r, "=": l == r, "!=": l != r,
@@ -314,7 +343,7 @@ def _to_sql(n) -> str:
             a, b, c = (_to_sql(x) for x in n[2])
             return f"(CASE WHEN {a} THEN {b} ELSE {c} END)"
         if n[1] == "round":
-            return f"round({_to_sql(n[2][0])}, {n[2][1][1]})"
+            return f"round({_to_sql(n[2][0])}, {_round_digits(n)})"
     op = {"=": "=", "and": "AND", "or": "OR"}.get(n[1], n[1].upper())
     return f"({_to_sql(n[2])} {op} {_to_sql(n[3])})"
 
@@ -542,7 +571,9 @@ def parse_ppl(text: str) -> PPLQuery:
                 keys.append((item.lstrip("+-").strip(), desc))
             q.stages.append(("sort", keys))
         elif cmd == "head":
-            q.stages.append(("head", int(rest)))
+            # PPL `head` without a count keeps 10 rows (the upstream
+            # default); int('') previously escaped as a raw ValueError
+            q.stages.append(("head", int(rest or 10)))
         elif cmd == "tail":
             q.stages.append(("tail", int(rest or 10)))
         elif cmd == "patterns":

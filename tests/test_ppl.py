@@ -85,6 +85,11 @@ PIPELINES = [
     # fieldsummary: one-job numeric profile per field
     "source=events | fieldsummary includefields=value, user_id, "
     "event_type | sort field",
+
+    # unary minus in expressions (round-5 fix: '-5' previously
+    # failed to parse as an atom) — literal, column, and grouped
+    "source=events | where value > -5 and -(value) < -10 "
+    "| eval neg = -user_id | stats count() as n, min(neg) as mn",
 ]
 
 
@@ -334,3 +339,33 @@ def test_kmeans_guard_refuses_unreduced_corpus(spark):
                     "| kmeans centroids=2 fields=x,y", {"t": big},
                     global_window_limit=100)
     assert "ClusterID" in out.columns and out.count() == 20
+
+
+def test_ppl_round5_parser_fixes():
+    """Round-5 parser pins: head default, one-arg round, literal-only
+    `in` lists, integer-literal round digits."""
+    # head with no count = 10 (the upstream default; was ValueError)
+    assert parse_ppl("source=t | head").stages == [("head", 10)]
+    # one-arg round -> 0 digits in BOTH backends
+    sql = ppl_to_sql("source=t | eval r = round(x)")
+    assert "round(x, 0)" in sql
+    # non-integer digits are a loud PPLError, not a backend crash
+    with pytest.raises(PPLError, match="integer literal"):
+        ppl_to_sql("source=t | eval r = round(x, 2.5)")
+    with pytest.raises(PPLError, match="integer literal"):
+        ppl_to_sql("source=t | eval r = round(x, y)")
+    # a column ref inside in (...) would silently become a string
+    # literal on the DataFrame side -- refused at parse time
+    with pytest.raises(PPLError, match="literal"):
+        parse_expr("a in (b, 'c')")
+    # negative round digits stay legal (round to tens)
+    assert "round(x, -1)" in ppl_to_sql("source=t | eval r = round(x, -1)")
+
+
+def test_ppl_unary_minus_shapes():
+    n = parse_expr("-5")
+    assert n == ("num", -5)
+    n = parse_expr("x > -5")
+    assert n == ("bin", ">", ("col", "x"), ("num", -5))
+    n = parse_expr("-x")
+    assert n == ("bin", "-", ("num", 0), ("col", "x"))
