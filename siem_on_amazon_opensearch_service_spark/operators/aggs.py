@@ -639,9 +639,12 @@ def adjacency_matrix(df: DataFrame,
     query metadata — so the shuffle is trivially small no matter the
     corpus size.
     """
-    matched = F.array_compact(F.array(*[
+    # sort the matched names so pair keys come out `a&b` with a < b —
+    # OpenSearch's key scheme — regardless of the caller's filter
+    # order (previously `{"hot": .., "even": ..}` produced "hot&even")
+    matched = F.array_sort(F.array_compact(F.array(*[
         F.when(cond, F.lit(name)) for name, cond in filters
-    ]))
+    ])))
     singles = matched
     pairs = F.flatten(F.transform(
         matched,
@@ -829,8 +832,11 @@ def rate_per_day(df: DataFrame, ts: Column, by: list[str]) -> DataFrame:
         df.groupBy(*by).agg(F.count("*").alias("doc_count"))
         .crossJoin(F.broadcast(span))
         .select(*by, "doc_count", "span_seconds",
-                (F.col("doc_count")
-                 / (F.col("span_seconds") / 86400.0))
+                # zero-span guard: a single-timestamp corpus has no
+                # rate (NULL), not a DIVIDE_BY_ZERO under ANSI
+                F.when(F.col("span_seconds") > 0,
+                       F.col("doc_count")
+                       / (F.col("span_seconds") / 86400.0))
                 .alias("rate_per_day"))
     )
 

@@ -152,7 +152,9 @@ def test_adjacency_matrix(events):
         names = [n for n in ("hot", "t0", "even") if py[n](r)]
         for n in names:
             exp[n] += 1
-        for a, b in combinations(names, 2):
+        # pair keys are a&b with a < b ALPHABETICALLY (upstream sorts
+        # the keyed filters by name), independent of filter order
+        for a, b in combinations(sorted(names), 2):
             exp[f"{a}&{b}"] += 1
     got = {r["key"]: r["doc_count"]
            for r in adjacency_matrix(sdf, filters).collect()}
