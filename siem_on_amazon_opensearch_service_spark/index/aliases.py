@@ -91,10 +91,14 @@ def alias_search(registry: AliasRegistry, alias: str, body: dict,
         raise ValueError(
             "multi-index alias aggregations are not supported -- "
             "query the indices separately or merge with rotation.py")
-    if boosts and body.get("sort"):
+    if body.get("sort"):
+        # a custom sort needs a merge on the SORT KEYS, not _score;
+        # the dated-rotation fan-out (rotation.py) implements that
+        # merge for its time-keyed case — refuse rather than return a
+        # wrongly-ordered union here
         raise ValueError(
-            "indices_boost re-ranks by _score; a custom sort makes "
-            "the boost a no-op -- drop one of the two")
+            "multi-index alias with a custom sort is not supported -- "
+            "merge with rotation.py or query the indices separately")
     frm = int(body.get("from", 0))
     size = int(body.get("size", 10))
     frames = []
@@ -102,8 +106,7 @@ def alias_search(registry: AliasRegistry, alias: str, body: dict,
         # each index contributes its own top (from+size) page; the
         # coordinator cut below merges them -- exactly the per-shard
         # fetch contract (per-index BM25 stats, as documented)
-        sub = dict(body, **{"from": 0, "size": frm + size}) if boosts \
-            else body
+        sub = dict(body, **{"from": 0, "size": frm + size})
         f = search_body(e.ix, filtered_body(sub, e.filter), **kw)["hits"]
         b = boosts.get(e.name or "", None)
         if b is not None:
@@ -112,15 +115,16 @@ def alias_search(registry: AliasRegistry, alias: str, body: dict,
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
-    if boosts:
-        # global re-rank over the union of per-index pages (bounded:
-        # n_indices * (from+size) rows), then the request's page cut
-        out = (out.orderBy(F.desc("score"), F.asc("doc_id"))
-               .limit(frm + size))
-        if frm:
-            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-            out = (out.withColumn("_rn", F.row_number().over(w))
-                   .filter(F.col("_rn") > frm).drop("_rn"))
+    # coordinator merge: global score-rank over the union of per-index
+    # pages (bounded: n_indices * (from+size) rows), then the
+    # request's page cut — previously the no-boost path skipped this
+    # and returned up to n_indices * size rows for a size-row request
+    out = (out.orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(frm + size))
+    if frm:
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        out = (out.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") > frm).drop("_rn"))
     return {"hits": out}
 
 

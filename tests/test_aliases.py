@@ -52,20 +52,29 @@ def test_unfiltered_alias_passthrough(ix):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
-def test_multi_index_alias_unions(ix):
+def test_multi_index_alias_merges_with_page_cut(ix):
+    """Coordinator contract: per-index top-(from+size) pages merge by
+    score and the request's size applies to the MERGED result (the
+    old union returned n_indices * size rows for a size-row body)."""
     reg = AliasRegistry()
     reg.add("split", ix, filter={"term": {"lang": "en"}})
     reg.add("split", ix, filter={"term": {"lang": "de"}})
-    got = sorted(r["doc_id"] for r in
-                 alias_search(reg, "split", BODY)["hits"].collect())
-    en = {r["doc_id"] for r in search_body(ix, filtered_body(
-        BODY, {"term": {"lang": "en"}}))["hits"].collect()}
-    de = {r["doc_id"] for r in search_body(ix, filtered_body(
-        BODY, {"term": {"lang": "de"}}))["hits"].collect()}
-    assert got == sorted(en | de)
+    got = [(r["doc_id"], r["score"]) for r in
+           alias_search(reg, "split", BODY)["hits"].collect()]
+    per_index = []
+    for lang in ("en", "de"):
+        per_index += [
+            (r["doc_id"], r["score"])
+            for r in search_body(ix, filtered_body(
+                BODY, {"term": {"lang": lang}}))["hits"].collect()]
+    want = sorted(per_index, key=lambda t: (-t[1], t[0]))[:BODY["size"]]
+    assert got == want and len(got) == BODY["size"]
     with pytest.raises(ValueError, match="alias aggregations"):
         alias_search(reg, "split", {**BODY, "aggs": {
             "l": {"terms": {"field": "lang"}}}})
+    with pytest.raises(ValueError, match="custom sort"):
+        alias_search(reg, "split", {**BODY, "sort": [
+            {"doclen": {"order": "desc"}}]})
 
 
 def test_unknown_alias_raises(ix):
