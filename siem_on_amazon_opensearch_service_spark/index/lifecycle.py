@@ -156,8 +156,16 @@ class ManagedIndex:
         gens = man["generations"]
         if gens and gens[-1].get("sealed") is None:
             return gens[-1]
+        # monotonic generation numbering survives deletes: a counter
+        # in the manifest, seeded from the highest surviving name for
+        # pre-counter manifests (len(gens)+1 re-issued names once a
+        # delete action had retired earlier generations)
+        nxt = man.get("next_gen")
+        if nxt is None:
+            nxt = max((int(g["name"]) for g in gens), default=0) + 1
+        man["next_gen"] = nxt + 1
         gen = {
-            "name": f"{len(gens) + 1:06d}",
+            "name": f"{nxt:06d}",
             "state": self.policy["default_state"],
             "created": now, "sealed": None,
             "batches": [], "docs": 0, "bytes": 0,
@@ -260,37 +268,76 @@ class ManagedIndex:
         first batch id) -- the segment-merge analog.  Reads the
         decoded union, re-encodes through the standard build path,
         writes to a temp sibling then swaps (never overwrites a path
-        being read)."""
+        being read).
+
+        Crash safety (same completeness-marker convention as the
+        delta store): the merged layout -- INCLUDING its stats row --
+        is fully written under ``.merge_tmp_<gen>`` BEFORE any source
+        batch dir is removed; ``tmp/stats`` existing is the
+        "merge complete" marker.  A retry after any crash either
+        discards an incomplete tmp and redoes the merge from intact
+        sources, or finishes the deletions+swap from a complete tmp.
+        The old order (delete every source, then swap) stranded the
+        only copy under tmp and made retries crash on missing paths."""
         from ..plans.checkpoint import merge_decoded_deltas
 
         bids = gen["batches"]
         if len(bids) <= 1:
             gen["merged"] = True
             return
-        post_dirs = [f"{self.path}/delta/batch={b}/postings" for b in bids]
-        doc_dirs = [f"{self.path}/delta/batch={b}/docs" for b in bids]
-        stats = spark.read.parquet(
-            *[f"{self.path}/delta/batch={b}/stats" for b in bids]
-        ).agg(F.sum("n_docs").alias("n"),
-              F.sum("total_dl").alias("dl")).collect()[0]
-        tmp = f"{self.path}/delta/.merge_tmp_{gen['name']}"
-        merge_decoded_deltas(
-            spark,
-            spark.read.parquet(*post_dirs),
-            spark.read.parquet(*doc_dirs),
-            int(stats["n"] or 0), int(stats["dl"] or 0),
-            tmp, self.salt_threshold,
-        )
         keep = bids[0]
-        for b in bids:
-            shutil.rmtree(f"{self.path}/delta/batch={b}")
         dst = f"{self.path}/delta/batch={keep}"
+        tmp = f"{self.path}/delta/.merge_tmp_{gen['name']}"
+        gone = [b for b in bids[1:]
+                if not os.path.exists(f"{self.path}/delta/batch={b}")]
+        if not os.path.exists(tmp) and gone and \
+                os.path.exists(f"{dst}/stats"):
+            # a prior run completed the swap but crashed before the
+            # manifest update (source dirs cannot vanish otherwise):
+            # just finalize the bookkeeping
+            for b in bids[1:]:
+                d = f"{self.path}/delta/batch={b}"
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+            gen["batches"] = [keep]
+            gen["merged"] = True
+            gen["bytes"] = _dir_bytes(dst)
+            return
+        if os.path.exists(f"{tmp}/stats"):
+            # complete tmp from a crashed run: skip straight to the
+            # finish phase below
+            pass
+        else:
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)  # torn write; sources are intact
+            post_dirs = [f"{self.path}/delta/batch={b}/postings"
+                         for b in bids]
+            doc_dirs = [f"{self.path}/delta/batch={b}/docs" for b in bids]
+            stats = spark.read.parquet(
+                *[f"{self.path}/delta/batch={b}/stats" for b in bids]
+            ).agg(F.sum("n_docs").alias("n"),
+                  F.sum("total_dl").alias("dl")).collect()[0]
+            merge_decoded_deltas(
+                spark,
+                spark.read.parquet(*post_dirs),
+                spark.read.parquet(*doc_dirs),
+                int(stats["n"] or 0), int(stats["dl"] or 0),
+                tmp, self.salt_threshold,
+            )
+            # completeness marker LAST: the merged layout's own stats
+            spark.createDataFrame(
+                [(int(stats["n"] or 0), int(stats["dl"] or 0))],
+                "n_docs long, total_dl long",
+            ).write.mode("overwrite").parquet(f"{tmp}/stats")
+        # finish phase: sources are redundant now -- remove non-keep
+        # dirs, then swap the keep dir for the merged layout
+        for b in bids[1:]:
+            d = f"{self.path}/delta/batch={b}"
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
         os.replace(tmp, dst)
-        # merged layout carries its own stats row
-        spark.createDataFrame(
-            [(int(stats["n"] or 0), int(stats["dl"] or 0))],
-            "n_docs long, total_dl long",
-        ).write.mode("overwrite").parquet(f"{dst}/stats")
         gen["batches"] = [keep]
         gen["merged"] = True
         gen["bytes"] = _dir_bytes(dst)

@@ -171,3 +171,87 @@ def test_force_merge_preserves_scores(spark, pages_pdf, tmp_path):
     # state-filtered alias: hot only == batch 3's docs
     hot = mi.load(spark, states=["hot"])
     assert hot.n_docs == N // 3
+
+
+def test_force_merge_crash_recovery(spark, pages_pdf, tmp_path, monkeypatch):
+    """Round-5 durability pins: (a) a crash AFTER the merged tmp is
+    complete but before the swap leaves a retry that finishes from
+    tmp; (b) an incomplete (torn) tmp is discarded and the merge
+    redone from intact sources."""
+    policy = {
+        "default_state": "hot",
+        "states": [
+            {"name": "hot",
+             "actions": [{"rollover": {"min_doc_count": N // 3 + 1}}],
+             "transitions": [{"state_name": "warm",
+                              "conditions": {"min_index_age": "1d"}}]},
+            {"name": "warm", "actions": [{"force_merge": {}}]},
+        ],
+    }
+    root = str(tmp_path / "mi_crash")
+    mi = ManagedIndex(root, policy, salt_threshold=500)
+    batches = _thirds(spark, pages_pdf)
+    mi.append(batches[0], now=0.0)
+    mi.append(batches[1], now=1.0)  # seals gen1 with 2 batches
+    mi.append(batches[2], now=2.0)
+    mi.step(spark, now=2 * 86400.0)  # gen1 -> warm
+
+    # (b) torn tmp: a stale incomplete dir must be discarded
+    import os as _os
+    tmp = f"{root}/delta/.merge_tmp_000001"
+    _os.makedirs(f"{tmp}/postings", exist_ok=True)  # no stats marker
+
+    # (a) crash injection: die right after the completeness marker
+    import shutil as _shutil
+
+    real_rmtree = _shutil.rmtree
+    calls = {"n": 0}
+
+    def crashing_rmtree(path, *a, **kw):
+        if "/delta/batch=" in str(path):
+            calls["n"] += 1
+            raise RuntimeError("injected crash before source removal")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(
+        "siem_on_amazon_opensearch_service_spark.index.lifecycle."
+        "shutil.rmtree", crashing_rmtree)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        mi.step(spark, now=2 * 86400.0)
+    monkeypatch.setattr(
+        "siem_on_amazon_opensearch_service_spark.index.lifecycle."
+        "shutil.rmtree", real_rmtree)
+    # the complete tmp exists, sources intact -> retry finishes
+    assert _os.path.exists(f"{tmp}/stats")
+    acts = mi.step(spark, now=2 * 86400.0)
+    assert {"force_merge": "000001"} in acts
+    gens = mi.generations()
+    assert gens[0]["merged"] is True and len(gens[0]["batches"]) == 1
+    ix = mi.load(spark)
+    assert ix.n_docs == N
+    _assert_matches_oracle(ix, pages_pdf)
+
+
+def test_generation_names_stay_monotonic_after_delete(
+        spark, pages_pdf, tmp_path):
+    """Deleting generations must not re-issue their names (the old
+    len(gens)+1 scheme restarted at 000001 after a full retirement)."""
+    policy = {
+        "default_state": "hot",
+        "states": [
+            {"name": "hot",
+             "actions": [{"rollover": {"min_doc_count": 1}}],
+             "transitions": [{"state_name": "kill",
+                              "conditions": {"min_index_age": "1s"}}]},
+            {"name": "kill", "actions": [{"delete": {}}]},
+        ],
+    }
+    mi = ManagedIndex(str(tmp_path / "mi_names"), policy,
+                      salt_threshold=500)
+    batches = _thirds(spark, pages_pdf)
+    mi.append(batches[0], now=0.0)      # gen 000001 seals immediately
+    mi.step(spark, now=10.0)            # -> kill
+    mi.step(spark, now=20.0)            # deleted
+    assert mi.generations() == []
+    mi.append(batches[1], now=30.0)     # must be 000002, not 000001
+    assert [g["name"] for g in mi.generations()] == ["000002"]
