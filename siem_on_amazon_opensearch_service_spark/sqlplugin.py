@@ -59,7 +59,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ppl import PPLError, _IDENT, _NUM, _tokenize
+from .ppl import PPLError, _IDENT, _NUM, _round_digits, _tokenize
 
 _RELEV_FNS = {"match", "matchquery", "match_query", "match_phrase",
               "query_string"}
@@ -172,6 +172,12 @@ class _P:
                 self.take()
                 items.append(self._add())
             self.take(")")
+            for x in items:
+                if x[0] not in ("num", "str"):
+                    # Column.isin takes VALUES: a column ref here would
+                    # silently become a string literal on the DataFrame
+                    # side while the oracle referenced the column
+                    raise SQLError("IN (...) takes literal values only")
             return ("in", n, items)
         if t == "like" or (t == "not" and self.kw(1) == "like"):
             neg = t == "not"
@@ -430,7 +436,9 @@ def _to_col(n) -> Column:
         if fn == "if":
             return F.when(args[0], args[1]).otherwise(args[2])
         if fn == "round":
-            return F.round(args[0], n[2][1][1])
+            # shared PPL validation: optional digits default 0, must
+            # be an integer literal (was a raw IndexError on round(x))
+            return F.round(args[0], _round_digits(n))
         if fn == "concat":
             return F.concat(*args)
         if fn == "coalesce":

@@ -223,3 +223,12 @@ def test_parse_shapes():
     with pytest.raises(SQLError):
         sql_to_duckdb(
             "SELECT a FROM t WHERE match(f, 'q')")
+
+
+def test_sql_round5_parser_fixes():
+    """Round-5 pins shared with PPL: one-arg round, literal-only IN."""
+    from siem_on_amazon_opensearch_service_spark.sqlplugin import (
+        SQLError, sql_to_duckdb)
+    assert "round(x)" in sql_to_duckdb("SELECT round(x) FROM t")
+    with pytest.raises(SQLError, match="literal"):
+        sql_to_duckdb("SELECT a FROM t WHERE a IN (b, 'c')")
