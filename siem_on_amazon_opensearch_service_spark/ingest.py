@@ -136,9 +136,14 @@ def grok_to_regex(pattern: str,
         syntax, name = m.group(1), m.group(2)
         if syntax not in table:
             raise IngestError(f"unknown grok pattern %{{{syntax}}}")
-        body = _GROK_REF.sub(sub, table[syntax])
+        # record the name BEFORE expanding the body: group numbers
+        # follow paren OPENING order, so a named ref nested inside a
+        # custom definition must come after its enclosing group
+        # (appending post-expansion reversed outer/inner bindings)
         if name:
             names.append(name)
+        body = _GROK_REF.sub(sub, table[syntax])
+        if name:
             return f"({body})"
         return f"(?:{body})"
 
@@ -308,8 +313,10 @@ def _compile_proc(kind: str, p: dict,
         rx, names = grok_to_regex(pats[0], p.get("pattern_definitions"))
         def run(df, p=p, rx=rx, names=names):
             src = F.col(p["field"])
+            cond = cond_of(p)  # every ingest processor honors `if`
             for i, name in enumerate(names, start=1):
-                df = df.withColumn(name, F.regexp_extract(src, rx, i))
+                df = _guarded(df, name,
+                              F.regexp_extract(src, rx, i), cond)
             return df
         return run
 
@@ -317,8 +324,10 @@ def _compile_proc(kind: str, p: dict,
         rx, names = dissect_to_regex(p["pattern"])
         def run(df, p=p, rx=rx, names=names):
             src = F.col(p["field"])
+            cond = cond_of(p)
             for i, name in enumerate(names, start=1):
-                df = df.withColumn(name, F.regexp_extract(src, rx, i))
+                df = _guarded(df, name,
+                              F.regexp_extract(src, rx, i), cond)
             return df
         return run
 
@@ -335,8 +344,9 @@ def _compile_proc(kind: str, p: dict,
         def run(df, p=p):
             sep = re.escape(p.get("separator", ","))
             parts = F.split(F.col(p["field"]), sep)
+            cond = cond_of(p)
             for i, name in enumerate(p["target_fields"]):
-                df = df.withColumn(name, F.element_at(parts, i + 1))
+                df = _guarded(df, name, F.element_at(parts, i + 1), cond)
             return df
         return run
 

@@ -227,3 +227,39 @@ def test_whole_chain_is_one_projection(spark, docs):
     out = simulate(pipeline, docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_grok_nested_named_refs_bind_in_group_order():
+    """A named ref INSIDE a custom pattern definition must bind after
+    its enclosing group (regex groups number by paren-opening order);
+    the old post-expansion append reversed outer/inner."""
+    from siem_on_amazon_opensearch_service_spark.ingest import grok_to_regex
+
+    rx, names = grok_to_regex(
+        "%{PAIR:whole}",
+        defs={"PAIR": r"%{NUMBER:left}-%{NUMBER:right}"})
+    assert names == ["whole", "left", "right"]
+    import re as _re
+    m = _re.match(rx, "12-34")
+    assert m and dict(zip(names, m.groups())) == {
+        "whole": "12-34", "left": "12", "right": "34"}
+
+
+def test_grok_and_csv_honor_if_condition(spark):
+    """grok/dissect/csv apply only where the `if` predicate holds —
+    every ingest processor supports the per-doc condition."""
+    from siem_on_amazon_opensearch_service_spark.ingest import simulate
+
+    df = spark.createDataFrame(
+        [(1, "a=1", "x,y"), (2, "b=2", "p,q")],
+        "id long, msg string, line string")
+    out = simulate({"processors": [
+        {"grok": {"field": "msg", "patterns": ["%{WORD:k}=%{NUMBER:v}"],
+                  "if": "id = 1"}},
+        {"csv": {"field": "line", "target_fields": ["c1", "c2"],
+                 "if": "id = 2"}},
+    ]}, df).orderBy("id").collect()
+    assert (out[0]["k"], out[0]["v"]) == ("a", "1")
+    assert out[1]["k"] is None and out[1]["v"] is None
+    assert (out[1]["c1"], out[1]["c2"]) == ("p", "q")
+    assert out[0]["c1"] is None and out[0]["c2"] is None
