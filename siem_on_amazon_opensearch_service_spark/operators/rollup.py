@@ -158,6 +158,20 @@ def rollup_sync(source: DataFrame, spec: RollupSpec, path: str) -> dict:
 
     spark = source.sparkSession
     manifest = os.path.join(path, "_sync.json")
+    data_dir = os.path.join(path, "data")
+    tmp = os.path.join(path, "_data.sync.tmp")
+    # crash recovery: the swap below removes data/ then renames tmp
+    # in. A crash between the two leaves the ONLY copy of the rollup
+    # history under tmp (the manifest watermark is still old, so a
+    # blind retry would rebuild from the delta alone and lose the
+    # history). data/ missing + tmp present can only mean that state
+    # — adopt tmp; tmp present alongside data/ is a torn write from a
+    # crash during the tmp write — discard it.
+    if os.path.isdir(tmp):
+        if not os.path.isdir(data_dir):
+            os.replace(tmp, data_dir)
+        else:
+            shutil.rmtree(tmp)
     state = (json.load(open(manifest))
              if os.path.exists(manifest) else {"watermark": None})
     ts = F.col(spec.ts_col).cast("timestamp")
@@ -169,13 +183,11 @@ def rollup_sync(source: DataFrame, spec: RollupSpec, path: str) -> dict:
     if not hi_row["n"]:
         return {"new_rows": 0, "watermark": state["watermark"]}
     fresh = rollup_build(delta, spec)
-    data_dir = os.path.join(path, "data")
     if os.path.isdir(data_dir):
         merged = (spark.read.parquet(data_dir).unionByName(fresh)
                   .groupBy("rollup_ts", *spec.dims).agg(*_merge_exprs(spec)))
     else:
         merged = fresh
-    tmp = os.path.join(path, "_data.sync.tmp")
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(data_dir):
         shutil.rmtree(data_dir)

@@ -195,3 +195,43 @@ def test_welch_exact_branch_is_null_aware_like_default(spark):
                       F.col("g") == "b", exact_decimals=6).collect()[0]
     assert ex["doc_count"] == base["doc_count"]
     assert abs(ex["t_stat"] - base["t_stat"]) < 1e-9
+
+
+def test_rollup_sync_recovers_from_swap_crash(spark, tmp_path):
+    """Round-5 durability pin: a crash between rmtree(data) and
+    rename(tmp, data) leaves the only rollup copy under the tmp dir
+    with a STALE watermark; the next sync must adopt the tmp instead
+    of rebuilding from the delta alone (which silently dropped the
+    history)."""
+    import os
+    import shutil
+
+    from siem_on_amazon_opensearch_service_spark.operators.rollup import (
+        RollupSpec, rollup_read, rollup_sync)
+
+    spec = RollupSpec("ts", 3600, ("k",), ("v",))
+    rows1 = [(f"2024-01-01 0{h}:10:00", "a", float(h)) for h in range(5)]
+    src1 = spark.createDataFrame(rows1, "ts string, k string, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "ru")
+    r1 = rollup_sync(src1, spec, path)
+    assert r1["new_rows"] == 5
+    # simulate the crash window: data/ renamed away to tmp, manifest
+    # still carries the pre-crash watermark
+    os.replace(os.path.join(path, "data"),
+               os.path.join(path, "_data.sync.tmp"))
+    rows2 = [("2024-01-01 06:10:00", "a", 60.0)]
+    src2 = spark.createDataFrame(rows1 + rows2,
+                                 "ts string, k string, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    r2 = rollup_sync(src2, spec, path)
+    assert r2["new_rows"] == 1  # only the post-watermark row
+    got = {(r["rollup_ts"], r["k"]): r["rollup_count"]
+           for r in rollup_read(spark, path).collect()}
+    assert len(got) == 6 and all(n == 1 for n in got.values())
+    # torn-tmp case: stale tmp alongside intact data is discarded
+    os.makedirs(os.path.join(path, "_data.sync.tmp"), exist_ok=True)
+    r3 = rollup_sync(src2, spec, path)
+    assert r3["new_rows"] == 0
+    assert not os.path.isdir(os.path.join(path, "_data.sync.tmp"))
+    assert rollup_read(spark, path).count() == 6
