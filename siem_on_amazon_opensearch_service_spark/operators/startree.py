@@ -262,6 +262,19 @@ def startree_sync(spark: SparkSession, path: str, docs: DataFrame,
     import os
     import shutil
 
+    # crash recovery (same window as rollup_sync): the swap below
+    # removes data/ then renames the tmp in; a crash between the two
+    # leaves the ONLY cube copy under tmp with a stale watermark and
+    # makes StarTree.load fail on the missing dir. Adopt a stranded
+    # tmp; discard a torn one lying next to intact data.
+    data_dir = os.path.join(path, "data")
+    tmp = os.path.join(path, "_data.sync.tmp")
+    if os.path.isdir(tmp):
+        if not os.path.isdir(data_dir):
+            os.replace(tmp, data_dir)
+        else:
+            shutil.rmtree(tmp)
+
     st = StarTree.load(spark, path)
     if st.dim_specs is None:
         raise ValueError("cube was saved without dim_specs; rebuild "
@@ -284,8 +297,6 @@ def startree_sync(spark: SparkSession, path: str, docs: DataFrame,
     merged = (st.cube.unionByName(delta.cube)
               .groupBy(*st.dims, "_gid").agg(*merged_aggs))
 
-    data_dir = os.path.join(path, "data")
-    tmp = os.path.join(path, "_data.sync.tmp")
     merged.write.mode("overwrite").partitionBy("_gid").parquet(tmp)
     shutil.rmtree(data_dir)
     os.replace(tmp, data_dir)
