@@ -128,6 +128,18 @@ def transform_sync(source: DataFrame, spec: TransformSpec,
         raise ValueError("continuous transform needs spec.ts_col")
     spark = source.sparkSession
     manifest = os.path.join(path, "_sync.json")
+    data_dir = os.path.join(path, "data")
+    tmp = os.path.join(path, "_data.sync.tmp")
+    # crash recovery (same swap window as rollup_sync/startree_sync):
+    # a crash between rmtree(data) and rename(tmp) strands the only
+    # copy of the UNCHANGED buckets under tmp — a blind retry would
+    # keep only the recomputed ones. Adopt a stranded tmp; discard a
+    # torn one next to intact data.
+    if os.path.isdir(tmp):
+        if not os.path.isdir(data_dir):
+            os.replace(tmp, data_dir)
+        else:
+            shutil.rmtree(tmp)
     state = (json.load(open(manifest))
              if os.path.exists(manifest) else {"checkpoint": None})
     ts = F.col(spec.ts_col).cast("timestamp")
@@ -157,14 +169,12 @@ def transform_sync(source: DataFrame, spec: TransformSpec,
     recomputed = touched.groupBy(*[F.col(n) for n in names]) \
                         .agg(*spec.agg_cols())
 
-    data_dir = os.path.join(path, "data")
     if os.path.isdir(data_dir):
         kept = spark.read.parquet(data_dir).join(changed, names,
                                                  "left_anti")
         merged = kept.unionByName(recomputed)
     else:
         merged = recomputed
-    tmp = os.path.join(path, "_data.sync.tmp")
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(data_dir):
         shutil.rmtree(data_dir)

@@ -161,3 +161,30 @@ def test_transform_unknown_kinds_rejected():
     with pytest.raises(ValueError, match="agg kind"):
         TransformSpec(groups=(("cat", "terms", None),),
                       aggs=(("v", "median"),)).agg_cols()
+
+
+def test_transform_sync_recovers_from_swap_crash(
+        spark, tmp_path_factory):
+    """Round-5 durability pin (same window as rollup/startree sync):
+    data/ renamed away mid-swap with a stale checkpoint — the retry
+    must adopt the stranded tmp so UNCHANGED buckets survive."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("transform_crash"))
+    spec = TransformSpec(groups=(("cat", "terms", None),),
+                         aggs=(("v", "sum"),), ts_col="ts")
+    rows = mk_rows(60)
+    transform_sync(spark.createDataFrame(rows, SCHEMA), spec, path)
+    # crash window simulation
+    os.replace(os.path.join(path, "data"),
+               os.path.join(path, "_data.sync.tmp"))
+    # the delta touches ONLY cat 'a' buckets (row index 60 -> 'a')
+    rows2 = rows + [("a", 1.5, T0 + dt.timedelta(days=30))]
+    res = transform_sync(spark.createDataFrame(rows2, SCHEMA), spec, path)
+    assert res["changed_buckets"] == 1
+    got = {r["cat"]: round(r["v__sum"], 9)
+           for r in transform_read(spark, path).collect()}
+    exp = {r["cat"]: round(r["v__sum"], 9)
+           for r in transform_build(
+               spark.createDataFrame(rows2, SCHEMA), spec).collect()}
+    assert got == exp  # 'b'/'c' buckets survived the crash
