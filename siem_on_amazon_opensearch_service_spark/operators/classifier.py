@@ -108,13 +108,21 @@ def nb_score(docs: DataFrame, model: NBModel, text_col: str = "text",
     counts = ngram_bucket_counts(docs, text_col=text_col, id_col=id_col,
                                  n_buckets=model.n_buckets,
                                  keep_empty=True)
+    # order-independent scoring sum (same rationale as
+    # dsir_logweights): quantize the per-bucket log-odds to exact
+    # pico-units with the bitwise-deterministic floor form, sum in
+    # INTEGER space, divide once — a doc touches hundreds of buckets
+    # and a double sum's partial-merge order would leak into the last
+    # ulp of the gated logit.
+    wq = F.floor(
+        F.coalesce(F.col("w"), F.lit(model.default_w)) * F.lit(1e12)
+        + F.lit(0.5))
     return (
         counts.join(F.broadcast(model.weights), "bucket", "left")
         .groupBy("id")
-        .agg((F.coalesce(F.sum(
-            F.col("cnt") * F.coalesce(F.col("w"),
-                                      F.lit(model.default_w))
-        ), F.lit(0.0)) + F.lit(model.bias)).alias("logit"))
+        .agg((F.coalesce(F.sum(F.col("cnt") * wq) / F.lit(1e12),
+                         F.lit(0.0))
+              + F.lit(model.bias)).alias("logit"))
         .withColumn("keep", F.col("logit") > 0)
     )
 
@@ -155,8 +163,11 @@ def duckdb_nb_sql(train_where: str, alpha: float = ALPHA,
              - ln({alpha}) + ln(t0 + {alpha} * {n_buckets}) AS w
       FROM tot),
     s AS (
+      -- exact integer-quantized sum (see nb_score): floor pico-unit
+      -- quantization, order-independent integer summation
       SELECT c.id,
-             sum(c.cnt * coalesce(wts.w, (SELECT w FROM dflt))) AS s
+             sum(c.cnt * floor(coalesce(wts.w, (SELECT w FROM dflt))
+                               * 1e12 + 5e-1)::BIGINT) / 1e12 AS s
       FROM cnts c LEFT JOIN wts USING (bucket)
       GROUP BY c.id)
     SELECT d.doc_id AS id,

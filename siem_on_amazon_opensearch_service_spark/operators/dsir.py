@@ -150,10 +150,19 @@ def dsir_logweights(raw_docs: DataFrame, target_docs: DataFrame,
         raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("cnt")),
         n_buckets, alpha,
     )
+    # Order-independent scoring sum: a doc touches hundreds of
+    # buckets, and sum(cnt * logr) over DOUBLES would depend on the
+    # partial-merge order at the last ulp (the class detfloat killed
+    # elsewhere). Quantize logr to exact pico-units via the bitwise-
+    # deterministic floor form (same op sequence in the DuckDB twin),
+    # sum in INTEGER space (exact, associative), divide once at the
+    # end. Headroom: |logr| <= ~40 -> |li| <= 4e13; cnt * li summed
+    # over a doc's buckets stays far under 2^63 for any real doc.
+    li = F.floor(F.col("logr") * F.lit(1e12) + F.lit(0.5))
     return (
         raw_counts.join(F.broadcast(ratios), "bucket")
         .groupBy("id")
-        .agg(F.sum(F.col("cnt") * F.col("logr")).alias("logw"))
+        .agg((F.sum(F.col("cnt") * li) / F.lit(1e12)).alias("logw"))
     )
 
 
@@ -215,7 +224,11 @@ def duckdb_dsir_sql(raw_where: str, target_where: str, k: int,
       FROM rp FULL JOIN tp ON rp.bucket = tp.bucket
     ),
     w AS (
-      SELECT id, sum(cnt * logr) AS logw
+      -- exact integer-quantized sum (see dsir_logweights): floor
+      -- pico-unit quantization is bitwise identical cross-engine,
+      -- integer summation is order-independent
+      SELECT id,
+             sum(cnt * floor(logr * 1e12 + 5e-1)::BIGINT) / 1e12 AS logw
       FROM raw_bc JOIN ratios USING (bucket) GROUP BY id
     ),
     keyed AS (
